@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The derived relational surface of the reference engine (SURVEY.md §2.3,
+  * R1–R10): the query class its MapReduce contract makes expressible —
+  * projection, filter, grouped aggregation, distinct, joins, sort, top-k,
+  * histogram, union, chained pipelines (reference extension point:
+  * `Worker/worker_v1.py:113-116,196-199`; key convention
+  * `Worker/worker_v1.py:133`).
+  *
+  * Everything here is declarative DataFrame API — Catalyst does pushdown,
+  * pruning, join selection (broadcast for the small dims), and partial
+  * aggregation; nothing is hand-scheduled.
+  *
+  * Oracle-parity note: double aggregation is routed through DECIMAL(18,4)
+  * (exact, order-independent) and cast back to double so results
+  * hash-match DuckDB regardless of partitioning / accumulation order.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 4)
+  /** Exact, order-independent sum of a double column. */
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+  /** Exact revenue term: extendedprice * (1 - discount) in decimal. */
+  private def revTerm(price: Column, disc: Column): Column =
+    price.cast(dec) * (lit(1).cast(dec) - disc.cast(dec))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R3: grouped aggregation — TPC-H Q1-style pricing summary.
+    // Map-side partial agg + final agg; 2 grouping keys → tiny shuffle.
+    "q1_agg" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revTerm(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // R1+R2: filter + projection — predicate and column pruning reach the
+    // parquet scan (PushedFilters / 5-column ReadSchema).
+    "q2_filter_project" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 25)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          revTerm(col("l_extendedprice"), col("l_discount"))
+            .cast("double").as("revenue"))
+    }),
+
+    // R5+R3: multi-way equi-join + agg — revenue per nation. nation and
+    // region are broadcast by Catalyst (well under the 10MB threshold);
+    // customer⋈orders⋈lineitem shuffles on the join keys.
+    "q3_join_revenue" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer")
+      val n = Tables(s, d, "nation")
+      val r = Tables(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(sum(revTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // R4: distinct (reference realization: map emits `key,`; reduce emits
+    // each key once).
+    "q4_distinct" -> ((s, d) =>
+      Tables(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey")).distinct()),
+
+    // R6: global sort + limit with deterministic tie-break.
+    "q5_sort_limit" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // R7: per-key top-k via window (reference realization: reduce scans its
+    // sorted group and keeps k — `Worker/worker_v1.py:184-199`).
+    "q6_topk_per_key" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      Tables(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+    }),
+
+    // R8: histogram / value bucketing (map emits bucket(v),1; reduce counts).
+    "q7_histogram" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 10000).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // R9: union / concatenation (WRITE of multiple files is pure line
+    // concat in the reference, `Client/client_v1.py:96-115`).
+    "q8_union" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .select(col("c_nationkey").as("nk"), lit("c").as("side"))
+      val su = Tables(s, d, "supplier")
+        .select(col("s_nationkey").as("nk"), lit("s").as("side"))
+      c.union(su).groupBy(col("nk")).agg(count(lit(1)).as("n"),
+        countDistinct(col("side")).as("n_sides"))
+    }),
+
+    // R5 variant: left-semi join (EXISTS) — customers having a >200k order.
+    "q9_semi_join" -> ((s, d) => {
+      val bigOrders = Tables(s, d, "orders")
+        .filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey"))
+      Tables(s, d, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // R5 variant: left-anti join (NOT EXISTS) — customers with no order
+    // above 250k.
+    "q10_anti_join" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .filter(col("o_totalprice") > 250000).select(col("o_custkey"))
+      Tables(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+    }),
+
+    // R5 variant: left outer join + agg — orders per customer incl. zero.
+    "q11_left_join_agg" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend"))
+    }),
+
+    // R10: chained pipeline — per-(nation, year) revenue, then best year
+    // per nation. In the reference this is two MR rounds over a registered
+    // intermediate file (`Master/masterhandler.py:171-175`); here Catalyst
+    // fuses the whole thing into one plan.
+    "q12_chained_pipeline" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer")
+      val n = Tables(s, d, "nation")
+      val perYear = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(revTerm(col("l_extendedprice"), col("l_discount")))
+          .as("rev_dec"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("rev_dec").desc, col("yr"))
+      perYear.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("n_name"), col("yr"), col("rev_dec").cast("double")
+          .as("revenue"))
+    }),
+
+    // Scalar string functions (§2.8) — grouped so output is small.
+    "q13_string_fns" -> ((s, d) =>
+      Tables(s, d, "customer")
+        .groupBy(lower(col("c_mktsegment")).as("seg"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("c_acctbal")).as("sum_bal"),
+          max(length(col("c_name"))).as("max_name_len"),
+          min(substring(col("c_name"), 1, 8)).as("name_prefix"))),
+
+    // Scalar date functions (§2.8) over o_orderdate.
+    "q14_date_fns" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))),
+
+    // §2.7: set ops beyond union — nations present among customers but
+    // absent among suppliers (except), and present in both (intersect).
+    "q17_set_ops" -> ((s, d) => {
+      val cn = Tables(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val sn = Tables(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      cn.except(sn).withColumn("op", lit("except"))
+        .union(cn.intersect(sn).withColumn("op", lit("intersect")))
+    }),
+
+    // §2.5 [EXT]: rollup (multi-level aggregate in one pass).
+    "q18_rollup" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""".stripMargin,
+    "q3_join_revenue" ->
+      """SELECT n_name, r_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name""".stripMargin,
+    "q4_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q5_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q6_topk_per_key" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        | CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        | FROM lineitem) WHERE rk <= 3""".stripMargin,
+    "q7_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS bucket,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q8_union" ->
+      """SELECT nk, COUNT(*) AS n, COUNT(DISTINCT side) AS n_sides
+        |FROM (SELECT c_nationkey AS nk, 'c' AS side FROM customer
+        |      UNION ALL
+        |      SELECT s_nationkey AS nk, 's' AS side FROM supplier)
+        |GROUP BY nk""".stripMargin,
+    "q9_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin,
+    "q11_left_join_agg" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        | CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q12_chained_pipeline" ->
+      """SELECT n_name, yr, CAST(rev_dec AS DOUBLE) AS revenue
+        |FROM (SELECT n_name, yr, rev_dec, ROW_NUMBER() OVER
+        |   (PARTITION BY n_name ORDER BY rev_dec DESC, yr) AS rk
+        | FROM (SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |   SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, yr))
+        |WHERE rk = 1""".stripMargin,
+    "q13_string_fns" ->
+      """SELECT lower(c_mktsegment) AS seg, COUNT(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+        | CAST(MAX(length(c_name)) AS INTEGER) AS max_name_len,
+        | MIN(substring(c_name, 1, 8)) AS name_prefix
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q14_date_fns" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mon,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q17_set_ops" ->
+      """SELECT nk, 'except' AS op FROM
+        | (SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT SELECT s_nationkey AS nk FROM supplier)
+        |UNION ALL
+        |SELECT nk, 'intersect' AS op FROM
+        | (SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT SELECT s_nationkey AS nk FROM supplier)""".stripMargin,
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+  )
+}

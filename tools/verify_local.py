@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run after
+`sbt "runMain graft.Verify <sfDir> <outDir>"`, compares each Spark parquet
+result against its DuckDB oracle (columns sorted by name, rows sorted,
+exact value compare). Usage: verify_local.py <sfDir> <outDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = canon(con.sql(f"SELECT * FROM '{files[0]}'").df())
+            exp = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        bad = None
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            for i in range(len(g)):
+                gv, ev = g.iloc[i], e.iloc[i]
+                if gv is None and ev is None:
+                    continue
+                try:
+                    if isinstance(gv, float) or isinstance(ev, float):
+                        if (isinstance(gv, float) and math.isnan(gv)) and \
+                           (isinstance(ev, float) and math.isnan(ev)):
+                            continue
+                        if gv != ev:
+                            bad = (c, i, gv, ev, abs(gv - ev)); break
+                    elif str(gv) != str(ev):
+                        bad = (c, i, gv, ev, None); break
+                except Exception as ex:
+                    bad = (c, i, gv, ev, f"cmperr {ex}"); break
+            if bad: break
+        if bad:
+            c, i, gv, ev, diff = bad
+            print(f"FAIL {name}: col={c} row={i} spark={gv!r} duck={ev!r} diff={diff}")
+            n_fail += 1
+        else:
+            # also report dtype-level mismatches as warnings (driver may be stricter)
+            dt = [(c, str(got[c].dtype), str(exp[c].dtype))
+                  for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+            suffix = f"  [dtype warn: {dt}]" if dt else ""
+            print(f"OK   {name} ({len(got)} rows){suffix}")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
