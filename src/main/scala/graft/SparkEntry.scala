@@ -22,12 +22,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TextQueries.queries ++ Relational.queries
+    TextQueries.queries ++ Relational.queries ++ EventQueries.queries ++
+      MrQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
     * (driver records a weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    TextQueries.oracle ++ Relational.oracle
+    TextQueries.oracle ++ Relational.oracle ++ EventQueries.oracle ++
+      MrQueries.oracle
 }

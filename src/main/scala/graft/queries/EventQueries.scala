@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Queries over the `events` table: semi-structured (JSON props) access
+  * (§2.8) and time-window aggregation — the batch form of the streaming
+  * surface (§2.10; the streaming twin lives in graft.streaming and is
+  * verified in EventStreamSpec against this same batch plan).
+  */
+object EventQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.8: JSON extraction from a string column + grouped agg.
+    "q15_json_extract" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))),
+
+    // §2.10 batch form: tumbling 10-minute window counts per event type.
+    // window() buckets align to the epoch, same as DuckDB's time_bucket
+    // (whose origin 2000-01-03 00:00 is itself epoch-aligned for
+    // divisor-of-a-day widths).
+    "q16_window_events" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    // Sessionization-lite: per-user event counts and value stats — the
+    // grouped-agg shape a stateful streaming job would maintain.
+    "q19_user_stats" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"),
+          max(col("ts")).as("last_ts")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q15_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        | MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q16_window_events" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q19_user_stats" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | COUNT(DISTINCT event_type) AS n_types,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | MAX(ts) AS last_ts
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.mr.MapReduce
+
+/** The canonical reference workload (word count) run through the MR-parity
+  * facade — proves the WRITE/MAP/SHUFFLE/SORT/REDUCE verbs reproduce the
+  * reference's semantics and hash-match the same SQL oracle as the
+  * declarative plan (q0_wordcount).
+  */
+object MrQueries {
+
+  /** Word count via mapLines + reduceByLineKey over `key,value` text lines,
+    * exactly as a YaMR user would write it (mapper emits `word,1`; reducer
+    * folds each contiguous sorted group).
+    */
+  def mrWordcount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables(s, d, "documents").select(col("text"))
+      .as[String]
+    val out = MapReduce.mapReduce(
+      lines,
+      mapper = line => line.split(" ").iterator
+        .filter(_.nonEmpty).map(w => s"$w,1"),
+      reducer = (key, values) => Iterator(s"$key,${values.size}"),
+      numPartitions = lines.rdd.getNumPartitions.max(4))
+    // parse `word,count` lines back to typed columns for the oracle compare
+    out.select(
+      split(col("value"), ",", 2).getItem(0).as("word"),
+      split(col("value"), ",", 2).getItem(1).cast("long").as("n"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_wordcount" -> (mrWordcount _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "mr_wordcount" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.mr.MapReduce
+
+class MapReduceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyOf: first comma field; no comma → whole line") {
+    assert(MapReduce.keyOf("a,b,c") == "a")
+    assert(MapReduce.keyOf("nocomma") == "nocomma")
+    assert(MapReduce.keyOf(",leading") == "")
+  }
+
+  test("WRITE/READ roundtrip preserves lines and partition count") {
+    val tmp = Files.createTempDirectory("graft-mr").toString
+    val src = s"$tmp/input.txt"
+    val lines = (1 to 100).map(i => s"line$i,payload$i")
+    Files.write(Paths.get(src), String.join("\n", lines: _*).getBytes)
+    MapReduce.write(spark, src, s"$tmp/dfs", partitions = 7)
+    val parts = new java.io.File(s"$tmp/dfs").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts == 7)
+    val back = MapReduce.read(spark, s"$tmp/dfs").collect()
+    assert(back.sorted.sameElements(lines.sorted))
+  }
+
+  test("golden MR-parity: closure mapReduce == declarative groupBy count") {
+    val docs = Tables(spark, sf, "documents").select("text").as[String]
+    val viaMr = MapReduce.mapReduce(
+      docs,
+      line => line.split(" ").iterator.filter(_.nonEmpty).map(w => s"$w,1"),
+      (k, vs) => Iterator(s"$k,${vs.size}"),
+      numPartitions = 5
+    ).collect().map { l => val Array(w, n) = l.split(",", 2); (w, n.toLong) }
+      .toMap
+    val viaSql = TextOps.wordcountViaSql(spark, sf)
+    assert(viaMr == viaSql)
+  }
+
+  test("reducer sees values of one key, in lexicographic line order") {
+    val input = spark.createDataset(Seq(
+      "k1,z", "k1,a", "k2,m", "k1,b", "k3,x", "k2,a"))
+    val out = MapReduce.reduceByLineKey(input, 3) { (k, vs) =>
+      Iterator(s"$k -> ${vs.mkString("|")}")
+    }.collect().sorted
+    assert(out.sameElements(Array(
+      "k1 -> k1,a|k1,b|k1,z", "k2 -> k2,a|k2,m", "k3 -> k3,x")))
+  }
+
+  test("reducer that does not drain its group still frames correctly") {
+    val input = spark.createDataset(Seq(
+      "k1,a", "k1,b", "k1,c", "k2,x", "k2,y"))
+    val out = MapReduce.reduceByLineKey(input, 2) { (k, vs) =>
+      Iterator(s"$k,${vs.take(1).next()}")   // reads only first value
+    }.collect().sorted
+    assert(out.length == 2)
+    assert(out(0) == "k1,k1,a" && out(1) == "k2,k2,x")
+  }
+
+  test("pipe MR: external python mapper/reducer (YaMR user contract)") {
+    val tmp = Files.createTempDirectory("graft-pipe")
+    val mapper = tmp.resolve("mapper.py")
+    Files.write(mapper,
+      """import sys
+        |for line in sys.stdin:
+        |    for w in line.strip().split(' '):
+        |        if w:
+        |            print(f"{w},1")
+        |""".stripMargin.getBytes)
+    val reducer = tmp.resolve("reducer.py")
+    Files.write(reducer,
+      """import sys
+        |prev, n = None, 0
+        |for line in sys.stdin:
+        |    k = line.rstrip("\n").split(',')[0]
+        |    if k != prev:
+        |        if prev is not None:
+        |            print(f"{prev},{n}")
+        |        prev, n = k, 0
+        |    n += 1
+        |if prev is not None:
+        |    print(f"{prev},{n}")
+        |""".stripMargin.getBytes)
+    val docs = Tables(spark, sf, "documents").select("text").as[String]
+    val out = MapReduce.mapReducePipe(docs,
+      s"python3 $mapper", s"python3 $reducer", numPartitions = 4)
+      .collect().map { l => val Array(w, n) = l.split(",", 2); (w, n.toLong) }
+      .toMap
+    assert(out == TextOps.wordcountViaSql(spark, sf))
+  }
+}
+
+object TextOps {
+  /** Declarative wordcount collected to a map, shared expected value. */
+  def wordcountViaSql(spark: org.apache.spark.sql.SparkSession,
+      sf: String): Map[String, Long] =
+    graft.queries.TextQueries.wordcount(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+}
