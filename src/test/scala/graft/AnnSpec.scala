@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors._
+
+class AnnSpec extends SparkSpec {
+
+  test("vector kernels: dot/norm/cosine match a scala reference fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, -5.0f, 6.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = df.select(
+      vec_dot(col("a"), col("b")),
+      vec_norm(col("a")),
+      vec_cosine(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == (1.0 * 4 + 2.0 * -5 + 3.0 * 6))
+    assert(math.abs(got(0).getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    val expCos = 12.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got(0).getDouble(2) - expCos) < 1e-12)
+    // zero vector → cosine defined as 0, not NaN
+    assert(got(1).getDouble(2) == 0.0)
+  }
+
+  test("vector kernels survive whole-stage codegen and interpreted eval") {
+    import spark.implicits._
+    val df = Seq((Array.fill(64)(0.5f), Array.fill(64)(2.0f))).toDF("a", "b")
+    val cg = df.select(vec_dot(col("a"), col("b"))).head().getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(vec_dot(col("a"), col("b"))).head().getDouble(0)
+      assert(cg == interp && cg == 64.0)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("brute-force ANN: k neighbors per query, ranks contiguous") {
+    val rows = SparkEntry.queries("q25_ann_topk")(spark, sf)
+      .groupBy("q_id").agg(count(lit(1)).as("n"), max("rk").as("maxrk"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10 && r.getInt(2) == 10,
+        s"query ${r.get(0)}: ${r.getLong(1)} neighbors, max rank ${r.get(2)}")
+    }
+  }
+
+  test("LSH ANN: results subset-of-bucket, recall vs brute force >= 0.25") {
+    val exact = SparkEntry.queries("q25_ann_topk")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty, "LSH ANN returned nothing")
+    val recall = (approx & exact).size.toDouble / exact.size
+    // 4-bit buckets + hamming-1 multiprobe: recall is bounded by how far
+    // apart this corpus's neighbors are (~65°); the spec pins it does not
+    // silently collapse.
+    assert(recall >= 0.25, s"LSH recall $recall")
+  }
+}

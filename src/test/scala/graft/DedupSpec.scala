@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.queries.DedupQueries
+
+class DedupSpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exact: Set[(Long, Long)] = pairs("q23_ngram_jaccard")
+
+  test("exact n-gram Jaccard finds the planted near-dup pairs") {
+    assert(exact.nonEmpty, "sf0.001 should contain planted near-dups")
+    exact.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("minhash-LSH equals the exact pair set (recall 1 at J>=0.9 grade)") {
+    assert(pairs("q21_minhash_lsh") == exact)
+  }
+
+  test("simhash: precision 1 (subset of exact), recall >= 0.8") {
+    val sh = pairs("dedup_simhash")
+    assert(sh.subsetOf(exact), s"simhash emitted non-near-dup pairs: ${sh -- exact}")
+    assert(sh.size >= (exact.size * 0.8).floor.toInt,
+      s"simhash recall too low: ${sh.size}/${exact.size}")
+  }
+
+  test("exact dedup: keepers cover all docs, multiplicity sums to row count") {
+    val total = Tables(spark, sf, "documents").count()
+    val agg = SparkEntry.queries("q20_exact_dedup")(spark, sf)
+      .selectExpr("sum(n_copies)", "count(*)").head()
+    assert(agg.getLong(0) == total)
+    assert(agg.getLong(1) <= total)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = SparkEntry.queries("q24_embedding_dedup")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4 - 1e-9)
+    }
+  }
+
+  test("jaccard values are exact rationals in [0.5, 1]") {
+    SparkEntry.queries("q23_ngram_jaccard")(spark, sf).collect().foreach {
+      case Row(_: Long, _: Long, j: Double) => assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+}
