@@ -12,6 +12,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: absorb JVM classloading + codegen compile so the first
+    // timed query isn't charged ~5s of one-time cost.
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("q1_agg", "q0_wordcount", "q6_topk_per_key").foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

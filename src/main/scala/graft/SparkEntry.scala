@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextQueries.queries ++ Relational.queries ++ EventQueries.queries ++
       MrQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ TextAnalysis.queries
+      SimilarityQueries.queries ++ TextAnalysis.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -33,5 +34,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TextQueries.oracle ++ Relational.oracle ++ EventQueries.oracle ++
       MrQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ TextAnalysis.oracle
+      SimilarityQueries.oracle ++ TextAnalysis.oracle ++
+      MultimodalQueries.oracle
 }

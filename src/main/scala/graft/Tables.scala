@@ -17,18 +17,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
-    // so it arrives as epoch-nanos LongType — normalize to a timestamp.
-    // Integer `div` (not /): ns epoch values exceed double's 2^53 exact
-    // range, and floor-to-microsecond matches DuckDB's ns→us truncation.
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
+    * so it arrives as epoch-nanos LongType — normalize to a timestamp.
+    * Integer `div` (not /): ns epoch values exceed double's 2^53 exact
+    * range, and floor-to-microsecond matches DuckDB's ns→us truncation.
+    * Exposed so the readStream twin applies the identical rewrite.
+    */
+  def normalize(df: DataFrame): DataFrame =
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
-  }
 
   /** Session config required to read all TESTDATA tables (nanos-timestamp
     * handling for `events`). Apply on every SparkSession this engine uses.

@@ -29,9 +29,9 @@ import graft.functions.vectors._
   *
   * q21 and q23 emit the same result set — pairs with true 3-gram shingle
   * Jaccard ≥ 0.5 — so the LSH strategy is verified against the exact one
-  * by the driver's oracle AND against it in DedupSpec. LSH params (128
-  * hashes, 32×4) put miss probability at the observed near-dup grade
-  * (J ≥ 0.9) below 1e-14.
+  * by the driver's oracle AND against it in DedupSpec. LSH params (64
+  * hashes, 16 bands × 4 rows) put miss probability at the observed
+  * near-dup grade (J ≥ 0.9) around 4e-8.
   *
   * Scale notes (100 TB): every join here is an equi-join on a hash/band
   * key — shuffle-partitionable, no driver collection. The inverted-index
@@ -40,8 +40,8 @@ import graft.functions.vectors._
   */
 object DedupQueries {
 
-  private val NumHashes = 128
-  private val Bands = 32
+  private val NumHashes = 64
+  private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
   private val JaccardThreshold = 0.5
 
@@ -120,34 +120,28 @@ object DedupQueries {
         sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1)
           .otherwise(-1)).as(s"b$k"))
       val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      // pack into 8 bytes for banding + hamming
-      val byteCols = (0 until 8).map { j =>
-        (0 until 8).map { r =>
-          val k = j * 8 + r
-          when(col(s"b$k") > 0, lit(1L << r)).otherwise(0L)
-        }.reduce(_ + _).as(s"byte$j")
-      }
-      val packed = sums.select(col("doc_id") +: byteCols: _*)
-      val bands = packed
-        .select(col("doc_id"),
-          posexplode(array((0 until 8).map(j => col(s"byte$j")): _*)))
-        .toDF("doc_id", "band", "bv")
-      val x = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"))
+      // pack the 64 sign bits into ONE long: hamming becomes a codegen'd
+      // bit_count(xor), not an interpreted higher-order fold. Disjoint
+      // power-of-two terms make + equivalent to bitwise OR (incl. bit 63).
+      val sigCol = (0 until 64).map(k =>
+        when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)).reduce(_ + _)
+      // Band rows carry the packed signature so candidate generation and
+      // the exact-hamming filter happen in ONE self-join pass (both join
+      // inputs share the aggregation subplan → exchange reuse), and the
+      // hamming filter runs BEFORE the distinct-pairs shuffle.
+      val bands = sums
+        .select(col("doc_id"), sigCol.as("sig"))
+        .select(col("doc_id"), col("sig"), posexplode(array((0 until 8).map(
+          j => shiftrightunsigned(col("sig"), j * 8).bitwiseAND(0xFFL)): _*)))
+        .toDF("doc_id", "sig", "band", "bv")
+      val x = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"))
       val y = bands.select(col("band").as("band2"), col("bv").as("bv2"),
-        col("doc_id").as("doc_b"))
-      val candIds = x.join(y, col("band") === col("band2") &&
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      val withHamming = x.join(y, col("band") === col("band2") &&
           col("bv") === col("bv2") && col("doc_a") < col("doc_b"))
+        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 15)
         .select(col("doc_a"), col("doc_b")).distinct()
-      // exact hamming over the full 64 bits, then exact-Jaccard verify
-      val pa = packed.select(col("doc_id").as("doc_a"),
-        array((0 until 8).map(j => col(s"byte$j")): _*).as("sig_a"))
-      val pb = packed.select(col("doc_id").as("doc_b"),
-        array((0 until 8).map(j => col(s"byte$j")): _*).as("sig_b"))
-      val withHamming = candIds.join(pa, "doc_a").join(pb, "doc_b")
-        .withColumn("hamming", expr(
-          "aggregate(zip_with(sig_a, sig_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
-        .filter(col("hamming") <= 15)
-        .select(col("doc_a"), col("doc_b"))
       verifyExact(withHamming, sh)
     }),
 
@@ -155,14 +149,20 @@ object DedupQueries {
     // explode → self-equi-join on the shingle → count common → sizes.
     "q23_ngram_jaccard" -> ((s, d) => {
       val sh = shingles(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      // join on the 64-bit hash of the shingle, not the string: the
+      // equi-join + count only needs equality, and long keys keep the
+      // 10⁶-pair exchange/aggregate narrow. (Spark's aggregate hashes
+      // the key either way; pre-hashing drops the string payload.)
+      val ex = sh.select(col("doc_id"),
+        explode(expr("transform(sh, v -> xxhash64(v))")).as("s"))
       val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
       val co = ex.select(col("s"), col("doc_id").as("doc_a"))
-        .join(ex.select(col("s").as("s2"), col("doc_id").as("doc_b")),
+        .join(ex.select(col("s").as("s2"), col("doc_id").as("doc_b"))
+          .hint("shuffle_hash"),
           col("s") === col("s2") && col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      co.join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
         .withColumn("jaccard", col("common").cast("double") /
           (col("na") + col("nb") - col("common")))
         .filter(col("jaccard") >= JaccardThreshold)

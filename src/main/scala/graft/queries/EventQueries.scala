@@ -44,7 +44,13 @@ object EventQueries {
           countDistinct(col("event_type")).as("n_types"),
           sum(col("value").cast("decimal(18,4)")).cast("double")
             .as("sum_value"),
-          max(col("ts")).as("last_ts")))
+          max(col("ts")).as("last_ts"))),
+
+    // §2.10: true sessionization via the built-in session_window (30-min
+    // gap) — batch twin of EventStream.sessionize; oracle is DuckDB
+    // gaps-and-islands SQL.
+    "q31_sessions" -> ((s, d) =>
+      graft.streaming.EventStream.sessionized(Tables(s, d, "events"), 30))
   )
 
   def oracle: Map[String, String] = Map(
@@ -63,6 +69,19 @@ object EventQueries {
         | COUNT(DISTINCT event_type) AS n_types,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | MAX(ts) AS last_ts
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q31_sessions" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, SUM(new_s) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -1,0 +1,158 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.10
+  * [EXT] — the reference is batch-only; this is the north-star streaming
+  * extension). Every transform here is defined once and runs in BOTH
+  * modes: the batch twin is what the DuckDB oracle checks (q16, q31), the
+  * streaming run is pinned against the batch result in EventStreamSpec
+  * via MemoryStream.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (30 min late-data horizon); session state by user cardinality × open
+  * sessions, evicted on event-time timeout — both shuffle-partitioned by
+  * key, no driver state.
+  */
+object EventStream {
+
+  /** Tumbling-window counts per event type — q16's shape. On a streaming
+    * DataFrame the watermark bounds state; on batch it is a no-op.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Sliding-window event rate: 10-minute windows every 5 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String,
+      value: Double)
+  case class SessionAcc(start: Long, end: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset escape hatch for state machines the built-in
+    * session_window can't express (here: the same gap semantics, so the
+    * batch session_window twin `sessionized` is its oracle).
+    *
+    * Streaming contract: events per user arrive in any order within the
+    * watermark; state holds ONE open session (micro-batch input is sorted
+    * per group before folding); on event-time timeout the session closes
+    * and emits.
+    */
+  /** Timestamp↔micros: state math runs in MICROsecond precision —
+    * Timestamp.getTime is millis and would silently truncate the data's
+    * µs component, breaking equality with the session_window twin.
+    */
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  def sessionize(events: Dataset[Event], gapMinutes: Int,
+      batchMode: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+
+    def fold(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionAcc]): Iterator[Session] = {
+      val sorted = it.toSeq.sortBy(e => micros(e.ts))
+      var acc = state.getOption
+      val out = Seq.newBuilder[Session]
+      if (sorted.isEmpty && state.hasTimedOut) {
+        // watermark passed end + gap: the open session is closed — emit.
+        acc.foreach(a => out += Session(userId, fromMicros(a.start),
+          fromMicros(a.end), a.n, a.sum))
+        acc = None
+        state.remove()
+      }
+      sorted.foreach { e =>
+        val t = micros(e.ts)
+        acc match {
+          case Some(a) if t - a.end < gapUs =>
+            acc = Some(SessionAcc(a.start, math.max(a.end, t), a.n + 1,
+              a.sum + e.value))
+          case Some(a) =>
+            out += Session(userId, fromMicros(a.start), fromMicros(a.end),
+              a.n, a.sum)
+            acc = Some(SessionAcc(t, t, 1, e.value))
+          case None =>
+            acc = Some(SessionAcc(t, t, 1, e.value))
+        }
+      }
+      if (batchMode) {
+        // a batch run has no further micro-batches: flush the trailing
+        // open session instead of parking it in state.
+        acc.foreach(a => out += Session(userId, fromMicros(a.start),
+          fromMicros(a.end), a.n, a.sum))
+      } else acc.foreach { a =>
+        state.update(a)
+        // close the session once event time passes end + gap (never set a
+        // timeout at/behind the current watermark — that throws). Timeout
+        // API is millisecond-granular: round the µs deadline UP.
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+          math.max(math.ceil((a.end + gapUs) / 1000.0).toLong, wm + 1))
+      }
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
+  /** Batch session aggregation via the built-in session_window — the
+    * declarative twin of sessionize, oracle-checked as q31 (DuckDB
+    * gaps-and-islands SQL). Spark merges an event into a session iff
+    * ts < prev_end + gap, i.e. a new session starts at ts - prev_ts ≥ gap.
+    */
+  def sessionized(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+
+  /** readStream twin of Tables(): parquet source with the RAW on-disk
+    * schema (streaming needs it explicit), then the same ts
+    * normalization the batch loader applies.
+    */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val raw = spark.read.parquet(path)
+    graft.Tables.normalize(spark.readStream.schema(raw.schema).parquet(path))
+  }
+
+  /** writeStream helper: complete/append the aggregation to an in-memory
+    * sink and block until the source drains (test/demo harness).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("streaming windowed counts equal the batch twin (q16 shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val rows = batch.as[(Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    // two micro-batches to exercise incremental state
+    val (first, second) = rows.splitAt(rows.size / 2)
+    stream.addData(first)
+    stream.addData(second)
+    val streamed = EventStream.windowedCounts(
+      stream.toDF().toDF("ts", "event_type", "value"))
+    EventStream.runToMemory(streamed, "wc_stream", OutputMode.Complete())
+
+    val got = spark.table("wc_stream").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = EventStream.windowedCounts(batch).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState sessionize == session_window batch twin") {
+    import spark.implicits._
+    val events = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event]
+    val custom = EventStream.sessionize(events, 30, batchMode = true).collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+      .toSet
+    val builtin = EventStream.sessionized(Tables(spark, sf, "events"), 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(custom == builtin)
+  }
+
+  test("streaming sessionize emits closed sessions on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val sessions = EventStream.sessionize(
+      stream.toDS().withWatermark("ts", "10 minutes").as[Event], 30)
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 40-min gap
+      // (second session); watermark advances past start+30min via user 2.
+      // Offsets start at minute 10: epoch-0 sits exactly on the initial
+      // watermark and stateful ops drop rows at/behind it.
+      stream.addData(Event(1L, ts(10), "a", 1.0), Event(1L, ts(15), "a", 2.0))
+      q.processAllAvailable()
+      stream.addData(Event(1L, ts(55), "b", 3.0), Event(2L, ts(130), "c", 4.0))
+      q.processAllAvailable()
+      // one more batch so the timeout fires under the advanced watermark
+      stream.addData(Event(2L, ts(131), "c", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_stream")
+        .select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(got.contains((1L, ts(10), 2L)),
+        s"first session of user 1 not emitted: $got")
+      assert(got.contains((1L, ts(55), 1L)),
+        s"gap session of user 1 not emitted: $got")
+    } finally q.stop()
+  }
+
+  test("sliding windows produce overlapping buckets") {
+    val n = EventStream.slidingCounts(Tables(spark, sf, "events")).count()
+    val t = SparkEntry.queries("q16_window_events")(spark, sf)
+      .select("ws").distinct().count()
+    assert(n > t, "sliding 10m/5m must emit more buckets than tumbling 10m")
+  }
+}
