@@ -25,7 +25,7 @@ object SparkEntry {
     TextQueries.queries ++ Relational.queries ++ EventQueries.queries ++
       MrQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextAnalysis.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -35,5 +35,5 @@ object SparkEntry {
     TextQueries.oracle ++ Relational.oracle ++ EventQueries.oracle ++
       MrQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextAnalysis.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++ AdvancedQueries.oracle
 }

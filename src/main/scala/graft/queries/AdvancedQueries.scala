@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.SecondMaxAgg
+
+/** Window-function surface (SURVEY.md §2.6) and the custom-Aggregator
+  * fold surface (§2.9) — the two extension points beyond plain groupBy.
+  */
+object AdvancedQueries {
+
+  private val dec = DecimalType(18, 4)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.6: lag/lead/rank + running & rolling frames over a deterministic
+    // per-customer order (o_orderdate is date-grained and can tie, so
+    // o_orderkey breaks ties; rank is over the full key for determinism).
+    "q32_window_fns" -> ((s, d) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(byDate))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(byDate))
+        .withColumn("order_idx", row_number().over(byDate))
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(dec))
+            .over(byDate.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("double"))
+        .withColumn("rolling3_max",
+          max(col("o_totalprice"))
+            .over(byDate.rowsBetween(-2, Window.currentRow)))
+    }),
+
+    // §2.9: custom typed Aggregator (second-largest distinct price per
+    // group) — partial+final fold Spark derives from reduce/merge.
+    "q33_custom_agg" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val secondMax = udaf(SecondMaxAgg, Encoders.scalaDouble)
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          secondMax(col("l_extendedprice")).as("second_max"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q32_window_fns" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | CAST(row_number() OVER w AS INTEGER) AS order_idx,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_spend,
+        | MAX(o_totalprice) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling3_max
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+        .stripMargin,
+    "q33_custom_agg" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice AS p,
+        |  DENSE_RANK() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC) AS rk
+        |  FROM lineitem),
+        |sm AS (SELECT l_returnflag, CAST(max(p) AS DOUBLE) AS second_max
+        |  FROM r WHERE rk = 2 GROUP BY l_returnflag),
+        |base AS (SELECT l_returnflag, MAX(l_extendedprice) AS max_price,
+        |  COUNT(*) AS n FROM lineitem GROUP BY l_returnflag)
+        |SELECT base.l_returnflag, second_max, max_price, n
+        |FROM base JOIN sm USING (l_returnflag)""".stripMargin
+  )
+}

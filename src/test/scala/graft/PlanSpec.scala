@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan assertions: the scale properties SURVEY.md promises are
+  * pinned here so a regression in plan shape (lost pushdown, broadcast
+  * degrading to shuffle, partial agg disappearing) fails the build, not
+  * just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2 filter+project: predicates and pruning reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"no pushed filters:\n$p")
+    val readSchema = p.linesIterator.mkString
+    // only the 6 referenced columns are read, not all 16
+    assert(!readSchema.contains("l_comment"),
+      "scan reads unused columns (no pruning)")
+  }
+
+  test("q3 join: small dims broadcast, no shuffle for nation/region") {
+    val p = plan("q3_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("q1 agg: partial + final hash aggregation (map-side combine)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q0 wordcount: whole-stage codegen covers the explode+agg pipeline") {
+    // AQE only shows codegen spans in the FINAL plan — execute first
+    val df = SparkEntry.queries("q0_wordcount")(spark, sf)
+    df.collect()
+    // codegen spans print as `*(n) Op` in the executed plan string
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen spans:\n$p")
+  }
+
+  test("q24 embedding near-dup: codegen'd vec_cosine, broadcast join") {
+    val p = plan("q24_embedding_dedup")
+    assert(p.contains("vec_cosine"), s"custom kernel missing from plan:\n$p")
+    assert(p.contains("Broadcast"), s"expected broadcast pair join:\n$p")
+  }
+
+  test("q21 minhash: candidate generation is an equi-join, not cartesian") {
+    val p = plan("q21_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")
+      || p.contains("vec_"), s"LSH candidates must come from an equi-join:\n$p")
+  }
+
+  test("q5 sort+limit: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q5_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit should fuse into the sort:\n$p")
+  }
+}
