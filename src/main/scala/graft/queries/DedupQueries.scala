@@ -100,9 +100,12 @@ object DedupQueries {
         .toDF("doc_id", "band", "bh")
       // Candidate pairs = docs sharing any band bucket (equi-join on the
       // bucket key — this is the step that replaces the O(n²) cross join).
+      // shuffle_hash (not broadcast): both sides are the SAME aggregation
+      // subplan — a symmetric shuffle join lets Spark reuse one exchange
+      // instead of computing the signature pipeline twice.
       val x = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
       val y = bands.select(col("band").as("band2"), col("bh").as("bh2"),
-        col("doc_id").as("doc_b"))
+        col("doc_id").as("doc_b")).hint("shuffle_hash")
       val cand = x.join(y, col("band") === col("band2") &&
           col("bh") === col("bh2") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
@@ -134,10 +137,13 @@ object DedupQueries {
         .select(col("doc_id"), col("sig"), posexplode(array((0 until 8).map(
           j => shiftrightunsigned(col("sig"), j * 8).bitwiseAND(0xFFL)): _*)))
         .toDF("doc_id", "sig", "band", "bv")
+      // shuffle_hash: keep both sides as the same shuffled subplan so the
+      // signature aggregation is computed once (exchange reuse) — AQE
+      // broadcasting one side would force a second full computation.
       val x = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
         col("sig").as("sig_a"))
       val y = bands.select(col("band").as("band2"), col("bv").as("bv2"),
-        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+        col("doc_id").as("doc_b"), col("sig").as("sig_b")).hint("shuffle_hash")
       val withHamming = x.join(y, col("band") === col("band2") &&
           col("bv") === col("bv2") && col("doc_a") < col("doc_b"))
         .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 15)
@@ -146,13 +152,18 @@ object DedupQueries {
     }),
 
     // EXACT n-gram Jaccard similarity join via inverted shingle index:
-    // explode → self-equi-join on the shingle → count common → sizes.
+    // explode -> self-equi-join on the shingle -> count common -> sizes.
+    // (PPJoin prefix filtering [Xiao et al., WWW'08] was implemented and
+    // MEASURED SLOWER here: this corpus's shingle-frequency distribution
+    // is flat, so prefixes prune little while per-candidate array
+    // verification costs more than the streaming count-join. At
+    // real-corpus skew, switch to prefix filtering or route through
+    // q21's LSH.)
     "q23_ngram_jaccard" -> ((s, d) => {
       val sh = shingles(s, d)
       // join on the 64-bit hash of the shingle, not the string: the
       // equi-join + count only needs equality, and long keys keep the
-      // 10⁶-pair exchange/aggregate narrow. (Spark's aggregate hashes
-      // the key either way; pre-hashing drops the string payload.)
+      // 10^6-pair exchange/aggregate narrow.
       val ex = sh.select(col("doc_id"),
         explode(expr("transform(sh, v -> xxhash64(v))")).as("s"))
       val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
