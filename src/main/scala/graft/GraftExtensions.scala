@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{VectorDot, VectorCosine, VectorNorm}
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so `spark.sql("... vec_cosine(a,b) ...")`
+  * works cluster-wide via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  * For an already-running session use `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      ("vec_dot", info("vec_dot",
+        "vec_dot(a, b) - double-precision dot product of two float vectors"),
+        (es: Seq[Expression]) => VectorDot(es(0), es(1))),
+      ("vec_norm", info("vec_norm",
+        "vec_norm(a) - L2 norm of a float vector"),
+        (es: Seq[Expression]) => VectorNorm(es(0))),
+      ("vec_cosine", info("vec_cosine",
+        "vec_cosine(a, b) - cosine similarity of two float vectors"),
+        (es: Seq[Expression]) => VectorCosine(es(0), es(1))))
+
+  /** Register into a live session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge
+        .registerFunction(spark, name, i, builder)
+    }
+}

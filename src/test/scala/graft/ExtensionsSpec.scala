@@ -1,0 +1,28 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("vec_* kernels are usable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_norm(a) AS n, vec_cosine(a, b) AS c
+        |FROM VALUES (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS t(a, b)"""
+        .stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 11.0 / (math.sqrt(5.0) * 5.0)) < 1e-12)
+  }
+
+  test("registered vec_cosine on the embeddings table via pure SQL") {
+    GraftExtensions.register(spark)
+    Tables(spark, sf, "embeddings").createOrReplaceTempView("emb")
+    val n = spark.sql(
+      """SELECT a.vec_id, b.vec_id, vec_cosine(a.embedding, b.embedding) AS c
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |WHERE vec_cosine(a.embedding, b.embedding) >= 0.4""".stripMargin)
+      .count()
+    val expected = SparkEntry.queries("q24_embedding_dedup")(spark, sf).count()
+    assert(n == expected)
+  }
+}
