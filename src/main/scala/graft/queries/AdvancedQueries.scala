@@ -37,6 +37,41 @@ object AdvancedQueries {
             .over(byDate.rowsBetween(-2, Window.currentRow)))
     }),
 
+    // §2.4: AS-OF join — for every click, the same user's most recent
+    // prior-or-simultaneous purchase. Implemented the merge-based way
+    // (union both streams, per-user event-time order, carry the last
+    // purchase forward with last_value(ignoreNulls) over an unbounded
+    // preceding frame): ONE shuffle on user_id, no range cross-join —
+    // the shape that scales to per-key sorted merges at 100 TB. Oracle is
+    // DuckDB's native ASOF JOIN.
+    "q34_asof_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val unioned = purchases
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+          col("ts").as("p_ts"), col("value").as("p_value"), lit(0).as("side"))
+        .union(clicks
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(null).cast("timestamp").as("p_ts"),
+            lit(null).cast("double").as("p_value"), lit(1).as("side")))
+      // order purchases before clicks at identical ts (side 0 first) so a
+      // simultaneous purchase matches, like ASOF's >= semantics
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn("last_p_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+        .withColumn("last_p_value",
+          last(col("p_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1 && col("last_p_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_p_ts").as("purchase_ts"),
+          col("last_p_value").as("purchase_value"))
+    }),
+
     // §2.9: custom typed Aggregator (second-largest distinct price per
     // group) — partial+final fold Spark derives from reduce/merge.
     "q33_custom_agg" -> ((s, d) => {
@@ -67,6 +102,14 @@ object AdvancedQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
         .stripMargin,
+    "q34_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        | p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "q33_custom_agg" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice AS p,
         |  DENSE_RANK() OVER (PARTITION BY l_returnflag
