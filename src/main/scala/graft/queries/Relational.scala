@@ -27,9 +27,22 @@ object Relational {
   private val dec = DecimalType(18, 4)
   /** Exact, order-independent sum of a double column. */
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
-  /** Exact revenue term: extendedprice * (1 - discount) in decimal. */
+  /** Exact revenue term: extendedprice * (1 - discount) in decimal.
+    * The raw (18,4)×(19,4) product types as DECIMAL(38,8) — at the
+    * precision CAP, so SUM over it must shrink scale to 6 and rounds at
+    * large group sizes (caught at sf0.1). The product is exact in 8
+    * decimals, so casting to (28,8) loses nothing and gives SUM 10
+    * digits of headroom at full scale.
+    */
   private def revTerm(price: Column, disc: Column): Column =
-    price.cast(dec) * (lit(1).cast(dec) - disc.cast(dec))
+    (price.cast(dec) * (lit(1).cast(dec) - disc.cast(dec)))
+      .cast(DecimalType(28, 8))
+  /** Revenue sum → double via ROUND(·, 4): a scale-8 sum can exceed 2^53
+    * in integer representation, where DuckDB's int128→double path rounds
+    * differently by 1 ULP than Spark's BigDecimal path; at scale 4 the
+    * integer is exact in a double for both engines (caught at sf0.1).
+    */
+  private def rsum(c: Column): Column = round(sum(c), 4).cast("double")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R3: grouped aggregation — TPC-H Q1-style pricing summary.
@@ -40,8 +53,8 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(revTerm(col("l_extendedprice"), col("l_discount")))
-            .cast("double").as("sum_disc_price"),
+          rsum(revTerm(col("l_extendedprice"), col("l_discount")))
+            .as("sum_disc_price"),
           (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -73,8 +86,8 @@ object Relational {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"), col("r_name"))
-        .agg(sum(revTerm(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("revenue"),
+        .agg(rsum(revTerm(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -170,8 +183,8 @@ object Relational {
       val w = Window.partitionBy(col("n_name"))
         .orderBy(col("rev_dec").desc, col("yr"))
       perYear.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("n_name"), col("yr"), col("rev_dec").cast("double")
-          .as("revenue"))
+        .select(col("n_name"), col("yr"),
+          round(col("rev_dec"), 4).cast("double").as("revenue"))
     }),
 
     // Scalar string functions (§2.8) — grouped so output is small.
@@ -212,7 +225,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -225,7 +238,7 @@ object Relational {
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""".stripMargin,
     "q3_join_revenue" ->
       """SELECT n_name, r_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -269,7 +282,7 @@ object Relational {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
     "q12_chained_pipeline" ->
-      """SELECT n_name, yr, CAST(rev_dec AS DOUBLE) AS revenue
+      """SELECT n_name, yr, CAST(ROUND(rev_dec, 4) AS DOUBLE) AS revenue
         |FROM (SELECT n_name, yr, rev_dec, ROW_NUMBER() OVER
         |   (PARTITION BY n_name ORDER BY rev_dec DESC, yr) AS rk
         | FROM (SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,

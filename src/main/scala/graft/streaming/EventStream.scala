@@ -141,9 +141,13 @@ object EventStream {
     * normalization the batch loader applies.
     */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val raw = spark.read.parquet(path)
-    graft.Tables.normalize(spark.readStream.schema(raw.schema).parquet(path))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // the file-stream source monitors a DIRECTORY; select just the events
+    // table from the sf dir via glob filter
+    graft.Tables.normalize(
+      spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** writeStream helper: complete/append the aggregation to an in-memory
