@@ -85,10 +85,18 @@ object DedupQueries {
     // MinHash + LSH banding near-dup join, exact-verified.
     "q21_minhash_lsh" -> ((s, d) => {
       val sh = shingles(s, d)
+      // Double-hash derivation (Kirsch–Mitzenmacher style, bitwise form
+      // to stay ANSI-safe): h_i(x) = h1(x) XOR rotl(h2(x), i) — 2 hash
+      // evaluations + 64 rotate-xors per shingle instead of 64 full
+      // hashes; recall is pinned by the driver oracle (== exact pairs).
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      // 128 independent minhashes: h_i(x) = xxhash64(i, x); min per doc.
+        .withColumn("h1", xxhash64(col("s")))
+        .withColumn("h2", xxhash64(lit("g2"), col("s")))
+      def rotl(c: Column, i: Int): Column =
+        if (i == 0) c
+        else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
       val sigCols = (0 until NumHashes).map(i =>
-        min(xxhash64(lit(i), col("s"))).as(s"s$i"))
+        min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"s$i"))
       val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
       // 32 bands of 4 rows: band hash = xxhash64(band, sig[4b..4b+3]).
       val bandCols: Seq[Column] = (0 until Bands).map { b =>

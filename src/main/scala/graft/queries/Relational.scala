@@ -106,14 +106,25 @@ object Relational {
 
     // R7: per-key top-k via window (reference realization: reduce scans its
     // sorted group and keeps k — `Worker/worker_v1.py:184-199`).
+    // TWO-PHASE for scale: l_returnflag has only 3 values, so a single
+    // window would funnel the whole table into 3 reducer tasks. Phase 1
+    // keeps each input partition's local top-k per key (any global top-k
+    // row is a local top-k row), shrinking the final window's input to
+    // ≤ k·partitions·keys rows. Same exact result, no hot reducers.
     "q6_topk_per_key" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
-          col("l_linenumber"))
+      val order = Seq(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      val local = Window
+        .partitionBy(col("l_returnflag"), col("pid")).orderBy(order: _*)
+      val global = Window.partitionBy(col("l_returnflag")).orderBy(order: _*)
       Tables(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrk", row_number().over(local))
+        .filter(col("lrk") <= 3)
+        .drop("pid", "lrk")
+        .withColumn("rk", row_number().over(global))
         .filter(col("rk") <= 3)
     }),
 
