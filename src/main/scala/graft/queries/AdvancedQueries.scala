@@ -15,7 +15,8 @@ object AdvancedQueries {
 
   private val dec = DecimalType(18, 4)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // §2.6: lag/lead/rank + running & rolling frames over a deterministic
     // per-customer order (o_orderdate is date-grained and can tie, so
     // o_orderkey breaks ties; rank is over the full key for determinism).
@@ -84,9 +85,52 @@ object AdvancedQueries {
           max(col("l_extendedprice")).as("max_price"),
           count(lit(1)).as("n"))
     })
+  ) ++ extraQueries
+
+  def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5 [EXT]: cube — all grouping-set combinations in one pass.
+    "q35_cube" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .cube(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("rev"))),
+
+    // §2.11 text: bigram extraction + counting (the n-gram analysis pass).
+    "q36_bigrams" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .select(explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"""
+            .stripMargin)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))),
+
+    // §2.10: sliding windows (10 min every 5 min) in batch form — each
+    // event lands in exactly two overlapping windows.
+    "q37_sliding_windows" -> ((s, d) =>
+      graft.streaming.EventStream.slidingCounts(Tables(s, d, "events")))
   )
 
   def oracle: Map[String, String] = Map(
+    "q35_cube" ->
+      """SELECT o_orderpriority, CAST(yr AS INTEGER) AS yr, n, rev FROM (
+        | SELECT o_orderpriority, year(o_orderdate) AS yr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        | FROM orders
+        | GROUP BY CUBE(o_orderpriority, year(o_orderdate)))""".stripMargin,
+    "q36_bigrams" ->
+      """SELECT bigram, COUNT(*) AS n FROM (
+        | SELECT unnest([tk[i] || ' ' || tk[i+1]
+        |                FOR i IN range(1, len(tk))]) AS bigram
+        | FROM (SELECT string_split(text, ' ') AS tk FROM documents))
+        |GROUP BY bigram""".stripMargin,
+    "q37_sliding_windows" ->
+      """SELECT ws, COUNT(*) AS n FROM (
+        | SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws FROM events
+        | UNION ALL
+        | SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+        |  FROM events)
+        |GROUP BY ws""".stripMargin,
     "q32_window_fns" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         | lag(o_totalprice, 1) OVER w AS prev_price,
