@@ -60,6 +60,63 @@ object SimilarityQueries {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // IVF ANN: inverted-file index with a k-means-lite coarse quantizer.
+    // Deterministic: seeds = lowest vec_ids, 2 Lloyd iterations computed
+    // as Spark jobs (assign = argmax cosine against broadcast centroid
+    // literals; update = per-dimension mean via posexplode+groupBy).
+    // Query probes its `Probes` nearest centroids and ranks only those
+    // clusters' vectors by exact cosine — at 100 TB the corpus stays
+    // partitioned by cluster and only centroids (a few KB) move.
+    "sim_ann_ivf" -> ((s, d) => {
+      val C = 16; val Probes = 4; val LloydIters = 2
+      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+
+      def simArray(cents: Array[Array[Float]]): Column =
+        array(cents.zipWithIndex.map { case (c, i) =>
+          struct(vec_cosine(col("embedding"), typedlit(c.toSeq)).as("sim"),
+            lit(i).as("idx"))
+        }: _*)
+      def assign(cents: Array[Array[Float]]): Column =
+        expr("array_max(sims).idx") // struct compare: max sim, tie → idx
+
+      var centroids: Array[Array[Float]] = e.filter(col("vec_id") < C)
+        .orderBy(col("vec_id")).collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      (1 to LloydIters).foreach { _ =>
+        val assigned = e.withColumn("sims", simArray(centroids))
+          .withColumn("c", assign(centroids))
+          .select(col("c"), posexplode(col("embedding")))
+        val means = assigned.groupBy(col("c"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .groupBy(col("c"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
+            .as("centroid"))
+          .collect().map(r => r.getInt(0) ->
+            r.getAs[scala.collection.Seq[Float]]("centroid").toArray).toMap
+        centroids = centroids.indices
+          .map(i => means.getOrElse(i, centroids(i))).toArray
+      }
+
+      val indexed = e.withColumn("sims", simArray(centroids))
+        .withColumn("c", assign(centroids)).drop("sims")
+      // query side: top-`Probes` centroids per query vector
+      val q = indexed.filter(col("vec_id") < NumQueries)
+        .withColumn("sims", simArray(centroids))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          explode(expr(
+            s"transform(slice(reverse(array_sort(sims)), 1, $Probes), x -> x.idx)"))
+            .as("probe"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      indexed.join(broadcast(q),
+          col("c") === col("probe") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // LSH-bucketed ANN: exact cosine only within the query's bucket.
     "sim_ann_lsh" -> ((s, d) => {
       val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))

@@ -46,6 +46,18 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: k per query where cluster has depth, recall >= 0.4") {
+    val exact = SparkEntry.queries("q25_ann_topk")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty, "IVF ANN returned nothing")
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
+
   test("LSH ANN: results subset-of-bucket, recall vs brute force >= 0.25") {
     val exact = SparkEntry.queries("q25_ann_topk")(spark, sf)
       .select("q_id", "neighbor_id").collect()
