@@ -108,7 +108,29 @@ object AdvancedQueries {
     // §2.10: sliding windows (10 min every 5 min) in batch form — each
     // event lands in exactly two overlapping windows.
     "q37_sliding_windows" -> ((s, d) =>
-      graft.streaming.EventStream.slidingCounts(Tables(s, d, "events")))
+      graft.streaming.EventStream.slidingCounts(Tables(s, d, "events"))),
+
+    // §2.4 [EXT]: range join, BUCKETED — successive event pairs of the
+    // same user within 5 minutes. A naive plan equi-joins on user_id and
+    // post-filters the range (hot users → hot partitions, full per-user
+    // cross products). Bucketing ts to the range width and probing
+    // (bucket, bucket+1) makes it a pure equi-join on (user, bucket)
+    // whose per-key fan-in is bounded by the bucket's event count — the
+    // shape that survives 100 TB.
+    "q38_range_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("unix_micros(ts) div 300000000").as("bucket"))
+      val a = ev.select(col("user_id").as("u"), col("event_id").as("id_a"),
+          col("ts").as("ts_a"),
+          explode(array(col("bucket"), col("bucket") + 1)).as("probe"))
+      val b = ev.select(col("user_id").as("u2"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"), col("bucket").as("b2"))
+      a.join(b, col("u") === col("u2") && col("probe") === col("b2"))
+        .filter(col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+        .select(col("u").as("user_id"), col("id_a"), col("id_b"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -131,6 +153,12 @@ object AdvancedQueries {
         | SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
         |  FROM events)
         |GROUP BY ws""".stripMargin,
+    "q38_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'"""
+        .stripMargin,
     "q32_window_fns" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         | lag(o_totalprice, 1) OVER w AS prev_price,
