@@ -10,8 +10,9 @@ import graft.functions.vectors._
   * §2.11 [EXT]): the LLM-data-pipeline surface. Five strategies:
   *
   *  - q20 exact:        sha2(text) grouping — one shuffle on the hash.
-  *  - q21 MinHash+LSH:  shingle → 128 minhashes → 32 bands × 4 rows →
-  *                      band-bucket equi-join → exact-Jaccard verify.
+  *  - q21 MinHash+LSH:  shingle → 64 minhashes (double-hash derived) →
+  *                      16 bands × 4 rows → band-bucket equi-join →
+  *                      exact-Jaccard verify.
   *  - dedup_simhash:    64-bit sign-of-sum signature → 8-byte pigeonhole
   *                      bands (lossless for hamming ≤ 7, heuristic above)
   *                      → hamming ≤ 15 → exact-Jaccard verify. SimHash on
@@ -98,7 +99,7 @@ object DedupQueries {
       val sigCols = (0 until NumHashes).map(i =>
         min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"s$i"))
       val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      // 32 bands of 4 rows: band hash = xxhash64(band, sig[4b..4b+3]).
+      // 16 bands of 4 rows: band hash = xxhash64(band, sig[4b..4b+3]).
       val bandCols: Seq[Column] = (0 until Bands).map { b =>
         xxhash64(lit(b) +: (0 until RowsPerBand)
           .map(r => col(s"s${b * RowsPerBand + r}")): _*)

@@ -32,6 +32,16 @@ object EventStream {
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Streaming exact dedup on event_id: state is bounded by the
+    * watermark (an id older than the horizon can be evicted — the
+    * streaming form of q20's exact dedup, the first stage of a streaming
+    * training-data pipeline).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Sliding-window event rate: 10-minute windows every 5 minutes. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

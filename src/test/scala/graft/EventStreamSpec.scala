@@ -83,6 +83,26 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event_ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = EventStream.dedupStream(
+      stream.toDF().toDF("event_id", "ts", "value"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(10), 1.0), (2L, ts(11), 2.0), (1L, ts(10), 1.0))
+      q.processAllAvailable()
+      stream.addData((2L, ts(12), 2.5), (3L, ts(13), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L),
+        s"expected each id once, got $ids")
+    } finally q.stop()
+  }
+
   test("sliding windows produce overlapping buckets") {
     val n = EventStream.slidingCounts(Tables(spark, sf, "events")).count()
     val t = SparkEntry.queries("q16_window_events")(spark, sf)
