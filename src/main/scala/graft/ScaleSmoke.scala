@@ -11,7 +11,7 @@ object ScaleSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Seq("q20_exact_dedup", "q21_minhash_lsh", "dedup_simhash", "q23_ngram_jaccard").foreach { n =>
+    Seq("q20_exact_dedup", "dedup_keep_min", "q21_minhash_lsh", "dedup_simhash", "q23_ngram_jaccard").foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, args.headOption.getOrElse("/tmp/sfbig")).count()
       println(f"SMOKE $n%-20s ${(System.nanoTime()-t0)/1e9}%8.2fs  rows=$cnt")

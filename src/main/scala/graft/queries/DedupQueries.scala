@@ -121,6 +121,44 @@ object DedupQueries {
       verifyExact(cand, sh)
     }),
 
+    // Keeper assignment WITHOUT pair materialization — the output shape
+    // for dup-heavy corpora where emitting all near-dup pairs is itself
+    // quadratic (a doc with k copies yields k² pairs but only k keeper
+    // rows). Each doc's keeper = min doc_id across its LSH band buckets
+    // (single-link approximation of the near-dup cluster; one linear
+    // pass: bucket-min + per-doc min, no joins on pairs). Approximate →
+    // rows-only; DedupSpec pins keeper ≤ doc_id and that exact-verified
+    // near-dup pairs (q23) agree on their keeper.
+    "dedup_keep_min" -> ((s, d) => {
+      // Half-size signature (32 hashes, 8 bands): keeper assignment only
+      // needs ONE shared bucket per true pair (P ≈ 0.9998 at J ≥ 0.9),
+      // not the full pair-recall of q21 — half the aggregation cost.
+      val KmHashes = 32; val KmBands = 8
+      val sh = shingles(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("h1", xxhash64(col("s")))
+        .withColumn("h2", xxhash64(lit("g2"), col("s")))
+      def rotl(c: Column, i: Int): Column =
+        if (i == 0) c
+        else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+      val sigCols = (0 until KmHashes).map(i =>
+        min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"s$i"))
+      val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bandCols: Seq[Column] = (0 until KmBands).map { b =>
+        xxhash64(lit(b) +: (0 until RowsPerBand)
+          .map(r => col(s"s${b * RowsPerBand + r}")): _*)
+      }
+      val bands = sig
+        .select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .toDF("doc_id", "band", "bh")
+      val bucketMin = bands.groupBy(col("band"), col("bh"))
+        .agg(min(col("doc_id")).as("bucket_keeper"))
+      bands.join(bucketMin, Seq("band", "bh"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("bucket_keeper")).as("keeper"))
+        .withColumn("is_dup", col("keeper") < col("doc_id"))
+    }),
+
     // SimHash near-dup: 64-bit signature, byte-banded candidates,
     // hamming-filtered, exact-verified. Approximate (rows-only check).
     "dedup_simhash" -> ((s, d) => {

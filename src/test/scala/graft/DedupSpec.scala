@@ -45,6 +45,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("keep-min dedup: keeper <= doc_id; near-dup pairs share a keeper") {
+    val keepers = SparkEntry.queries("dedup_keep_min")(spark, sf)
+      .select("doc_id", "keeper").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers.forall { case (d, k) => k <= d })
+    // single-link through the doc's own buckets: both ends of every
+    // exact-verified near-dup pair must resolve to the same keeper
+    val agree = exact.count { case (a, b) => keepers(a) == keepers(b) }
+    assert(agree >= (exact.size * 0.9).floor.toInt,
+      s"only $agree/${exact.size} near-dup pairs share a keeper")
+  }
+
   test("jaccard values are exact rationals in [0.5, 1]") {
     SparkEntry.queries("q23_ngram_jaccard")(spark, sf).collect().foreach {
       case Row(_: Long, _: Long, j: Double) => assert(j >= 0.5 && j <= 1.0)
