@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Custom TypedImperativeAggregate sketches (SURVEY.md §4.2): the minhash
+  * signature and simhash bit-sum folds computed in ONE tight JVM buffer
+  * per group instead of 64 separate agg columns. The 64-column form
+  * generates enormous Janino code (compile time dominated the dedup
+  * queries at small scale) and churns 520-byte UnsafeRows through the
+  * partial/final agg; these keep the plan tiny and the update loop
+  * branch-free. Hash math is identical to the column form:
+  * h_i = h1 XOR rotl(h2, i).
+  */
+abstract class LongBufferAgg
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  /** Buffer length. Abstract member (NOT a constructor parameter: the
+    * first non-serializable superclass in the Expression chain must have
+    * a no-arg constructor for Java serialization, so this class cannot
+    * take constructor arguments).
+    */
+  def n: Int
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(n * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(n)(bb.getLong)
+  }
+}
+
+/** minhash_sig(h1, h2): n-element minhash signature over a group, with
+  * per-element hashes derived by double hashing h_i = h1 ^ rotl(h2, i).
+  */
+case class MinHashSigAgg(
+    left: Expression, right: Expression, n: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends LongBufferAgg {
+
+  override def children: Seq[Expression] = Seq(left, right)
+  override def prettyName: String = "minhash_sig"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(n)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val h1v = left.eval(input)
+    val h2v = right.eval(input)
+    if (h1v != null && h2v != null) {
+      val h1 = h1v.asInstanceOf[Long]
+      val h2 = h2v.asInstanceOf[Long]
+      var i = 0
+      while (i < n) {
+        val v = h1 ^ java.lang.Long.rotateLeft(h2, i)
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < n) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MinHashSigAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashSigAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MinHashSigAgg =
+    copy(left = c(0), right = c(1))
+}
+
+/** simhash_sig(h): 64-bit simhash of a group — per-bit sign of
+  * Σ (bit set ? +1 : -1) over the members' 64-bit hashes, packed into
+  * one long (element 0 of the returned array).
+  */
+case class SimHashSigAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends LongBufferAgg {
+
+  override def n: Int = 64
+
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "simhash_sig"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val hv = child.eval(input)
+    if (hv != null) {
+      val h = hv.asInstanceOf[Long]
+      var k = 0
+      while (k < 64) {
+        buf(k) += (((h >>> k) & 1L) * 2L) - 1L // +1 if bit set else -1
+        k += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  /** Pack sign bits into one long (two's-complement OR of disjoint bits). */
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (buf(k) > 0) sig |= (1L << k); k += 1 }
+    new GenericArrayData(Array(sig))
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHashSigAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashSigAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SimHashSigAgg =
+    copy(child = c(0))
+}
+
+object sketches {
+  /** n-element minhash signature column (array<long>). */
+  def minhash_sig(h1: Column, h2: Column, n: Int): Column =
+    ColumnBridge.column(
+      MinHashSigAgg(ColumnBridge.expression(h1), ColumnBridge.expression(h2),
+        n).toAggregateExpression())
+  /** 64-bit simhash signature column (array<long> of length 1). */
+  def simhash_sig(h: Column): Column =
+    ColumnBridge.column(
+      SimHashSigAgg(ColumnBridge.expression(h)).toAggregateExpression())
+}

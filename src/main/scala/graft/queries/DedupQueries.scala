@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.sketches._
 import graft.functions.vectors._
 
 /** Deduplication operators over `documents` / `embeddings` (SURVEY.md
@@ -86,23 +87,19 @@ object DedupQueries {
     // MinHash + LSH banding near-dup join, exact-verified.
     "q21_minhash_lsh" -> ((s, d) => {
       val sh = shingles(s, d)
-      // Double-hash derivation (Kirsch–Mitzenmacher style, bitwise form
-      // to stay ANSI-safe): h_i(x) = h1(x) XOR rotl(h2(x), i) — 2 hash
-      // evaluations + 64 rotate-xors per shingle instead of 64 full
-      // hashes; recall is pinned by the driver oracle (== exact pairs).
+      // Signature via the MinHashSigAgg TypedImperativeAggregate: one
+      // tight buffer fold per doc (h_i = h1 XOR rotl(h2, i) double
+      // hashing) instead of 64 agg columns whose generated code took
+      // longer to Janino-compile than to run at small scale.
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
         .withColumn("h1", xxhash64(col("s")))
         .withColumn("h2", xxhash64(lit("g2"), col("s")))
-      def rotl(c: Column, i: Int): Column =
-        if (i == 0) c
-        else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
-      val sigCols = (0 until NumHashes).map(i =>
-        min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"s$i"))
-      val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val sig = ex.groupBy(col("doc_id"))
+        .agg(minhash_sig(col("h1"), col("h2"), NumHashes).as("sig"))
       // 16 bands of 4 rows: band hash = xxhash64(band, sig[4b..4b+3]).
       val bandCols: Seq[Column] = (0 until Bands).map { b =>
         xxhash64(lit(b) +: (0 until RowsPerBand)
-          .map(r => col(s"s${b * RowsPerBand + r}")): _*)
+          .map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
       }
       val bands = sig
         .select(col("doc_id"), posexplode(array(bandCols: _*)))
@@ -138,15 +135,11 @@ object DedupQueries {
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
         .withColumn("h1", xxhash64(col("s")))
         .withColumn("h2", xxhash64(lit("g2"), col("s")))
-      def rotl(c: Column, i: Int): Column =
-        if (i == 0) c
-        else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
-      val sigCols = (0 until KmHashes).map(i =>
-        min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"s$i"))
-      val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val sig = ex.groupBy(col("doc_id"))
+        .agg(minhash_sig(col("h1"), col("h2"), KmHashes).as("sig"))
       val bandCols: Seq[Column] = (0 until KmBands).map { b =>
         xxhash64(lit(b) +: (0 until RowsPerBand)
-          .map(r => col(s"s${b * RowsPerBand + r}")): _*)
+          .map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
       }
       val bands = sig
         .select(col("doc_id"), posexplode(array(bandCols: _*)))
@@ -165,22 +158,15 @@ object DedupQueries {
       val sh = shingles(s, d)
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
         .withColumn("h", xxhash64(col("s")))
-      // bit k of the signature = sign of Σ_shingles (bit k(hash) ? +1 : -1)
-      val bitSums = (0 until 64).map(k =>
-        sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"b$k"))
-      val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      // pack the 64 sign bits into ONE long: hamming becomes a codegen'd
-      // bit_count(xor), not an interpreted higher-order fold. Disjoint
-      // power-of-two terms make + equivalent to bitwise OR (incl. bit 63).
-      val sigCol = (0 until 64).map(k =>
-        when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)).reduce(_ + _)
+      // 64-bit signature (bit k = sign of Σ ±1 over member-hash bit k)
+      // folded in ONE SimHashSigAgg buffer and returned pre-packed as a
+      // single long: hamming is a codegen'd bit_count(xor).
       // Band rows carry the packed signature so candidate generation and
       // the exact-hamming filter happen in ONE self-join pass (both join
       // inputs share the aggregation subplan → exchange reuse), and the
       // hamming filter runs BEFORE the distinct-pairs shuffle.
-      val bands = sums
-        .select(col("doc_id"), sigCol.as("sig"))
+      val bands = ex.groupBy(col("doc_id"))
+        .agg(element_at(simhash_sig(col("h")), 1).as("sig"))
         .select(col("doc_id"), col("sig"), posexplode(array((0 until 8).map(
           j => shiftrightunsigned(col("sig"), j * 8).bitwiseAND(0xFFL)): _*)))
         .toDF("doc_id", "sig", "band", "bv")
