@@ -213,6 +213,18 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }),
 
+    // Exact transitive dedup clusters: connected components over the
+    // exact near-dup pairs (q23) via distributed min-label propagation —
+    // the closure dedup_keep_min approximates in one pass. Component id
+    // = min doc_id of the cluster. Rows-only (iterative; not one SQL
+    // statement), pinned against an in-memory union-find in DedupSpec.
+    "dedup_components" -> ((s, d) => {
+      val pairs = queries("q23_ngram_jaccard")(s, d).select("doc_a", "doc_b")
+      graft.operators.Components.connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("comp", "component")
+    }),
+
     // Embedding-cosine near-dup: all-pairs via the codegen'd VectorCosine
     // kernel (double accumulation in element order — bit-deterministic).
     // The vectors table broadcasts (sf0.1 ≈ 1.3 MB); at 100 TB use the

@@ -57,6 +57,24 @@ class DedupSpec extends SparkSpec {
       s"only $agree/${exact.size} near-dup pairs share a keeper")
   }
 
+  test("connected components match an in-memory union-find closure") {
+    val got = SparkEntry.queries("dedup_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find over the exact pair list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exact.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    assert(got == want,
+      s"component mismatch: ${got.toSet -- want.toSet} vs ${want.toSet -- got.toSet}")
+  }
+
   test("jaccard values are exact rationals in [0.5, 1]") {
     SparkEntry.queries("q23_ngram_jaccard")(spark, sf).collect().foreach {
       case Row(_: Long, _: Long, j: Double) => assert(j >= 0.5 && j <= 1.0)
