@@ -21,10 +21,14 @@ object Components {
   def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
-    // bidirectional neighbor list
+    // bidirectional neighbor list — cached: every iteration joins against
+    // it, and without the cache each round would recompute the (possibly
+    // expensive) edge derivation upstream. Materialized once here.
     val nbrs = edges.select(ca.as("node"), cb.as("nbr"))
       .union(edges.select(cb.as("node"), ca.as("nbr")))
       .distinct()
+      .cache()
+    nbrs.count()
     var labels = nbrs.select(col("node")).distinct()
       .withColumn("comp", col("node"))
     var iter = 0
