@@ -83,7 +83,41 @@ object TextAnalysis {
       Tables(s, d, "documents")
         .select(col("doc_id"), expr(
           "array_min(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8))))")
-          .as("fp")))
+          .as("fp"))),
+
+    // Capstone: the curation pipeline end-to-end in ONE Catalyst plan —
+    // quality-score filter → exact-dedup keeper selection → per-language
+    // token budget. Each stage is a narrow transform or one shuffle; the
+    // optimizer fuses the whole chain (this is R10's "multi-round MR
+    // pipeline" as a single declarative query, applied to the engine's
+    // real purpose).
+    "q39_curation_pipeline" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          split(col("text"), " ").as("tk"))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("stop_ratio", expr(
+          s"""CAST(size(filter(tk, t -> array_contains(${markerArray(enMarkers)}, t)))
+             | AS DOUBLE) / size(tk)""".stripMargin))
+        .withColumn("avg_len", expr(
+          "CAST(aggregate(transform(tk, t -> length(t)), 0, (acc, x) -> acc + x) AS DOUBLE) / size(tk)"))
+        .withColumn("score",
+          lit(0.5) * least(col("n_tokens") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.2) * least(col("avg_len") / 10.0, lit(1.0)))
+        .filter(col("score") >= 0.5)
+      val keepers = docs.groupBy(col("text").as("ktext"))
+        .agg(min(col("doc_id")).as("keeper"))
+      docs.join(keepers,
+          docs("doc_id") === keepers("keeper") &&
+            docs("text") === keepers("ktext"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          // order-independent mean: exact decimal sum, then one division
+          round(sum(col("score").cast("decimal(20,12)")).cast("double")
+            / count(lit(1)), 6).as("avg_score"))
+    })
   )
 
   private def markerList(ws: Seq[String]): String =
@@ -129,6 +163,23 @@ object TextAnalysis {
       """SELECT doc_id,
         | list_min([md5(substr(text, i, 8)) FOR i IN range(1, len(text) - 6)])
         |   AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q39_curation_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text, len(tk) AS n_tokens,
+         |    0.5 * least(len(tk) / 100.0, 1.0)
+         |    + 0.3 * (1.0 - CAST(len(list_filter(tk, t ->
+         |        list_contains(${markerList(enMarkers)}, t))) AS DOUBLE) / len(tk))
+         |    + 0.2 * least((CAST(list_sum(list_transform(tk, t -> length(t)))
+         |        AS DOUBLE) / len(tk)) / 10.0, 1.0) AS score
+         |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+         |        FROM documents)),
+         |q AS (SELECT * FROM scored WHERE score >= 0.5),
+         |k AS (SELECT text AS ktext, min(doc_id) AS keeper FROM q GROUP BY text)
+         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |  round(CAST(SUM(CAST(score AS DECIMAL(20,12))) AS DOUBLE)
+         |        / count(*), 6) AS avg_score
+         |FROM q JOIN k ON q.doc_id = k.keeper AND q.text = k.ktext
+         |GROUP BY lang""".stripMargin
   )
 }
