@@ -56,7 +56,7 @@ object EventQueries {
   def oracle: Map[String, String] = Map(
     "q15_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        | SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         | MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q16_window_events" ->

@@ -154,8 +154,9 @@ object TextAnalysis {
          |FROM m""".stripMargin,
     "q29_token_count" ->
       """SELECT lang, source, count(*) AS n_docs,
-        | sum(len(string_split(text, ' '))) AS sum_ws_tokens,
-        | sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS sum_re_tokens,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+        |   AS sum_re_tokens,
         | CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
         |   AS avg_ws_tokens
         |FROM documents GROUP BY 1, 2""".stripMargin,
@@ -176,7 +177,8 @@ object TextAnalysis {
          |        FROM documents)),
          |q AS (SELECT * FROM scored WHERE score >= 0.5),
          |k AS (SELECT text AS ktext, min(doc_id) AS keeper FROM q GROUP BY text)
-         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  round(CAST(SUM(CAST(score AS DECIMAL(20,12))) AS DOUBLE)
          |        / count(*), 6) AS avg_score
          |FROM q JOIN k ON q.doc_id = k.keeper AND q.text = k.ktext

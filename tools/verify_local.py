@@ -60,12 +60,17 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: col={c} row={i} spark={gv!r} duck={ev!r} diff={diff}")
             n_fail += 1
         else:
-            # also report dtype-level mismatches as warnings (driver may be stricter)
+            # dtype mismatch is a FAIL: the driver hashes canonicalized output,
+            # so e.g. DuckDB HUGEINT->float64 vs Spark int64 breaks hash_match
+            # even when every value compares equal (round-1 q15/q29/q39).
             dt = [(c, str(got[c].dtype), str(exp[c].dtype))
                   for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
-            suffix = f"  [dtype warn: {dt}]" if dt else ""
-            print(f"OK   {name} ({len(got)} rows){suffix}")
-            n_ok += 1
+            if dt:
+                print(f"FAIL {name}: dtype mismatch {dt}")
+                n_fail += 1
+            else:
+                print(f"OK   {name} ({len(got)} rows)")
+                n_ok += 1
     print(f"== {n_ok} ok, {n_fail} fail ==")
     return 1 if n_fail else 0
 
