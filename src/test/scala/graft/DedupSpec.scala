@@ -75,6 +75,22 @@ class DedupSpec extends SparkSpec {
       s"component mismatch: ${got.toSet -- want.toSet} vs ${want.toSet -- got.toSet}")
   }
 
+  test("shingle df cap: inactive at default, prunes hot shingles when low") {
+    // default cap is far above any test-corpus df — output identical
+    assert(DedupQueries.ngramJaccard(spark, sf, DedupQueries.ShingleFreqCap)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
+    // cap=1 drops every shingle shared by 2+ docs — no pair can surface
+    assert(DedupQueries.ngramJaccard(spark, sf, 1).isEmpty,
+      "cap=1 must prune all shared shingles")
+    // cap=2 keeps only shingles shared by exactly <=2 docs: output is a
+    // subset of the exact pair set (capping only ever drops evidence)
+    val capped = DedupQueries.ngramJaccard(spark, sf, 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact), s"cap introduced pairs: ${capped -- exact}")
+  }
+
   test("jaccard values are exact rationals in [0.5, 1]") {
     SparkEntry.queries("q23_ngram_jaccard")(spark, sf).collect().foreach {
       case Row(_: Long, _: Long, j: Double) => assert(j >= 0.5 && j <= 1.0)

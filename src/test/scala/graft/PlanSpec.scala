@@ -40,16 +40,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"no codegen spans:\n$p")
   }
 
-  test("q24 embedding near-dup: codegen'd vec_cosine, broadcast join") {
+  test("q24 embedding near-dup: block-grid equi-join, never all-pairs") {
     val p = plan("q24_embedding_dedup")
     assert(p.contains("vec_cosine"), s"custom kernel missing from plan:\n$p")
-    assert(p.contains("Broadcast"), s"expected broadcast pair join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pair generation must be the block-grid equi-join:\n$p")
   }
 
   test("q21 minhash: candidate generation is an equi-join, not cartesian") {
     val p = plan("q21_minhash_lsh")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")
-      || p.contains("vec_"), s"LSH candidates must come from an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"LSH candidates must come from an equi-join:\n$p")
   }
 
   test("q5 sort+limit: TakeOrderedAndProject, not a global sort") {
