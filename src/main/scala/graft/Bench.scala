@@ -22,16 +22,26 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every projected
     // column (a filter+project query would be timed as a row counter);
     // noop materializes the full result without sink I/O.
+    // A failed query records -1 plus its error: time-to-failure must not
+    // pose as a timing, and a regression must not bench as a speedup.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+      } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage)
+            .getOrElse("").takeWhile(_ != '\n').take(120)}")
+      }
+      name -> (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (t, _)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, Some(e))) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case (t, None) => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._2._2.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
