@@ -21,9 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Supported joinType: inner / left / left_outer / left_semi /
+    * left_anti only. Right/full outer are rejected: the right side is
+    * replicated once per salt, so every UNMATCHED right row would be
+    * emitted `salts` times as duplicate null-extended output.
+    */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")(joinType.toLowerCase),
+      s"saltedJoin does not support joinType '$joinType': replicated " +
+        "right rows would duplicate unmatched-right output")
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val saltedRight = right

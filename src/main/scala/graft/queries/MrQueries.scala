@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -13,6 +13,18 @@ import graft.mr.MapReduce
   */
 object MrQueries {
 
+  /** The line protocol keys on the text before the first comma (faithful
+    * to the reference), so a token CONTAINING a comma would be truncated
+    * and conflated with other tokens. The mapper percent-escapes the
+    * token ("%" → "%25", "," → "%2C") and the output parse reverses it,
+    * keeping mr_wordcount equal to q0_wordcount on any corpus.
+    */
+  private[graft] def escKey(w: String): String =
+    w.replace("%", "%25").replace(",", "%2C")
+
+  private[graft] def unescKey(c: Column): Column =
+    regexp_replace(regexp_replace(c, "%2C", ","), "%25", "%")
+
   /** Word count via mapLines + reduceByLineKey over `key,value` text lines,
     * exactly as a YaMR user would write it (mapper emits `word,1`; reducer
     * folds each contiguous sorted group).
@@ -24,12 +36,12 @@ object MrQueries {
     val out = MapReduce.mapReduce(
       lines,
       mapper = line => line.split(" ").iterator
-        .filter(_.nonEmpty).map(w => s"$w,1"),
+        .filter(_.nonEmpty).map(w => s"${escKey(w)},1"),
       reducer = (key, values) => Iterator(s"$key,${values.size}"),
-      numPartitions = lines.rdd.getNumPartitions.max(4))
+      numPartitions = s.sparkContext.defaultParallelism.max(4))
     // parse `word,count` lines back to typed columns for the oracle compare
     out.select(
-      split(col("value"), ",", 2).getItem(0).as("word"),
+      unescKey(split(col("value"), ",", 2).getItem(0)).as("word"),
       split(col("value"), ",", 2).getItem(1).cast("long").as("n"))
   }
 

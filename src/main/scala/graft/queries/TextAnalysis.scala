@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -20,6 +20,19 @@ object TextAnalysis {
 
   private def markerArray(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** Minimum md5 over all character 8-grams of `c`. md5 (not xxhash64)
+    * deliberately: it is the one hash both engines compute identically,
+    * which keeps q30 oracle-checkable; at production scale swap in
+    * xxhash64 for ~5× cheaper hashing. Texts shorter than 8 chars have
+    * no 8-gram → NULL (unguarded, sequence() with stop < start DESCENDS
+    * and would hash garbage substrings, where DuckDB's range() is empty
+    * → NULL — an oracle mismatch on any short doc).
+    */
+  private[graft] def fingerprint(c: Column): Column =
+    when(length(c) >= 8, array_min(transform(
+      sequence(lit(1), length(c) - 7),
+      i => md5(c.substr(i, lit(8)).cast("binary")))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID by stopword-marker frequency (n-gram-free heuristic):
@@ -81,9 +94,7 @@ object TextAnalysis {
     // a winnowing-style rolling fingerprint, stable under content moves.
     "q30_fingerprint" -> ((s, d) =>
       Tables(s, d, "documents")
-        .select(col("doc_id"), expr(
-          "array_min(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8))))")
-          .as("fp"))),
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
     // Capstone: the curation pipeline end-to-end in ONE Catalyst plan —
     // quality-score filter → exact-dedup keeper selection → per-language

@@ -36,6 +36,15 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin rejects right/full outer (replicated unmatched rows)") {
+    val (l, r) = skewed()
+    Seq("right", "right_outer", "full", "full_outer", "outer").foreach { jt =>
+      intercept[IllegalArgumentException] {
+        SkewOps.saltedJoin(l, r, "k", salts = 4, joinType = jt)
+      }
+    }
+  }
+
   test("saltedSum == plain sum, spread across salt sub-keys first") {
     val (l, _) = skewed()
     val plain = l.groupBy("k").agg(sum("v").as("s"))
