@@ -37,23 +37,40 @@ object MapReduce {
   }
 
   /** S1 WRITE: ingest a local text file into the DFS dir, split into
-    * `partitions` chunks. The reference splits by line count and pads
-    * empty chunks (`Client/client_v1.py:96-115`) — Spark handles empty
-    * partitions natively, so an even repartition suffices.
+    * `partitions` chunks of CONTIGUOUS line ranges, chunk order = line
+    * order — the reference splits by line count (`Client/client_v1.py:
+    * 96-115`), so chunk k holds lines before chunk k+1's. Range-partition
+    * on the global line index reproduces that: part-file name order IS
+    * manifest order, and READ can reassemble the original file
+    * byte-for-byte. (Empty chunks the reference pads are native here.)
     */
   def write(spark: SparkSession, src: String, dfsDir: String,
-      partitions: Int): Unit =
-    spark.read.textFile(src).repartition(partitions)
+      partitions: Int): Unit = {
+    import spark.implicits._
+    spark.createDataset(spark.read.textFile(src).rdd.zipWithIndex())
+      .toDF("value", "idx")
+      .repartitionByRange(partitions, col("idx"))
+      .sortWithinPartitions("idx")
+      .select("value")
       .write.mode("overwrite").text(dfsDir)
+  }
 
-  /** S2 READ: gather a DFS dir back into one dataset of lines
-    * (`Client/client_v1.py:144-176`). Merge order is not part of the MR
-    * contract (the reference merges in manifest order; consumers are
-    * line-set oriented).
+  /** S2 READ: gather a DFS dir back into one dataset of lines in
+    * MANIFEST ORDER — part files in name order, lines within each file in
+    * file order — matching the reference's chunk reassembly
+    * (`Client/client_v1.py:172-175`), so a WRITE→READ roundtrip returns
+    * the original line sequence. Ordering key: (input file name,
+    * monotonically_increasing_id); the id is correct within-file as long
+    * as no part file is split across scan partitions (part files are
+    * line-count chunks, far under `files.maxPartitionBytes`).
     */
   def read(spark: SparkSession, dfsDir: String): Dataset[String] = {
     import spark.implicits._
     spark.read.textFile(dfsDir)
+      .select(col("value"), input_file_name().as("_f"),
+        monotonically_increasing_id().as("_pos"))
+      .orderBy(col("_f"), col("_pos"))
+      .select(col("value")).as[String]
   }
 
   /** D1 MAP: per-line transform with flatMap power (0..n output lines). */

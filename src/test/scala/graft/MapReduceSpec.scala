@@ -13,17 +13,42 @@ class MapReduceSpec extends SparkSpec {
     assert(MapReduce.keyOf(",leading") == "")
   }
 
-  test("WRITE/READ roundtrip preserves lines and partition count") {
+  test("WRITE/READ roundtrip preserves line ORDER and partition count") {
     val tmp = Files.createTempDirectory("graft-mr").toString
     val src = s"$tmp/input.txt"
-    val lines = (1 to 100).map(i => s"line$i,payload$i")
+    // deliberately NOT in lexicographic order: catches a sorted-merge
+    // masquerading as manifest-order reassembly
+    val lines = scala.util.Random.shuffle((1 to 100).toList)
+      .map(i => s"line$i,payload$i")
     Files.write(Paths.get(src), String.join("\n", lines: _*).getBytes)
     MapReduce.write(spark, src, s"$tmp/dfs", partitions = 7)
     val parts = new java.io.File(s"$tmp/dfs").listFiles()
       .count(_.getName.startsWith("part-"))
     assert(parts == 7)
     val back = MapReduce.read(spark, s"$tmp/dfs").collect()
-    assert(back.sorted.sameElements(lines.sorted))
+    assert(back.sameElements(lines),
+      "READ must reassemble chunks in manifest order (original line order)")
+  }
+
+  test("CLI: -w/-r roundtrip in order, -mr pipe writes <name>_out") {
+    val tmp = Files.createTempDirectory("graft-cli")
+    sys.props("graft.dfs") = tmp.resolve("dfs").toString
+    try {
+      val src = tmp.resolve("corpus.txt")
+      val lines = Seq("b b", "a b", "c", "a b")
+      Files.write(src, lines.mkString("\n").getBytes)
+      Cli.run(spark, Array("-w", src.toString))
+      val dest = tmp.resolve("back.txt")
+      Cli.run(spark, Array("-r", "corpus", dest.toString))
+      assert(new String(Files.readAllBytes(dest), "UTF-8")
+        == lines.mkString("", "\n", "\n"))
+      // identity MR through external commands: multiset of lines preserved
+      Cli.run(spark, Array("-mr", "/bin/cat", "/bin/cat", "corpus", "2"))
+      val out = MapReduce.read(spark, s"${sys.props("graft.dfs")}/corpus_out")
+        .collect()
+      assert(out.sorted.sameElements(lines.sorted))
+      intercept[IllegalArgumentException] { Cli.run(spark, Array("-x")) }
+    } finally sys.props -= "graft.dfs"
   }
 
   test("golden MR-parity: closure mapReduce == declarative groupBy count") {
