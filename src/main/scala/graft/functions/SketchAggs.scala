@@ -90,6 +90,69 @@ case class MinHashSigAgg(
     copy(left = c(0), right = c(1))
 }
 
+/** oph_sig(h, n): one-permutation-hashing minhash signature [Li, Owen,
+  * Zhang NIPS'12; densification: Shrivastava & Li ICML'14]. Instead of n
+  * independent min-folds (n min-updates per member, as MinHashSigAgg),
+  * each member hash lands in ONE slot (low bits mod n) and updates only
+  * that slot's min — O(1) per member, an n× cheaper update loop. Empty
+  * slots are densified at eval by borrowing the next non-empty slot
+  * clockwise, offset by a hop-dependent constant so different empty
+  * patterns don't fake agreement. Collision probability per slot stays
+  * ≈ Jaccard, so the LSH banding math is unchanged.
+  */
+case class OphSigAgg(
+    child: Expression, n: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends LongBufferAgg {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "oph_sig"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(n)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val hv = child.eval(input)
+    if (hv != null) {
+      val h = hv.asInstanceOf[Long]
+      val slot = (((h ^ (h >>> 32)) % n) + n).toInt % n
+      if (h < buf(slot)) buf(slot) = h
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < n) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (buf(i) != Long.MaxValue) out(i) = buf(i)
+      else {
+        var t = 1
+        while (t < n && buf((i + t) % n) == Long.MaxValue) t += 1
+        out(i) =
+          if (buf((i + t) % n) == Long.MaxValue) Long.MaxValue // no members
+          else buf((i + t) % n) + t * 0x9E3779B97F4A7C15L      // JVM wrap ok
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): OphSigAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): OphSigAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): OphSigAgg =
+    copy(child = c(0))
+}
+
 /** simhash_sig(h): 64-bit simhash of a group — per-bit sign of
   * Σ (bit set ? +1 : -1) over the members' 64-bit hashes, packed into
   * one long (element 0 of the returned array).
@@ -148,6 +211,10 @@ object sketches {
     ColumnBridge.column(
       MinHashSigAgg(ColumnBridge.expression(h1), ColumnBridge.expression(h2),
         n).toAggregateExpression())
+  /** n-element one-permutation-hashing signature column (array<long>). */
+  def oph_sig(h: Column, n: Int): Column =
+    ColumnBridge.column(
+      OphSigAgg(ColumnBridge.expression(h), n).toAggregateExpression())
   /** 64-bit simhash signature column (array<long> of length 1). */
   def simhash_sig(h: Column): Column =
     ColumnBridge.column(

@@ -61,16 +61,17 @@ object DedupQueries {
   private[graft] val ShingleFreqCap = 1000
 
   /** doc_id + distinct 3-gram word shingles; docs with < 3 tokens carry no
-    * shingles and are excluded (both engines, see oracle).
+    * shingles and are excluded (both engines, see oracle). Session-cached
+    * (ShingleCache) — the whole dedup family derives from this frame.
     */
   private[queries] def shingles(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(1, size(tk) - 2),
-          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-          |                 element_at(tk, i + 2))))""".stripMargin).as("sh"))
+    ShingleCache.arrays(s, d)
+
+  /** (doc_id, h): exploded 64-bit shingle hashes — the shared input of
+    * q21 / q23 / dedup_keep_min / dedup_simhash. Session-cached.
+    */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    ShingleCache.hashed(s, d)
 
   /** Exact-Jaccard verification of candidate pairs: join back the shingle
     * arrays and keep pairs at/above the threshold. Candidates are few, so
@@ -100,15 +101,14 @@ object DedupQueries {
     // MinHash + LSH banding near-dup join, exact-verified.
     "q21_minhash_lsh" -> ((s, d) => {
       val sh = shingles(s, d)
-      // Signature via the MinHashSigAgg TypedImperativeAggregate: one
-      // tight buffer fold per doc (h_i = h1 XOR rotl(h2, i) double
-      // hashing) instead of 64 agg columns whose generated code took
-      // longer to Janino-compile than to run at small scale.
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("h1", xxhash64(col("s")))
-        .withColumn("h2", xxhash64(lit("g2"), col("s")))
-      val sig = ex.groupBy(col("doc_id"))
-        .agg(minhash_sig(col("h1"), col("h2"), NumHashes).as("sig"))
+      // Signature via the OphSigAgg TypedImperativeAggregate
+      // (one-permutation hashing): each shingle hash updates ONE slot's
+      // min — O(1) per shingle vs the 64 min-updates of classic minhash
+      // (MinHashSigAgg, kept as the library's reference implementation);
+      // empty slots densified at eval. Collision probability per slot is
+      // still ≈ Jaccard, so the banding math below is unchanged.
+      val sig = hashedShingles(s, d).groupBy(col("doc_id"))
+        .agg(oph_sig(col("h"), NumHashes).as("sig"))
       // 16 bands of 4 rows: band hash = xxhash64(band, sig[4b..4b+3]).
       val bandCols: Seq[Column] = (0 until Bands).map { b =>
         xxhash64(lit(b) +: (0 until RowsPerBand)
@@ -144,12 +144,8 @@ object DedupQueries {
       // needs ONE shared bucket per true pair (P ≈ 0.9998 at J ≥ 0.9),
       // not the full pair-recall of q21 — half the aggregation cost.
       val KmHashes = 32; val KmBands = 8
-      val sh = shingles(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("h1", xxhash64(col("s")))
-        .withColumn("h2", xxhash64(lit("g2"), col("s")))
-      val sig = ex.groupBy(col("doc_id"))
-        .agg(minhash_sig(col("h1"), col("h2"), KmHashes).as("sig"))
+      val sig = hashedShingles(s, d).groupBy(col("doc_id"))
+        .agg(oph_sig(col("h"), KmHashes).as("sig"))
       val bandCols: Seq[Column] = (0 until KmBands).map { b =>
         xxhash64(lit(b) +: (0 until RowsPerBand)
           .map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
@@ -169,8 +165,7 @@ object DedupQueries {
     // hamming-filtered, exact-verified. Approximate (rows-only check).
     "dedup_simhash" -> ((s, d) => {
       val sh = shingles(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("h", xxhash64(col("s")))
+      val ex = hashedShingles(s, d)
       // 64-bit signature (bit k = sign of Σ ±1 over member-hash bit k)
       // folded in ONE SimHashSigAgg buffer and returned pre-packed as a
       // single long: hamming is a codegen'd bit_count(xor).
@@ -267,8 +262,7 @@ object DedupQueries {
     // join on the 64-bit hash of the shingle, not the string: the
     // equi-join + count only needs equality, and long keys keep the
     // 10^6-pair exchange/aggregate narrow.
-    val ex = sh.select(col("doc_id"),
-      explode(expr("transform(sh, v -> xxhash64(v))")).as("s"))
+    val ex = hashedShingles(s, d).withColumnRenamed("h", "s")
     // Stop-shingle cap: drop shingles whose document frequency exceeds
     // `cap` BEFORE the self-join (see ShingleFreqCap). The df count is a
     // map-side-combinable aggregation on the same key the self-join
@@ -332,4 +326,41 @@ object DedupQueries {
         |   * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
         |                    FOR i IN range(1, len(b.embedding) + 1)]))) >= 0.4""".stripMargin
   )
+}
+
+/** Session-scoped materialization of the shingle derivation shared by
+  * q21 / q23 / dedup_keep_min / dedup_simhash (and, through q23,
+  * dedup_components): all of them derive from the same (doc_id,
+  * shingles) frame, and a curation run executes several of them in one
+  * session — so the split + distinct (and the exploded shingle hash) is
+  * computed and persisted ONCE per (session, dataset) instead of once
+  * per query. This is the "tokenize the corpus once" stage of a 100 TB
+  * pipeline: MEMORY_AND_DISK, partition-local, no shuffle to build.
+  */
+private[graft] object ShingleCache {
+
+  import org.apache.spark.storage.StorageLevel
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]
+
+  private def entry(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+      val arrays = graft.Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), expr(
+          """array_distinct(transform(sequence(1, size(tk) - 2),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+            |                 element_at(tk, i + 2))))""".stripMargin).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hashed = arrays
+        .select(col("doc_id"),
+          explode(expr("transform(sh, v -> xxhash64(v))")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (arrays, hashed)
+    })
+
+  def arrays(s: SparkSession, d: String): DataFrame = entry(s, d)._1
+  def hashed(s: SparkSession, d: String): DataFrame = entry(s, d)._2
 }
