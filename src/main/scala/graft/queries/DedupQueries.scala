@@ -73,6 +73,30 @@ object DedupQueries {
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
     ShingleCache.hashed(s, d)
 
+  /** Within-bucket candidate-pair generation: group rows on the bucket
+    * key, sort the member ids, explode the ordered combinations
+    * (doc_a < doc_b by sort order). This REPLACES a bucket-key self-join:
+    * one shuffle instead of two plus a join, and the (possibly expensive)
+    * subtree below it is computed exactly once BY CONSTRUCTION — measured
+    * on Spark 4.1, AQE does not reuse exchanges above a cached
+    * InMemoryRelation (TableCacheQueryStage breaks stage-cache equality),
+    * so the symmetric self-join formulation really ran its input twice.
+    * Bucket membership is bounded by design (LSH buckets ≈ dup-cluster
+    * size; shingle buckets ≤ ShingleFreqCap), so the collected member
+    * list stays small.
+    */
+  private def bucketPairs(df: DataFrame, bucketKeys: Seq[String],
+      idCol: String): DataFrame =
+    df.groupBy(bucketKeys.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+
   /** Exact-Jaccard verification of candidate pairs: join back the shingle
     * arrays and keep pairs at/above the threshold. Candidates are few, so
     * the array_intersect here is off the hot path.
@@ -117,17 +141,11 @@ object DedupQueries {
       val bands = sig
         .select(col("doc_id"), posexplode(array(bandCols: _*)))
         .toDF("doc_id", "band", "bh")
-      // Candidate pairs = docs sharing any band bucket (equi-join on the
-      // bucket key — this is the step that replaces the O(n²) cross join).
-      // shuffle_hash (not broadcast): both sides are the SAME aggregation
-      // subplan — a symmetric shuffle join lets Spark reuse one exchange
-      // instead of computing the signature pipeline twice.
-      val x = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      val y = bands.select(col("band").as("band2"), col("bh").as("bh2"),
-        col("doc_id").as("doc_b")).hint("shuffle_hash")
-      val cand = x.join(y, col("band") === col("band2") &&
-          col("bh") === col("bh2") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      // Candidate pairs = docs sharing any band bucket. ONE shuffle on
+      // the bucket key + within-group combination explode (bucketPairs) —
+      // this is the step that replaces the O(n²) cross join, and it
+      // computes the signature pipeline exactly once.
+      val cand = bucketPairs(bands, Seq("band", "bh"), "doc_id").distinct()
       verifyExact(cand, sh)
     }),
 
@@ -153,9 +171,13 @@ object DedupQueries {
       val bands = sig
         .select(col("doc_id"), posexplode(array(bandCols: _*)))
         .toDF("doc_id", "band", "bh")
-      val bucketMin = bands.groupBy(col("band"), col("bh"))
-        .agg(min(col("doc_id")).as("bucket_keeper"))
-      bands.join(bucketMin, Seq("band", "bh"))
+      // bucket keeper = head of the sorted member list; per-doc keeper =
+      // min over its buckets. Grouping + explode-with-head instead of a
+      // bands⋈bucketMin self-join: one pass over bands, no join.
+      bands.groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(element_at(col("ds"), 1).as("bucket_keeper"),
+          explode(col("ds")).as("doc_id"))
         .groupBy(col("doc_id"))
         .agg(min(col("bucket_keeper")).as("keeper"))
         .withColumn("is_dup", col("keeper") < col("doc_id"))
@@ -170,25 +192,27 @@ object DedupQueries {
       // folded in ONE SimHashSigAgg buffer and returned pre-packed as a
       // single long: hamming is a codegen'd bit_count(xor).
       // Band rows carry the packed signature so candidate generation and
-      // the exact-hamming filter happen in ONE self-join pass (both join
-      // inputs share the aggregation subplan → exchange reuse), and the
-      // hamming filter runs BEFORE the distinct-pairs shuffle.
+      // the exact-hamming filter happen in one bucket-grouped pass (the
+      // signature aggregation is computed once by construction), with the
+      // hamming filter BEFORE the distinct-pairs shuffle.
       val bands = ex.groupBy(col("doc_id"))
         .agg(element_at(simhash_sig(col("h")), 1).as("sig"))
         .select(col("doc_id"), col("sig"), posexplode(array((0 until 8).map(
           j => shiftrightunsigned(col("sig"), j * 8).bitwiseAND(0xFFL)): _*)))
         .toDF("doc_id", "sig", "band", "bv")
-      // shuffle_hash: keep both sides as the same shuffled subplan so the
-      // signature aggregation is computed once (exchange reuse) — AQE
-      // broadcasting one side would force a second full computation.
-      val x = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
-        col("sig").as("sig_a"))
-      val y = bands.select(col("band").as("band2"), col("bv").as("bv2"),
-        col("doc_id").as("doc_b"), col("sig").as("sig_b")).hint("shuffle_hash")
-      val withHamming = x.join(y, col("band") === col("band2") &&
-          col("bv") === col("bv2") && col("doc_a") < col("doc_b"))
-        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 15)
-        .select(col("doc_a"), col("doc_b")).distinct()
+      val withHamming = bands.groupBy(col("band"), col("bv"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+          .as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ds, (a, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |            b -> struct(a.doc_id AS doc_a, a.sig AS sig_a,
+            |                        b.doc_id AS doc_b, b.sig AS sig_b))))"""
+            .stripMargin)).as("p"))
+        .filter(bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))) <= 15)
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
       verifyExact(withHamming, sh)
     }),
 
@@ -272,10 +296,12 @@ object DedupQueries {
       .filter(col("df") <= cap).select(col("s"))
     val exCapped = ex.join(kept.hint("shuffle_hash"), "s")
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val co = exCapped.select(col("s"), col("doc_id").as("doc_a"))
-      .join(exCapped.select(col("s").as("s2"), col("doc_id").as("doc_b"))
-        .hint("shuffle_hash"),
-        col("s") === col("s2") && col("doc_a") < col("doc_b"))
+    // pairs per shared shingle via bucket grouping (one pass over the
+    // capped index, partitioned by `s` already — no self-join); common
+    // count = number of shingle buckets emitting the pair. Two-phase cap
+    // (count first, then group) keeps a stop-shingle from ever building
+    // an f-sized member list in a single aggregation buffer.
+    val co = bucketPairs(exCapped, Seq("s"), "doc_id")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     co.join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")

@@ -53,6 +53,24 @@ class PlanSpec extends SparkSpec {
       s"LSH candidates must come from an equi-join:\n$p")
   }
 
+  test("LSH banding computes the signature pipeline exactly ONCE") {
+    // The self-join formulation relied on AQE ReusedExchange, which Spark
+    // 4.1 does NOT grant above cached InMemoryRelations — candidate pairs
+    // now come from bucket grouping instead, so the final plan must
+    // contain exactly one partial signature aggregation (one subtree).
+    Seq("q21_minhash_lsh" -> "partial_oph_sig",
+        "dedup_simhash" -> "partial_simhash_sig").foreach { case (q, agg) =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      // the executed AdaptiveSparkPlan prints final + initial sections;
+      // count in the final section only
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val n = agg.r.findAllIn(p).size
+      assert(n == 1, s"$q computes the signature $n times (want 1):\n$p")
+    }
+  }
+
   test("q5 sort+limit: TakeOrderedAndProject, not a global sort") {
     val p = plan("q5_sort_limit")
     assert(p.contains("TakeOrderedAndProject"),
