@@ -110,6 +110,30 @@ object AdvancedQueries {
     "q37_sliding_windows" -> ((s, d) =>
       graft.streaming.EventStream.slidingCounts(Tables(s, d, "events"))),
 
+    // §2.7 [EXT]: ordered grouped concatenation (listagg/string_agg) —
+    // collect + sort inside the aggregation buffer, deterministic output.
+    // Map-side partial aggregation applies (ObjectHashAggregate), so the
+    // shuffle carries one partial list per (group, mapper), not raw rows.
+    "q41_listagg" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(expr("""array_join(transform(array_sort(collect_list(doc_id)),
+                    |  x -> cast(x AS string)), ',')""".stripMargin).as("ids"),
+          count(lit(1)).as("n"))),
+
+    // §2.5 [EXT]: pivot — long-to-wide reshaping with an explicit value
+    // list (revenue by priority × year). With pinned pivot values this is
+    // ONE pass of conditional aggregation (no second job to discover
+    // values), the form that scales.
+    "q42_pivot" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select(col("o_orderpriority"),
+          year(col("o_orderdate")).as("yr"),
+          col("o_totalprice").cast(dec).as("p"))
+        .groupBy(col("o_orderpriority"))
+        .pivot("yr", 1992 to 1998)
+        .agg(sum(col("p")).cast("double"))),
+
     // §2.4 [EXT]: range join, BUCKETED — successive event pairs of the
     // same user within 5 minutes. A naive plan equi-joins on user_id and
     // post-filters the range (hot users → hot partitions, full per-user
@@ -134,6 +158,18 @@ object AdvancedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q41_listagg" ->
+      """SELECT lang, source,
+        | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids,
+        | COUNT(*) AS n
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "q42_pivot" -> {
+      val cols = (1992 to 1998).map(y =>
+        s"""CAST(SUM(CASE WHEN year(o_orderdate) = $y
+           |  THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+           |  AS "$y"""".stripMargin).mkString(",\n ")
+      s"""SELECT o_orderpriority,\n $cols\nFROM orders GROUP BY o_orderpriority"""
+    },
     "q35_cube" ->
       """SELECT o_orderpriority, CAST(yr AS INTEGER) AS yr, n, rev FROM (
         | SELECT o_orderpriority, year(o_orderdate) AS yr, COUNT(*) AS n,

@@ -330,6 +330,19 @@ object DedupQueries {
       |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // exact closure of the near-dup pair graph: min reachable label per
+    // node, via a recursive CTE over the bidirectional edge list —
+    // upgrades dedup_components from rows-only to hash-checked.
+    "dedup_components" ->
+      s"""WITH RECURSIVE pr AS ($exactPairsSql),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |walk(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.node)
+         |SELECT node AS doc_id, min(lbl) AS component
+         |FROM walk GROUP BY node""".stripMargin,
     "q20_exact_dedup" ->
       """SELECT sha256(text) AS fp, min(doc_id) AS keeper,
         | count(*) AS n_copies

@@ -96,6 +96,26 @@ object TextAnalysis {
       Tables(s, d, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // Token-budget packing: per language, keep the largest documents
+    // until a token budget is hit — the "fill the training mix quota"
+    // pass of a curation pipeline. One shuffle on lang + a running-sum
+    // window; deterministic order (tokens desc, doc_id). At 100 TB the
+    // per-language sort is the cost: if one language dominates, switch
+    // to a two-pass threshold estimate (sample the token distribution,
+    // cut at the quantile, exact-trim the boundary) instead of a full
+    // sort — same output, no single giant partition sort.
+    "q40_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 5000)
+    }),
+
     // Capstone: the curation pipeline end-to-end in ONE Catalyst plan —
     // quality-score filter → exact-dedup keeper selection → per-language
     // token budget. Each stage is a narrow transform or one shuffle; the
@@ -176,6 +196,14 @@ object TextAnalysis {
         | list_min([md5(substr(text, i, 8)) FOR i IN range(1, len(text) - 6)])
         |   AS fp
         |FROM documents""".stripMargin,
+    "q40_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY n_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_tokens FROM t)
+        |SELECT * FROM c WHERE cum_tokens <= 5000""".stripMargin,
     "q39_curation_pipeline" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, text, len(tk) AS n_tokens,
