@@ -110,6 +110,16 @@ object AdvancedQueries {
     "q37_sliding_windows" -> ((s, d) =>
       graft.streaming.EventStream.slidingCounts(Tables(s, d, "events"))),
 
+    // §2.5 [EXT]: explicit GROUPING SETS — the general form rollup/cube
+    // specialize; one pass, same expand-then-aggregate shape.
+    "q43_grouping_sets" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("rev"))),
+
     // §2.7 [EXT]: ordered grouped concatenation (listagg/string_agg) —
     // collect + sort inside the aggregation buffer, deterministic output.
     // Map-side partial aggregation applies (ObjectHashAggregate), so the
@@ -158,6 +168,12 @@ object AdvancedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q43_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"""
+        .stripMargin,
     "q41_listagg" ->
       """SELECT lang, source,
         | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids,
