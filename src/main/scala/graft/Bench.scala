@@ -12,11 +12,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: absorb JVM classloading + codegen compile so the first
-    // timed query isn't charged ~5s of one-time cost.
-    val warmDir = "/root/testdata/sf0.001"
+    // Warm-up: absorb JVM classloading + codegen compile AND the target
+    // dir's one-time file-index/footer reads, so the first timed query
+    // isn't charged setup cost (it previously ate ~2s regardless of which
+    // query ran first).
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try Tables(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+    // warm through the SAME noop-write path the timed loop uses — the
+    // first noop write otherwise pays the write-command classload/codegen
     Seq("q1_agg", "q0_wordcount", "q6_topk_per_key").foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir).count()
+      try SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // noop sink, not count(): count() lets Catalyst prune every projected
