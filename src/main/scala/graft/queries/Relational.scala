@@ -128,6 +128,29 @@ object Relational {
         .filter(col("rk") <= 3)
     }),
 
+    // R7 scale form: the SAME top-k as a real aggregation (TopKAgg
+    // TypedImperativeAggregate). Each task keeps a k-bounded buffer per
+    // key — partial agg / map-side combine — so the shuffle carries
+    // ≤ k rows per (key, mapper) and there is ONE shuffle, no
+    // per-partition full sort, no hot reducer at tiny key counts.
+    // Ordering packed as a struct with the lead key negated (natural
+    // ascending order == price desc, orderkey, linenumber).
+    "q44_topk_agg" -> ((s, d) => {
+      import graft.functions.topk._
+      Tables(s, d, "lineitem")
+        .select(col("l_returnflag"), struct(
+          negate(col("l_extendedprice")).as("np"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice")).as("pk"))
+        .groupBy(col("l_returnflag"))
+        .agg(top_k(col("pk"), 3).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk")))
+        .select(col("l_returnflag"),
+          col("col.l_orderkey").as("l_orderkey"),
+          col("col.l_linenumber").as("l_linenumber"),
+          col("col.l_extendedprice").as("l_extendedprice"),
+          (col("pos") + 1).cast("int").as("rk"))
+    }),
+
     // R8: histogram / value bucketing (map emits bucket(v),1; reduce counts).
     "q7_histogram" -> ((s, d) =>
       Tables(s, d, "orders")
@@ -263,6 +286,13 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q6_topk_per_key" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        | CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        | FROM lineitem) WHERE rk <= 3""".stripMargin,
+    "q44_topk_agg" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
         | CAST(rk AS INTEGER) AS rk
         |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,

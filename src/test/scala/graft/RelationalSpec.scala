@@ -12,6 +12,16 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q44 top-k aggregation equals the q6 window form exactly") {
+    val cols = Seq("l_returnflag", "l_orderkey", "l_linenumber",
+      "l_extendedprice", "rk")
+    val viaWindow = SparkEntry.queries("q6_topk_per_key")(spark, sf)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val viaAgg = SparkEntry.queries("q44_topk_agg")(spark, sf)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow && viaAgg.nonEmpty)
+  }
+
   test("entry (flagship wordcount) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
