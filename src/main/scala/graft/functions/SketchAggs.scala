@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom TypedImperativeAggregate sketches (SURVEY.md §4.2): the minhash
   * signature and simhash bit-sum folds computed in ONE tight JVM buffer
@@ -205,6 +206,116 @@ case class SimHashSigAgg(
     copy(child = c(0))
 }
 
+/** approx_top_k(item, capacity, k): Misra-Gries heavy hitters — at most
+  * `capacity` counters per partial buffer; an item with true frequency
+  * > n/capacity is guaranteed present, counts are underestimates by at
+  * most n/capacity, and when capacity exceeds the distinct count the
+  * summary is EXACT (how the q46 oracle checks it). The counter map is
+  * the entire shuffle payload — the aggregation is map-side combined, so
+  * a 10⁹-row scan ships `capacity` entries per mapper, the canonical
+  * "hot n-grams over the corpus" pass at 100 TB.
+  */
+case class FreqItemsAgg(
+    child: Expression, capacity: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[
+      scala.collection.mutable.HashMap[UTF8String, Long]] {
+
+  require(capacity > 0 && k > 0 && k <= capacity)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "approx_top_k"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer()
+      : scala.collection.mutable.HashMap[UTF8String, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  private def add(buf: scala.collection.mutable.HashMap[UTF8String, Long],
+      item: UTF8String, n: Long): Unit =
+    buf.get(item) match {
+      case Some(c) => buf.update(item, c + n)
+      case None if buf.size < capacity => buf.update(item.copy(), n)
+      case None =>
+        // Misra-Gries decrement: subtract the smallest count that empties
+        // at least one slot (generalized for weighted merge inserts)
+        val dec = math.min(n, buf.values.min)
+        val dead = buf.iterator.filter(_._2 <= dec).map(_._1).toSeq
+        buf.mapValuesInPlace((_, c) => c - dec)
+        dead.foreach(buf.remove)
+        if (n > dec) add(buf, item, n - dec)
+    }
+
+  override def update(
+      buf: scala.collection.mutable.HashMap[UTF8String, Long],
+      input: InternalRow): scala.collection.mutable.HashMap[UTF8String, Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[UTF8String], 1L)
+    buf
+  }
+
+  override def merge(
+      a: scala.collection.mutable.HashMap[UTF8String, Long],
+      b: scala.collection.mutable.HashMap[UTF8String, Long])
+      : scala.collection.mutable.HashMap[UTF8String, Long] = {
+    b.foreach { case (item, n) => add(a, item, n) }
+    a
+  }
+
+  /** top k entries by (count desc, item asc) — deterministic ties. */
+  override def eval(
+      buf: scala.collection.mutable.HashMap[UTF8String, Long]): Any = {
+    val top = buf.toSeq
+      .sortBy { case (item, c) => (-c, item) }(
+        Ordering.Tuple2(Ordering.Long, Ordering.ordered[UTF8String]))
+      .take(k)
+      .map { case (item, c) =>
+        InternalRow(item, c): Any
+      }
+    new GenericArrayData(top.toArray)
+  }
+
+  override def serialize(
+      buf: scala.collection.mutable.HashMap[UTF8String, Long]): Array[Byte] = {
+    val entries = buf.toSeq
+    val size = 4 + entries.map(e => 4 + e._1.numBytes() + 8).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(entries.length)
+    entries.foreach { case (item, c) =>
+      val bytes = item.getBytes
+      bb.putInt(bytes.length); bb.put(bytes); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): scala.collection.mutable.HashMap[UTF8String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = scala.collection.mutable.HashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len); bb.get(b)
+      buf.update(UTF8String.fromBytes(b), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): FreqItemsAgg =
+    copy(child = c(0))
+}
+
 object sketches {
   /** n-element minhash signature column (array<long>). */
   def minhash_sig(h1: Column, h2: Column, n: Int): Column =
@@ -215,6 +326,11 @@ object sketches {
   def oph_sig(h: Column, n: Int): Column =
     ColumnBridge.column(
       OphSigAgg(ColumnBridge.expression(h), n).toAggregateExpression())
+  /** Misra-Gries top-k heavy hitters (array<struct<item,cnt>>). */
+  def approx_top_k(item: Column, capacity: Int, k: Int): Column =
+    ColumnBridge.column(
+      FreqItemsAgg(ColumnBridge.expression(item), capacity, k)
+        .toAggregateExpression())
   /** 64-bit simhash signature column (array<long> of length 1). */
   def simhash_sig(h: Column): Column =
     ColumnBridge.column(

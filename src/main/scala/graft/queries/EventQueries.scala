@@ -50,7 +50,13 @@ object EventQueries {
     // gap) — batch twin of EventStream.sessionize; oracle is DuckDB
     // gaps-and-islands SQL.
     "q31_sessions" -> ((s, d) =>
-      graft.streaming.EventStream.sessionized(Tables(s, d, "events"), 30))
+      graft.streaming.EventStream.sessionized(Tables(s, d, "events"), 30)),
+
+    // §2.10: stream-stream join, batch twin — clicks matched to the same
+    // user's purchases within 10 minutes (EventStreamSpec runs the same
+    // plan as a watermarked MemoryStream join and pins equality).
+    "q45_stream_join" -> ((s, d) =>
+      graft.streaming.EventStream.clickPurchaseJoin(Tables(s, d, "events")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -70,6 +76,14 @@ object EventQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | MAX(ts) AS last_ts
         |FROM events GROUP BY user_id""".stripMargin,
+    "q45_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'"""
+        .stripMargin,
     "q31_sessions" ->
       """WITH e AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL

@@ -96,6 +96,22 @@ object TextAnalysis {
       Tables(s, d, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // Heavy hitters: top-10 corpus tokens via the Misra-Gries
+    // approx_top_k sketch (capacity 64). The test vocabulary is smaller
+    // than the capacity, so the sketch is EXACT here and hash-checkable
+    // against a plain count — while keeping the sketch's scale contract:
+    // 64 counters per mapper is the whole shuffle payload regardless of
+    // corpus size.
+    "q46_freq_items" -> ((s, d) => {
+      import graft.functions.sketches._
+      Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(approx_top_k(col("w"), 64, 10).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.item").as("word"), col("t.cnt").as("n"))
+    }),
+
     // Token-budget packing: per language, keep the largest documents
     // until a token budget is hit — the "fill the training mix quota"
     // pass of a curation pipeline. One shuffle on lang + a running-sum
@@ -196,6 +212,12 @@ object TextAnalysis {
         | list_min([md5(substr(text, i, 8)) FOR i IN range(1, len(text) - 6)])
         |   AS fp
         |FROM documents""".stripMargin,
+    "q46_freq_items" ->
+      """SELECT word, n FROM (
+        | SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        | WHERE word <> '' GROUP BY word)
+        |ORDER BY n DESC, word LIMIT 10""".stripMargin,
     "q40_token_budget" ->
       """WITH t AS (SELECT doc_id, lang,
         |  len(string_split(text, ' ')) AS n_tokens FROM documents),

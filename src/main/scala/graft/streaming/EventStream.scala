@@ -50,6 +50,39 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("n"))
 
+  /** Stream-static enrichment: the streaming fact side joins a static
+    * (or slowly-refreshed) dimension — planned as a broadcast hash join
+    * per micro-batch, NO streaming state at all. The 100 TB shape for
+    * "attach user/source metadata to the event firehose".
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), key)
+
+  /** Stream-stream inner join: each click matched to the same user's
+    * purchases within the next 10 minutes. Both sides carry watermarks
+    * and the join predicate bounds event-time distance, so each side's
+    * buffered state is evicted once the other side's watermark passes —
+    * state is O(rate × horizon), not unbounded. In batch mode the same
+    * plan is a plain range join (watermarks are no-ops), which is what
+    * the q45 oracle hash-checks; EventStreamSpec pins streaming == batch.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)
   case class SessionAcc(start: Long, end: Long, n: Long, sum: Double)

@@ -103,6 +103,47 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream click->purchase join equals the batch twin (q45)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val rows = batch.as[(Long, Long, Timestamp, String)].collect().toSeq
+    val stream = MemoryStream[(Long, Long, Timestamp, String)]
+    val (first, second) = rows.splitAt(rows.size / 2)
+    stream.addData(first)
+    stream.addData(second)
+    val streamed = EventStream.clickPurchaseJoin(
+      stream.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+    EventStream.runToMemory(streamed, "ss_join", OutputMode.Append())
+    val got = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventStream.clickPurchaseJoin(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("stream-static enrich joins a broadcast dimension per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val enriched = EventStream.enrich(
+      stream.toDF().toDF("user_id", "ts", "value"), dim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(10), 5.0), (3L, ts(11), 6.0))
+      q.processAllAvailable()
+      stream.addData((2L, ts(12), 7.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_stream").select("user_id", "tier")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // inner join: user 3 has no dim row and is dropped
+      assert(got == Set((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
   test("sliding windows produce overlapping buckets") {
     val n = EventStream.slidingCounts(Tables(spark, sf, "events")).count()
     val t = SparkEntry.queries("q16_window_events")(spark, sf)

@@ -19,6 +19,29 @@ class SketchSpec extends SparkSpec {
       s"HLL error too large: approx=$approx exact=$exact")
   }
 
+  test("Misra-Gries heavy hitters: guaranteed above n/capacity, exact " +
+      "when capacity exceeds distinct count") {
+    import spark.implicits._
+    import graft.functions.sketches._
+    // skewed stream: "hot" 1000×, 200 singletons; capacity 8 counters
+    val data = (Seq.fill(1000)("hot") ++ (1 to 200).map(i => s"rare$i"))
+    val df = spark.sparkContext.parallelize(data, 8).toDF("w")
+    val top = df.agg(approx_top_k(col("w"), 8, 3).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // MG guarantee: freq 1000 > n/capacity = 150 → must be present,
+    // count underestimated by at most n/capacity
+    assert(top.contains("hot"), s"heavy hitter evicted: $top")
+    assert(top("hot") >= 1000 - 1200 / 8, s"undercount too deep: $top")
+    // exact mode: capacity > distinct count reproduces true counts
+    val exact = df.agg(approx_top_k(col("w"), 256, 1).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.toSeq == Seq("hot" -> 1000L))
+  }
+
   test("approx_percentile brackets the exact median") {
     val df = Tables(spark, sf, "orders")
     val approx = df.agg(

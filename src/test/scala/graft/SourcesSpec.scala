@@ -41,6 +41,15 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().sorted.toSeq == lines.collect().sorted.toSeq)
   }
 
+  test("ORC roundtrip preserves rows (columnar alternative to parquet)") {
+    val dir = tmp("graft_orc")
+    val src = Tables(spark, sf, "customer")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.collect().toSet == src.collect().toSet)
+  }
+
   test("csv without schema infers and still aggregates correctly") {
     val dir = tmp("graft_csv2")
     Tables(spark, sf, "supplier")
