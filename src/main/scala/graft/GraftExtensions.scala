@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{VectorDot, VectorCosine, VectorNorm}
+import graft.functions.{FreqItemsAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("... vec_cosine(a,b) ...")`
@@ -34,7 +34,22 @@ object GraftExtensions {
         (es: Seq[Expression]) => VectorNorm(es(0))),
       ("vec_cosine", info("vec_cosine",
         "vec_cosine(a, b) - cosine similarity of two float vectors"),
-        (es: Seq[Expression]) => VectorCosine(es(0), es(1))))
+        (es: Seq[Expression]) => VectorCosine(es(0), es(1))),
+      ("top_k", info("top_k",
+        "top_k(struct, k) - k smallest struct values per group, sorted"),
+        (es: Seq[Expression]) => TopKAgg(es(0), intArg(es(1)))),
+      ("approx_top_k", info("approx_top_k",
+        "approx_top_k(item, capacity, k) - Misra-Gries heavy hitters"),
+        (es: Seq[Expression]) =>
+          FreqItemsAgg(es(0), intArg(es(1)), intArg(es(2)))))
+
+  /** Constant int argument of a SQL call (e.g. the k in top_k(s, 3)). */
+  private def intArg(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected a constant integer argument, got $other")
+  }
 
   /** Register into a live session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

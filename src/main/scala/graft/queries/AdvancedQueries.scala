@@ -120,6 +120,31 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(dec)).cast("double").as("rev"))),
 
+    // §2.5 [EXT]: exact interpolated percentiles per group (Spark
+    // `percentile` == DuckDB `quantile_cont`, both linear interpolation
+    // over the sorted group; rounded to absorb the last-ULP of differing
+    // interpolation orders). The exact form needs the group sorted —
+    // at 100 TB prefer percentile_approx (SketchSpec) unless exactness
+    // is contractual.
+    "q47_percentiles" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))),
+
+    // §2.8 [EXT]: array functions over the token array — size, distinct,
+    // membership, slicing, negative indexing; all codegen'd builtins.
+    "q48_array_fns" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          size(array_distinct(col("tk"))).as("n_distinct"),
+          array_contains(col("tk"), "the").as("has_the"),
+          concat_ws(" ", slice(col("tk"), 1, 3)).as("first3"),
+          element_at(col("tk"), -1).as("last_tok"))),
+
     // §2.7 [EXT]: ordered grouped concatenation (listagg/string_agg) —
     // collect + sort inside the aggregation buffer, deterministic output.
     // Map-side partial aggregation applies (ObjectHashAggregate), so the
@@ -168,6 +193,21 @@ object AdvancedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q47_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q48_array_fns" ->
+      """SELECT doc_id,
+        | CAST(len(tk) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct,
+        | list_contains(tk, 'the') AS has_the,
+        | array_to_string(tk[1:3], ' ') AS first3,
+        | tk[-1] AS last_tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents)""".stripMargin,
     "q43_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev

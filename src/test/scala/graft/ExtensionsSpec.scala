@@ -14,6 +14,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 11.0 / (math.sqrt(5.0) * 5.0)) < 1e-12)
   }
 
+  test("registered aggregate sketches are usable from pure SQL") {
+    GraftExtensions.register(spark)
+    // top_k: 2 smallest (v, tag) structs over a group
+    val tk = spark.sql(
+      """SELECT top_k(struct(v, tag), 2) AS t
+        |FROM VALUES (3, 'c'), (1, 'a'), (2, 'b'), (5, 'e') AS x(v, tag)"""
+        .stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => (r.getInt(0), r.getString(1))) == Seq(1 -> "a", 2 -> "b"))
+    // approx_top_k: exact when capacity > distinct
+    val hh = spark.sql(
+      """SELECT approx_top_k(w, 16, 1) AS t
+        |FROM VALUES ('x'), ('x'), ('y') AS d(w)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq("x" -> 2L))
+  }
+
   test("registered vec_cosine on the embeddings table via pure SQL") {
     GraftExtensions.register(spark)
     Tables(spark, sf, "embeddings").createOrReplaceTempView("emb")
