@@ -112,6 +112,44 @@ object TextAnalysis {
         .select(col("t.item").as("word"), col("t.cnt").as("n"))
     }),
 
+    // Exemplar selection: the highest-quality document per (lang, source)
+    // stratum via max_by — one aggregation, no window sort. The ordering
+    // key packs (score, doc_id) into one BIGINT (score·10⁶ ≤ 10⁶ and
+    // doc_id < 2³² keep it exact) so ties break on min doc_id in both
+    // engines deterministically.
+    "q49_best_doc" -> ((s, d) => {
+      val scored = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          split(col("text"), " ").as("tk"))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("stop_ratio", expr(
+          s"""CAST(size(filter(tk, t -> array_contains(${markerArray(enMarkers)}, t)))
+             | AS DOUBLE) / size(tk)""".stripMargin))
+        .withColumn("avg_len", expr(
+          "CAST(aggregate(transform(tk, t -> length(t)), 0, (acc, x) -> acc + x) AS DOUBLE) / size(tk)"))
+        .withColumn("score", round(
+          lit(0.5) * least(col("n_tokens") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.2) * least(col("avg_len") / 10.0, lit(1.0)), 6))
+        .withColumn("okey",
+          (col("score") * 1000000).cast("long") * 4294967296L - col("doc_id"))
+      scored.groupBy(col("lang"), col("source"))
+        .agg(max_by(col("doc_id"), col("okey")).as("best_doc"),
+          max(col("score")).as("best_score"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // Deterministic reproducible sampling: keep a document iff the first
+    // hex byte of md5(doc_id) is below the threshold — ≈25% sample that
+    // is IDENTICAL across engines, runs, and cluster sizes (md5 is the
+    // shared hash; fixed-width lowercase hex compares lexicographically
+    // as numerically). The reproducible train-subset primitive: no RNG
+    // state, no seed drift, stable under repartitioning.
+    "q50_deterministic_sample" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "40")
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // Token-budget packing: per language, keep the largest documents
     // until a token budget is hit — the "fill the training mix quota"
     // pass of a curation pipeline. One shuffle on lang + a running-sum
@@ -212,6 +250,25 @@ object TextAnalysis {
         | list_min([md5(substr(text, i, 8)) FOR i IN range(1, len(text) - 6)])
         |   AS fp
         |FROM documents""".stripMargin,
+    "q49_best_doc" ->
+      s"""WITH m AS (SELECT doc_id, lang, source,
+         |  round(0.5 * least(len(tk) / 100.0, 1.0)
+         |  + 0.3 * (1.0 - CAST(len(list_filter(tk, t ->
+         |      list_contains(${markerList(enMarkers)}, t))) AS DOUBLE) / len(tk))
+         |  + 0.2 * least((CAST(list_sum(list_transform(tk, t -> length(t)))
+         |      AS DOUBLE) / len(tk)) / 10.0, 1.0), 6) AS score
+         |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS tk
+         |        FROM documents))
+         |SELECT lang, source,
+         |  arg_max(doc_id, CAST(score * 1000000 AS BIGINT) * 4294967296
+         |                  - doc_id) AS best_doc,
+         |  max(score) AS best_score,
+         |  COUNT(*) AS n_docs
+         |FROM m GROUP BY lang, source""".stripMargin,
+    "q50_deterministic_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'"""
+        .stripMargin,
     "q46_freq_items" ->
       """SELECT word, n FROM (
         | SELECT word, COUNT(*) AS n FROM (
