@@ -44,7 +44,7 @@ object SimilarityQueries {
       when(vec_dot(emb, typedlit(p.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = centroidQueries ++ Map(
     // Exact brute-force cosine top-k for the first NumQueries vectors.
     "q25_ann_topk" -> ((s, d) => {
       val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -150,7 +150,31 @@ object SimilarityQueries {
        |  * sqrt(list_sum([CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)
        |                   FOR i IN range(1, len($b.embedding) + 1)]))))""".stripMargin
 
+  /** Per-label centroid, exploded to (label, dim): the cluster-centroid
+    * primitive behind IVF training — one shuffle on (label, dim) with
+    * partial sums, no vectors collected anywhere. Decimal sums keep the
+    * reduction order-independent, so the result is hash-comparable.
+    */
+  def centroidQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_centroids" -> ((s, d) =>
+      graft.Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("col").cast("decimal(20,8)")).cast("double")
+            / count(lit(1)), 6).as("c"),
+          count(lit(1)).as("n")))
+  )
+
   def oracle: Map[String, String] = Map(
+    "q51_centroids" ->
+      """SELECT label, CAST(gs - 1 AS INTEGER) AS pos,
+        | round(CAST(SUM(CAST(e AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+        |   AS c,
+        | COUNT(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |        generate_subscripts(embedding, 1) AS gs
+        |      FROM embeddings)
+        |GROUP BY label, gs""".stripMargin,
     "q25_ann_topk" ->
       s"""SELECT q_id, neighbor_id, CAST(rk AS INTEGER) AS rk,
          | round(sim, 6) AS sim
