@@ -237,6 +237,32 @@ object Relational {
           month(col("o_orderdate")).as("mon"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))),
 
+    // §2.8: math scalar functions — log/exp/sqrt/pow/abs/sign/trig over
+    // grouped aggregates, rounded to absorb libm last-ULP differences.
+    "q52_math_fns" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(avg(log(col("o_totalprice"))), 6).as("avg_log"),
+          round(sqrt(avg(col("o_totalprice").cast(dec)).cast("double")), 6)
+            .as("sqrt_avg"),
+          round(avg(pow(col("o_totalprice") / 100000.0, 2.0)), 6).as("avg_sq"),
+          round(abs(min(signum(col("o_totalprice") - 100000.0))), 6)
+            .as("abs_min_sign"),
+          round(avg(sin(col("o_totalprice") / 100000.0)), 6).as("avg_sin"))),
+
+    // R5 completion: FULL OUTER join — per-nation customer vs supplier
+    // counts where either side may be absent.
+    "q53_full_outer" -> ((s, d) => {
+      val cn = Tables(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = Tables(s, d, "supplier").groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("nk") === col("snk"), "full_outer")
+        .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
     // §2.7: set ops beyond union — nations present among customers but
     // absent among suppliers (except), and present in both (intersect).
     "q17_set_ops" -> ((s, d) => {
@@ -346,6 +372,23 @@ object Relational {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q52_math_fns" ->
+      """SELECT o_orderpriority,
+        | round(avg(ln(o_totalprice)), 6) AS avg_log,
+        | round(sqrt(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |            / COUNT(*)), 6) AS sqrt_avg,
+        | round(avg(pow(o_totalprice / 100000.0, 2.0)), 6) AS avg_sq,
+        | round(abs(min(sign(o_totalprice - 100000.0))), 6) AS abs_min_sign,
+        | round(avg(sin(o_totalprice / 100000.0)), 6) AS avg_sin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q53_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |            FROM customer GROUP BY 1),
+        |sn AS (SELECT s_nationkey AS snk, COUNT(*) AS n_supp
+        |       FROM supplier GROUP BY 1)
+        |SELECT COALESCE(nk, snk) AS nationkey,
+        | COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON nk = snk""".stripMargin,
     "q17_set_ops" ->
       """SELECT nk, 'except' AS op FROM
         | (SELECT c_nationkey AS nk FROM customer
