@@ -1,0 +1,32 @@
+package graft
+
+/** Scale-shape audit: execute recent queries and flag plan red flags
+  * (CartesianProduct / BroadcastNestedLoopJoin), count shuffle
+  * exchanges, and note scan pushdown — the quick "would this survive
+  * 100×" re-check after adding operators. Usage: runMain graft.PlanAudit
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    Seq("q40_token_budget", "q41_listagg", "q42_pivot", "q43_grouping_sets",
+      "q45_stream_join", "q46_freq_items", "q47_percentiles", "q48_array_fns",
+      "q49_best_doc", "q50_deterministic_sample", "q51_centroids",
+      "q52_math_fns", "q53_full_outer").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoop").filter(p.contains)
+      val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      val pushed = if (p.contains("PushedFilters: [")
+        && !p.contains("PushedFilters: []")) "pushed" else "-"
+      println(f"AUDIT $n%-24s exchanges=$nEx bad=${bad.mkString(",")} $pushed")
+    }
+    spark.stop()
+  }
+}
