@@ -170,6 +170,8 @@ object TextAnalysis {
         .filter(col("cum_tokens") <= 5000)
     }),
 
+    "q54_full_curation" -> ((s, d) => fullCuration(s, d)),
+
     // Capstone: the curation pipeline end-to-end in ONE Catalyst plan —
     // quality-score filter → exact-dedup keeper selection → per-language
     // token budget. Each stage is a narrow transform or one shuffle; the
@@ -204,6 +206,44 @@ object TextAnalysis {
             / count(lit(1)), 6).as("avg_score"))
     })
   )
+
+  /** Capstone 2: the FULL curation chain in one Catalyst plan — quality
+    * scoring → filter → exact-dedup keeper selection → deterministic
+    * 50% sample (md5 threshold, q50's primitive) → per-language token
+    * budget (q40's primitive). Stage costs: one narrow scoring pass, one
+    * dedup shuffle + keeper join, a free filter, one per-lang window —
+    * at 100 TB this is 3 shuffles end-to-end, each on a bounded key.
+    */
+  private[graft] def fullCuration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("stop_ratio", expr(
+        s"""CAST(size(filter(tk, t -> array_contains(${markerArray(enMarkers)}, t)))
+           | AS DOUBLE) / size(tk)""".stripMargin))
+      .withColumn("avg_len", expr(
+        "CAST(aggregate(transform(tk, t -> length(t)), 0, (acc, x) -> acc + x) AS DOUBLE) / size(tk)"))
+      .withColumn("score", round(
+        lit(0.5) * least(col("n_tokens") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.2) * least(col("avg_len") / 10.0, lit(1.0)), 6))
+      .filter(col("score") >= 0.4)
+    val keepers = scored.groupBy(col("text").as("ktext"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val deduped = scored.join(keepers,
+        scored("doc_id") === keepers("keeper") &&
+          scored("text") === keepers("ktext"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
+    val sampled = deduped
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 4000)
+  }
 
   private def markerList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -250,6 +290,29 @@ object TextAnalysis {
         | list_min([md5(substr(text, i, 8)) FOR i IN range(1, len(text) - 6)])
         |   AS fp
         |FROM documents""".stripMargin,
+    "q54_full_curation" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, lang, text, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    round(0.5 * least(len(tk) / 100.0, 1.0)
+         |    + 0.3 * (1.0 - CAST(len(list_filter(tk, t ->
+         |        list_contains(${markerList(enMarkers)}, t))) AS DOUBLE) / len(tk))
+         |    + 0.2 * least((CAST(list_sum(list_transform(tk, t -> length(t)))
+         |        AS DOUBLE) / len(tk)) / 10.0, 1.0), 6) AS score
+         |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+         |        FROM documents)),
+         |scored AS (SELECT * FROM raw WHERE score >= 0.4),
+         |k AS (SELECT text AS ktext, min(doc_id) AS keeper
+         |      FROM scored GROUP BY text),
+         |dd AS (SELECT doc_id, lang, n_tokens, score
+         |       FROM scored JOIN k
+         |         ON scored.doc_id = k.keeper AND scored.text = k.ktext),
+         |samp AS (SELECT * FROM dd
+         |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'),
+         |c AS (SELECT doc_id, lang, n_tokens, score,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY n_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS cum_tokens FROM samp)
+         |SELECT * FROM c WHERE cum_tokens <= 4000""".stripMargin,
     "q49_best_doc" ->
       s"""WITH m AS (SELECT doc_id, lang, source,
          |  round(0.5 * least(len(tk) / 100.0, 1.0)
