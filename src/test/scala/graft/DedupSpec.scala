@@ -91,6 +91,19 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(exact), s"cap introduced pairs: ${capped -- exact}")
   }
 
+  test("components: path graph converges; tiny maxIter returns without throwing") {
+    import spark.implicits._
+    // path 1-2-3-...-8: diameter 7, min-label needs ~7 rounds
+    val edges = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val full = graft.operators.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet == Set(1L), s"single chain must collapse: $full")
+    // maxIter=1 must return (partially propagated, logged) — not throw
+    val partial = graft.operators.Components.connectedComponents(edges, maxIter = 1)
+      .collect()
+    assert(partial.length == 8)
+  }
+
   test("jaccard values are exact rationals in [0.5, 1]") {
     SparkEntry.queries("q23_ngram_jaccard")(spark, sf).collect().foreach {
       case Row(_: Long, _: Long, j: Double) => assert(j >= 0.5 && j <= 1.0)

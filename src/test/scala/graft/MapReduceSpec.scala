@@ -51,6 +51,20 @@ class MapReduceSpec extends SparkSpec {
     } finally sys.props -= "graft.dfs"
   }
 
+  test("WRITE/READ edge cases: single line, and more partitions than lines") {
+    val tmp = Files.createTempDirectory("graft-mr-edge").toString
+    val one = s"$tmp/one.txt"
+    Files.write(Paths.get(one), "only line".getBytes)
+    MapReduce.write(spark, one, s"$tmp/dfs1", partitions = 1)
+    assert(MapReduce.read(spark, s"$tmp/dfs1").collect().toSeq == Seq("only line"))
+    // more chunks than lines: the reference pads empty chunks; here empty
+    // partitions are native — content and order must survive regardless
+    val few = s"$tmp/few.txt"
+    Files.write(Paths.get(few), "b\na\nc".getBytes)
+    MapReduce.write(spark, few, s"$tmp/dfs2", partitions = 8)
+    assert(MapReduce.read(spark, s"$tmp/dfs2").collect().toSeq == Seq("b", "a", "c"))
+  }
+
   test("golden MR-parity: closure mapReduce == declarative groupBy count") {
     val docs = Tables(spark, sf, "documents").select("text").as[String]
     val viaMr = MapReduce.mapReduce(
