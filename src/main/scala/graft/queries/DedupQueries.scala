@@ -375,6 +375,12 @@ object DedupQueries {
   * computed and persisted ONCE per (session, dataset) instead of once
   * per query. This is the "tokenize the corpus once" stage of a 100 TB
   * pipeline: MEMORY_AND_DISK, partition-local, no shuffle to build.
+  *
+  * Lifecycle: entries live until `evict(session, dataset)` / `clear()`
+  * unpersists them — a long-lived service touching many datasets MUST
+  * evict finished ones or pinned blocks accumulate. Staleness: the cache
+  * assumes the `documents` table under a dataset dir is immutable for
+  * the session; if it changes, call `evict` to invalidate.
   */
 private[graft] object ShingleCache {
 
@@ -382,6 +388,18 @@ private[graft] object ShingleCache {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Unpersist and drop one (session, dataset) entry (no-op if absent). */
+  def evict(s: SparkSession, d: String): Unit = {
+    val e = cache.remove((s, d))
+    if (e != null) { e._1.unpersist(); e._2.unpersist() }
+  }
+
+  /** Unpersist and drop every entry (session teardown / test cleanup). */
+  def clear(): Unit = {
+    val keys = cache.keySet().toArray(Array.empty[(SparkSession, String)])
+    keys.foreach { case (s, d) => evict(s, d) }
+  }
 
   private def entry(s: SparkSession, d: String): (DataFrame, DataFrame) =
     cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>

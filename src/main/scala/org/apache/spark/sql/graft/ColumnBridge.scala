@@ -21,4 +21,26 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** Release the storage blocks behind a `Dataset.localCheckpoint` result:
+    * the checkpointed data lives in the RDD wrapped by the plan's
+    * `LogicalRDD` leaf (`private[sql]` in Spark 4.1, hence bridged here).
+    * Without this, iterative algorithms that checkpoint per round retain
+    * every round's snapshot until session end.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** True iff some plan leaf of `df` still has persisted/checkpointed
+    * blocks in block storage (spec hook for leak tests).
+    */
+  def hasLiveCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.exists(r =>
+      r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
 }

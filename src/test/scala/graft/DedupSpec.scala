@@ -109,4 +109,74 @@ class DedupSpec extends SparkSpec {
       case Row(_: Long, _: Long, j: Double) => assert(j >= 0.5 && j <= 1.0)
     }
   }
+
+  /** Reference union-find closure of an edge list. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  test("deep path graph escalates to large-star/small-star and is exact") {
+    import spark.implicits._
+    // diameter 63 — propagation alone would need 63 rounds; the
+    // escalation path must kick in (threshold 8) and finish in O(log d)
+    val es = (1L to 63L).map(i => (i, i + 1))
+    val got = graft.operators.Components.connectedComponents(es.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(es), "star escalation must match union-find")
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("star components match union-find on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 60 nodes, 45 random edges: a mix of chains, cliques and singletons
+    val es = Seq.fill(45)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val got = graft.operators.Components
+      .starComponents(es.toDF("a", "b"), maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(es), "starComponents must equal union-find")
+  }
+
+  test("iteration snapshots are freed: at most the result stays persisted") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def persisted(): Int = sc.getPersistentRDDs.size
+    val before = persisted()
+    // shallow graph → propagation path (several rounds, several snapshots)
+    val labels = graft.operators.Components.connectedComponents(
+      (1L to 7L).map(i => (i, i + 1)).toDF("a", "b"))
+    labels.collect()
+    val afterProp = persisted()
+    assert(afterProp - before <= 1,
+      s"propagation leaked snapshots: $before -> $afterProp")
+    // deep graph → star path (allNodes + final edge set may stay live)
+    val star = graft.operators.Components.connectedComponents(
+      (1L to 63L).map(i => (i, i + 1)).toDF("a", "b"))
+    star.collect()
+    val afterStar = persisted()
+    assert(afterStar - afterProp <= 3,
+      s"star leaked snapshots: $afterProp -> $afterStar")
+  }
+
+  test("shingle cache eviction frees the persisted frames") {
+    val arrays = graft.queries.ShingleCache.arrays(spark, sf)
+    arrays.count()
+    assert(arrays.storageLevel.useMemory || arrays.storageLevel.useDisk,
+      "cache entry should be persisted after use")
+    graft.queries.ShingleCache.evict(spark, sf)
+    assert(arrays.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evict must unpersist the shingle frames")
+    // repopulate for any later suite that relies on the cache
+    graft.queries.ShingleCache.arrays(spark, sf).count()
+  }
 }
