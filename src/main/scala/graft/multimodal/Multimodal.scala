@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,11 +13,15 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample operators a training
   * pipeline runs over them.
   *
-  * The actual codecs are NOT in this container, so the decode kernels are
-  * deterministic STUBS (clearly marked) — the Spark-side contract is
-  * real and tested: schema, per-partition batched execution (the
-  * mapPartitions shape an Arrow/pandas-batch UDF would have), shuffle-
-  * free narrow execution, and frame explosion.
+  * IMAGE decode and resize are REAL: `javax.imageio` (PNG/JPEG/BMP/GIF)
+  * ships with every JDK, so no external codec is needed — payloads are
+  * decoded to pixels and featurized (width/height/mean-luma/4×4 grid-luma
+  * embedding). AUDIO/VIDEO kernels remain deterministic STUBS (clearly
+  * marked — their codecs genuinely aren't in this container); the
+  * Spark-side contract is identical and tested either way: schema,
+  * per-partition batched execution (the mapPartitions shape an
+  * Arrow/pandas-batch UDF would have), shuffle-free narrow execution,
+  * and frame explosion.
   *
   * Scale notes: assets are processed strictly per-partition (narrow),
   * so 100 TB of binaries stream through executors at
@@ -34,36 +42,116 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("n_frames", IntegerType))), nullable = false)))
 
+  /** Deterministic 32×32 RGB PNG for an asset id: channel values are pure
+    * functions of (id, x, y), encoded with the JDK's built-in PNG codec.
+    * Gives `syntheticAssets` real decodable image payloads without any
+    * external media library or test fixture files.
+    */
+  private[graft] def syntheticPng(id: Long, w: Int = 32, h: Int = 32)
+      : Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) & 0xff).toInt
+        val g = ((id * 17 + x * 11 + y * 5) & 0xff).toInt
+        val b = ((id * 23 + x * 3 + y * 19) & 0xff).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val syntheticPngUdf = udf((id: Long) => syntheticPng(id))
+
   /** Deterministic synthetic assets derived from `documents` — stands in
     * for an ingested media table so the pipeline shape is testable with
-    * the driver's data. Payload = recycled utf-8 of the text, truncated/
-    * padded to a deterministic length; metadata derived from doc fields.
+    * the driver's data. Image payloads are real 32×32 PNGs (decodable by
+    * `decodeFeatures`); audio/video payloads are recycled utf-8 of the
+    * text, truncated/padded to a deterministic length. Metadata derives
+    * from doc fields.
     */
   def syntheticAssets(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Tables(spark, sfDir, "documents").select(
-      col("doc_id").as("asset_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      to_binary(rpad(repeat(col("text"), 8), 1024, "."), lit("utf-8"))
-        .as("bytes"),
-      struct(
-        lit(32).as("width"), lit(32).as("height"),
-        lit(16000).as("sample_rate"),
-        (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("n_frames"))
-        .as("meta"))
+    graft.Tables(spark, sfDir, "documents")
+      .withColumn("kind",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      .select(
+        col("doc_id").as("asset_id"),
+        col("kind"),
+        when(col("kind") === "image", syntheticPngUdf(col("doc_id")))
+          .otherwise(to_binary(rpad(repeat(col("text"), 8), 1024, "."),
+            lit("utf-8")))
+          .as("bytes"),
+        struct(
+          lit(32).as("width"), lit(32).as("height"),
+          lit(16000).as("sample_rate"),
+          (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("n_frames"))
+          .as("meta"))
 
-  /** Result row of the decode/feature pass. */
+  /** Result row of the decode/feature pass. `width`/`height`/`mean_luma`
+    * are populated (and `real_decode` set) only when the payload was
+    * actually pixel-decoded; stub-featurized assets carry -1 sentinels.
+    */
   case class AssetFeatures(asset_id: Long, kind: String, byte_len: Int,
-      mean_byte: Double, checksum: Long, feature: Array[Float])
+      mean_byte: Double, checksum: Long, feature: Array[Float],
+      width: Int, height: Int, mean_luma: Double, real_decode: Boolean)
 
-  // ----- STUB KERNELS ------------------------------------------------
-  // Real implementations would call an image/audio codec here (e.g.
-  // JPEG decode to pixels, PCM resample). Not available in this
-  // container — each stub is a deterministic pure function of the bytes
-  // so tests pin the plumbing end-to-end.
+  // ----- DECODE KERNELS ----------------------------------------------
+  // IMAGE: real pixel decode via the JDK's javax.imageio (PNG/JPEG/BMP/
+  // GIF — no external codec needed). AUDIO/VIDEO: codecs are not in this
+  // container, so those kernels are deterministic STUBS over the raw
+  // bytes; tests pin the plumbing end-to-end either way.
 
-  /** STUB decode: byte statistics + a fixed-width "embedding" projection
-    * (mean of each 64-byte stripe) standing in for decoded features.
+  /** REAL image decode: pixels → (width, height, mean luma, 4×4 grid of
+    * per-cell mean luma as a 16-dim feature). Luma uses the Rec.601
+    * weights (0.299 R + 0.587 G + 0.114 B). Returns None when the
+    * payload is not a decodable image.
+    */
+  private[graft] def decodeImage(bytes: Array[Byte])
+      : Option[(Int, Int, Double, Array[Float])] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val grid = 4
+      val cellSum = new Array[Double](grid * grid)
+      val cellN = new Array[Long](grid * grid)
+      var lumaSum = 0.0
+      var y = 0
+      while (y < h) {
+        val cy = math.min(grid - 1, y * grid / h)
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          lumaSum += luma
+          val c = cy * grid + math.min(grid - 1, x * grid / w)
+          cellSum(c) += luma; cellN(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feat = Array.tabulate(grid * grid)(i =>
+        if (cellN(i) == 0) 0.0f else (cellSum(i) / cellN(i)).toFloat)
+      Some((w, h, lumaSum / (w.toLong * h), feat))
+    }
+  }
+
+  /** Decode one asset. Byte stats (length/mean/FNV-1a checksum) are
+    * always computed; `kind = image` additionally runs the REAL
+    * javax.imageio pixel decode, replacing the feature vector with the
+    * 4×4 grid-luma embedding. Non-decodable or non-image payloads fall
+    * back to the STUB featurization (mean of each length/16 byte
+    * stripe standing in for decoded features).
     */
   private[graft] def decodeKernel(id: Long, kind: String,
       bytes: Array[Byte]): AssetFeatures = {
@@ -75,21 +163,29 @@ object Multimodal {
       crc = (crc ^ (bytes(i) & 0xff)) * 1099511628211L
       i += 1
     }
-    val dim = 16
-    val stripe = math.max(1, bytes.length / dim)
-    val feat = Array.tabulate(dim) { j =>
-      val from = j * stripe
-      val until = math.min(bytes.length, from + stripe)
-      if (from >= bytes.length) 0.0f
-      else {
-        var s = 0L; var k = from
-        while (k < until) { s += bytes(k) & 0xff; k += 1 }
-        (s.toDouble / (until - from)).toFloat
-      }
+    val meanByte =
+      if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+    val decoded = if (kind == "image") decodeImage(bytes) else None
+    decoded match {
+      case Some((w, h, meanLuma, feat)) =>
+        AssetFeatures(id, kind, bytes.length, meanByte, crc, feat,
+          w, h, meanLuma, real_decode = true)
+      case None =>
+        val dim = 16
+        val stripe = math.max(1, bytes.length / dim)
+        val feat = Array.tabulate(dim) { j =>
+          val from = j * stripe
+          val until = math.min(bytes.length, from + stripe)
+          if (from >= bytes.length) 0.0f
+          else {
+            var s = 0L; var k = from
+            while (k < until) { s += bytes(k) & 0xff; k += 1 }
+            (s.toDouble / (until - from)).toFloat
+          }
+        }
+        AssetFeatures(id, kind, bytes.length, meanByte, crc, feat,
+          -1, -1, -1.0, real_decode = false)
     }
-    AssetFeatures(id, kind,
-      bytes.length, if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
-      crc, feat)
   }
 
   /** Decode + feature-extract over asset batches: per-partition batched
@@ -112,8 +208,33 @@ object Multimodal {
       }
   }
 
-  /** STUB resize: keeps every (h/newH × w/newW)-th "pixel" byte — real
-    * impl would resample decoded pixels. Returns the same asset schema
+  /** REAL image resize: decode, area-average rescale to newW×newH, and
+    * re-encode as PNG — all JDK-native (javax.imageio + java.awt).
+    * Returns None when the payload is not a decodable image.
+    */
+  private[graft] def resizeImage(bytes: Array[Byte], newW: Int, newH: Int)
+      : Option[Array[Byte]] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val scaled = img.getScaledInstance(newW, newH,
+        java.awt.Image.SCALE_AREA_AVERAGING)
+      val out = new BufferedImage(newW, newH, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.drawImage(scaled, 0, 0, null)
+      g.dispose()
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", baos)
+      Some(baos.toByteArray)
+    }
+  }
+
+  /** Resize: images get the REAL javax.imageio decode→rescale→re-encode
+    * path; non-decodable and non-image payloads get the STUB byte
+    * subsample (every (w·h / newW·newH)-th byte — a stand-in for PCM
+    * resample, which has no JDK codec). Returns the same asset schema
     * with updated metadata, so resize composes with decode/frameSample.
     */
   def resize(assets: DataFrame, newW: Int, newH: Int): DataFrame = {
@@ -121,12 +242,18 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(assetSchema)
     assets.select("asset_id", "kind", "bytes", "meta").map { r =>
+      val kind = r.getString(1)
       val bytes = r.getAs[Array[Byte]](2)
       val meta = r.getStruct(3)
-      val w = meta.getInt(0); val h = meta.getInt(1)
-      val step = math.max(1, (w.toLong * h / math.max(1, newW * newH)).toInt)
-      val out = bytes.grouped(step).map(_.head).toArray
-      Row(r.getLong(0), r.getString(1), out,
+      val out =
+        (if (kind == "image") resizeImage(bytes, newW, newH) else None)
+          .getOrElse {
+            val w = meta.getInt(0); val h = meta.getInt(1)
+            val step =
+              math.max(1, (w.toLong * h / math.max(1, newW * newH)).toInt)
+            bytes.grouped(step).map(_.head).toArray
+          }
+      Row(r.getLong(0), kind, out,
         Row(newW, newH, meta.getInt(2), meta.getInt(3)))
     }(enc)
   }

@@ -5,21 +5,26 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 
-/** Multimodal pipeline surfaced as queries (rows-only driver check — the
-  * decode kernels are stubs, not SQL-expressible; MultimodalSpec pins the
-  * semantics).
+/** Multimodal pipeline surfaced as queries (rows-only driver check —
+  * image decode is real javax.imageio pixel decode, audio/video kernels
+  * are disclosed stubs; neither is SQL-expressible, so MultimodalSpec
+  * pins the semantics).
   */
 object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // decode/feature-extract pass: per-kind feature statistics
+    // decode/feature-extract pass: per-kind feature statistics. For
+    // kind=image n_decoded == n_assets (real pixel decode); luma stats
+    // are -1 sentinels for the stub-featurized kinds.
     "mm_decode_stats" -> ((s, d) => {
       Multimodal.decodeFeatures(Multimodal.syntheticAssets(s, d))
         .toDF()
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n_assets"),
           sum(col("byte_len")).as("total_bytes"),
-          round(avg(col("mean_byte")), 6).as("avg_mean_byte"))
+          round(avg(col("mean_byte")), 6).as("avg_mean_byte"),
+          round(avg(col("mean_luma")), 6).as("avg_mean_luma"),
+          sum(when(col("real_decode"), 1L).otherwise(0L)).as("n_decoded"))
     }),
     // frame-sampling pass: kept-frame counts per kind
     "mm_frame_sample" -> ((s, d) =>

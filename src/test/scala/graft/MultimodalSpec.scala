@@ -1,5 +1,9 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
@@ -9,13 +13,28 @@ class MultimodalSpec extends SparkSpec {
 
   lazy val assets = Multimodal.syntheticAssets(spark, sf)
 
+  /** Encode a w×h image whose pixel (x,y) is `rgb(x, y)` as PNG bytes. */
+  private def pngOf(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   test("synthetic assets conform to the canonical asset schema") {
     assert(assets.schema("bytes").dataType == BinaryType)
     // same field names/types (nullability differs: lit() is non-null)
     assert(assets.schema("meta").dataType.simpleString ==
       Multimodal.assetSchema("meta").dataType.simpleString)
-    val r = assets.head()
-    assert(r.getAs[Array[Byte]]("bytes").length == 1024)
+    // image payloads are real PNGs (magic bytes); others are the padded
+    // 1024-byte stub payloads
+    val img = assets.filter(col("kind") === "image").head()
+      .getAs[Array[Byte]]("bytes")
+    assert((img(0) & 0xff) == 0x89 && img(1) == 'P' && img(2) == 'N' &&
+      img(3) == 'G', "image payload must be a PNG")
+    val other = assets.filter(col("kind") =!= "image").head()
+    assert(other.getAs[Array[Byte]]("bytes").length == 1024)
   }
 
   test("decodeFeatures is deterministic and narrow (no shuffle)") {
@@ -29,11 +48,43 @@ class MultimodalSpec extends SparkSpec {
       "batch size must not affect results")
     assert(a.forall(_.feature.length == 16))
     assert(a.forall(f => f.mean_byte > 0 && f.mean_byte < 256))
+    // every image asset really pixel-decodes; stub kinds never do
+    assert(a.filter(_.kind == "image")
+      .forall(f => f.real_decode && f.width == 32 && f.height == 32))
+    assert(a.filter(_.kind != "image").forall(!_.real_decode))
   }
 
-  test("decode kernel: known bytes → known stats") {
+  test("image decode is real: known PNG pixels → known luma features") {
+    // 4×4 PNG, left half black, right half white
+    val png = pngOf(4, 4)((x, _) => if (x < 2) 0x000000 else 0xffffff)
+    val f = Multimodal.decodeKernel(7L, "image", png)
+    assert(f.real_decode && f.width == 4 && f.height == 4)
+    // Rec.601 luma of pure white is exactly 255; mean over half/half
+    assert(math.abs(f.mean_luma - 127.5) < 1e-9, s"mean_luma=${f.mean_luma}")
+    // 4×4 grid: cell columns 0-1 black (0), 2-3 white (255)
+    val expected = Array.tabulate(16)(i => if (i % 4 < 2) 0f else 255f)
+    assert(f.feature.toSeq == expected.toSeq)
+  }
+
+  test("image decode matches the synthetic PNG generator pixel-for-pixel") {
+    val id = 42L
+    val f = Multimodal.decodeKernel(id, "image", Multimodal.syntheticPng(id))
+    assert(f.real_decode && f.width == 32 && f.height == 32)
+    // recompute expected mean luma straight from the generator formula
+    var sum = 0.0
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val r = (id * 31 + x * 7 + y * 13) & 0xff
+      val g = (id * 17 + x * 11 + y * 5) & 0xff
+      val b = (id * 23 + x * 3 + y * 19) & 0xff
+      sum += 0.299 * r + 0.587 * g + 0.114 * b
+    }
+    assert(math.abs(f.mean_luma - sum / 1024) < 1e-9)
+  }
+
+  test("decode kernel: non-image payload falls back to byte-stats stub") {
     val f = Multimodal.decodeKernel(1L, "image", Array[Byte](0, 2, 4))
     assert(f.byte_len == 3 && f.mean_byte == 2.0)
+    assert(!f.real_decode && f.width == -1 && f.mean_luma == -1.0)
   }
 
   test("frameSample keeps every Nth frame with correct payload split") {
@@ -57,6 +108,22 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]](2).length < 1024)
     // composes: decode runs on resized assets
     assert(Multimodal.decodeFeatures(out).count() == assets.count())
+  }
+
+  test("image resize is a real rescale: resized PNG decodes at new dims") {
+    // uniform mid-gray image: area-average resize must preserve the level
+    val png = pngOf(16, 16)((_, _) => 0x808080)
+    val resized = Multimodal.resizeImage(png, 4, 4)
+    assert(resized.isDefined)
+    val f = Multimodal.decodeKernel(9L, "image", resized.get)
+    assert(f.real_decode && f.width == 4 && f.height == 4)
+    assert(math.abs(f.mean_luma - 128.0) < 0.5, s"mean_luma=${f.mean_luma}")
+    // resized image assets in the pipeline keep decoding for real
+    val outFeats = Multimodal
+      .decodeFeatures(Multimodal.resize(assets, 8, 8))
+      .filter(_.kind == "image").collect()
+    assert(outFeats.nonEmpty &&
+      outFeats.forall(f => f.real_decode && f.width == 8 && f.height == 8))
   }
 
   test("metadata-only query prunes the bytes column from the scan") {
