@@ -56,7 +56,17 @@ object EventQueries {
     // user's purchases within 10 minutes (EventStreamSpec runs the same
     // plan as a watermarked MemoryStream join and pins equality).
     "q45_stream_join" -> ((s, d) =>
-      graft.streaming.EventStream.clickPurchaseJoin(Tables(s, d, "events")))
+      graft.streaming.EventStream.clickPurchaseJoin(Tables(s, d, "events"))),
+
+    // §2.10: streaming dedup's batch twin. event_id is unique in the
+    // data, so the input is doubled with a self-union to make the dedup
+    // real; duplicates are byte-identical rows, keeping the kept-row
+    // choice deterministic. EventStreamSpec pins the watermarked
+    // streaming form over the same doubled input == this plan.
+    "q55_stream_dedup" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      graft.streaming.EventStream.dedupBatch(e.union(e))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -83,6 +93,10 @@ object EventQueries {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'"""
+        .stripMargin,
+    "q55_stream_dedup" ->
+      """SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)"""
         .stripMargin,
     "q31_sessions" ->
       """WITH e AS (SELECT user_id, ts, value,

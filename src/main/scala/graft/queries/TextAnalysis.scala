@@ -131,8 +131,12 @@ object TextAnalysis {
           lit(0.5) * least(col("n_tokens") / 100.0, lit(1.0)) +
             lit(0.3) * (lit(1.0) - col("stop_ratio")) +
             lit(0.2) * least(col("avg_len") / 10.0, lit(1.0)), 6))
+        // round() before the long cast: Spark's cast truncates toward
+        // zero while DuckDB's CAST rounds to nearest, so score·10⁶
+        // landing at N-ε would otherwise yield different keys per engine
         .withColumn("okey",
-          (col("score") * 1000000).cast("long") * 4294967296L - col("doc_id"))
+          round(col("score") * 1000000).cast("long") * 4294967296L
+            - col("doc_id"))
       scored.groupBy(col("lang"), col("source"))
         .agg(max_by(col("doc_id"), col("okey")).as("best_doc"),
           max(col("score")).as("best_score"),
@@ -157,7 +161,8 @@ object TextAnalysis {
     // per-language sort is the cost: if one language dominates, switch
     // to a two-pass threshold estimate (sample the token distribution,
     // cut at the quantile, exact-trim the boundary) instead of a full
-    // sort — same output, no single giant partition sort.
+    // sort — same output, no single giant partition sort. That form is
+    // implemented as q56_quantile_budget (quantileTokenBudget below).
     "q40_token_budget" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang"))
@@ -169,6 +174,16 @@ object TextAnalysis {
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= 5000)
     }),
+
+    // Token-budget packing WITHOUT the full per-language sort — the
+    // skew-safe form of q40 (same output, oracle-checked against the
+    // same SQL). See quantileTokenBudget.
+    "q56_quantile_budget" -> ((s, d) =>
+      quantileTokenBudget(
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        5000L)),
 
     "q54_full_curation" -> ((s, d) => fullCuration(s, d)),
 
@@ -206,6 +221,57 @@ object TextAnalysis {
             / count(lit(1)), 6).as("avg_score"))
     })
   )
+
+  /** Skew-safe token-budget packing: q40's exact semantics (keep docs in
+    * (n_tokens desc, doc_id) order per language while the running token
+    * sum stays ≤ budget) WITHOUT sorting every document of a language in
+    * one window partition.
+    *
+    * Two passes:
+    *  1. Histogram: aggregate doc counts/token sums per (lang, n_tokens)
+    *     — a map-side-combining shuffle on a bounded key space (token
+    *     counts, not docs). A running sum over the tiny histogram finds
+    *     each language's threshold: the smallest n_tokens whose group
+    *     still starts inside the budget (prefix < budget).
+    *  2. Exact trim: broadcast the per-lang thresholds back, keep only
+    *     candidate docs (n_tokens ≥ threshold) — a set whose total token
+    *     mass is ≤ budget + one boundary group — and run q40's window on
+    *     just those. Running sums match the full sort's because every
+    *     non-candidate sorts strictly after every candidate.
+    *
+    * At 100 TB with one dominant language, q40's window sorts that whole
+    * language in one partition; here the big data only sees the
+    * histogram group-by and a broadcast semi-filter, and the sort input
+    * is bounded by the budget, not the corpus.
+    */
+  private[graft] def quantileTokenBudget(tokens: DataFrame, budget: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = tokens.groupBy(col("lang"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_tokens")).as("grp_tokens"))
+    val wHist = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // group's tokens start at `prefix` in the per-lang running order;
+    // n_tokens ≥ 1, so the kept set is a strict prefix and at most one
+    // group straddles the budget
+    val thresholds = hist
+      .withColumn("prefix",
+        sum(col("grp_tokens")).over(wHist) - col("grp_tokens"))
+      .filter(col("prefix") < budget)
+      .groupBy(col("lang")).agg(min(col("n_tokens")).as("thr"))
+      .withColumnRenamed("lang", "t_lang")
+    val candidates = tokens
+      .join(broadcast(thresholds),
+        col("lang") === col("t_lang") && col("n_tokens") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    candidates.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 
   /** Capstone 2: the FULL curation chain in one Catalyst plan — quality
     * scoring → filter → exact-dedup keeper selection → deterministic
@@ -323,7 +389,7 @@ object TextAnalysis {
          |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS tk
          |        FROM documents))
          |SELECT lang, source,
-         |  arg_max(doc_id, CAST(score * 1000000 AS BIGINT) * 4294967296
+         |  arg_max(doc_id, CAST(round(score * 1000000) AS BIGINT) * 4294967296
          |                  - doc_id) AS best_doc,
          |  max(score) AS best_score,
          |  COUNT(*) AS n_docs
@@ -339,6 +405,16 @@ object TextAnalysis {
         | WHERE word <> '' GROUP BY word)
         |ORDER BY n DESC, word LIMIT 10""".stripMargin,
     "q40_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY n_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_tokens FROM t)
+        |SELECT * FROM c WHERE cum_tokens <= 5000""".stripMargin,
+    // same semantics as q40 — the Spark side differs only in HOW (two-
+    // pass histogram threshold instead of a full per-lang sort)
+    "q56_quantile_budget" ->
       """WITH t AS (SELECT doc_id, lang,
         |  len(string_split(text, ' ')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,

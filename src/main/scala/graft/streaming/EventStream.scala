@@ -42,6 +42,16 @@ object EventStream {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Batch twin of [[dedupStream]] — q55's oracle-checked shape. Keeps
+    * one row per event_id; callers feed it duplicate-bearing input (the
+    * query doubles the table with a self-union, so duplicate rows are
+    * byte-identical and the kept-row choice can't affect the result).
+    * One shuffle on the dedup key — same state partitioning the
+    * streaming form uses.
+    */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   /** Sliding-window event rate: 10-minute windows every 5 minutes. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

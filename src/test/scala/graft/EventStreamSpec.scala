@@ -103,6 +103,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup equals the batch twin on doubled events (q55)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val rows = events.as[(Long, Timestamp, Long, Double)].collect().toSeq
+    val stream = MemoryStream[(Long, Timestamp, Long, Double)]
+    // the duplicate copy arrives in a second micro-batch, so dedup state
+    // must carry across batches to drop it
+    stream.addData(rows)
+    stream.addData(rows)
+    val streamed = EventStream.dedupStream(
+      stream.toDF().toDF("event_id", "ts", "user_id", "value"))
+    EventStream.runToMemory(streamed, "dedup_q55", OutputMode.Append())
+    val got = spark.table("dedup_q55").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = EventStream.dedupBatch(events.union(events)).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(spark.table("dedup_q55").count() == want.size,
+      "streaming dedup must emit each event_id exactly once")
+    assert(got == want && want.nonEmpty)
+  }
+
   test("stream-stream click->purchase join equals the batch twin (q45)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

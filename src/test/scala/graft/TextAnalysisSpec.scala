@@ -19,6 +19,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2).nonEmpty)
   }
 
+  test("quantile token budget == full-sort budget (q56 == q40 semantics)") {
+    val got = SparkEntry.queries("q56_quantile_budget")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = SparkEntry.queries("q40_token_budget")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("quantile token budget on a skewed language mix") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 10,000 docs in one dominant language + 10 in another; token counts
+    // collide heavily so the boundary group holds many docs
+    val docs = ((1 to 10000).map(i => (i.toLong, "big", (i % 50 + 1).toLong))
+      ++ (1 to 10).map(i => (100000L + i, "tiny", 100L)))
+      .toDF("doc_id", "lang", "n_tokens")
+    val budget = 2000L
+    val got = TextAnalysis.quantileTokenBudget(docs, budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want && want.nonEmpty)
+    // the tiny language must fit entirely (1000 tokens < budget)
+    assert(got.count(_._2 == "tiny") == 10)
+  }
+
   test("mr_wordcount key escaping round-trips comma/percent tokens") {
     import org.apache.spark.sql.functions.lit
     import graft.queries.MrQueries
