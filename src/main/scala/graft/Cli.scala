@@ -62,15 +62,28 @@ object Cli {
     val dfs = dfsRoot
     args.toList match {
       case "-w" :: src :: rest if rest.size <= 1 =>
-        val name = rest.headOption.getOrElse(
-          new java.io.File(src).getName.split('.').head)
+        val name = rest.headOption.getOrElse {
+          // file base name, as the reference. Dotfiles like ".env" have
+          // an empty stem — use the name behind the leading dots (a
+          // dot-named dataset dir would be invisible to Spark's file
+          // scans, which treat dot/underscore paths as hidden)
+          val base = new java.io.File(src).getName
+          val stem = base.dropWhile(_ == '.').split('.').head
+          if (stem.isEmpty) base else stem
+        }
         val parts = spark.sparkContext.defaultParallelism.min(8)
         MapReduce.write(spark, src, s"$dfs/$name", parts)
         println(s"written $src as '$name' ($parts chunks)")
       case "-r" :: name :: dest :: Nil =>
         val lines = MapReduce.read(spark, s"$dfs/$name").collect()
+        // byte-for-byte reassembly: empty dataset → empty file; final
+        // newline only if WRITE didn't record its absence
+        val tail =
+          if (lines.isEmpty ||
+            MapReduce.lacksTrailingNewline(spark, s"$dfs/$name")) ""
+          else "\n"
         java.nio.file.Files.write(java.nio.file.Paths.get(dest),
-          lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+          (lines.mkString("\n") + tail).getBytes("UTF-8"))
         println(s"read '$name' (${lines.length} lines) into $dest")
       case "-mr" :: mapperCmd :: reducerCmd :: name :: rest if rest.size <= 1 =>
         val parts = rest.headOption.map(_.toInt)

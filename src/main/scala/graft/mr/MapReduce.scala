@@ -44,32 +44,90 @@ object MapReduce {
     * manifest order, and READ can reassemble the original file
     * byte-for-byte. (Empty chunks the reference pads are native here.)
     */
+  /** Marker file recording that the source had NO trailing newline, so
+    * `Cli -r` can reassemble byte-for-byte (text lines lose the final
+    * newline's presence/absence at split time). Underscore-prefixed →
+    * invisible to Spark file scans, like _SUCCESS.
+    */
+  private[graft] val NoTrailingNewline = "_no_trailing_newline"
+
   def write(spark: SparkSession, src: String, dfsDir: String,
       partitions: Int): Unit = {
     import spark.implicits._
-    spark.createDataset(spark.read.textFile(src).rdd.zipWithIndex())
-      .toDF("value", "idx")
-      .repartitionByRange(partitions, col("idx"))
-      .sortWithinPartitions("idx")
-      .select("value")
-      .write.mode("overwrite").text(dfsDir)
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    // Spark file listings treat dot/underscore-prefixed names as hidden
+    // even when the path is given explicitly — a ".env" source would
+    // silently scan as empty. Stage a visible copy beside the target.
+    val srcPath = new Path(src)
+    val hidden = { val n = srcPath.getName
+      n.startsWith(".") || n.startsWith("_") }
+    val staged = if (!hidden) None else {
+      val stage = new Path(s"$dfsDir.staging-src")
+      FileUtil.copy(srcPath.getFileSystem(conf), srcPath,
+        stage.getFileSystem(conf), stage, false, true, conf)
+      Some(stage)
+    }
+    val scanPath = staged.map(_.toString).getOrElse(src)
+    try {
+      spark.createDataset(spark.read.textFile(scanPath).rdd.zipWithIndex())
+        .toDF("value", "idx")
+        .repartitionByRange(partitions, col("idx"))
+        .sortWithinPartitions("idx")
+        .select("value")
+        .write.mode("overwrite").text(dfsDir)
+      if (!endsWithNewline(spark, scanPath)) {
+        val marker = new Path(dfsDir, NoTrailingNewline)
+        marker.getFileSystem(conf).create(marker, true).close()
+      }
+    } finally staged.foreach(p => p.getFileSystem(conf).delete(p, false))
+  }
+
+  /** True iff the source file's last byte is \n (empty files count as
+    * newline-terminated: they roundtrip to empty). Hadoop FS API, so the
+    * check works for any source the scan itself can read.
+    */
+  private def endsWithNewline(spark: SparkSession, src: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(src)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(path).getLen
+    if (len == 0) true
+    else {
+      val in = fs.open(path)
+      try { in.seek(len - 1); in.read() == '\n' }
+      finally in.close()
+    }
+  }
+
+  /** True iff `write` recorded that the dataset's source lacked a final
+    * newline (datasets produced by MR output default to newline-
+    * terminated, matching the text sink's own framing).
+    */
+  private[graft] def lacksTrailingNewline(spark: SparkSession,
+      dfsDir: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(dfsDir, NoTrailingNewline)
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(marker)
   }
 
   /** S2 READ: gather a DFS dir back into one dataset of lines in
     * MANIFEST ORDER — part files in name order, lines within each file in
     * file order — matching the reference's chunk reassembly
     * (`Client/client_v1.py:172-175`), so a WRITE→READ roundtrip returns
-    * the original line sequence. Ordering key: (input file name,
-    * monotonically_increasing_id); the id is correct within-file as long
-    * as no part file is split across scan partitions (part files are
-    * line-count chunks, far under `files.maxPartitionBytes`).
+    * the original line sequence. Ordering key: (file name, file block
+    * offset, monotonically_increasing_id). The block offset matters when
+    * a part file exceeds `files.maxPartitionBytes` and is split across
+    * scan partitions: partition ids (the id's high bits) don't follow
+    * file offset order, but `_metadata.file_block_start` does; within one
+    * block the id is row-ordered, so the triple is total file order.
     */
   def read(spark: SparkSession, dfsDir: String): Dataset[String] = {
     import spark.implicits._
     spark.read.textFile(dfsDir)
       .select(col("value"), input_file_name().as("_f"),
+        col("_metadata.file_block_start").as("_blk"),
         monotonically_increasing_id().as("_pos"))
-      .orderBy(col("_f"), col("_pos"))
+      .orderBy(col("_f"), col("_blk"), col("_pos"))
       .select(col("value")).as[String]
   }
 

@@ -36,12 +36,27 @@ class MapReduceSpec extends SparkSpec {
     try {
       val src = tmp.resolve("corpus.txt")
       val lines = Seq("b b", "a b", "c", "a b")
+      // no trailing newline in the source: -r must roundtrip byte-for-byte
       Files.write(src, lines.mkString("\n").getBytes)
       Cli.run(spark, Array("-w", src.toString))
       val dest = tmp.resolve("back.txt")
       Cli.run(spark, Array("-r", "corpus", dest.toString))
-      assert(new String(Files.readAllBytes(dest), "UTF-8")
-        == lines.mkString("", "\n", "\n"))
+      assert(Files.readAllBytes(dest).sameElements(Files.readAllBytes(src)))
+      // newline-terminated source roundtrips byte-for-byte too
+      val srcNl = tmp.resolve("corpus_nl.txt")
+      Files.write(srcNl, lines.mkString("", "\n", "\n").getBytes)
+      Cli.run(spark, Array("-w", srcNl.toString, "corpus_nl"))
+      val destNl = tmp.resolve("back_nl.txt")
+      Cli.run(spark, Array("-r", "corpus_nl", destNl.toString))
+      assert(Files.readAllBytes(destNl).sameElements(Files.readAllBytes(srcNl)))
+      // dotfile source: dataset name derives from behind the leading dot
+      // (a dot-named dataset dir would be hidden from Spark file scans)
+      val dot = tmp.resolve(".env")
+      Files.write(dot, "K=V\n".getBytes)
+      Cli.run(spark, Array("-w", dot.toString))
+      val dotBack = tmp.resolve("env_back.txt")
+      Cli.run(spark, Array("-r", "env", dotBack.toString))
+      assert(new String(Files.readAllBytes(dotBack), "UTF-8") == "K=V\n")
       // identity MR through external commands: multiset of lines preserved
       Cli.run(spark, Array("-mr", "/bin/cat", "/bin/cat", "corpus", "2"))
       val out = MapReduce.read(spark, s"${sys.props("graft.dfs")}/corpus_out")
