@@ -28,9 +28,46 @@ object PlanDump {
       "q46_freq_items" -> "Misra-Gries heavy hitters: capacity-bounded partial buffers",
       "q21_minhash_lsh" -> "LSH candidates from an equi-join on band buckets; ReusedExchange for the symmetric self-join sides",
       "dedup_simhash" -> "banded self-join with ReusedExchange; hamming filter before distinct",
+      "dedup_simhash_w" -> "idf-weighted signature: df agg + shingle-hash equi-join feeding the same banded tail",
       "q24_embedding_dedup" -> "block-grid pair equi-join (no BroadcastNestedLoop); codegen'd vec_cosine",
       "q31_sessions" -> "session_window aggregation, single shuffle on user_id",
-      "q34_asof_join" -> "merge-based as-of: one shuffle, window carry-forward")
+      "q34_asof_join" -> "merge-based as-of: one shuffle, window carry-forward",
+      "q56_quantile_budget" -> "histogram shuffle + broadcast per-lang thresholds; window only over budget-bounded candidates")
+
+    /** One line per join-bearing query: which side broadcasts, why, and
+      * whether the decision survives a 100× scale-up. Broadcast is
+      * EXPLICIT only where the small side is bounded by construction
+      * (dimension tables, the query set, per-language/grid metadata);
+      * everywhere a side grows with the corpus the plan leaves the choice
+      * to AQE so test-scale broadcasts become shuffles at corpus scale.
+      */
+    val broadcastNotes = Seq(
+      "q3_join_revenue / q12_chained_pipeline" ->
+        "explicit broadcast(nation, region): dims are 25/5 rows at ANY scale factor (TPC-H dims grow sublinearly); fact-fact joins (lineitem-orders-customer) shuffle on their keys — at 100x only the fact shuffles grow",
+      "q9_semi_join / q10_anti_join" ->
+        "no hint: the aggregated orders side fits broadcast at test scale (AQE picks it) but grows with the corpus - AQE flips to shuffled join when it crosses the threshold",
+      "q11_left_join_agg / q53_full_outer" ->
+        "no hint, shuffle join by design: both sides scale with the corpus; outer joins preserve unmatched rows so neither side is prunable",
+      "q21/q23/dedup_simhash(_w)/dedup_keep_min" ->
+        "no join on the hot path at all: bucket-grouped pair generation replaces the bucket self-join; q23's per-doc size lookups carry NO broadcast hint (one row per document - AQE broadcasts at test scale, must shuffle at 10^9 docs)",
+      "dedup_simhash_w df join" ->
+        "shuffle_hash hint on the per-shingle df table: same key the index shuffles on, and df is shingle-cardinality (corpus-sized) - never broadcastable",
+      "q24_embedding_dedup" ->
+        "explicit broadcast(grid): B(B+1)/2 block-pair rows (36 at B=8), pure metadata; the vectors themselves shuffle on the block-pair key",
+      "q25_ann_topk / sim_ann_lsh / sim_ann_ivf" ->
+        "explicit broadcast(query set): bounded by the caller (20 queries x probes), independent of corpus size; the corpus side stays partitioned - the defining shape of these operators",
+      "q34_asof_join" ->
+        "no broadcast anywhere: union + window carry-forward needs ONE shuffle on the join key; broadcasting either side is structurally unnecessary",
+      "q38_range_join" ->
+        "no hint: bucketed equi-join shuffles both sides on (key, bucket); bucket fan-out is the bounded replication factor",
+      "q45_stream_join" ->
+        "stream-stream: both sides watermark-bounded state, no broadcast (batch twin: AQE decides)",
+      "q39/q54 curation keeper join" ->
+        "no hint: keeper table is one row per DISTINCT text - shrinks with dup rate but scales with the corpus, so AQE must own the choice",
+      "q56_quantile_budget" ->
+        "explicit broadcast(thresholds): one row per language - bounded metadata like the IVF centroids",
+      "EventStream.enrich" ->
+        "explicit broadcast(dim): stream-static enrichment is defined as a per-micro-batch map-side join; a corpus-sized dim would need a stream-stream join instead")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"
@@ -38,6 +75,10 @@ object PlanDump {
     out ++= "first, so the dump shows the runtime-adapted plan (isFinalPlan=\n"
     out ++= "true) — exchange reuse and AQE join choices included. What to\n"
     out ++= "look for is noted per query; regenerate after plan changes.\n"
+    out ++= "\n## Broadcast decisions (per join query)\n\n"
+    broadcastNotes.foreach { case (q, note) =>
+      out ++= s"- **$q** — $note\n"
+    }
     headline.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // materialize so AQE settles on the final plan

@@ -206,6 +206,73 @@ case class SimHashSigAgg(
     copy(child = c(0))
 }
 
+/** simhash_sig_w(h, w): weighted 64-bit simhash [Charikar STOC'02, the
+  * weighted-feature form] — per-bit sign of Σ w·(bit set ? +1 : -1),
+  * packed like SimHashSigAgg. With idf-style weights, ubiquitous
+  * shingles contribute almost nothing to the bit sums, so the signature
+  * tracks the discriminative content — the sign-noise plain simhash
+  * suffers on ~100-feature documents drops accordingly.
+  */
+case class WeightedSimHashSigAgg(
+    left: Expression, right: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(left, right)
+  override def prettyName: String = "simhash_sig_w"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](64)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val hv = left.eval(input)
+    val wv = right.eval(input)
+    if (hv != null && wv != null) {
+      val h = hv.asInstanceOf[Long]
+      val w = wv.asInstanceOf[Double]
+      var k = 0
+      while (k < 64) {
+        buf(k) += (((h >>> k) & 1L) * 2L - 1L) * w
+        k += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  /** Pack sign bits into one long, as SimHashSigAgg does. */
+  override def eval(buf: Array[Double]): Any = {
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (buf(k) > 0) sig |= (1L << k); k += 1 }
+    new GenericArrayData(Array(sig))
+  }
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 8)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): WeightedSimHashSigAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): WeightedSimHashSigAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): WeightedSimHashSigAgg =
+    copy(left = c(0), right = c(1))
+}
+
 /** approx_top_k(item, capacity, k): Misra-Gries heavy hitters — at most
   * `capacity` counters per partial buffer; an item with true frequency
   * > n/capacity is guaranteed present, counts are underestimates by at
@@ -335,4 +402,9 @@ object sketches {
   def simhash_sig(h: Column): Column =
     ColumnBridge.column(
       SimHashSigAgg(ColumnBridge.expression(h)).toAggregateExpression())
+  /** Weighted 64-bit simhash signature column (array<long> of length 1). */
+  def simhash_sig_w(h: Column, w: Column): Column =
+    ColumnBridge.column(
+      WeightedSimHashSigAgg(ColumnBridge.expression(h),
+        ColumnBridge.expression(w)).toAggregateExpression())
 }

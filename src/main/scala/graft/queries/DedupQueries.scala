@@ -22,6 +22,8 @@ import graft.functions.vectors._
   *                      by nature: driver records rows-only; DedupSpec
   *                      pins precision=1 (output ⊆ exact pairs) and
   *                      recall ≥ 0.8 against q23.
+  *  - dedup_simhash_w:  idf-weighted simhash (w = ln(1+N/df)) — same
+  *                      banding tail, recall pinned ≥ 0.9.
   *  - q23 n-gram Jaccard: EXACT similarity join via inverted shingle
   *                      index (explode + self-equi-join + count), never
   *                      an all-pairs cross join.
@@ -185,35 +187,33 @@ object DedupQueries {
 
     // SimHash near-dup: 64-bit signature, byte-banded candidates,
     // hamming-filtered, exact-verified. Approximate (rows-only check).
-    "dedup_simhash" -> ((s, d) => {
-      val sh = shingles(s, d)
+    // 64-bit signature (bit k = sign of Σ ±1 over member-hash bit k)
+    // folded in ONE SimHashSigAgg buffer and returned pre-packed as a
+    // single long: hamming is a codegen'd bit_count(xor).
+    "dedup_simhash" -> ((s, d) =>
+      simhashPairs(
+        hashedShingles(s, d).groupBy(col("doc_id"))
+          .agg(element_at(simhash_sig(col("h")), 1).as("sig")),
+        shingles(s, d))),
+
+    // Weighted SimHash near-dup: idf-weighted bit sums (w = ln(1+N/df)),
+    // so ubiquitous shingles barely move the signature — the noise that
+    // caps plain simhash's recall on ~100-feature docs. Same banding /
+    // hamming / exact-verify tail. Approximate (rows-only check);
+    // DedupSpec pins precision = 1 and recall ≥ 0.9 (plain: ≥ 0.8).
+    // Cost vs plain: one df aggregation + an equi-join on the shingle
+    // hash — both on the same key the index already shuffles on.
+    "dedup_simhash_w" -> ((s, d) => {
       val ex = hashedShingles(s, d)
-      // 64-bit signature (bit k = sign of Σ ±1 over member-hash bit k)
-      // folded in ONE SimHashSigAgg buffer and returned pre-packed as a
-      // single long: hamming is a codegen'd bit_count(xor).
-      // Band rows carry the packed signature so candidate generation and
-      // the exact-hamming filter happen in one bucket-grouped pass (the
-      // signature aggregation is computed once by construction), with the
-      // hamming filter BEFORE the distinct-pairs shuffle.
-      val bands = ex.groupBy(col("doc_id"))
-        .agg(element_at(simhash_sig(col("h")), 1).as("sig"))
-        .select(col("doc_id"), col("sig"), posexplode(array((0 until 8).map(
-          j => shiftrightunsigned(col("sig"), j * 8).bitwiseAND(0xFFL)): _*)))
-        .toDF("doc_id", "sig", "band", "bv")
-      val withHamming = bands.groupBy(col("band"), col("bv"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
-          .as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(ds, (a, i) ->
-            |  transform(slice(ds, i + 2, size(ds)),
-            |            b -> struct(a.doc_id AS doc_a, a.sig AS sig_a,
-            |                        b.doc_id AS doc_b, b.sig AS sig_b))))"""
-            .stripMargin)).as("p"))
-        .filter(bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))) <= 15)
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
-      verifyExact(withHamming, sh)
+      val docFreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      // corpus size: one count on the session-cached shingle frame —
+      // driver-side scalar, same class of metadata as IVF's centroids
+      val nDocs = shingles(s, d).count()
+      val sigs = ex.join(docFreq.hint("shuffle_hash"), "h")
+        .withColumn("w", log(lit(1.0) + lit(nDocs.toDouble) / col("df")))
+        .groupBy(col("doc_id"))
+        .agg(element_at(simhash_sig_w(col("h"), col("w")), 1).as("sig"))
+      simhashPairs(sigs, shingles(s, d))
     }),
 
     // EXACT n-gram Jaccard similarity join (see ngramJaccard below);
@@ -271,6 +271,34 @@ object DedupQueries {
     })
   )
 
+  /** Shared simhash tail: byte-band the packed 64-bit signature (8 bands
+    * — lossless for hamming ≤ 7, heuristic above), generate candidate
+    * pairs per bucket with the exact-hamming filter BEFORE the
+    * distinct-pairs shuffle (band rows carry the signature, so the
+    * signature aggregation is computed once by construction), then
+    * exact-Jaccard verify.
+    */
+  private def simhashPairs(sigs: DataFrame, sh: DataFrame): DataFrame = {
+    val bands = sigs
+      .select(col("doc_id"), col("sig"), posexplode(array((0 until 8).map(
+        j => shiftrightunsigned(col("sig"), j * 8).bitwiseAND(0xFFL)): _*)))
+      .toDF("doc_id", "sig", "band", "bv")
+    val withHamming = bands.groupBy(col("band"), col("bv"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+        .as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            b -> struct(a.doc_id AS doc_a, a.sig AS sig_a,
+          |                        b.doc_id AS doc_b, b.sig AS sig_b))))"""
+          .stripMargin)).as("p"))
+      .filter(bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))) <= 15)
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    verifyExact(withHamming, sh)
+  }
+
   /** EXACT n-gram Jaccard similarity join via inverted shingle index:
     * explode → df-cap filter → self-equi-join on the shingle → count
     * common → sizes. (PPJoin prefix filtering [Xiao et al., WWW'08] was
@@ -303,8 +331,12 @@ object DedupQueries {
     // an f-sized member list in a single aggregation buffer.
     val co = bucketPairs(exCapped, Seq("s"), "doc_id")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-    co.join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+    // size lookups: NO broadcast hint — `sizes` is one row per DOCUMENT,
+    // which AQE rightly broadcasts at test scale but must shuffle-join at
+    // corpus scale (10⁹ docs ≈ GBs). Forcing broadcast here would pin a
+    // corpus-sized table to every executor.
+    co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)

@@ -18,31 +18,80 @@ import graft.functions.vectors._
   *  - sim_ann_lsh: random-hyperplane LSH variant — the scale path. Each
   *    vector gets a B-bit bucket signature (sign of dot with B fixed
   *    pseudo-random planes); candidates are corpus vectors in any of the
-  *    query's multi-probe buckets (exact bucket + hamming-1 flips),
-  *    ranked by exact cosine. Approximate recall → no SQL oracle (driver
-  *    records rows-only); AnnSpec pins recall ≥ 0.25 vs q25 at sf0.001
-  *    (this corpus's "neighbors" sit at cosine ≈ 0.4, i.e. ~65°, so
-  *    per-plane agreement is only ~0.64 — recall is bounded by the data's
-  *    geometry, not the implementation).
+  *    query's multi-probe buckets (hamming ≤ h flips of its own bucket),
+  *    ranked by exact cosine. B and h are parameters with the scaling
+  *    law documented on annLsh. Approximate recall → no SQL oracle
+  *    (driver records rows-only); AnnSpec sweeps B × h, pins the default
+  *    setting's recall ≥ 0.6 vs q25 (this corpus's "neighbors" sit at
+  *    cosine ≈ 0.4, i.e. ~65°, so per-plane agreement is only ~0.64 —
+  *    recall is bounded by the data's geometry, not the implementation).
   */
 object SimilarityQueries {
 
   private val K = 10
   private val NumQueries = 20
+
+  /** LSH defaults for the driver's sim_ann_lsh entry — the best sweep
+    * setting at this corpus scale (500 vectors): AnnSpec sweeps
+    * planes × probe radius and pins this one's recall.
+    */
   private val NumPlanes = 4
+  private val ProbeHamming = 2
 
   /** Fixed pseudo-random ±1 hyperplanes, seeded — deterministic across
     * runs and engines (seed 42, dim 64).
     */
-  private def planes(dim: Int): Seq[Array[Float]] = {
+  private def planes(dim: Int, numPlanes: Int): Seq[Array[Float]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    Seq.fill(numPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }
 
-  private def bucketCol(emb: Column, dim: Int): Column =
-    planes(dim).zipWithIndex.map { case (p, i) =>
+  private def bucketCol(emb: Column, dim: Int, numPlanes: Int): Column =
+    planes(dim, numPlanes).zipWithIndex.map { case (p, i) =>
       when(vec_dot(emb, typedlit(p.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Random-hyperplane LSH ANN, parameterized by plane count and
+    * multi-probe radius.
+    *
+    * Scaling law (how to pick `numPlanes` as the corpus grows): expected
+    * bucket population is n / 2^numPlanes, so plane count must grow as
+    * log₂(n / targetBucketSize) — at n = 500 (this test corpus) 4 planes
+    * give ~31 vectors/bucket; at n = 10⁹ the same bucket size needs ~25
+    * planes. Recall: two vectors at angle θ agree on one plane with
+    * probability 1 − θ/π, land in the same bucket with (1 − θ/π)^B, and
+    * hamming-h probing adds the binomial tail Σ_{i≤h} C(B,i)·p^(B−i)·
+    * (1−p)^i — so as B grows, raise `probeHamming` (candidates probed:
+    * Σ_{i≤h} C(B,i) buckets) to hold recall. Candidate work per query is
+    * (buckets probed) × (bucket population): the knobs trade recall
+    * against exactly that product.
+    *
+    * Join shape: corpus stays partitioned; only the (tiny) exploded
+    * query×probe side broadcasts. Each candidate's bucket matches at most
+    * one probe mask (masks are distinct), so no dedup shuffle is needed
+    * between the join and the top-k window.
+    */
+  private[graft] def annLsh(e: DataFrame, numPlanes: Int, probeHamming: Int,
+      numQueries: Int = NumQueries, k: Int = K): DataFrame = {
+    val dim = 64
+    val withBucket =
+      e.withColumn("bucket", bucketCol(col("embedding"), dim, numPlanes))
+    val masks = (0 until (1 << numPlanes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val q = withBucket.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(array(masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("qb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    withBucket.join(broadcast(q),
+        col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("sim"), 6).as("sim"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = centroidQueries ++ Map(
     // Exact brute-force cosine top-k for the first NumQueries vectors.
@@ -117,29 +166,11 @@ object SimilarityQueries {
           round(col("sim"), 6).as("sim"))
     }),
 
-    // LSH-bucketed ANN: exact cosine only within the query's bucket.
-    "sim_ann_lsh" -> ((s, d) => {
-      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val dim = 64
-      val withBucket = e.withColumn("bucket", bucketCol(col("embedding"), dim))
-      // multi-probe: the query's own bucket plus all hamming-1 flips
-      val probeCols = col("bucket") +:
-        (0 until NumPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i)))
-      val q = withBucket.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          explode(array(probeCols: _*)).as("qb"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      withBucket.join(broadcast(q),
-          col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("qe"), col("vec_id"), col("embedding"))
-        .distinct()
-        .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
-          round(col("sim"), 6).as("sim"))
-    })
+    // LSH-bucketed ANN: exact cosine only within the query's probed
+    // buckets — see annLsh for the plane-count/probe-radius scaling law.
+    "sim_ann_lsh" -> ((s, d) =>
+      annLsh(Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        NumPlanes, ProbeHamming))
   )
 
   private def cosSql(a: String, b: String): String =

@@ -29,6 +29,14 @@ class DedupSpec extends SparkSpec {
       s"simhash recall too low: ${sh.size}/${exact.size}")
   }
 
+  test("weighted simhash: precision 1, recall >= 0.9 (beats unweighted)") {
+    val sw = pairs("dedup_simhash_w")
+    assert(sw.subsetOf(exact),
+      s"weighted simhash emitted non-near-dup pairs: ${sw -- exact}")
+    assert(sw.size >= (exact.size * 0.9).floor.toInt,
+      s"weighted simhash recall too low: ${sw.size}/${exact.size}")
+  }
+
   test("exact dedup: keepers cover all docs, multiplicity sums to row count") {
     val total = Tables(spark, sf, "documents").count()
     val agg = SparkEntry.queries("q20_exact_dedup")(spark, sf)
