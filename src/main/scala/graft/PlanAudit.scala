@@ -17,7 +17,9 @@ object PlanAudit {
     Seq("q40_token_budget", "q41_listagg", "q42_pivot", "q43_grouping_sets",
       "q45_stream_join", "q46_freq_items", "q47_percentiles", "q48_array_fns",
       "q49_best_doc", "q50_deterministic_sample", "q51_centroids",
-      "q52_math_fns", "q53_full_outer").foreach { n =>
+      "q52_math_fns", "q53_full_outer",
+      "q55_stream_dedup", "q56_quantile_budget", "dedup_simhash_w",
+      "sim_ann_lsh", "q23_ngram_jaccard").foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head

@@ -1,8 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Off-gate scale experiment: time the dedup strategies against a larger
-  * corpus (default: the 50k-doc dup-heavy replica built in /tmp — see
-  * SURVEY.md §8 scale-smoke notes). Usage: runMain graft.ScaleSmoke [dir]
+  * corpus (default: the 50k-doc dup-heavy replica; rebuild it with
+  * `python3 tools/make_scale_corpus.py` — see SURVEY.md §8 scale-smoke
+  * notes). Usage: runMain graft.ScaleSmoke [dir]
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -11,7 +12,8 @@ object ScaleSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Seq("q20_exact_dedup", "dedup_keep_min", "q21_minhash_lsh", "dedup_simhash", "q23_ngram_jaccard").foreach { n =>
+    Seq("q20_exact_dedup", "dedup_keep_min", "q21_minhash_lsh",
+      "dedup_simhash", "dedup_simhash_w", "q23_ngram_jaccard").foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, args.headOption.getOrElse("/tmp/sfbig")).count()
       println(f"SMOKE $n%-20s ${(System.nanoTime()-t0)/1e9}%8.2fs  rows=$cnt")
