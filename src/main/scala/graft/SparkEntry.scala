@@ -25,7 +25,8 @@ object SparkEntry {
     TextQueries.queries ++ Relational.queries ++ EventQueries.queries ++
       MrQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextAnalysis.queries ++
-      MultimodalQueries.queries ++ AdvancedQueries.queries
+      MultimodalQueries.queries ++ AdvancedQueries.queries ++
+      CurationOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -35,5 +36,6 @@ object SparkEntry {
     TextQueries.oracle ++ Relational.oracle ++ EventQueries.oracle ++
       MrQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextAnalysis.oracle ++
-      MultimodalQueries.oracle ++ AdvancedQueries.oracle
+      MultimodalQueries.oracle ++ AdvancedQueries.oracle ++
+      CurationOps.oracle
 }

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Curation operators beyond the dedup/scoring family (SURVEY.md §2.11
+  * [EXT]) — the remaining passes a production training-data pipeline
+  * runs over a corpus:
+  *
+  *  - q57 benchmark decontamination: drop documents sharing any 3-token
+  *    shingle with a probe (benchmark) set — the "don't train on the
+  *    eval set" pass.
+  *  - q58 PII scrub: regex redaction (emails, long digit runs) with
+  *    per-document match counts and the redacted-text hash.
+  *  - q59 text normalization: lowercase, strip non-alphanumerics,
+  *    collapse whitespace — the canonicalization pass ahead of exact
+  *    dedup.
+  *  - q60 stratified sampling: per-language md5-threshold rates — the
+  *    "rebalance the language mix" counterpart of q50's global sample.
+  *
+  * All four are oracle-checked (hash-compared against DuckDB).
+  */
+object CurationOps {
+
+  /** Probe-set membership predicate: every 97th doc stands in for the
+    * benchmark suite. Deterministic and engine-agnostic.
+    */
+  private def isProbe(c: Column): Column = pmod(c, lit(97)) === 0
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Decontamination via inverted shingle index: a document is
+    // contaminated iff it shares ANY 3-token shingle with the probe set.
+    // The probe side is a benchmark suite — bounded by construction, so
+    // its distinct shingles BROADCAST (the standard decontamination
+    // shape); the corpus side streams through an exploded semi-join +
+    // anti-join, never materializing pairs. Docs with < 3 tokens carry
+    // no shingles and pass clean, in both engines.
+    "q57_decontaminate" -> ((s, d) => {
+      val sh = ShingleCache.arrays(s, d)
+      val probeShingles = sh.filter(isProbe(col("doc_id")))
+        .select(explode(col("sh")).as("ps")).distinct()
+      val contaminated = sh.filter(!isProbe(col("doc_id")))
+        .select(col("doc_id"), explode(col("sh")).as("ss"))
+        .join(broadcast(probeShingles), col("ss") === col("ps"))
+        .select(col("doc_id")).distinct()
+      Tables(s, d, "documents").filter(!isProbe(col("doc_id")))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // PII scrub: redact emails and 6+-digit runs (patterns chosen to
+    // parse identically under Java regex and RE2), count matches, and
+    // hash the redacted text — the hash pins byte-identical replacement
+    // behavior cross-engine even on a corpus with no PII. Narrow
+    // (per-row), codegen'd, no shuffle but the final small agg.
+    "q58_pii_scrub" -> ((s, d) => {
+      val email = "[a-z0-9.]+@[a-z0-9.]+"
+      val longNum = "[0-9]{6,}"
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          regexp_count(col("text"), lit(email)).as("n_emails"),
+          regexp_count(col("text"), lit(longNum)).as("n_nums"),
+          md5(regexp_replace(regexp_replace(col("text"), email, "<email>"),
+            longNum, "<num>")).as("redacted_md5"))
+    }),
+
+    // Normalization: lowercase → strip non-[a-z0-9 ] → collapse runs of
+    // spaces → trim. Output lengths + token counts of the canonical
+    // form (the text ahead of exact dedup / tokenization).
+    "q59_normalize" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), "  +", " ")).as("norm"))
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+          length(col("norm")).as("n_chars"),
+          size(split(col("norm"), " ")).as("n_tokens"))),
+
+    // Stratified deterministic sampling: per-language keep rates via the
+    // q50 md5-threshold primitive (en 50%, de/es 25%, others 12.5%) —
+    // reproducible across engines/runs/cluster sizes, no RNG state, and
+    // the rate table is a literal CASE (bounded metadata, no join).
+    "q60_stratified_sample" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("thr",
+          when(col("lang") === "en", "80")
+            .when(col("lang").isin("de", "es"), "40")
+            .otherwise("20"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2)
+          < col("thr"))
+        .select(col("doc_id"), col("lang"), col("source")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q57_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |          FOR i IN range(1, len(tk) - 1)])) AS s FROM t),
+        |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT x.doc_id FROM sh x JOIN probe p ON x.s = p.s
+        |        WHERE x.doc_id % 97 != 0)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id % 97 != 0
+        |  AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)"""
+        .stripMargin,
+    "q58_pii_scrub" ->
+      """SELECT doc_id, source,
+        | CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+        |   AS INTEGER) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '[0-9]{6,}'))
+        |   AS INTEGER) AS n_nums,
+        | md5(regexp_replace(regexp_replace(text,
+        |   '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'),
+        |   '[0-9]{6,}', '<num>', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin,
+    "q59_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS norm
+        | FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        | CAST(length(norm) AS INTEGER) AS n_chars,
+        | CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_tokens
+        |FROM n""".stripMargin,
+    "q60_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '80'
+        |       WHEN lang IN ('de', 'es') THEN '40'
+        |       ELSE '20' END""".stripMargin
+  )
+}

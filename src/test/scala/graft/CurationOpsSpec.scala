@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CurationOps
+
+class CurationOpsSpec extends SparkSpec {
+
+  test("decontamination drops exactly the probe-overlapping docs") {
+    val docs = Tables(spark, sf, "documents")
+    val total = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0).count()
+    val clean = SparkEntry.queries("q57_decontaminate")(spark, sf)
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    // probe docs are never in the output
+    assert(cleanIds.forall(_ % 97 != 0))
+    assert(clean.count() < total,
+      "a dup-bearing corpus must have at least one contaminated doc")
+    // a doc whose exact text also appears under a probe id must be gone
+    // (exact duplicates share every shingle)
+    val probeTexts = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select("text").collect().map(_.getString(0)).toSet
+    val contaminatedByCopy = docs
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .collect().filter(r => probeTexts.contains(r.getAs[String]("text")))
+      .map(_.getAs[Long]("doc_id"))
+    contaminatedByCopy.foreach(id =>
+      assert(!cleanIds.contains(id), s"doc $id copies a probe text"))
+  }
+
+  test("PII scrub redacts planted emails and long digit runs") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "contact me at alice@example.com or 1234567 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.c x@y.z and 999999999"))
+      .toDF("doc_id", "text").withColumn("source", lit("test"))
+    val email = "[a-z0-9.]+@[a-z0-9.]+"
+    val num = "[0-9]{6,}"
+    val got = planted.select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(num)).as("n_nums"),
+        regexp_replace(regexp_replace(col("text"), email, "<email>"),
+          num, "<num>").as("redacted"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((1, 1, "contact me at <email> or <num> now")))
+    assert(got(2L) == ((0, 0, "no pii here at all")))
+    assert(got(3L) == ((2, 1, "two mails <email> <email> and <num>")))
+    // corpus query runs clean (synthetic corpus has no PII: hash-only)
+    val rows = SparkEntry.queries("q58_pii_scrub")(spark, sf)
+    assert(rows.agg(sum(col("n_emails") + col("n_nums"))).head().getLong(0)
+      == 0L)
+  }
+
+  test("normalization is idempotent and strips to [a-z0-9 ]") {
+    import spark.implicits._
+    val df = Seq("  Hello, WORLD!!  multi   space\tand-dash 42  ")
+      .toDF("text")
+    val norm1 = df.select(
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), "  +", " ")).as("n1"))
+    val r = norm1.withColumn("n2",
+        trim(regexp_replace(regexp_replace(lower(col("n1")),
+          "[^a-z0-9 ]", ""), "  +", " ")))
+      .head()
+    assert(r.getString(0) == "hello world multi spaceanddash 42")
+    assert(r.getString(0) == r.getString(1), "normalize must be idempotent")
+    val out = SparkEntry.queries("q59_normalize")(spark, sf)
+    assert(out.count() == Tables(spark, sf, "documents").count())
+  }
+
+  test("stratified sample rates track the per-language thresholds") {
+    val docs = Tables(spark, sf, "documents")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("q60_stratified_sample")(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(lang: String): Double =
+      kept.getOrElse(lang, 0L).toDouble / byLang(lang)
+    // md5 first-byte thresholds: 0x80/256 = 50%, 0x40 = 25%, 0x20 = 12.5%
+    assert(math.abs(rate("en") - 0.50) < 0.15, s"en rate ${rate("en")}")
+    assert(math.abs(rate("de") - 0.25) < 0.15, s"de rate ${rate("de")}")
+    assert(math.abs(rate("zh") - 0.125) < 0.12, s"zh rate ${rate("zh")}")
+    // deterministic: same sample twice
+    val again = SparkEntry.queries("q60_stratified_sample")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = SparkEntry.queries("q60_stratified_sample")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+}
