@@ -76,4 +76,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"limit should fuse into the sort:\n$p")
   }
+
+  test("q56 quantile budget: thresholds broadcast, no cartesian") {
+    val p = plan("q56_quantile_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-lang thresholds must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"degenerate join:\n$p")
+  }
+
+  test("q57 decontamination: probe shingles broadcast, clean docs anti-join") {
+    val p = plan("q57_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe shingle set must broadcast:\n$p")
+    assert(p.contains("LeftAnti"), s"clean docs must come from an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"degenerate join:\n$p")
+  }
 }
