@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FreqItemsAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm}
+import graft.functions.{FreqItemsAgg, MinHashSigAgg, OphSigAgg, SimHashSigAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm, WeightedSimHashSigAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("... vec_cosine(a,b) ...")`
@@ -41,7 +41,20 @@ object GraftExtensions {
       ("approx_top_k", info("approx_top_k",
         "approx_top_k(item, capacity, k) - Misra-Gries heavy hitters"),
         (es: Seq[Expression]) =>
-          FreqItemsAgg(es(0), intArg(es(1)), intArg(es(2)))))
+          FreqItemsAgg(es(0), intArg(es(1)), intArg(es(2)))),
+      ("oph_sig", info("oph_sig",
+        "oph_sig(h, n) - n-slot one-permutation minhash signature"),
+        (es: Seq[Expression]) => OphSigAgg(es(0), intArg(es(1)))),
+      ("minhash_sig", info("minhash_sig",
+        "minhash_sig(h1, h2, n) - n-element double-hashing minhash signature"),
+        (es: Seq[Expression]) =>
+          MinHashSigAgg(es(0), es(1), intArg(es(2)))),
+      ("simhash_sig", info("simhash_sig",
+        "simhash_sig(h) - packed 64-bit simhash of a group's hashes"),
+        (es: Seq[Expression]) => SimHashSigAgg(es(0))),
+      ("simhash_sig_w", info("simhash_sig_w",
+        "simhash_sig_w(h, w) - weighted packed 64-bit simhash"),
+        (es: Seq[Expression]) => WeightedSimHashSigAgg(es(0), es(1))))
 
   /** Constant int argument of a SQL call (e.g. the k in top_k(s, 3)). */
   private def intArg(e: Expression): Int = e.eval(null) match {

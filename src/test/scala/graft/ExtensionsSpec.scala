@@ -28,6 +28,16 @@ class ExtensionsSpec extends SparkSpec {
         |FROM VALUES ('x'), ('x'), ('y') AS d(w)""".stripMargin)
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq("x" -> 2L))
+    // signature sketches: shapes + determinism from pure SQL
+    val sig = spark.sql(
+      """SELECT oph_sig(h, 8) AS o, simhash_sig(h) AS s,
+        |       simhash_sig_w(h, 1.0d) AS sw
+        |FROM VALUES (CAST(7 AS BIGINT)), (CAST(-42 AS BIGINT)),
+        |            (CAST(123456789 AS BIGINT)) AS t(h)""".stripMargin)
+      .head()
+    assert(sig.getSeq[Long](0).length == 8)
+    // unit weights make the weighted form degrade to the plain one
+    assert(sig.getSeq[Long](1) == sig.getSeq[Long](2))
   }
 
   test("registered vec_cosine on the embeddings table via pure SQL") {
