@@ -94,6 +94,26 @@ object Multimodal {
           (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("n_frames"))
           .as("meta"))
 
+  /** Ingest real asset FILES via Spark's `binaryFile` source — the
+    * media-ingest shape at 100 TB: the source lists the directory tree
+    * (partition-parallel), each row carries (path, length, content), and
+    * column pruning means metadata-only queries never load the bytes.
+    * Output conforms to [[assetSchema]]: asset_id = xxhash64(path)
+    * (deterministic, stable across runs/listing order), kind from the
+    * file extension, meta sentinels (-1) until decode fills them.
+    */
+  def readAssets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        when(lower(col("path")).rlike("\\.(png|jpe?g|bmp|gif)$"), "image")
+          .when(lower(col("path")).rlike("\\.(wav|mp3|flac|ogg)$"), "audio")
+          .when(lower(col("path")).rlike("\\.(mp4|mkv|webm|avi)$"), "video")
+          .otherwise("image").as("kind"),
+        col("content").as("bytes"),
+        struct(lit(-1).as("width"), lit(-1).as("height"),
+          lit(-1).as("sample_rate"), lit(1).as("n_frames")).as("meta"))
+
   /** Result row of the decode/feature pass. `width`/`height`/`mean_luma`
     * are populated (and `real_decode` set) only when the payload was
     * actually pixel-decoded; stub-featurized assets carry -1 sentinels.

@@ -169,6 +169,47 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed streaming pipeline: dedup -> enrich -> windowed counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val dim = events.select(col("user_id")).distinct()
+      .withColumn("tier",
+        when(pmod(col("user_id"), lit(2)) === 0, "gold").otherwise("basic"))
+    val rows = events
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+
+    def pipeline(in: org.apache.spark.sql.DataFrame) = {
+      // dropDuplicatesWithinWatermark rejects batch inputs — the batch
+      // twin uses the q55 dedupBatch form
+      val deduped = if (in.isStreaming) EventStream.dedupStream(in)
+        else EventStream.dedupBatch(in)
+      val enriched = EventStream.enrich(deduped, dim, "user_id")
+      enriched
+        .groupBy(window(col("ts"), "10 minutes"), col("tier"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("tier"), col("n"))
+    }
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    // duplicates split across micro-batches: state must carry
+    stream.addData(rows)
+    stream.addData(rows)
+    val streamed = pipeline(stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    // Complete mode: append would hold back windows the watermark has
+    // not passed when the source drains (dedup state is still
+    // watermark-evicted upstream)
+    EventStream.runToMemory(streamed, "composed", OutputMode.Complete())
+    val got = spark.table("composed").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = pipeline(events.union(events)).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("sliding windows produce overlapping buckets") {
     val n = EventStream.slidingCounts(Tables(spark, sf, "events")).count()
     val t = SparkEntry.queries("q16_window_events")(spark, sf)

@@ -130,4 +130,33 @@ class MultimodalSpec extends SparkSpec {
     val metaOnly = assets.select("asset_id", "kind", "meta.n_frames")
     assert(metaOnly.count() > 0)
   }
+
+  test("binaryFile ingest: real PNG files on disk decode end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assets")
+    try {
+      (1L to 3L).foreach { id =>
+        java.nio.file.Files.write(dir.resolve(s"img_$id.png"),
+          Multimodal.syntheticPng(id))
+      }
+      java.nio.file.Files.write(dir.resolve("clip.wav"),
+        Array.fill[Byte](64)(7))
+      val ingested = Multimodal.readAssets(spark, dir.toString)
+      assert(ingested.schema.fieldNames.toSeq ==
+        Seq("asset_id", "kind", "bytes", "meta"))
+      val feats = Multimodal.decodeFeatures(ingested).collect()
+      assert(feats.length == 4)
+      val images = feats.filter(_.kind == "image")
+      assert(images.length == 3 &&
+        images.forall(f => f.real_decode && f.width == 32 && f.height == 32))
+      assert(feats.filter(_.kind == "audio").forall(!_.real_decode))
+      // ids are path-derived and thus stable across re-reads
+      val again = Multimodal.readAssets(spark, dir.toString)
+        .select("asset_id").collect().map(_.getLong(0)).toSet
+      assert(again == feats.map(_.asset_id).toSet)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
