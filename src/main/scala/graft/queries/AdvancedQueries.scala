@@ -189,10 +189,96 @@ object AdvancedQueries {
         .filter(col("ts_b") > col("ts_a") &&
           col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
         .select(col("u").as("user_id"), col("id_a"), col("id_b"))
+    }),
+
+    // §2.5: second-moment statistics (variance/stddev/correlation) from
+    // EXPLICIT decimal sums — Spark's builtin stddev/corr merge partial
+    // double states in partition order, so their low bits are run-
+    // dependent and can't hash-match an oracle. Routing every Σ through
+    // DECIMAL makes the reduction order-independent; the final scalar
+    // math is plain double arithmetic on identical inputs. Same cost
+    // shape as any grouped agg: one map-side-combined shuffle.
+    "q61_moment_stats" -> ((s, d) => {
+      val x = col("value").cast(dec)
+      val y = col("user_id").cast(dec)
+      val xx = (col("value") * col("value")).cast(dec)
+      val yy = (col("user_id") * col("user_id")).cast(dec)
+      val xy = (col("value") * col("user_id")).cast(dec)
+      Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(xx).cast("double").as("sxx"),
+          sum(yy).cast("double").as("syy"),
+          sum(xy).cast("double").as("sxy"))
+        .select(col("event_type"), col("n"),
+          round(col("sx") / col("n"), 6).as("mean_value"),
+          round((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1), 6).as("var_value"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)), 6).as("stddev_value"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              * (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+            .as("corr_value_user"))
+    }),
+
+    // §2.6: ranking family — rank/dense_rank/percent_rank/cume_dist over
+    // a TIED key (the integer floor of value, so rank semantics show)
+    // plus ntile over the deterministic (ts, event_id) order. All
+    // outputs are exact integers or exact rationals of them — bit-equal
+    // cross-engine without rounding.
+    "q62_rank_fns" -> ((s, d) => {
+      val byVal = Window.partitionBy(col("event_type"))
+        .orderBy(floor(col("value")))
+      val byTime = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("rn", row_number().over(byTime))
+        .withColumn("nt", ntile(4).over(byTime))
+        .withColumn("rk", rank().over(byVal))
+        .withColumn("drk", dense_rank().over(byVal))
+        .withColumn("prk", percent_rank().over(byVal))
+        .withColumn("cd", cume_dist().over(byVal))
+        .select(col("event_id"), col("event_type"),
+          // DuckDB's rank family returns BIGINT; Spark's returns INT —
+          // align for the dtype-strict oracle compare
+          col("rn").cast("long").as("rn"), col("nt").cast("long").as("nt"),
+          col("rk").cast("long").as("rk"), col("drk").cast("long").as("drk"),
+          col("prk"), col("cd"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q61_moment_stats" ->
+      """WITH a AS (SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(user_id * user_id AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(value * user_id AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        | FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        | round(sx / n, 6) AS mean_value,
+        | round((sxx - sx * sx / n) / (n - 1), 6) AS var_value,
+        | round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_value,
+        | round((sxy - sx * sy / n)
+        |   / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+        |   AS corr_value_user
+        |FROM a""".stripMargin,
+    "q62_rank_fns" ->
+      """SELECT event_id, event_type,
+        | ROW_NUMBER() OVER wt AS rn,
+        | NTILE(4) OVER wt AS nt,
+        | RANK() OVER wv AS rk,
+        | DENSE_RANK() OVER wv AS drk,
+        | PERCENT_RANK() OVER wv AS prk,
+        | CUME_DIST() OVER wv AS cd
+        |FROM events
+        |WINDOW wt AS (PARTITION BY event_type ORDER BY ts, event_id),
+        |       wv AS (PARTITION BY event_type ORDER BY floor(value))"""
+        .stripMargin,
     "q47_percentiles" ->
       """SELECT o_orderpriority,
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
