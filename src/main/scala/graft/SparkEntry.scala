@@ -26,7 +26,7 @@ object SparkEntry {
       MrQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextAnalysis.queries ++
       MultimodalQueries.queries ++ AdvancedQueries.queries ++
-      CurationOps.queries
+      CurationOps.queries ++ PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -37,5 +37,5 @@ object SparkEntry {
       MrQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextAnalysis.oracle ++
       MultimodalQueries.oracle ++ AdvancedQueries.oracle ++
-      CurationOps.oracle
+      CurationOps.oracle ++ PipelineOps.oracle
 }

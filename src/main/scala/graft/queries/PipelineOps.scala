@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-pipeline operators past curation (SURVEY.md §2.11 [EXT]) —
+  * the passes that turn a curated corpus into model-ready batches, plus
+  * the map-typed column surface (§2.8):
+  *
+  *  - q63 map functions: build/inspect/transform `MapType` columns
+  *    (map/map_keys/map_filter/transform_values/str_to_map/map_concat)
+  *    over `events` — outputs are plain scalars so the oracle checks
+  *    values without needing MAP support in the compare layer.
+  *  - q64 repetition filters (Gopher-style): per-document duplicate
+  *    n-gram statistics — top-bigram fraction and duplicate-trigram
+  *    fraction — computed entirely with array expressions: a map-only
+  *    narrow pass, zero shuffles, same scale shape as quality scoring.
+  *  - q65 sequence packing: concat-and-chunk documents into fixed
+  *    `ctx`-token context windows in a deterministic global order. The
+  *    global prefix sum is distributed: 16 hash buckets carry their own
+  *    window cumsum, and the tiny per-bucket totals (16 rows) produce
+  *    broadcast offsets — no single global sort partition at 100 TB.
+  *  - q66 domain mixture: per-source keep rates derived from target
+  *    shares vs observed counts (integer arithmetic end-to-end, so both
+  *    engines agree bit-for-bit), applied via the md5-threshold
+  *    primitive of q50/q60.
+  *
+  * All four are oracle-checked (hash-compared against DuckDB).
+  */
+object PipelineOps {
+
+  /** Context-window length (tokens) for q65 packing. */
+  val CtxTokens = 2048L
+
+  /** Per-document repetition statistics over word bigrams/trigrams.
+    * Narrow per-row array expressions only — no explode, no shuffle: at
+    * 100 TB this is a pure map pass fused into the scan. The per-row
+    * top-bigram scan is O(distinct·n) which is bounded by document
+    * length, the same cost class as tokenization itself. Docs with
+    * < 3 tokens carry no trigram and are excluded (both engines).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("bi", expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))"))
+      .withColumn("tri", expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
+      .withColumn("top_bi_frac", round(expr(
+        "array_max(transform(array_distinct(bi), x -> size(filter(bi, y -> y = x))))" +
+          " / cast(size(bi) as double)"), 6))
+      .withColumn("dup_tri_frac", round(expr(
+        "(size(tri) - size(array_distinct(tri))) / cast(size(tri) as double)"), 6))
+      .select(col("doc_id"), size(col("bi")).as("n_bi"),
+        col("top_bi_frac"), col("dup_tri_frac"),
+        (col("top_bi_frac") <= 0.2 && col("dup_tri_frac") <= 0.2).as("keep"))
+
+  /** Concat-and-chunk packing: order documents by (md5(doc_id), doc_id),
+    * lay their tokens end-to-end, and assign each document the context
+    * window its first token lands in. The prefix sum is the distributed
+    * form: partition by the first hex char of the order key (16 buckets
+    * whose key ranges are disjoint and ordered, so bucket-local order +
+    * bucket offsets == the global order), cumsum per bucket via one
+    * window, and add the broadcast per-bucket starting offsets. The
+    * 16-row offsets frame is driver-scale metadata (same class as IVF
+    * centroids); widen to 256 buckets (2 hex chars) if a bucket's
+    * partition outgrows executor memory.
+    */
+  def packSequences(docs: DataFrame, ctx: Long = CtxTokens): DataFrame = {
+    val base = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      .withColumn("bkt", substring(col("ord"), 1, 1))
+    // 16 rows: per-bucket token totals -> exclusive running offsets.
+    val offsets = base.groupBy("bkt").agg(sum("n_tokens").as("btot"))
+      .withColumn("boff", coalesce(
+        sum("btot").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "boff")
+    val win = Window.partitionBy("bkt").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum", sum("n_tokens").over(win))
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("boff") + col("cum") - col("n_tokens")) / lit(ctx.toDouble))
+          .as("pack_id"))
+  }
+
+  /** Domain-mixture rebalancing: source `srcN` targets share (N+1)/210
+    * of the output, so keep rate = min(1, share · total / count). The
+    * rate is carried as a 16-bit integer threshold computed with long
+    * division only (no float rounding to diverge cross-engine) and
+    * compared against the first 4 md5 hex chars — the q50 deterministic
+    * sampling primitive. Counts/rates are one tiny aggregation (one row
+    * per source) broadcast back over the corpus: one shuffle of
+    * metadata scale, one narrow filter pass.
+    */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("w", expr("cast(substring(source, 4) as bigint) + 1"))
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+      .withColumn("thrn",
+        least(expr("(w * total * 65536) div (210 * cnt)"), lit(65536L)))
+      .withColumn("thr", lpad(lower(hex(col("thrn"))), 5, "0"))
+      .select("source", "thr")
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(concat(lit("0"),
+        substring(md5(col("doc_id").cast("string")), 1, 4)) < col("thr"))
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
+  /** Map-typed column surface: construct a map from scalar columns and
+    * JSON, then inspect (size/map_keys/map_contains_key), extract
+    * (element_at), transform (transform_values/map_filter), merge
+    * (map_concat), and parse (str_to_map). Narrow, codegen'd — every
+    * output is a scalar so the result stays oracle-comparable.
+    */
+  def mapFacets(events: DataFrame): DataFrame = {
+    val m = map(lit("type"), col("event_type"),
+      lit("uid"), col("user_id").cast("string"),
+      lit("k"), get_json_object(col("props"), "$.k"))
+    events.select(col("event_id"),
+      size(m).as("n_entries"),
+      array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+      element_at(m, "k").as("k_val"),
+      map_contains_key(m, "missing").as("has_missing"),
+      element_at(transform_values(m, (_, v) => upper(v)), "type")
+        .as("type_upper"),
+      size(map_filter(m, (k, _) => k === "uid")).as("n_uid"),
+      size(map_concat(m, map(lit("x"), lit("1")))).as("n_concat"),
+      element_at(str_to_map(concat(lit("a:1,b:"), col("user_id"))), "b")
+        .as("b_val"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_map_fns" -> ((s, d) => mapFacets(Tables(s, d, "events"))),
+    "q64_repetition" -> ((s, d) => repetitionStats(Tables(s, d, "documents"))),
+    "q65_pack_sequences" -> ((s, d) => packSequences(Tables(s, d, "documents"))),
+    "q66_domain_mix" -> ((s, d) => domainMix(Tables(s, d, "documents")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q63_map_fns" ->
+      """SELECT event_id,
+        | CAST(3 AS INTEGER) AS n_entries,
+        | 'k,type,uid' AS keys_sorted,
+        | json_extract_string(props, '$.k') AS k_val,
+        | FALSE AS has_missing,
+        | upper(event_type) AS type_upper,
+        | CAST(1 AS INTEGER) AS n_uid,
+        | CAST(4 AS INTEGER) AS n_concat,
+        | CAST(user_id AS VARCHAR) AS b_val
+        |FROM events""".stripMargin,
+    "q64_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT doc_id,
+        |   [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS bi,
+        |   [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |    FOR i IN range(1, len(tk) - 1)] AS tri
+        | FROM t),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c
+        |       FROM (SELECT doc_id, unnest(bi) AS b FROM g) GROUP BY doc_id, b),
+        |bt AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bc GROUP BY doc_id),
+        |f AS (SELECT g.doc_id, CAST(len(g.bi) AS INTEGER) AS n_bi,
+        |   round(bt.mx / CAST(bt.tot AS DOUBLE), 6) AS top_bi_frac,
+        |   round((len(g.tri) - len(list_distinct(g.tri)))
+        |     / CAST(len(g.tri) AS DOUBLE), 6) AS dup_tri_frac
+        | FROM g JOIN bt ON g.doc_id = bt.doc_id)
+        |SELECT doc_id, n_bi, top_bi_frac, dup_tri_frac,
+        | (top_bi_frac <= 0.2 AND dup_tri_frac <= 0.2) AS keep
+        |FROM f""".stripMargin,
+    "q65_pack_sequences" ->
+      """WITH b AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |   md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |   SUM(n_tokens) OVER (ORDER BY ord, doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+        |SELECT doc_id, n_tokens,
+        | CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
+    "q66_domain_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt,
+        |            CAST(substr(source, 4) AS BIGINT) + 1 AS w
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        |r AS (SELECT source,
+        |       lpad(lower(hex(LEAST((w * total * 65536) // (210 * cnt),
+        |         65536))), 5, '0') AS thr
+        |      FROM c, t)
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN r USING (source)
+        |WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr"""
+        .stripMargin
+  )
+}

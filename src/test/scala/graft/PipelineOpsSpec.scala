@@ -1,0 +1,105 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineOps
+
+class PipelineOpsSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("packing matches the sequential concat-and-chunk reference") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, Seq.fill((i % 17 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.packSequences(docs, ctx = 64L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // sequential reference: global (md5, doc_id) order, running offset
+    var off = 0L
+    val expected = (1L to 300L).map(i => (md5hex(i.toString), i))
+      .sorted.map { case (_, i) =>
+        val n = i % 17 + 1
+        val pack = off / 64L
+        off += n
+        i -> ((n, pack))
+      }.toMap
+    assert(got == expected)
+    // conservation: every doc present exactly once
+    assert(got.keySet == (1L to 300L).toSet)
+  }
+
+  test("packing is invariant to input partitioning") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, Seq.fill((i % 11 + 1).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = PipelineOps.packSequences(docs, 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    val b = PipelineOps.packSequences(docs.repartition(7), 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("repetition stats flag repetitive docs and pass diverse ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"), // one bigram dominates
+      (2L, "the quick brown fox jumps over lazy dogs"), // all distinct
+      (3L, "x y z x y z x y z x y z")) // duplicated trigrams
+      .toDF("doc_id", "text")
+    val got = PipelineOps.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(!got(1L)._3, "alternating bigram doc must be dropped")
+    assert(got(1L)._1 > 0.5)
+    assert(got(2L)._3, "distinct doc must be kept")
+    assert(got(2L)._2 == 0.0)
+    assert(!got(3L)._3)
+    assert(got(3L)._2 > 0.5, "repeated trigrams must be flagged")
+  }
+
+  test("repetition stats are a narrow map-only plan (no shuffle)") {
+    val plan = PipelineOps
+      .repetitionStats(Tables(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("domain mix keeps rate-proportional samples deterministically") {
+    import spark.implicits._
+    // src0 over-represented (w=1, tiny target share -> low rate);
+    // src19 under-represented (w=20 -> rate capped at 1, keep all)
+    val docs = ((1L to 800L).map(i => (i, "src0", "en")) ++
+      (1001L to 1040L).map(i => (i, "src19", "de")))
+      .toDF("doc_id", "source", "lang")
+    val kept = PipelineOps.domainMix(docs).collect()
+    val bySrc = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // src19: rate = min(1, 20/210 * 840/40) = 1 -> all 40 kept
+    assert(bySrc("src19") == 40)
+    // src0: thrn = (1 * 840 * 65536) div (210 * 800) = 327 -> ~0.5% kept
+    val expectedSrc0 = (1L to 800L).count(i =>
+      ("0" + md5hex(i.toString).take(4)).compareTo("0" + "%04x".format(327)) < 0)
+    assert(bySrc.getOrElse("src0", 0) == expectedSrc0)
+    // deterministic: a second run returns the identical id set
+    val again = PipelineOps.domainMix(docs).collect()
+    assert(kept.map(_.getLong(0)).sorted.sameElements(again.map(_.getLong(0)).sorted))
+  }
+
+  test("map facets compute the expected scalars") {
+    import spark.implicits._
+    val ev = Seq((7L, "click", 42L, """{"k": 9}"""))
+      .toDF("event_id", "event_type", "user_id", "props")
+    val r = PipelineOps.mapFacets(ev).collect()(0)
+    assert(r.getInt(1) == 3)
+    assert(r.getString(2) == "k,type,uid")
+    assert(r.getString(3) == "9")
+    assert(!r.getBoolean(4))
+    assert(r.getString(5) == "CLICK")
+    assert(r.getInt(6) == 1)
+    assert(r.getInt(7) == 4)
+    assert(r.getString(8) == "42")
+  }
+}
