@@ -32,7 +32,8 @@ object PlanDump {
       "q24_embedding_dedup" -> "block-grid pair equi-join (no BroadcastNestedLoop); codegen'd vec_cosine",
       "q31_sessions" -> "session_window aggregation, single shuffle on user_id",
       "q34_asof_join" -> "merge-based as-of: one shuffle, window carry-forward",
-      "q56_quantile_budget" -> "histogram shuffle + broadcast per-lang thresholds; window only over budget-bounded candidates")
+      "q56_quantile_budget" -> "histogram shuffle + broadcast per-lang thresholds; window only over budget-bounded candidates",
+      "q65_pack_sequences" -> "distributed prefix sum: per-bucket window cumsum + broadcast 16-row bucket offsets; no global sort of the corpus")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -67,7 +68,13 @@ object PlanDump {
       "q56_quantile_budget" ->
         "explicit broadcast(thresholds): one row per language - bounded metadata like the IVF centroids",
       "EventStream.enrich" ->
-        "explicit broadcast(dim): stream-static enrichment is defined as a per-micro-batch map-side join; a corpus-sized dim would need a stream-stream join instead")
+        "explicit broadcast(dim): stream-static enrichment is defined as a per-micro-batch map-side join; a corpus-sized dim would need a stream-stream join instead",
+      "q57_decontaminate" ->
+        "explicit broadcast(probe shingles): the probe side is a benchmark suite, bounded by construction; the corpus streams through semi-join + anti-join",
+      "q65_pack_sequences" ->
+        "explicit broadcast(bucket offsets): exactly 16 rows (one per order-key hex prefix) at any corpus size; the corpus shuffles ONCE on the bucket key for its windowed cumsum",
+      "q66_domain_mix" ->
+        "explicit broadcast(rate table): one row per source domain - bounded metadata; the corpus side is a narrow filter pass, no shuffle after the count aggregation")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"

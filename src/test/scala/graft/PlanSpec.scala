@@ -93,4 +93,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoop"), s"degenerate join:\n$p")
   }
+
+  test("q65 packing: bucket offsets broadcast, corpus never globally sorted") {
+    val p = plan("q65_pack_sequences")
+    assert(p.contains("BroadcastHashJoin"),
+      s"16-row bucket offsets must broadcast:\n$p")
+    // the corpus window sorts WITHIN hash buckets; the only global
+    // (un-partitioned) artifacts allowed are over the 16-row offsets
+    // frame, which reaches the join through a broadcast exchange
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"degenerate join:\n$p")
+    assert(p.contains("hashpartitioning(bkt"),
+      s"corpus cumsum must partition by bucket:\n$p")
+  }
+
+  test("q66 domain mix: per-source rates broadcast over the corpus") {
+    val p = plan("q66_domain_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate table (one row per source) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"degenerate join:\n$p")
+  }
 }
