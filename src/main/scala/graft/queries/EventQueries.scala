@@ -66,6 +66,46 @@ object EventQueries {
     "q55_stream_dedup" -> ((s, d) => {
       val e = Tables(s, d, "events")
       graft.streaming.EventStream.dedupBatch(e.union(e))
+    }),
+
+    // Ordered funnel: view -> click (after the first view) -> purchase
+    // (after that click), per user, over day 1 (the narrow window keeps
+    // the steps discriminating — over the full month every user
+    // completes). Three conditional min-aggregations, all shuffling on
+    // user_id, so the joins reuse one partitioning; each stage's input
+    // shrinks (only users who reached the previous step).
+    "q67_funnel" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .filter(col("ts") < to_timestamp(lit("2024-01-02")))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"),
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .otherwise(1).as("funnel_step"))
+    }),
+
+    // Weekly cohort retention: users bucketed by first-seen week, counted
+    // in every week they were active. Two aggregations on user_id (first
+    // seen, distinct active weeks) + one co-partitioned join + a tiny
+    // final count — the cohort matrix itself is O(weeks²) metadata.
+    "q68_retention" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val first = e.groupBy("user_id")
+        .agg(to_date(date_trunc("week", min("ts"))).as("cohort"))
+      val active = e.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+      first.join(active, "user_id")
+        .groupBy("cohort", "wk")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("week_offset",
+          expr("cast(datediff(wk, cohort) as bigint) div 7"))
     })
   )
 
@@ -98,6 +138,34 @@ object EventQueries {
       """SELECT DISTINCT event_id, ts, user_id, event_type, value, props
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)"""
         .stripMargin,
+    "q67_funnel" ->
+      """WITH e AS (SELECT * FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+        |v AS (SELECT user_id, MIN(ts) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, v.t1,
+        | CASE WHEN p.t3 IS NOT NULL THEN 3
+        |      WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS funnel_step
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q68_retention" ->
+      """WITH f AS (SELECT user_id,
+        |   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |   CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+        |SELECT f.cohort, a.wk, COUNT(*) AS n_users,
+        | CAST(datediff('day', f.cohort, a.wk) AS BIGINT) // 7 AS week_offset
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY f.cohort, a.wk""".stripMargin,
     "q31_sessions" ->
       """WITH e AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
