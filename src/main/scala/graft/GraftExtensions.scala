@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FreqItemsAgg, MinHashSigAgg, OphSigAgg, SimHashSigAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm, WeightedSimHashSigAgg}
+import graft.functions.{BloomAgg, BloomContains, FreqItemsAgg, MinHashSigAgg, OphSigAgg, SimHashSigAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm, WeightedSimHashSigAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("... vec_cosine(a,b) ...")`
@@ -54,7 +54,13 @@ object GraftExtensions {
         (es: Seq[Expression]) => SimHashSigAgg(es(0))),
       ("simhash_sig_w", info("simhash_sig_w",
         "simhash_sig_w(h, w) - weighted packed 64-bit simhash"),
-        (es: Seq[Expression]) => WeightedSimHashSigAgg(es(0), es(1))))
+        (es: Seq[Expression]) => WeightedSimHashSigAgg(es(0), es(1))),
+      ("bloom_agg", info("bloom_agg",
+        "bloom_agg(h, numBits, numHashes) - Bloom filter over a group's long hashes (binary)"),
+        (es: Seq[Expression]) => BloomAgg(es(0), intArg(es(1)), intArg(es(2)))),
+      ("bloom_contains", info("bloom_contains",
+        "bloom_contains(bloom, h, numHashes) - probe a built Bloom filter"),
+        (es: Seq[Expression]) => BloomContains(es(0), es(1), intArg(es(2)))))
 
   /** Constant int argument of a SQL call (e.g. the k in top_k(s, 3)). */
   private def intArg(e: Expression): Int = e.eval(null) match {

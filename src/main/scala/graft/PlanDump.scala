@@ -71,6 +71,8 @@ object PlanDump {
         "explicit broadcast(dim): stream-static enrichment is defined as a per-micro-batch map-side join; a corpus-sized dim would need a stream-stream join instead",
       "q57_decontaminate" ->
         "explicit broadcast(probe shingles): the probe side is a benchmark suite, bounded by construction; the corpus streams through semi-join + anti-join",
+      "q69_decontaminate_bloom" ->
+        "no broadcast of the probe set at all: a ~16 KB bloom literal rides the plan into codegen and prunes corpus shingles narrowly; the exact-verify semi-join sees only pre-filtered candidates, so AQE owns its strategy - the form that survives a probe set too big to broadcast",
       "q65_pack_sequences" ->
         "explicit broadcast(bucket offsets): exactly 16 rows (one per order-key hex prefix) at any corpus size; the corpus shuffles ONCE on the bucket key for its windowed cumsum",
       "q66_domain_mix" ->

@@ -50,6 +50,39 @@ object CurationOps {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Decontamination, corpus-scale form: identical semantics to q57,
+    // but the probe set is summarized into a ~16 KB Bloom filter instead
+    // of broadcasting its distinct shingles — at 100 TB a benchmark
+    // suite's shingle set is GBs (un-broadcastable) while its bloom
+    // stays KBs at any probe-set size (bits scale with the PROBE count,
+    // 10 bits/element). The corpus-side explode probes the bloom inside
+    // WholeStageCodegen (a narrow pre-filter killing ~all clean
+    // shingles); only surviving candidates reach the exact shingle
+    // semi-join (no broadcast hint — the candidate side is now small, so
+    // AQE owns the join strategy), whose verify removes bloom false
+    // positives. Exact output == q57, so it shares that oracle. The
+    // one-row `head` materializing the bloom is driver-side metadata,
+    // same class as the IVF centroids.
+    "q69_decontaminate_bloom" -> ((s, d) => {
+      import graft.functions.bloom._
+      val numBits = 1 << 17
+      val k = 6
+      val sh = ShingleCache.arrays(s, d)
+      val probeShingles = sh.filter(isProbe(col("doc_id")))
+        .select(explode(col("sh")).as("ps")).distinct()
+      val bloomBytes = probeShingles
+        .agg(bloom_agg(xxhash64(col("ps")), numBits, k).as("b"))
+        .head().getAs[Array[Byte]](0)
+      val contaminated = sh.filter(!isProbe(col("doc_id")))
+        .select(col("doc_id"), explode(col("sh")).as("ss"))
+        .filter(bloom_contains(bloomBytes, xxhash64(col("ss")), k))
+        .join(probeShingles, col("ss") === col("ps"), "left_semi")
+        .select(col("doc_id")).distinct()
+      Tables(s, d, "documents").filter(!isProbe(col("doc_id")))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // PII scrub: redact emails and 6+-digit runs (patterns chosen to
     // parse identically under Java regex and RE2), count matches, and
     // hash the redacted text — the hash pins byte-identical replacement
@@ -93,20 +126,27 @@ object CurationOps {
         .select(col("doc_id"), col("lang"), col("source")))
   )
 
+  /** Shared by q57 and q69: the bloom is a pure pre-filter (no false
+    * negatives; false positives die in the exact verify), so both forms
+    * produce the identical clean set.
+    */
+  private val decontaminateSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |          FOR i IN range(1, len(tk) - 1)])) AS s FROM t),
+      |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+      |bad AS (SELECT DISTINCT x.doc_id FROM sh x JOIN probe p ON x.s = p.s
+      |        WHERE x.doc_id % 97 != 0)
+      |SELECT d.doc_id, d.lang, d.source FROM documents d
+      |WHERE d.doc_id % 97 != 0
+      |  AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)"""
+      .stripMargin
+
   def oracle: Map[String, String] = Map(
-    "q57_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT doc_id, unnest(list_distinct(
-        |         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |          FOR i IN range(1, len(tk) - 1)])) AS s FROM t),
-        |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-        |bad AS (SELECT DISTINCT x.doc_id FROM sh x JOIN probe p ON x.s = p.s
-        |        WHERE x.doc_id % 97 != 0)
-        |SELECT d.doc_id, d.lang, d.source FROM documents d
-        |WHERE d.doc_id % 97 != 0
-        |  AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)"""
-        .stripMargin,
+    "q57_decontaminate" -> decontaminateSql,
+    "q69_decontaminate_bloom" -> decontaminateSql,
     "q58_pii_scrub" ->
       """SELECT doc_id, source,
         | CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))

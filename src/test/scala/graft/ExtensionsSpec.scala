@@ -38,6 +38,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig.getSeq[Long](0).length == 8)
     // unit weights make the weighted form degrade to the plain one
     assert(sig.getSeq[Long](1) == sig.getSeq[Long](2))
+    // bloom: build in one SQL agg, probe in another — members hit
+    val hits = spark.sql(
+      """WITH b AS (SELECT bloom_agg(h, 4096, 6) AS f
+        |  FROM VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)) AS t(h))
+        |SELECT bloom_contains(b.f, CAST(1 AS BIGINT), 6),
+        |       bloom_contains(b.f, CAST(2 AS BIGINT), 6)
+        |FROM b""".stripMargin).head()
+    assert(hits.getBoolean(0) && hits.getBoolean(1))
   }
 
   test("registered vec_cosine on the embeddings table via pure SQL") {

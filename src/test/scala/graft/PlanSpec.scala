@@ -94,6 +94,16 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), s"degenerate join:\n$p")
   }
 
+  test("q69 bloom decontamination: codegen'd bloom prune ahead of the verify join") {
+    val p = plan("q69_decontaminate_bloom")
+    assert(p.contains("bloom_contains"),
+      s"bloom pre-filter missing from the corpus scan side:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"exact verify semi-join + clean anti-join expected:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"degenerate join:\n$p")
+  }
+
   test("q65 packing: bucket offsets broadcast, corpus never globally sorted") {
     val p = plan("q65_pack_sequences")
     assert(p.contains("BroadcastHashJoin"),
