@@ -113,6 +113,34 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
+  /** Duplicate-span detection — the statistic behind substring-level
+    * dedup [Lee et al. ACL'22]: for every document, the fraction of its
+    * 8-token rolling windows that also appear in ANOTHER document. Spans
+    * are deduped per document with a narrow array expression, hashed to
+    * 64 bits (xxhash64) so the inverted index shuffles fixed-width longs
+    * instead of ~50-char strings (the q23 discipline; the oracle joins
+    * on raw span text — a cross-engine mismatch needs a 64-bit hash
+    * collision between live spans, ~1e-8 at even 10⁹ spans). One
+    * aggregation on the span key, a co-partitioned self-semi-join, one
+    * aggregation on doc_id — three bounded shuffles total.
+    */
+  def dupSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
+    val exploded = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= spanTokens)
+      .withColumn("spans", expr(
+        s"array_distinct(transform(sequence(0, size(tk) - $spanTokens), " +
+          s"i -> xxhash64(concat_ws(' ', slice(tk, i + 1, $spanTokens)))))"))
+      .select(col("doc_id"), explode(col("spans")).as("h"))
+    val shared = exploded.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"), lit(1).as("isdup"))
+    exploded.join(shared, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), count(col("isdup")).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans") / col("n_spans"), 6).as("dup_span_frac"))
+  }
+
   /** Map-typed column surface: construct a map from scalar columns and
     * JSON, then inspect (size/map_keys/map_contains_key), extract
     * (element_at), transform (transform_values/map_filter), merge
@@ -140,7 +168,8 @@ object PipelineOps {
     "q63_map_fns" -> ((s, d) => mapFacets(Tables(s, d, "events"))),
     "q64_repetition" -> ((s, d) => repetitionStats(Tables(s, d, "documents"))),
     "q65_pack_sequences" -> ((s, d) => packSequences(Tables(s, d, "documents"))),
-    "q66_domain_mix" -> ((s, d) => domainMix(Tables(s, d, "documents")))
+    "q66_domain_mix" -> ((s, d) => domainMix(Tables(s, d, "documents"))),
+    "q70_dup_spans" -> ((s, d) => dupSpans(Tables(s, d, "documents")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -184,6 +213,17 @@ object PipelineOps {
         |SELECT doc_id, n_tokens,
         | CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
+    "q70_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT doc_id, list_distinct(
+        |   [array_to_string(tk[i:i+7], ' ')
+        |    FOR i IN range(1, len(tk) - 6)]) AS spans FROM t),
+        |e AS (SELECT doc_id, unnest(spans) AS s FROM g),
+        |d AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) >= 2)
+        |SELECT e.doc_id, COUNT(*) AS n_spans, COUNT(d.s) AS n_dup_spans,
+        | round(CAST(COUNT(d.s) AS DOUBLE) / COUNT(*), 6) AS dup_span_frac
+        |FROM e LEFT JOIN d ON e.s = d.s GROUP BY e.doc_id""".stripMargin,
     "q66_domain_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS cnt,
         |            CAST(substr(source, 4) AS BIGINT) + 1 AS w

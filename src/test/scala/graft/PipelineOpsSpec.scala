@@ -88,6 +88,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).sorted.sameElements(again.map(_.getLong(0)).sorted))
   }
 
+  test("dup spans count exactly the windows shared across docs") {
+    import spark.implicits._
+    // doc 1: tokens a1..a12; doc 2 copies a3..a12 (10 tokens) then diverges;
+    // doc 3 fully distinct
+    val a = (1 to 12).map(i => s"a$i")
+    val docs = Seq(
+      (1L, a.mkString(" ")),
+      (2L, (a.drop(2) ++ Seq("zz1", "zz2")).mkString(" ")),
+      (3L, (1 to 12).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.dupSpans(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1 has 5 spans (12-8+1); spans starting at a3..a5 (3 of them)
+    // also exist in doc2's copied run of 10 tokens
+    assert(got(1L) == ((5L, 3L)))
+    // doc2: 12 tokens -> 5 spans, the first 3 (pure a3..a12 windows) shared
+    assert(got(2L) == ((5L, 3L)))
+    assert(got(3L) == ((5L, 0L)))
+  }
+
   test("map facets compute the expected scalars") {
     import spark.implicits._
     val ev = Seq((7L, "click", 42L, """{"k": 9}"""))
