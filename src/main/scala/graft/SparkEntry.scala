@@ -26,7 +26,8 @@ object SparkEntry {
       MrQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextAnalysis.queries ++
       MultimodalQueries.queries ++ AdvancedQueries.queries ++
-      CurationOps.queries ++ PipelineOps.queries
+      CurationOps.queries ++ PipelineOps.queries ++ SearchQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -37,5 +38,6 @@ object SparkEntry {
       MrQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextAnalysis.oracle ++
       MultimodalQueries.oracle ++ AdvancedQueries.oracle ++
-      CurationOps.oracle ++ PipelineOps.oracle
+      CurationOps.oracle ++ PipelineOps.oracle ++ SearchQueries.oracle ++
+      GraphQueries.oracle
 }

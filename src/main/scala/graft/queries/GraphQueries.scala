@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.PageRank
+
+/** Graph workloads (SURVEY.md §2.11 [EXT]) — the iterative and multi-way
+  * self-join patterns of the MapReduce-graph-algorithms literature, over
+  * graphs derived from the TPC-H-ish tables:
+  *
+  *  - q74 PageRank on the customer↔supplier trade graph: nodes are
+  *    customers (id·2) and suppliers (id·2+1); an undirected edge links
+  *    a customer to every supplier that filled one of its order lines
+  *    (both directions materialized, so no node dangles). Three exact
+  *    rounds from the uniform start, damping 0.85 — unrolled identically
+  *    in the DuckDB oracle, so the hash compare pins every rank to 9
+  *    decimals.
+  *  - q77 triangle counting on the word co-occurrence graph: an edge
+  *    links two words co-occurring in ≥ 62% of documents (the relative
+  *    threshold keeps the graph shape stable across scale factors).
+  *    Pair generation is NARROW — per-document sorted distinct tokens
+  *    expand to ordered pairs with array expressions (no self-join of
+  *    the exploded token table); the vocabulary-sized edge set then
+  *    triangle-joins e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a < b < c, the
+  *    standard enumeration that counts each triangle exactly once
+  *    [Cohen, "Graph Twiddling in a MapReduce World", CiSE'09].
+  *
+  * Both oracle-checked (hash-compared against DuckDB).
+  */
+object GraphQueries {
+
+  /** PageRank rounds — fixed so both engines compute the same unrolled
+    * float arithmetic.
+    */
+  private val PrIters = 3
+
+  /** Edge threshold: co-occurrence in ≥ this fraction of documents. */
+  private val CoocFrac = 0.62
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_pagerank" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val edges = ce.union(ce.select(col("v").as("u"), col("u").as("v")))
+      PageRank.pageRank(edges, PrIters)
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === 0, "customer")
+            .otherwise("supplier").as("kind"),
+          round(col("rank"), 9).as("rank"))
+    }),
+
+    "q77_triangles" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val nd = docs.agg(count(lit(1)).cast("double").as("nd"))
+      // narrow ordered-pair expansion: sorted distinct tokens → all
+      // (x, y) with x < y, one explode — no exploded-token self-join
+      val pairs = docs
+        .withColumn("ws", array_sort(array_distinct(split(col("text"), " "))))
+        .select(explode(expr(
+          "flatten(transform(ws, (x, i) ->" +
+            " transform(slice(ws, i + 2, size(ws))," +
+            " y -> struct(x AS w1, y AS w2))))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val ef = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("co"))
+        .crossJoin(broadcast(nd))
+        .filter(col("co") >= lit(CoocFrac) * col("nd"))
+        .select(col("w1"), col("w2"))
+      // vocabulary-bounded edge set: AQE broadcasts the join sides
+      val tri = ef.as("e1")
+        .join(ef.as("e2"), col("e1.w2") === col("e2.w1"))
+        .join(ef.as("e3"), col("e3.w1") === col("e1.w1")
+          && col("e3.w2") === col("e2.w2"))
+        .select(col("e1.w1").as("a"), col("e1.w2").as("b"),
+          col("e2.w2").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_triangles"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q74_pagerank" ->
+      """WITH ce AS (SELECT DISTINCT o.o_custkey * 2 AS u,
+        |                   l.l_suppkey * 2 + 1 AS v
+        |            FROM lineitem l
+        |            JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce),
+        |deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg
+        |        FROM edges GROUP BY u),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT u, 1.0 / n.n AS r FROM deg, n),
+        |r1 AS (SELECT e.v AS u,
+        |         0.15 / any_value(n.n) + 0.85 * sum(r0.r / deg.deg) AS r
+        |       FROM edges e JOIN r0 ON e.u = r0.u
+        |       JOIN deg ON e.u = deg.u, n GROUP BY e.v),
+        |r2 AS (SELECT e.v AS u,
+        |         0.15 / any_value(n.n) + 0.85 * sum(r1.r / deg.deg) AS r
+        |       FROM edges e JOIN r1 ON e.u = r1.u
+        |       JOIN deg ON e.u = deg.u, n GROUP BY e.v),
+        |r3 AS (SELECT e.v AS u,
+        |         0.15 / any_value(n.n) + 0.85 * sum(r2.r / deg.deg) AS r
+        |       FROM edges e JOIN r2 ON e.u = r2.u
+        |       JOIN deg ON e.u = deg.u, n GROUP BY e.v)
+        |SELECT u AS node,
+        |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  round(r, 9) AS rank
+        |FROM r3""".stripMargin,
+    "q77_triangles" ->
+      """WITH nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |dw AS (SELECT DISTINCT doc_id,
+        |         unnest(list_distinct(string_split(text, ' '))) AS w
+        |       FROM documents),
+        |e AS (SELECT a.w AS w1, b.w AS w2, count(*) AS co
+        |      FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        |      GROUP BY a.w, b.w),
+        |ef AS (SELECT w1, w2 FROM e, nd WHERE co >= 0.62 * nd.nd),
+        |tri AS (SELECT e1.w1 AS a, e1.w2 AS b, e2.w2 AS c
+        |        FROM ef e1 JOIN ef e2 ON e1.w2 = e2.w1
+        |        JOIN ef e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2),
+        |x AS (SELECT a AS w FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM x GROUP BY w""".stripMargin
+  )
+}

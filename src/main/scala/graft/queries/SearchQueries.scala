@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-retrieval operators (SURVEY.md §2.11 [EXT]) — the search-side
+  * counterpart of the curation family. Distributed grep and inverted-index
+  * construction are the two canonical jobs of the original MapReduce paper
+  * (Dean & Ghemawat, OSDI'04 §2.1), i.e. exactly the workloads the
+  * reference framework (`/root/reference/Client/wordcount` family) exists
+  * to run; BM25 (Robertson & Zaragoza, FnTIR'09) is the standard ranked
+  * retrieval on top of that index.
+  *
+  *  - q71 distributed grep: regex match over the corpus with per-document
+  *    match counts — a map-only narrow pass, zero shuffles; the filter and
+  *    the projection both run inside WholeStageCodegen fused into the scan.
+  *  - q72 inverted index (dictionary build): term → document frequency +
+  *    collection frequency. The postings relation (term, doc_id, tf) is the
+  *    intermediate; the dictionary is its two-level aggregation. Exact
+  *    distinct-doc counts via partial aggregation on (term, doc_id) — one
+  *    shuffle keyed on the term, vocabulary-bounded output.
+  *  - q73 BM25 ranked retrieval: score a fixed term query against the
+  *    corpus (k1 = 1.2, b = 0.75, Lucene-style non-negative idf
+  *    ln(1 + (N - df + ½)/(df + ½))). Per-term statistics (df — 3 rows)
+  *    and corpus statistics (N, avgdl — 1 row) BROADCAST; the corpus-side
+  *    tf table never moves except for the final per-doc score aggregation
+  *    keyed on doc_id. At 100 TB the only large shuffle is that per-doc
+  *    sum over ≤ |query| rows per doc.
+  *  - q76 word entropy: per-document Shannon entropy of the token
+  *    distribution (a unigram quality signal — gibberish and boilerplate
+  *    both sit in distinctive entropy bands). Computed entirely with
+  *    narrow array expressions — sort the token array, find run
+  *    boundaries, fold -Σ p·ln p over run lengths — O(len·log len) per
+  *    row, ZERO shuffles, vs the naive explode → groupBy(doc, term) →
+  *    groupBy(doc) which shuffles every token in the corpus twice.
+  *
+  * All four are oracle-checked (hash-compared against DuckDB).
+  */
+object SearchQueries {
+
+  /** Grep pattern — literal-word/character-class form that parses
+    * identically under Java regex (Spark) and RE2-ish DuckDB regex.
+    */
+  private val GrepPattern = "key [a-z]+ scan"
+
+  /** BM25 query terms (fixed, so both engines score the same query). */
+  private val QueryTerms = Seq("key", "scan", "merge")
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distributed grep: the OSDI'04 §2.1 example workload. rlike pushes
+    // into the scan filter; match count + first match are computed only
+    // for surviving rows. Narrow end-to-end.
+    "q71_grep" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .filter(col("text").rlike(GrepPattern))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(GrepPattern)).as("n_matches"),
+          regexp_extract(col("text"), GrepPattern, 0).as("first_match"))),
+
+    // Inverted-index dictionary: term → (df, cf). The (term, doc_id)
+    // partial aggregation bounds the shuffle to distinct postings (not
+    // raw token occurrences); the dictionary itself is vocabulary-sized.
+    "q72_inverted_index" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("cf"))),
+
+    // BM25: tf per (doc, query-term) via one explode + filter (the term
+    // IN-list prunes ~all tokens before the shuffle), df and corpus
+    // stats broadcast, final score = one per-doc aggregation. Scores
+    // rounded to 6 decimals on both engines before the top-20 cut;
+    // doc_id tie-break pins the boundary.
+    "q73_bm25" -> ((s, d) => {
+      val tk = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val stats = tk.agg(count(lit(1)).cast("double").as("n"),
+        avg(size(col("t"))).as("avgdl"))
+      val tf = tk
+        .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+          explode(col("t")).as("term"))
+        .filter(col("term").isin(QueryTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("score_t",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * (K1 + 1)
+            / (col("tf") + lit(K1) * (lit(1 - B)
+              + lit(B) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("score_t")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Word entropy, shuffle-free: array_sort → run boundaries → run
+    // lengths → -Σ p ln p fold. Higher-order functions evaluate per-row
+    // on the executor (no codegen, but no exchange either) — at 100 TB
+    // this is a pure map pass fused behind the scan, same shape as q28
+    // quality scoring.
+    "q76_word_entropy" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")))
+        .withColumn("st", array_sort(col("t")))
+        // indices where a new distinct token's run starts
+        .withColumn("bounds", expr(
+          "filter(sequence(0, n - 1), i -> i = 0 OR st[i] != st[i - 1])"))
+        // run length j = next boundary (or n) - boundary j
+        .withColumn("runs", expr(
+          "transform(sequence(1, size(bounds))," + // 1-based element_at
+            " j -> coalesce(try_element_at(bounds, j + 1), n)" +
+            " - element_at(bounds, j))"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          round(expr(
+            "-aggregate(runs, 0D, (acc, c) ->" +
+              " acc + (c / CAST(n AS DOUBLE))" +
+              " * ln(c / CAST(n AS DOUBLE)))"), 6).as("entropy")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q71_grep" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$GrepPattern')) AS INTEGER)
+         |   AS n_matches,
+         | regexp_extract(text, '$GrepPattern') AS first_match
+         |FROM documents
+         |WHERE regexp_matches(text, '$GrepPattern')""".stripMargin,
+    "q72_inverted_index" ->
+      """WITH posting AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |       CAST(count(*) AS BIGINT) AS cf
+        |FROM posting GROUP BY term""".stripMargin,
+    "q73_bm25" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(t)) AS avgdl
+        |          FROM tk),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+        |       WHERE term IN ('key', 'scan', 'merge')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |       FROM tf GROUP BY term),
+        |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk)
+        |SELECT t.doc_id,
+        |  round(sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |    * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |  ), 6) AS score
+        |FROM tf t, stats, df, dl
+        |WHERE df.term = t.term AND dl.doc_id = t.doc_id
+        |GROUP BY t.doc_id
+        |ORDER BY score DESC, t.doc_id LIMIT 20""".stripMargin,
+    "q76_word_entropy" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |c AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c
+        |      FROM w GROUP BY doc_id, term),
+        |n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+        |  round(-sum((c.c / n.n) * ln(c.c / n.n)), 6) AS entropy
+        |FROM c JOIN n ON c.doc_id = n.doc_id
+        |GROUP BY c.doc_id, n.n""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+class GraphSpec extends SparkSpec {
+
+  test("pageRank matches hand-computed ranks on a 3-node chain") {
+    import spark.implicits._
+    // 1 <-> 2 <-> 3 (undirected): deg(1) = deg(3) = 1, deg(2) = 2
+    val ce = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val edges = ce.select(col("a").as("u"), col("b").as("v"))
+      .union(ce.select(col("b").as("u"), col("a").as("v")))
+    val got = PageRank.pageRank(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // manual 2 rounds, d = 0.85, n = 3, r0 = 1/3 each
+    val n = 3.0; val d = 0.85; val t = (1 - d) / n
+    val r0 = Map(1L -> 1 / n, 2L -> 1 / n, 3L -> 1 / n)
+    def round(r: Map[Long, Double]): Map[Long, Double] = Map(
+      1L -> (t + d * r(2L) / 2),
+      2L -> (t + d * (r(1L) + r(3L))),
+      3L -> (t + d * r(2L) / 2))
+    val want = round(round(r0))
+    want.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-12, s"node $k: ${got(k)} vs $v")
+    }
+    // masses: total = 1 minus nothing (no dangling nodes here)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("pageRank gives in-edge-less nodes exactly the teleport mass") {
+    import spark.implicits._
+    // directed: 1 -> 2, no edge into 1
+    val edges = Seq((1L, 2L)).toDF("u", "v")
+    val got = PageRank.pageRank(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.15 / 2) < 1e-12)
+  }
+
+  test("pageRank leaves at most two checkpoint snapshots live") {
+    import spark.implicits._
+    val ce = (1L to 50L).map(i => (i, i % 10 + 100L)).toDF("a", "b")
+    val edges = ce.select(col("a").as("u"), col("b").as("v"))
+      .union(ce.select(col("b").as("u"), col("a").as("v")))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    PageRank.pageRank(edges, 5).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // the final checkpoint stays (the result refers to it); the loop's
+    // intermediates and the cached working set must be gone
+    assert(after <= before + 1,
+      s"leaked persisted RDDs: before=$before after=$after")
+  }
+
+  test("triangle enumeration counts each triangle once on a known graph") {
+    import spark.implicits._
+    // K4 minus edge (c,d): triangles abc, abd — a,b in 2; c,d in 1
+    val ef = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
+      .toDF("w1", "w2")
+    val tri = ef.as("e1")
+      .join(ef.as("e2"), col("e1.w2") === col("e2.w1"))
+      .join(ef.as("e3"), col("e3.w1") === col("e1.w1")
+        && col("e3.w2") === col("e2.w2"))
+      .select(col("e1.w1").as("a"), col("e1.w2").as("b"),
+        col("e2.w2").as("c"))
+    assert(tri.count() == 2)
+    val counts = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+  }
+
+  test("q77 narrow pair expansion equals the self-join pair set") {
+    import spark.implicits._
+    val docs = Seq((1L, "c a b a"), (2L, "b d")).toDF("doc_id", "text")
+    val narrow = docs
+      .withColumn("ws", array_sort(array_distinct(split(col("text"), " "))))
+      .select(explode(expr(
+        "flatten(transform(ws, (x, i) ->" +
+          " transform(slice(ws, i + 2, size(ws))," +
+          " y -> struct(x AS w1, y AS w2))))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(narrow == Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d")))
+  }
+}

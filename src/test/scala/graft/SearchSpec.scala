@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q71 grep is a narrow map pass — no exchange in the plan") {
+    val df = run("q71_grep")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"grep must not shuffle:\n$p")
+    // every surviving row actually matches and carries a real first match
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_matches") >= 1)
+      assert(r.getAs[String]("first_match").matches("key [a-z]+ scan"))
+    }
+  }
+
+  test("q72 inverted-index dictionary: df/cf on a crafted corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val dict = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(dict == Map("a" -> ((2L, 3L)), "b" -> ((1L, 1L)),
+      "c" -> ((2L, 4L))))
+  }
+
+  test("q76 entropy: shuffle-free plan, exact values on known docs") {
+    val df = run("q76_word_entropy")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"entropy must not shuffle:\n$p")
+
+    import spark.implicits._
+    val known = Seq((1L, "a a b b"), (2L, "x x x x"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    // same column pipeline as the production query, on known docs
+    val ent = known
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("st", array_sort(col("t")))
+      .withColumn("bounds", expr(
+        "filter(sequence(0, n - 1), i -> i = 0 OR st[i] != st[i - 1])"))
+      .withColumn("runs", expr(
+        "transform(sequence(1, size(bounds))," +
+          " j -> coalesce(try_element_at(bounds, j + 1), n)" +
+          " - element_at(bounds, j))"))
+      .select(col("doc_id"), expr(
+        "-aggregate(runs, 0D, (acc, c) ->" +
+          " acc + (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)))")
+        .as("entropy"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ent(1L) - math.log(2)) < 1e-12) // two 50/50 symbols
+    assert(math.abs(ent(2L)) < 1e-12)               // single symbol: H = 0
+    assert(math.abs(ent(3L) - math.log(4)) < 1e-12) // uniform over 4
+  }
+
+  test("bm25 ranks higher-tf docs above lower-tf docs of equal length") {
+    import spark.implicits._
+    // same length 4, tf(key) = 2 vs 1; 'pad' never matches the query
+    val docs = Seq(
+      (1L, "key key pad pad"),
+      (2L, "key pad pad pad"),
+      (3L, "pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val stats = tk.agg(count(lit(1)).cast("double").as("n"),
+      avg(size(col("t"))).as("avgdl"))
+    val tf = tk
+      .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+        explode(col("t")).as("term"))
+      .filter(col("term") === "key")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("score",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl") / col("avgdl"))))
+      .select(col("doc_id"), col("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) > scored(2L), s"tf=2 must outrank tf=1: $scored")
+    assert(!scored.contains(3L), "docs without query terms are never scored")
+    // BM25 tf saturation: doubling tf less than doubles the score
+    assert(scored(1L) < 2 * scored(2L), s"tf term must saturate: $scored")
+  }
+}
