@@ -169,10 +169,100 @@ object PipelineOps {
     "q64_repetition" -> ((s, d) => repetitionStats(Tables(s, d, "documents"))),
     "q65_pack_sequences" -> ((s, d) => packSequences(Tables(s, d, "documents"))),
     "q66_domain_mix" -> ((s, d) => domainMix(Tables(s, d, "documents"))),
-    "q70_dup_spans" -> ((s, d) => dupSpans(Tables(s, d, "documents")))
+    "q70_dup_spans" -> ((s, d) => dupSpans(Tables(s, d, "documents"))),
+
+    // Corpus snapshot diff — the incremental-pipeline primitive: classify
+    // every doc as added/removed/changed between two snapshots by
+    // CONTENT HASH, not byte comparison, so the full-outer join carries
+    // (id, 32-byte hash) instead of wide rows. One co-partitioned
+    // shuffle on the snapshot key at any scale. Snapshots are simulated
+    // deterministically from `documents` (A drops id%7==2, B drops
+    // id%11==3 and edits id%13==5), identically in both engines.
+    "q75_snapshot_diff" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val a = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+        .select(col("doc_id"), md5(col("text")).as("h_a"))
+      val b = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(13)) === 5,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_a").isNull, "added")
+            .when(col("h_b").isNull, "removed")
+            .when(col("h_a") =!= col("h_b"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(col("doc_id"), col("status"))
+    }),
+
+    // Z-order layout audit: morton-interleave (user_id mod 1024,
+    // minute-of-day) with the custom codegen kernel
+    // (functions.InterleaveBits) and report per-z-bucket extents. The
+    // point at 100 TB: range-partitioning/sorting by this key before the
+    // write co-locates rows close in BOTH dimensions, so parquet footer
+    // min/max stats prune scans filtered on either column — the bounded
+    // per-bucket extents this query reports ARE that pruning guarantee.
+    // Bit-exact integers; the oracle replays the same shift/mask cascade.
+    "q79_zorder" -> ((s, d) => {
+      import graft.functions.textkernels._
+      Tables(s, d, "events")
+        .select(pmod(col("user_id"), lit(1024)).cast("long").as("ux"),
+          (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("my"))
+        .withColumn("z", interleave_bits(col("ux"), col("my")))
+        .withColumn("bucket", shiftright(col("z"), 12))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ux")).as("min_x"), max(col("ux")).as("max_x"),
+          min(col("my")).as("min_y"), max(col("my")).as("max_y"))
+    })
   )
 
+  /** DuckDB replay of [[graft.functions.InterleaveBits.spread]] as a CTE
+    * cascade over columns `a`/`b`, carrying `ux`/`my` alongside.
+    */
+  private def spreadCascadeSql: String = {
+    val steps = Seq(
+      (16, 281470681808895L), // 0x0000FFFF0000FFFF
+      (8, 71777214294589695L), // 0x00FF00FF00FF00FF
+      (4, 1085102592571150095L), // 0x0F0F0F0F0F0F0F0F
+      (2, 3689348814741910323L), // 0x3333333333333333
+      (1, 6148914691236517205L)) // 0x5555555555555555
+    val ctes = steps.zipWithIndex.map { case ((sh, m), i) =>
+      s"""s${i + 1} AS (SELECT ux, my,
+         |  (a | (a << $sh)) & $m AS a,
+         |  (b | (b << $sh)) & $m AS b FROM s$i)""".stripMargin
+    }
+    s"""src AS (SELECT user_id % 1024 AS ux,
+       |  (extract(hour FROM ts) * 60 + extract(minute FROM ts)) AS my
+       |  FROM events),
+       |s0 AS (SELECT ux, my, CAST(ux AS BIGINT) & 4294967295 AS a,
+       |       CAST(my AS BIGINT) & 4294967295 AS b FROM src),
+       |${ctes.mkString(",\n")},
+       |zed AS (SELECT ux, my, a | (b << 1) AS z FROM s5)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q75_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents
+        |           WHERE doc_id % 7 != 2),
+        |b AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 13 = 5 THEN text || ' v2'
+        |            ELSE text END) AS h_b
+        |      FROM documents WHERE doc_id % 11 != 3)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h_a != b.h_b"""
+        .stripMargin,
+    "q79_zorder" ->
+      s"""WITH $spreadCascadeSql
+         |SELECT z >> 12 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(ux) AS min_x, max(ux) AS max_x,
+         |  min(my) AS min_y, max(my) AS max_y
+         |FROM zed GROUP BY bucket""".stripMargin,
     "q63_map_fns" ->
       """SELECT event_id,
         | CAST(3 AS INTEGER) AS n_entries,

@@ -35,6 +35,23 @@ object TextAnalysis {
       i => md5(c.substr(i, lit(8)).cast("binary")))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Compression-ratio quality signal (the Gopher/RefinedWeb filter):
+    // deflate each document's UTF-8 bytes with the custom codegen kernel
+    // (functions.DeflateLen); boilerplate compresses too well (low
+    // ratio), gibberish barely at all (ratio near 1), natural prose sits
+    // in a middle band. Narrow map pass, zero shuffles. Rows-only: no
+    // SQL engine exposes a compressor, so the kernel is pinned by
+    // TextAnalysisSpec (known strings, determinism, codegen parity)
+    // instead of a DuckDB oracle.
+    "q78_compress_ratio" -> ((s, d) => {
+      import graft.functions.textkernels._
+      Tables(s, d, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("orig_bytes"),
+          deflate_len(col("text")).as("deflate_bytes"))
+        .withColumn("ratio", round(
+          col("deflate_bytes").cast("double") / col("orig_bytes"), 6))
+    }),
+
     // Language-ID by stopword-marker frequency (n-gram-free heuristic):
     // score each candidate language by marker-token occurrences, pick the
     // argmax with a fixed precedence; confusion matrix vs the labeled

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.textkernels._
+import graft.functions.{Compress, InterleaveBits}
+
+class TextKernelsSpec extends SparkSpec {
+
+  test("interleave_bits matches a bit-by-bit reference") {
+    def reference(x: Long, y: Long): Long = {
+      var z = 0L
+      (0 until 32).foreach { i =>
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    // hand-checked: x=3 (bits 0,1 -> even 0,2), y=5 (bits 0,2 -> odd 1,5)
+    assert((InterleaveBits.spread(3) | (InterleaveBits.spread(5) << 1)) == 39)
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val x = rnd.nextLong() & 0xFFFFFFFFL
+      val y = rnd.nextLong() & 0xFFFFFFFFL
+      val got = InterleaveBits.spread(x) | (InterleaveBits.spread(y) << 1)
+      assert(got == reference(x, y), s"mismatch at ($x, $y)")
+    }
+  }
+
+  test("interleave_bits agrees across codegen and interpreted paths") {
+    import spark.implicits._
+    val df = Seq((3L, 5L), (1023L, 0L), (123456L, 654321L)).toDF("x", "y")
+    val cg = df.select(interleave_bits(col("x"), col("y")))
+      .collect().map(_.getLong(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(interleave_bits(col("x"), col("y")))
+        .collect().map(_.getLong(0)).toSeq
+      assert(cg == interp && cg.head == 39L)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("z-order key bounds both dimensions within a bucket") {
+    // any two points in the same z>>12 bucket differ by < 64 in each dim
+    import spark.implicits._
+    val pts = for (x <- 0L until 256L by 7; y <- 0L until 256L by 5)
+      yield (x, y)
+    val rows = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        shiftright(interleave_bits(col("x"), col("y")), 12).as("bkt"))
+      .groupBy("bkt")
+      .agg((max(col("x")) - min(col("x"))).as("dx"),
+        (max(col("y")) - min(col("y"))).as("dy"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) < 64 && r.getLong(2) < 64,
+        s"bucket ${r.getLong(0)} extent ${r.getLong(1)}x${r.getLong(2)}")
+    }
+  }
+
+  test("deflate_len: repetitive text compresses far better than varied") {
+    val boiler = "spam " * 400
+    val varied = (1 to 400).map(i => (i * 2654435761L).toHexString).mkString(" ")
+    val lb = Compress.deflateLen(boiler.getBytes("UTF-8"))
+    val lv = Compress.deflateLen(varied.getBytes("UTF-8"))
+    assert(lb < boiler.length / 10, s"boilerplate barely compressed: $lb")
+    assert(lv > varied.length / 3, s"high-entropy text over-compressed: $lv")
+    // deterministic across calls
+    assert(lb == Compress.deflateLen(boiler.getBytes("UTF-8")))
+  }
+
+  test("deflate_len agrees across codegen and interpreted paths") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "aaaaaaaaaaaaaaaaaaaa", "")
+      .toDF("text")
+    val cg = df.select(deflate_len(col("text")))
+      .collect().map(_.getInt(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(deflate_len(col("text")))
+        .collect().map(_.getInt(0)).toSeq
+      assert(cg == interp)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // scala-side helper agrees with the SQL expression path
+    assert(cg.head ==
+      Compress.deflateLen("the quick brown fox".getBytes("UTF-8")))
+  }
+
+  test("q78 ratios are sane: positive, bounded, compressing on average") {
+    val rows = SparkEntry.queries("q78_compress_ratio")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("ratio")
+      // tiny documents can round to 1.0 (deflate framing overhead)
+      assert(ratio > 0.0 && ratio <= 1.2, s"doc ${r.get(0)} ratio $ratio")
+    }
+    val mean = rows.map(_.getAs[Double]("ratio")).sum / rows.length
+    assert(mean < 0.95, s"word corpus should compress on average: $mean")
+  }
+}
