@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, BloomContains, FreqItemsAgg, MinHashSigAgg, OphSigAgg, SimHashSigAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm, WeightedSimHashSigAgg}
+import graft.functions.{BloomAgg, BloomContains, DeflateLen, FreqItemsAgg, InterleaveBits, MinHashSigAgg, OphSigAgg, SimHashSigAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm, WeightedSimHashSigAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("... vec_cosine(a,b) ...")`
@@ -60,7 +60,13 @@ object GraftExtensions {
         (es: Seq[Expression]) => BloomAgg(es(0), intArg(es(1)), intArg(es(2)))),
       ("bloom_contains", info("bloom_contains",
         "bloom_contains(bloom, h, numHashes) - probe a built Bloom filter"),
-        (es: Seq[Expression]) => BloomContains(es(0), es(1), intArg(es(2)))))
+        (es: Seq[Expression]) => BloomContains(es(0), es(1), intArg(es(2)))),
+      ("deflate_len", info("deflate_len",
+        "deflate_len(s) - deflate-compressed byte length of a string"),
+        (es: Seq[Expression]) => DeflateLen(es(0))),
+      ("interleave_bits", info("interleave_bits",
+        "interleave_bits(x, y) - 64-bit Morton (Z-order) key of two 32-bit ints"),
+        (es: Seq[Expression]) => InterleaveBits(es(0), es(1))))
 
   /** Constant int argument of a SQL call (e.g. the k in top_k(s, 3)). */
   private def intArg(e: Expression): Int = e.eval(null) match {

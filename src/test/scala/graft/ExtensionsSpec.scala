@@ -59,4 +59,16 @@ class ExtensionsSpec extends SparkSpec {
     val expected = SparkEntry.queries("q24_embedding_dedup")(spark, sf).count()
     assert(n == expected)
   }
+
+  test("registered text/layout kernels are usable from pure SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT interleave_bits(3L, 5L) AS z,
+        |       deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa') AS dl""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 39L)
+    assert(r.getInt(1) ==
+      graft.functions.Compress.deflateLen(
+        "aaaaaaaaaaaaaaaaaaaaaaaa".getBytes("UTF-8")))
+  }
 }
