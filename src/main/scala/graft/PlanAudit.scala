@@ -19,7 +19,10 @@ object PlanAudit {
       "q49_best_doc", "q50_deterministic_sample", "q51_centroids",
       "q52_math_fns", "q53_full_outer",
       "q55_stream_dedup", "q56_quantile_budget", "dedup_simhash_w",
-      "sim_ann_lsh", "q23_ngram_jaccard").foreach { n =>
+      "sim_ann_lsh", "q23_ngram_jaccard",
+      "q71_grep", "q72_inverted_index", "q73_bm25", "q74_pagerank",
+      "q75_snapshot_diff", "q76_word_entropy", "q77_triangles",
+      "q78_compress_ratio", "q79_zorder").foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head

@@ -33,7 +33,10 @@ object PlanDump {
       "q31_sessions" -> "session_window aggregation, single shuffle on user_id",
       "q34_asof_join" -> "merge-based as-of: one shuffle, window carry-forward",
       "q56_quantile_budget" -> "histogram shuffle + broadcast per-lang thresholds; window only over budget-bounded candidates",
-      "q65_pack_sequences" -> "distributed prefix sum: per-bucket window cumsum + broadcast 16-row bucket offsets; no global sort of the corpus")
+      "q65_pack_sequences" -> "distributed prefix sum: per-bucket window cumsum + broadcast 16-row bucket offsets; no global sort of the corpus",
+      "q73_bm25" -> "broadcast df (|query| rows) + corpus stats (1 row); one per-doc score shuffle",
+      "q74_pagerank" -> "per-round edge-rank equi-join + gather aggregation; O(1) plan depth via localCheckpoint",
+      "q79_zorder" -> "narrow interleave_bits kernel inside codegen; single bounded-key aggregation")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -76,7 +79,15 @@ object PlanDump {
       "q65_pack_sequences" ->
         "explicit broadcast(bucket offsets): exactly 16 rows (one per order-key hex prefix) at any corpus size; the corpus shuffles ONCE on the bucket key for its windowed cumsum",
       "q66_domain_mix" ->
-        "explicit broadcast(rate table): one row per source domain - bounded metadata; the corpus side is a narrow filter pass, no shuffle after the count aggregation")
+        "explicit broadcast(rate table): one row per source domain - bounded metadata; the corpus side is a narrow filter pass, no shuffle after the count aggregation",
+      "q73_bm25" ->
+        "explicit broadcast(df, corpus stats): df is one row per QUERY term (bounded by the query, not the corpus), stats one row; the (doc, term) tf table stays partitioned and shuffles once for the per-doc score sum",
+      "q74_pagerank" ->
+        "no hint: the rank vector is node-cardinality (corpus-scale) and must never broadcast; each round equi-joins edges against ranks on the source key - both sides hash-partition on the same key so rounds after the first reuse the partitioning",
+      "q75_snapshot_diff" ->
+        "no hint, full-outer by design: both snapshots scale with the corpus; the join carries (id, 32-byte hash) only, one co-partitioned shuffle",
+      "q77_triangles" ->
+        "no hint on the triangle joins: the edge set is vocabulary-bounded (AQE broadcasts at any realistic vocabulary); the 1-row doc count IS explicitly broadcast into the edge threshold filter")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"

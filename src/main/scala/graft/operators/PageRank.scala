@@ -38,31 +38,39 @@ object PageRank {
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
     val Seq(cs, cd) = edges.columns.toSeq.take(2).map(col)
-    val e = edges.select(cs.as("u"), cd.as("v")).cache()
+    val e = edges.select(cs.as("u"), cd.as("v"))
     val deg = e.groupBy(col("u"))
-      .agg(count(lit(1)).cast("double").as("deg")).cache()
+      .agg(count(lit(1)).cast("double").as("deg"))
+    // the loop's working set, built ONCE: out-degree pre-joined into the
+    // link table (saves a join per round) — cached post-shuffle, so each
+    // round's join against the rank vector reuses its partitioning
+    val links = e.join(deg, "u").cache()
     val nodes = e.select(col("u"))
       .union(e.select(col("v").as("u"))).distinct().cache()
     val n = nodes.count().toDouble // one scalar to the driver
+    val teleport = (1 - damping) / n
+    // nodes with NO in-edges never receive gathered mass — a constant
+    // set, computed once; each round unions it back at teleport mass
+    // instead of left-joining the full node table per round
+    val noIn = nodes
+      .join(e.select(col("v").as("u")).distinct(), Seq("u"), "left_anti")
+      .withColumn("r", lit(teleport)).cache()
     var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
     var prev: DataFrame = null
     (1 to iters).foreach { _ =>
       if (prev != null) { ColumnBridge.unpersistCheckpoint(prev); prev = null }
-      val gathered = e.join(ranks, "u").join(deg, "u")
+      val next = links.join(ranks, "u")
         .groupBy(col("v"))
         .agg(sum(col("r") / col("deg")).as("m"))
         .select(col("v").as("u"),
-          (lit((1 - damping) / n) + lit(damping) * col("m")).as("r"))
-      // in-edge-less nodes fall out of the gather — restore at teleport mass
-      val next = nodes.join(gathered, Seq("u"), "left")
-        .select(col("u"),
-          coalesce(col("r"), lit((1 - damping) / n)).as("r"))
+          (lit(teleport) + lit(damping) * col("m")).as("r"))
+        .unionByName(noIn)
         .localCheckpoint(true)
       prev = ranks
       ranks = next
     }
     if (prev != null) ColumnBridge.unpersistCheckpoint(prev)
-    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    links.unpersist(); nodes.unpersist(); noIn.unpersist()
     ranks.select(col("u").as("node"), col("r").as("rank"))
   }
 }

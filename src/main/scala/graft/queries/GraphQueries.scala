@@ -58,7 +58,9 @@ object GraphQueries {
 
     "q77_triangles" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val nd = docs.agg(count(lit(1)).cast("double").as("nd"))
+      // one scalar to the driver (IVF-centroid pattern) — a 1-row
+      // cross-join here would plan as a BroadcastNestedLoop
+      val nd = docs.count().toDouble
       // narrow ordered-pair expansion: sorted distinct tokens → all
       // (x, y) with x < y, one explode — no exploded-token self-join
       val pairs = docs
@@ -70,8 +72,7 @@ object GraphQueries {
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val ef = pairs.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("co"))
-        .crossJoin(broadcast(nd))
-        .filter(col("co") >= lit(CoocFrac) * col("nd"))
+        .filter(col("co") >= lit(CoocFrac * nd))
         .select(col("w1"), col("w2"))
       // vocabulary-bounded edge set: AQE broadcasts the join sides
       val tri = ef.as("e1")

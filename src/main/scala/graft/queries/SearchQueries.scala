@@ -80,8 +80,12 @@ object SearchQueries {
     "q73_bm25" -> ((s, d) => {
       val tk = Tables(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("t"))
-      val stats = tk.agg(count(lit(1)).cast("double").as("n"),
-        avg(size(col("t"))).as("avgdl"))
+      // N and avgdl are two scalars — driver-side metadata (the IVF-
+      // centroid pattern), inlined as literals instead of a 1-row
+      // cross-join that would plan as a BroadcastNestedLoop
+      val st = tk.agg(count(lit(1)).cast("double"),
+        avg(size(col("t")))).head()
+      val n = st.getDouble(0); val avgdl = st.getDouble(1)
       val tf = tk
         .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
           explode(col("t")).as("term"))
@@ -91,12 +95,11 @@ object SearchQueries {
       val df = tf.groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("df"))
       tf.join(broadcast(df), "term")
-        .crossJoin(broadcast(stats))
         .withColumn("score_t",
-          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
             * col("tf") * (K1 + 1)
             / (col("tf") + lit(K1) * (lit(1 - B)
-              + lit(B) * col("dl") / col("avgdl"))))
+              + lit(B) * col("dl") / lit(avgdl))))
         .groupBy(col("doc_id"))
         .agg(round(sum(col("score_t")), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
