@@ -3,6 +3,7 @@ package graft.multimodal
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,8 +17,11 @@ import org.apache.spark.sql.types._
   * IMAGE decode and resize are REAL: `javax.imageio` (PNG/JPEG/BMP/GIF)
   * ships with every JDK, so no external codec is needed — payloads are
   * decoded to pixels and featurized (width/height/mean-luma/4×4 grid-luma
-  * embedding). AUDIO/VIDEO kernels remain deterministic STUBS (clearly
-  * marked — their codecs genuinely aren't in this container); the
+  * embedding). AUDIO (WAV/PCM) decode is REAL too: `javax.sound.sampled`
+  * is also JDK-native — payloads are decoded to samples and featurized
+  * (sample-rate/sample-count/RMS/zero-crossing-rate/16-bin |amplitude|
+  * envelope). VIDEO kernels remain deterministic STUBS (clearly
+  * marked — video codecs genuinely aren't in this container); the
   * Spark-side contract is identical and tested either way: schema,
   * per-partition batched execution (the mapPartitions shape an
   * Arrow/pandas-batch UDF would have), shuffle-free narrow execution,
@@ -69,12 +73,40 @@ object Multimodal {
 
   private val syntheticPngUdf = udf((id: Long) => syntheticPng(id))
 
+  /** Deterministic mono 16-bit PCM WAV for an asset id: a square wave
+    * whose half-period and amplitude are pure functions of the id,
+    * encoded with the JDK's built-in WAV writer (`javax.sound.sampled`).
+    * Gives `syntheticAssets` real decodable audio payloads without any
+    * external media library.
+    */
+  private[graft] def syntheticWav(id: Long, sampleRate: Int = 8000,
+      nSamples: Int = 800): Array[Byte] = {
+    val half = 4 + (id % 8).toInt       // samples per half-period
+    val amp = (8192 + (id % 3) * 4096).toInt
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (if ((i / half) % 2 == 0) amp else -amp).toShort
+      pcm(2 * i) = (s & 0xff).toByte            // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val in = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private val syntheticWavUdf = udf((id: Long) => syntheticWav(id))
+
   /** Deterministic synthetic assets derived from `documents` — stands in
     * for an ingested media table so the pipeline shape is testable with
-    * the driver's data. Image payloads are real 32×32 PNGs (decodable by
-    * `decodeFeatures`); audio/video payloads are recycled utf-8 of the
-    * text, truncated/padded to a deterministic length. Metadata derives
-    * from doc fields.
+    * the driver's data. Image payloads are real 32×32 PNGs and audio
+    * payloads real PCM WAVs (both decodable by `decodeFeatures`); video
+    * payloads are recycled utf-8 of the text, truncated/padded to a
+    * deterministic length. Metadata derives from doc fields.
     */
   def syntheticAssets(spark: SparkSession, sfDir: String): DataFrame =
     graft.Tables(spark, sfDir, "documents")
@@ -85,6 +117,7 @@ object Multimodal {
         col("doc_id").as("asset_id"),
         col("kind"),
         when(col("kind") === "image", syntheticPngUdf(col("doc_id")))
+          .when(col("kind") === "audio", syntheticWavUdf(col("doc_id")))
           .otherwise(to_binary(rpad(repeat(col("text"), 8), 1024, "."),
             lit("utf-8")))
           .as("bytes"),
@@ -115,18 +148,23 @@ object Multimodal {
           lit(-1).as("sample_rate"), lit(1).as("n_frames")).as("meta"))
 
   /** Result row of the decode/feature pass. `width`/`height`/`mean_luma`
-    * are populated (and `real_decode` set) only when the payload was
-    * actually pixel-decoded; stub-featurized assets carry -1 sentinels.
+    * are populated only when the payload was actually pixel-decoded;
+    * `sample_rate`/`n_samples`/`rms` only when it was sample-decoded;
+    * `real_decode` is set in both cases. Stub-featurized assets carry -1
+    * sentinels in every decode field.
     */
   case class AssetFeatures(asset_id: Long, kind: String, byte_len: Int,
       mean_byte: Double, checksum: Long, feature: Array[Float],
-      width: Int, height: Int, mean_luma: Double, real_decode: Boolean)
+      width: Int, height: Int, mean_luma: Double,
+      sample_rate: Int, n_samples: Int, rms: Double,
+      real_decode: Boolean)
 
   // ----- DECODE KERNELS ----------------------------------------------
   // IMAGE: real pixel decode via the JDK's javax.imageio (PNG/JPEG/BMP/
-  // GIF — no external codec needed). AUDIO/VIDEO: codecs are not in this
-  // container, so those kernels are deterministic STUBS over the raw
-  // bytes; tests pin the plumbing end-to-end either way.
+  // GIF — no external codec needed). AUDIO: real WAV/PCM sample decode
+  // via the JDK's javax.sound.sampled (also codec-free). VIDEO: codecs
+  // are not in this container, so that kernel is a deterministic STUB
+  // over the raw bytes; tests pin the plumbing end-to-end either way.
 
   /** REAL image decode: pixels → (width, height, mean luma, 4×4 grid of
     * per-cell mean luma as a 16-dim feature). Luma uses the Rec.601
@@ -166,12 +204,79 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode: WAV/PCM samples → (sample rate, channel count,
+    * sample frames, RMS amplitude, zero-crossing rate, 16-bin mean-|s|
+    * envelope as a feature). Samples are normalized to [-1, 1);
+    * multi-channel frames are averaged to one track before the stats.
+    * Returns None when the payload is not decodable 16-bit PCM.
+    */
+  private[graft] def decodeWav(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Double, Double, Array[Float])] = {
+    val in =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (in == null) None
+    else {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) { in.close(); None }
+      else {
+        val raw = in.readAllBytes(); in.close()
+        val ch = fmt.getChannels
+        val n = raw.length / (2 * ch) // frames
+        if (n == 0) None
+        else {
+          val big = fmt.isBigEndian
+          // one normalized mono track: per-frame channel average
+          val track = new Array[Double](n)
+          var f = 0
+          while (f < n) {
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * 2
+              val v =
+                if (big) ((raw(o) << 8) | (raw(o + 1) & 0xff)).toShort
+                else ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+              s += v / 32768.0
+              c += 1
+            }
+            track(f) = s / ch
+            f += 1
+          }
+          var sq = 0.0; var crossings = 0L
+          val bins = 16
+          val env = new Array[Double](bins)
+          val cnt = new Array[Long](bins)
+          var i = 0
+          while (i < n) {
+            val v = track(i)
+            sq += v * v
+            if (i > 0 && (v >= 0) != (track(i - 1) >= 0)) crossings += 1
+            val b = math.min(bins - 1, i * bins / n)
+            env(b) += math.abs(v); cnt(b) += 1
+            i += 1
+          }
+          val feat = Array.tabulate(bins)(b =>
+            if (cnt(b) == 0) 0.0f else (env(b) / cnt(b)).toFloat)
+          val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+          Some((fmt.getSampleRate.toInt, ch, n, math.sqrt(sq / n), zcr,
+            feat))
+        }
+      }
+    }
+  }
+
   /** Decode one asset. Byte stats (length/mean/FNV-1a checksum) are
     * always computed; `kind = image` additionally runs the REAL
-    * javax.imageio pixel decode, replacing the feature vector with the
-    * 4×4 grid-luma embedding. Non-decodable or non-image payloads fall
-    * back to the STUB featurization (mean of each length/16 byte
-    * stripe standing in for decoded features).
+    * javax.imageio pixel decode (feature = 4×4 grid-luma embedding) and
+    * `kind = audio` the REAL javax.sound.sampled WAV/PCM decode
+    * (feature = 16-bin |amplitude| envelope). Non-decodable payloads and
+    * video fall back to the STUB featurization (mean of each length/16
+    * byte stripe standing in for decoded features).
     */
   private[graft] def decodeKernel(id: Long, kind: String,
       bytes: Array[Byte]): AssetFeatures = {
@@ -185,12 +290,16 @@ object Multimodal {
     }
     val meanByte =
       if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-    val decoded = if (kind == "image") decodeImage(bytes) else None
-    decoded match {
-      case Some((w, h, meanLuma, feat)) =>
+    val image = if (kind == "image") decodeImage(bytes) else None
+    val audio = if (kind == "audio") decodeWav(bytes) else None
+    (image, audio) match {
+      case (Some((w, h, meanLuma, feat)), _) =>
         AssetFeatures(id, kind, bytes.length, meanByte, crc, feat,
-          w, h, meanLuma, real_decode = true)
-      case None =>
+          w, h, meanLuma, -1, -1, -1.0, real_decode = true)
+      case (_, Some((rate, _, n, rms, _, feat))) =>
+        AssetFeatures(id, kind, bytes.length, meanByte, crc, feat,
+          -1, -1, -1.0, rate, n, rms, real_decode = true)
+      case _ =>
         val dim = 16
         val stripe = math.max(1, bytes.length / dim)
         val feat = Array.tabulate(dim) { j =>
@@ -204,7 +313,7 @@ object Multimodal {
           }
         }
         AssetFeatures(id, kind, bytes.length, meanByte, crc, feat,
-          -1, -1, -1.0, real_decode = false)
+          -1, -1, -1.0, -1, -1, -1.0, real_decode = false)
     }
   }
 

@@ -6,16 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
 /** Multimodal pipeline surfaced as queries (rows-only driver check —
-  * image decode is real javax.imageio pixel decode, audio/video kernels
-  * are disclosed stubs; neither is SQL-expressible, so MultimodalSpec
-  * pins the semantics).
+  * image decode is real javax.imageio pixel decode and audio decode real
+  * javax.sound.sampled WAV/PCM decode; the video kernel is a disclosed
+  * stub. None is SQL-expressible, so MultimodalSpec pins the semantics).
   */
 object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // decode/feature-extract pass: per-kind feature statistics. For
-    // kind=image n_decoded == n_assets (real pixel decode); luma stats
-    // are -1 sentinels for the stub-featurized kinds.
+    // kind=image and kind=audio n_decoded == n_assets (real pixel /
+    // sample decode); luma and rms stats are -1 sentinels for the
+    // kinds the respective decoder doesn't apply to.
     "mm_decode_stats" -> ((s, d) => {
       Multimodal.decodeFeatures(Multimodal.syntheticAssets(s, d))
         .toDF()
@@ -24,6 +25,7 @@ object MultimodalQueries {
           sum(col("byte_len")).as("total_bytes"),
           round(avg(col("mean_byte")), 6).as("avg_mean_byte"),
           round(avg(col("mean_luma")), 6).as("avg_mean_luma"),
+          round(avg(col("rms")), 6).as("avg_rms"),
           sum(when(col("real_decode"), 1L).otherwise(0L)).as("n_decoded"))
     }),
     // frame-sampling pass: kept-frame counts per kind

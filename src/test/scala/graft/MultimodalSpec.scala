@@ -27,13 +27,17 @@ class MultimodalSpec extends SparkSpec {
     // same field names/types (nullability differs: lit() is non-null)
     assert(assets.schema("meta").dataType.simpleString ==
       Multimodal.assetSchema("meta").dataType.simpleString)
-    // image payloads are real PNGs (magic bytes); others are the padded
-    // 1024-byte stub payloads
+    // image payloads are real PNGs, audio payloads real RIFF/WAVs
+    // (magic bytes); video is the padded 1024-byte stub payload
     val img = assets.filter(col("kind") === "image").head()
       .getAs[Array[Byte]]("bytes")
     assert((img(0) & 0xff) == 0x89 && img(1) == 'P' && img(2) == 'N' &&
       img(3) == 'G', "image payload must be a PNG")
-    val other = assets.filter(col("kind") =!= "image").head()
+    val wav = assets.filter(col("kind") === "audio").head()
+      .getAs[Array[Byte]]("bytes")
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' &&
+      wav(3) == 'F', "audio payload must be a WAV")
+    val other = assets.filter(col("kind") === "video").head()
     assert(other.getAs[Array[Byte]]("bytes").length == 1024)
   }
 
@@ -48,10 +52,14 @@ class MultimodalSpec extends SparkSpec {
       "batch size must not affect results")
     assert(a.forall(_.feature.length == 16))
     assert(a.forall(f => f.mean_byte > 0 && f.mean_byte < 256))
-    // every image asset really pixel-decodes; stub kinds never do
+    // every image asset really pixel-decodes and every audio asset
+    // really sample-decodes; the video stub kind never does
     assert(a.filter(_.kind == "image")
       .forall(f => f.real_decode && f.width == 32 && f.height == 32))
-    assert(a.filter(_.kind != "image").forall(!_.real_decode))
+    assert(a.filter(_.kind == "audio")
+      .forall(f => f.real_decode && f.sample_rate == 8000 &&
+        f.n_samples == 800 && f.rms > 0))
+    assert(a.filter(_.kind == "video").forall(!_.real_decode))
   }
 
   test("image decode is real: known PNG pixels → known luma features") {
@@ -85,6 +93,57 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.decodeKernel(1L, "image", Array[Byte](0, 2, 4))
     assert(f.byte_len == 3 && f.mean_byte == 2.0)
     assert(!f.real_decode && f.width == -1 && f.mean_luma == -1.0)
+  }
+
+  /** Encode nSamples of mono 16-bit PCM (given as normalized doubles)
+    * as WAV bytes via the same JDK writer production uses.
+    */
+  private def wavOf(sampleRate: Int, samples: Array[Double]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val v = math.max(-32768, math.min(32767, math.round(s * 32768))).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio decode is real: known waveform → known sample features") {
+    // silence: rms and every envelope bin exactly 0
+    val silent = Multimodal.decodeKernel(1L, "audio",
+      wavOf(16000, Array.fill(320)(0.0)))
+    assert(silent.real_decode && silent.sample_rate == 16000 &&
+      silent.n_samples == 320)
+    assert(silent.rms == 0.0 && silent.feature.forall(_ == 0.0f))
+    // ±0.25 square wave, half-period 8: rms == 0.25 exactly, every
+    // envelope bin == 0.25, zero-crossing every 8th sample
+    val sq = Array.tabulate(320)(i => if ((i / 8) % 2 == 0) 0.25 else -0.25)
+    val f = Multimodal.decodeKernel(2L, "audio", wavOf(8000, sq))
+    assert(f.real_decode && f.sample_rate == 8000 && f.n_samples == 320)
+    assert(math.abs(f.rms - 0.25) < 1e-4, s"rms=${f.rms}")
+    assert(f.feature.forall(v => math.abs(v - 0.25f) < 1e-4))
+  }
+
+  test("audio decode matches the synthetic WAV generator sample-for-sample") {
+    val id = 5L
+    val f = Multimodal.decodeKernel(id, "audio", Multimodal.syntheticWav(id))
+    assert(f.real_decode && f.sample_rate == 8000 && f.n_samples == 800)
+    // recompute expected rms straight from the generator formula
+    val amp = (8192 + (id % 3) * 4096) / 32768.0
+    assert(math.abs(f.rms - amp) < 1e-4, s"rms=${f.rms} amp=$amp")
+    assert(f.feature.forall(v => math.abs(v - amp) < 1e-4))
+  }
+
+  test("decode kernel: non-WAV audio payload falls back to byte-stats stub") {
+    val f = Multimodal.decodeKernel(3L, "audio", Array[Byte](1, 3, 5, 7))
+    assert(!f.real_decode && f.sample_rate == -1 && f.rms == -1.0)
   }
 
   test("frameSample keeps every Nth frame with correct payload split") {
@@ -139,16 +198,21 @@ class MultimodalSpec extends SparkSpec {
           Multimodal.syntheticPng(id))
       }
       java.nio.file.Files.write(dir.resolve("clip.wav"),
+        Multimodal.syntheticWav(4L))
+      java.nio.file.Files.write(dir.resolve("noise.wav"),
         Array.fill[Byte](64)(7))
       val ingested = Multimodal.readAssets(spark, dir.toString)
       assert(ingested.schema.fieldNames.toSeq ==
         Seq("asset_id", "kind", "bytes", "meta"))
       val feats = Multimodal.decodeFeatures(ingested).collect()
-      assert(feats.length == 4)
+      assert(feats.length == 5)
       val images = feats.filter(_.kind == "image")
       assert(images.length == 3 &&
         images.forall(f => f.real_decode && f.width == 32 && f.height == 32))
-      assert(feats.filter(_.kind == "audio").forall(!_.real_decode))
+      // the real WAV decodes; the garbage .wav falls back to the stub
+      val audio = feats.filter(_.kind == "audio")
+      assert(audio.count(f => f.real_decode && f.sample_rate == 8000) == 1)
+      assert(audio.count(!_.real_decode) == 1)
       // ids are path-derived and thus stable across re-reads
       val again = Multimodal.readAssets(spark, dir.toString)
         .select("asset_id").collect().map(_.getLong(0)).toSet
