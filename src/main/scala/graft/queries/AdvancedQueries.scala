@@ -191,6 +191,66 @@ object AdvancedQueries {
         .select(col("u").as("user_id"), col("id_a"), col("id_b"))
     }),
 
+    // §2.4 [EXT]: interval-OVERLAP join, BUCKETED — pairs of shipments
+    // of the same supplier whose shipment intervals overlap (interval
+    // end synthesized deterministically: ship + 1 + quantity%30 days,
+    // since the test tables carry no receiptdate). Distinct from q38
+    // (point-vs-point proximity): both join sides are intervals. Each
+    // interval explodes to the 32-day blocks it covers (≤ 31-day
+    // intervals → ≤ 2 blocks each), the
+    // join is a pure equi-join on (supplier, block), and each pair is
+    // emitted exactly once — in the block containing the LATER start,
+    // which both intervals overlap by construction — so no post-join
+    // distinct shuffle. Per-key fan-in is bounded by per-block shipment
+    // counts, never a per-supplier cross product over all time: the
+    // shape that survives 100 TB. A naive BNLJ on the raw inequality
+    // is what this replaces.
+    "q80_interval_overlap" -> ((s, d) => {
+      val W = 32 // days per block; must be ≥ the max interval length
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          expr("unix_date(cast(l_shipdate as date))").as("sd"),
+          (expr("unix_date(cast(l_shipdate as date))") + 1 +
+            expr("cast(l_quantity as int) % 30")).as("rd"))
+      val a = li.filter(col("l_linenumber") === 1)
+        .select(col("l_suppkey").as("suppkey"),
+          col("l_orderkey").as("okey_a"),
+          col("sd").as("sd_a"), col("rd").as("rd_a"),
+          explode(expr(s"sequence(sd div $W, rd div $W)")).as("blk"))
+      val b = li.filter(col("l_linenumber") === 2)
+        .select(col("l_suppkey").as("sk2"),
+          col("l_orderkey").as("okey_b"),
+          col("sd").as("sd_b"), col("rd").as("rd_b"),
+          explode(expr(s"sequence(sd div $W, rd div $W)")).as("blk2"))
+      a.join(b, col("suppkey") === col("sk2") && col("blk") === col("blk2"))
+        .filter(col("sd_a") <= col("rd_b") && col("sd_b") <= col("rd_a") &&
+          col("blk") === expr(s"greatest(sd_a, sd_b) div $W"))
+        .select(col("suppkey"), col("okey_a"), col("okey_b"),
+          (least(col("rd_a"), col("rd_b")) -
+            greatest(col("sd_a"), col("sd_b")) + 1).cast("long")
+            .as("overlap_days"))
+    }),
+
+    // §2.6 [EXT]: SCD2 (slowly-changing-dimension type 2) history build
+    // from a change log — each user's event stream becomes versioned
+    // rows with [valid_from, valid_to) ranges and a current-row flag,
+    // the canonical warehouse shape for incremental dimension ingest.
+    // One window shuffle on user_id (ties broken by event_id for
+    // determinism); no self-join — lead() IS the interval close.
+    "q83_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("version", row_number().over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("version"))
+    }),
+
     // §2.5: second-moment statistics (variance/stddev/correlation) from
     // EXPLICIT decimal sums — Spark's builtin stddev/corr merge partial
     // double states in partition order, so their low bits are run-
@@ -336,6 +396,33 @@ object AdvancedQueries {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'"""
+        .stripMargin,
+    "q83_scd2" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        | lead(ts, 1) OVER w AS valid_to,
+        | (lead(ts, 1) OVER w IS NULL) AS is_current,
+        | CAST(row_number() OVER w AS INTEGER) AS version
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+        .stripMargin,
+    "q80_interval_overlap" ->
+      """WITH li AS (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS sd,
+        |  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    + 1 + (CAST(l_quantity AS INTEGER) % 30) AS rd
+        | FROM lineitem
+        | WHERE CAST(l_shipdate AS DATE)
+        |       BETWEEN DATE '1996-01-01' AND DATE '1996-03-31')
+        |SELECT a.l_suppkey AS suppkey,
+        | a.l_orderkey AS okey_a, b.l_orderkey AS okey_b,
+        | CAST(least(a.rd, b.rd) - greatest(a.sd, b.sd) + 1 AS BIGINT)
+        |   AS overlap_days
+        |FROM li a JOIN li b
+        |  ON a.l_suppkey = b.l_suppkey
+        | AND a.sd <= b.rd AND b.sd <= a.rd
+        |WHERE a.l_linenumber = 1 AND b.l_linenumber = 2"""
         .stripMargin,
     "q32_window_fns" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

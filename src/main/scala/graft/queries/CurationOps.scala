@@ -123,7 +123,27 @@ object CurationOps {
             .otherwise("20"))
         .filter(substring(md5(col("doc_id").cast("string")), 1, 2)
           < col("thr"))
-        .select(col("doc_id"), col("lang"), col("source")))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // Weighted deterministic sampling (expected-size k per language,
+    // weight = token count): keep doc iff u · W_lang < k · w, with
+    // u = Knuth-multiplicative-hash(doc_id) — INTEGER arithmetic end to
+    // end, so both engines agree bit-for-bit and no per-group sort or
+    // reservoir state exists at all: one tiny per-lang total broadcast
+    // back over a narrow filter pass, the weighted analogue of q50.
+    // (At extreme corpus scale u·W_lang can outgrow BIGINT — widen the
+    // product to DECIMAL(38,0); same plan shape.)
+    "q84_weighted_sample" -> ((s, d) => {
+      val k = 50L
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+      val tot = docs.groupBy("lang").agg(sum(col("w")).as("wtot"))
+      docs.join(broadcast(tot), Seq("lang"))
+        .filter(pmod(col("doc_id") * 2654435761L, lit(4294967296L))
+          * col("wtot") < lit(k) * col("w") * lit(4294967296L))
+        .select(col("doc_id"), col("lang"), col("w"))
+    })
   )
 
   /** Shared by q57 and q69: the bloom is a pure pre-filter (no false
@@ -145,6 +165,15 @@ object CurationOps {
       .stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q84_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |tot AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS wtot FROM t
+        |        GROUP BY lang)
+        |SELECT doc_id, lang, w FROM t JOIN tot USING (lang)
+        |WHERE ((doc_id * 2654435761) % 4294967296) * wtot
+        |      < 50 * w * 4294967296""".stripMargin,
     "q57_decontaminate" -> decontaminateSql,
     "q69_decontaminate_bloom" -> decontaminateSql,
     "q58_pii_scrub" ->

@@ -141,6 +141,55 @@ object PipelineOps {
         round(col("n_dup_spans") / col("n_spans"), 6).as("dup_span_frac"))
   }
 
+  /** Fixed-window token chunking with overlap — the "split long
+    * documents into context-length training samples" pass. Chunk starts
+    * step by `stride` (< `chunkTokens` → overlapping windows, the usual
+    * training setup); the tail chunk may be short. Pure narrow array
+    * expressions + one explode: zero shuffles, fused into the scan at
+    * any scale. Chunk text leaves as an md5 so downstream joins shuffle
+    * 32-byte keys, not text.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48)
+      : DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, size(tk) - 1, $stride)")).as("st"))
+      .select(col("doc_id"),
+        expr(s"st div $stride").as("chunk_idx"),
+        expr(s"size(slice(tk, st + 1, $chunkTokens))").cast("long")
+          .as("chunk_len"),
+        expr(s"md5(concat_ws(' ', slice(tk, st + 1, $chunkTokens)))")
+          .as("chunk_hash"))
+
+  /** Corpus bigram language model + per-document mean log-likelihood —
+    * perplexity-flavored quality scoring: documents full of rare word
+    * transitions score low. P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+    * (add-one smoothing; V = distinct unigrams, a driver-side scalar —
+    * the IVF-centroid metadata pattern). Cost shape: one shuffle to
+    * count bigrams, one to count contexts, then the scoring join back
+    * on (w1, w2) — co-partitioned with the count's own grouping, so AQE
+    * can reuse the exchange; the model tables are vocabulary-sized
+    * (corpus-sublinear) and broadcast when small.
+    */
+  def bigramScore(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bg = tk.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val v = tk.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log((col("c2") + 1.0) / (col("c1") + v.toDouble)))
+          / count(lit(1)), 6).as("lm_score"))
+  }
+
   /** Map-typed column surface: construct a map from scalar columns and
     * JSON, then inspect (size/map_keys/map_contains_key), extract
     * (element_at), transform (transform_values/map_filter), merge
@@ -170,6 +219,8 @@ object PipelineOps {
     "q65_pack_sequences" -> ((s, d) => packSequences(Tables(s, d, "documents"))),
     "q66_domain_mix" -> ((s, d) => domainMix(Tables(s, d, "documents"))),
     "q70_dup_spans" -> ((s, d) => dupSpans(Tables(s, d, "documents"))),
+    "q81_chunk_docs" -> ((s, d) => chunkDocs(Tables(s, d, "documents"))),
+    "q82_bigram_lm" -> ((s, d) => bigramScore(Tables(s, d, "documents"))),
 
     // Corpus snapshot diff — the incremental-pipeline primitive: classify
     // every doc as added/removed/changed between two snapshots by
@@ -243,6 +294,33 @@ object PipelineOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q81_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS st
+        |      FROM t)
+        |SELECT doc_id, st // 48 AS chunk_idx,
+        |  CAST(len(tk[st+1:st+64]) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(tk[st+1:st+64], ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
+    "q82_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |         i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+        |       FROM t),
+        |b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b
+        |       GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b
+        |       GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |      FROM (SELECT unnest(tk) AS w FROM t))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(sum(ln((c2 + 1.0) / (c1 + CAST(v AS DOUBLE))))
+        |    / count(*), 6) AS lm_score
+        |FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin,
     "q75_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents
         |           WHERE doc_id % 7 != 2),

@@ -77,6 +77,13 @@ class PlanSpec extends SparkSpec {
       s"limit should fuse into the sort:\n$p")
   }
 
+  test("q80 interval overlap: bucketed equi-join, never an inequality BNLJ") {
+    val p = plan("q80_interval_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"interval overlap must stay a (supplier, block) equi-join:\n$p")
+  }
+
   test("q56 quantile budget: thresholds broadcast, no cartesian") {
     val p = plan("q56_quantile_budget")
     assert(p.contains("BroadcastHashJoin"),
