@@ -93,6 +93,78 @@ object SimilarityQueries {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Per-centroid (sim, idx) struct array for argmax assignment. */
+  private def simArray(cents: Array[Array[Float]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(vec_cosine(col("embedding"), typedlit(c.toSeq)).as("sim"),
+        lit(i).as("idx"))
+    }: _*)
+
+  /** Deterministic k-means-lite coarse quantizer shared by sim_ann_ivf
+    * and dedup_semantic: seeds = lowest vec_ids, `iters` Lloyd rounds as
+    * Spark jobs (assign = argmax cosine against broadcast centroid
+    * literals; update = per-dimension mean via posexplode+groupBy). The
+    * returned centroids are KB-scale driver metadata — the standard IVF
+    * shape; the corpus itself never leaves the executors.
+    */
+  private[graft] def trainCentroids(e: DataFrame, c: Int, iters: Int)
+      : Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = e.filter(col("vec_id") < c)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    (1 to iters).foreach { _ =>
+      val assigned = e.withColumn("sims", simArray(centroids))
+        .withColumn("c", expr("array_max(sims).idx"))
+        .select(col("c"), posexplode(col("embedding")))
+      val means = assigned.groupBy(col("c"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("c"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
+          .as("centroid"))
+        .collect().map(r => r.getInt(0) ->
+          r.getAs[scala.collection.Seq[Float]]("centroid").toArray).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Cluster assignment column (argmax cosine; ties break to the lower
+    * centroid index via the struct ordering).
+    */
+  private[graft] def assignCluster(e: DataFrame,
+      cents: Array[Array[Float]]): DataFrame =
+    e.withColumn("sims", simArray(cents))
+      .withColumn("c", expr("array_max(sims).idx")).drop("sims")
+
+  /** SemDeDup-style semantic dedup [Abbas et al. '23, arXiv:2303.09540]:
+    * k-means-cluster the embeddings with the shared quantizer, compare
+    * pairs ONLY within a cluster, and drop the higher-id side of any
+    * pair with exact cosine ≥ `thr`. Approximate by design — a dup pair
+    * split across clusters is unseen (the quantizer quality is the
+    * recall knob; precision is exact because the within-cluster cosine
+    * is exact). Scale shape: the cluster id IS the shuffle key, per-
+    * cluster work is (n/C)² — C grows with n to hold cluster size
+    * constant, exactly the SemDeDup recipe at 100 TB. Output: one row
+    * per dropped vector with its lowest-id duplicate and best sim.
+    */
+  private[graft] def semanticDedup(e: DataFrame, c: Int, thr: Double)
+      : DataFrame = {
+    val indexed = assignCluster(e, trainCentroids(e, c, 2))
+    val a = indexed.select(col("c"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = indexed.select(col("c"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("c"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", vec_cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= thr)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("dup_of"),
+        round(max(col("sim")), 6).as("max_sim"))
+      .select(col("id_b").as("vec_id"), col("dup_of"), col("max_sim"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = centroidQueries ++ Map(
     // Exact brute-force cosine top-k for the first NumQueries vectors.
     "q25_ann_topk" -> ((s, d) => {
@@ -119,35 +191,8 @@ object SimilarityQueries {
     "sim_ann_ivf" -> ((s, d) => {
       val C = 16; val Probes = 4; val LloydIters = 2
       val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-
-      def simArray(cents: Array[Array[Float]]): Column =
-        array(cents.zipWithIndex.map { case (c, i) =>
-          struct(vec_cosine(col("embedding"), typedlit(c.toSeq)).as("sim"),
-            lit(i).as("idx"))
-        }: _*)
-      def assign(cents: Array[Array[Float]]): Column =
-        expr("array_max(sims).idx") // struct compare: max sim, tie → idx
-
-      var centroids: Array[Array[Float]] = e.filter(col("vec_id") < C)
-        .orderBy(col("vec_id")).collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
-      (1 to LloydIters).foreach { _ =>
-        val assigned = e.withColumn("sims", simArray(centroids))
-          .withColumn("c", assign(centroids))
-          .select(col("c"), posexplode(col("embedding")))
-        val means = assigned.groupBy(col("c"), col("pos"))
-          .agg(avg(col("col")).as("m"))
-          .groupBy(col("c"))
-          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
-            .as("centroid"))
-          .collect().map(r => r.getInt(0) ->
-            r.getAs[scala.collection.Seq[Float]]("centroid").toArray).toMap
-        centroids = centroids.indices
-          .map(i => means.getOrElse(i, centroids(i))).toArray
-      }
-
-      val indexed = e.withColumn("sims", simArray(centroids))
-        .withColumn("c", assign(centroids)).drop("sims")
+      val centroids = trainCentroids(e, C, LloydIters)
+      val indexed = assignCluster(e, centroids)
       // query side: top-`Probes` centroids per query vector
       val q = indexed.filter(col("vec_id") < NumQueries)
         .withColumn("sims", simArray(centroids))
@@ -165,6 +210,14 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
           round(col("sim"), 6).as("sim"))
     }),
+
+    // SemDeDup semantic dedup over the embedding corpus — cluster with
+    // the shared quantizer, exact cosine within clusters only, drop the
+    // higher id of each ≥ 0.4 pair (0.4 matches q24's exact all-pairs
+    // threshold, so AnnSpec can pin precision/recall against it).
+    "dedup_semantic" -> ((s, d) => semanticDedup(
+      Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      c = 16, thr = 0.4)),
 
     // LSH-bucketed ANN: exact cosine only within the query's probed
     // buckets — see annLsh for the plane-count/probe-radius scaling law.

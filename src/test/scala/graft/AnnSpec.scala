@@ -72,6 +72,51 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("semantic dedup: precision 1 vs exact pairs, recall >= 0.5") {
+    // ground truth: every (a < b, cosine >= 0.4) pair → b is droppable
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truePairs = (for {
+      i <- e.indices; j <- (i + 1) until e.length
+      if cos(e(i)._2, e(j)._2) >= 0.4
+    } yield (e(i)._1, e(j)._1)).toSet
+    val droppable = truePairs.map(_._2)
+    // C scales with corpus size (cluster size n/C is the recall knob —
+    // the scaladoc's law): this corpus is ~50 vectors, so C = 4 here
+    // where the driver entry uses 16 at 10× the rows.
+    val edf = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dropped = graft.queries.SimilarityQueries
+      .semanticDedup(edf, c = 4, thr = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dropped.nonEmpty, "semantic dedup dropped nothing")
+    // precision is exact by construction: every drop is a real pair
+    dropped.foreach { case (b, a) =>
+      assert(truePairs((a, b)), s"dropped $b citing $a, not a true pair")
+    }
+    val recall = dropped.keySet.count(droppable).toDouble / droppable.size
+    assert(recall >= 0.5, s"semantic dedup recall $recall")
+    // and fewer, smaller clusters can only see MORE within-cluster
+    // pairs: C=4 must dominate the C=16 assignment's recall
+    val dropped16 = graft.queries.SimilarityQueries
+      .semanticDedup(edf, c = 16, thr = 0.4).collect()
+      .map(_.getLong(0)).toSet
+    val recall16 = dropped16.count(droppable).toDouble / droppable.size
+    assert(recall >= recall16 - 1e-9,
+      s"C=4 recall $recall below C=16 recall $recall16")
+  }
+
   test("LSH ANN sweep: recall tracks the plane/probe scaling law") {
     import graft.queries.SimilarityQueries
     val e = Tables(spark, sf, "embeddings")
