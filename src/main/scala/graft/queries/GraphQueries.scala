@@ -56,6 +56,36 @@ object GraphQueries {
           round(col("rank"), 9).as("rank"))
     }),
 
+    // Seeded BFS to depth 2 on the customer↔supplier trade graph: the
+    // frontier-expansion primitive behind "blast radius" / reachability
+    // queries. Seeds are every 100th customer; dist-1 = suppliers that
+    // filled a seed's order line, dist-2 = other customers of those
+    // suppliers. Each hop is ONE equi-join keyed on the frontier — work
+    // is proportional to edges incident to the frontier, never the whole
+    // graph, and the frontier stays a distinct-node set (no path
+    // explosion). Customers and suppliers live in disjoint id spaces by
+    // construction (bipartite), so only the seed set needs re-exclusion
+    // at dist 2.
+    "q86_bfs" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val seeds = Tables(s, d, "customer")
+        .filter(pmod(col("c_custkey"), lit(100)) === 0)
+        .select(col("c_custkey").as("id"))
+      val d1 = ce.join(seeds, col("cust") === col("id"), "left_semi")
+        .select(col("supp").as("id")).distinct()
+      val d2 = ce.join(d1, col("supp") === col("id"), "left_semi")
+        .select(col("cust").as("id")).distinct()
+        .filter(pmod(col("id"), lit(100)) =!= 0)
+      seeds.select(lit("customer").as("kind"), col("id"), lit(0).as("dist"))
+        .union(d1.select(lit("supplier"), col("id"), lit(1)))
+        .union(d2.select(lit("customer"), col("id"), lit(2)))
+    }),
+
     "q77_triangles" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       // one scalar to the driver (IVF-centroid pattern) — a 1-row
@@ -87,6 +117,22 @@ object GraphQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q86_bfs" ->
+      """WITH ce AS (SELECT DISTINCT o.o_custkey AS cust,
+        |                   l.l_suppkey AS supp
+        |            FROM lineitem l
+        |            JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |seeds AS (SELECT c_custkey AS id FROM customer
+        |          WHERE c_custkey % 100 = 0),
+        |d1 AS (SELECT DISTINCT supp AS id FROM ce
+        |       WHERE cust IN (SELECT id FROM seeds)),
+        |d2 AS (SELECT DISTINCT cust AS id FROM ce
+        |       WHERE supp IN (SELECT id FROM d1) AND cust % 100 <> 0)
+        |SELECT 'customer' AS kind, id, CAST(0 AS INTEGER) AS dist FROM seeds
+        |UNION ALL
+        |SELECT 'supplier', id, CAST(1 AS INTEGER) FROM d1
+        |UNION ALL
+        |SELECT 'customer', id, CAST(2 AS INTEGER) FROM d2""".stripMargin,
     "q74_pagerank" ->
       """WITH ce AS (SELECT DISTINCT o.o_custkey * 2 AS u,
         |                   l.l_suppkey * 2 + 1 AS v

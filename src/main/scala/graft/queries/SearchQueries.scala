@@ -51,6 +51,10 @@ object SearchQueries {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** q90 phrase terms (fixed, so both engines search the same phrase). */
+  private val PhraseW1 = "table"
+  private val PhraseW2 = "scan"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Distributed grep: the OSDI'04 §2.1 example workload. rlike pushes
     // into the scan filter; match count + first match are computed only
@@ -104,6 +108,28 @@ object SearchQueries {
         .agg(round(sum(col("score_t")), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // Phrase search over a POSITIONAL inverted index — the adjacency-join
+    // form every phrase-capable search engine runs: postings are
+    // (term, doc_id, position); a 2-token phrase is an equi-join of the
+    // two terms' postings on (doc_id, pos+1). The per-term filters prune
+    // the exploded token table to just the phrase terms' postings BEFORE
+    // the join shuffle, so the joined volume is postings-of-the-rarer-
+    // term, not the corpus — the standard intersection cost model.
+    // Overlap-safe by construction (counts token adjacency, not string
+    // replace), which a LIKE-based scan is not.
+    "q90_phrase_search" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val t1 = tok.filter(col("w") === PhraseW1)
+        .select(col("doc_id"), col("pos"))
+      val t2 = tok.filter(col("w") === PhraseW2)
+        .select(col("doc_id").as("d2"), col("pos").as("p2"))
+      t1.join(t2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"))
     }),
 
     // Word entropy, shuffle-free: array_sort → run boundaries → run
@@ -166,6 +192,16 @@ object SearchQueries {
         |WHERE df.term = t.term AND dl.doc_id = t.doc_id
         |GROUP BY t.doc_id
         |ORDER BY score DESC, t.doc_id LIMIT 20""".stripMargin,
+    "q90_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS sp
+         |            FROM documents),
+         |pos AS (SELECT doc_id, unnest(generate_series(1, len(sp))) AS i, sp
+         |        FROM tk),
+         |w AS (SELECT doc_id, i, sp[i] AS w FROM pos)
+         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+         |FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |WHERE a.w = '$PhraseW1' AND b.w = '$PhraseW2'
+         |GROUP BY a.doc_id""".stripMargin,
     "q76_word_entropy" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

@@ -165,7 +165,72 @@ object SimilarityQueries {
       .select(col("id_b").as("vec_id"), col("dup_of"), col("max_sim"))
   }
 
+  /** q85: Lloyd k-means, hash-checked cross-engine. The floating-point
+    * discipline that makes an ITERATIVE ML algorithm oracle-comparable:
+    * distances fold per-dimension squared deltas through a DECIMAL(25,12)
+    * accumulator and centroid updates sum DECIMAL(20,8)-rounded
+    * coordinates (the q51 trick) — decimal addition is exact and
+    * order-independent, so partition order can't flip an argmin and both
+    * engines compute bit-identical assignments. Scale shape: classic
+    * distributed Lloyd — per iteration one scan + one K-group partial
+    * aggregation carrying K×(dim+1) cells; the only driver state is the
+    * centroid matrix (KB — the IVF-centroid pattern). Ties break to the
+    * lower cluster id via the (dist, k) struct ordering.
+    */
+  private[graft] def kmeansLloyd(emb: DataFrame, k: Int, iters: Int,
+      dim: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    def distTo(c: Array[Double]): Column =
+      aggregate(
+        zip_with(col("e"), typedlit(c.toSeq),
+          (x, y) => ((x - y) * (x - y)).cast("decimal(25,12)")),
+        lit(0).cast("decimal(25,12)"),
+        (acc, v) => (acc + v).cast("decimal(25,12)"))
+    // init: the k lowest vec_ids (driver metadata, KB)
+    var cents: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("e").toArray)
+    def assigned(cs: Array[Array[Double]]): DataFrame = {
+      val dk = array(cs.zipWithIndex.map { case (c, i) =>
+        struct(distTo(c).as("d"), lit(i).as("k"))
+      }: _*)
+      e.withColumn("k", array_min(dk).getField("k"))
+    }
+    val sumCols = (0 until dim).map(j =>
+      sum(element_at(col("e"), j + 1).cast("decimal(20,8)"))
+        .cast("double").as(s"s$j"))
+    (1 until iters).foreach { _ =>
+      val upd = assigned(cents).groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+        .map { r =>
+          r.getInt(0) -> (0 until dim)
+            .map(j => r.getDouble(2 + j) / r.getLong(1)).toArray
+        }.toMap
+      // empty clusters keep their previous centroid
+      cents = cents.indices.map(i => upd.getOrElse(i, cents(i))).toArray
+    }
+    // final round: assignment against the last collected centroids, then
+    // size + updated-centroid norm in ONE aggregation — the output stays
+    // a distributed plan end-to-end.
+    val normExpr = round(sqrt((0 until dim)
+      .map(j => (col(s"s$j") / col("n")) * (col(s"s$j") / col("n")))
+      .reduce(_ + _)), 6)
+    assigned(cents).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .select(col("k").as("cluster"), col("n"), normExpr.as("c_norm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = centroidQueries ++ Map(
+    // Oracle-checked Lloyd k-means over the embedding corpus (K=5, two
+    // assign→update rounds): output = per-cluster size + updated-centroid
+    // L2 norm. See kmeansLloyd for the decimal discipline that makes the
+    // iteration hash-comparable cross-engine.
+    "q85_kmeans" -> ((s, d) => kmeansLloyd(
+      Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      k = 5, iters = 2, dim = 64)),
+
     // Exact brute-force cosine top-k for the first NumQueries vectors.
     "q25_ann_topk" -> ((s, d) => {
       val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -250,6 +315,59 @@ object SimilarityQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // Two unrolled Lloyd rounds, same decimal discipline as kmeansLloyd:
+    // DECIMAL(25,12) per-dim squared deltas (exact, order-independent
+    // sums ⇒ bit-identical argmins), DECIMAL(20,8) centroid sums cast to
+    // DOUBLE before the /n. Empty clusters fall back to their previous
+    // centroid via the LEFT JOIN coalesce, mirroring getOrElse.
+    "q85_kmeans" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |edx AS (SELECT vec_id, j, v[j] AS x
+        |        FROM (SELECT vec_id, unnest(generate_series(1, len(v))) AS j,
+        |                v FROM e)),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 5)),
+        |c0x AS (SELECT k, j, v[j] AS c
+        |        FROM (SELECT k, unnest(generate_series(1, len(v))) AS j, v
+        |              FROM c0)),
+        |d1 AS (SELECT e.vec_id, c.k,
+        |         sum(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(25,12)))
+        |           AS dist
+        |       FROM edx e JOIN c0x c ON e.j = c.j
+        |       GROUP BY e.vec_id, c.k),
+        |a1 AS (SELECT vec_id, k FROM
+        |        (SELECT vec_id, k, row_number() OVER
+        |           (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |c1u AS (SELECT a.k, e.j,
+        |          CAST(sum(CAST(e.x AS DECIMAL(20,8))) AS DOUBLE)
+        |            / count(*) AS c
+        |        FROM a1 a JOIN edx e ON a.vec_id = e.vec_id
+        |        GROUP BY a.k, e.j),
+        |c1x AS (SELECT c0.k, c0.j, coalesce(c1u.c, c0.c) AS c
+        |        FROM c0x c0 LEFT JOIN c1u
+        |          ON c0.k = c1u.k AND c0.j = c1u.j),
+        |d2 AS (SELECT e.vec_id, c.k,
+        |         sum(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(25,12)))
+        |           AS dist
+        |       FROM edx e JOIN c1x c ON e.j = c.j
+        |       GROUP BY e.vec_id, c.k),
+        |a2 AS (SELECT vec_id, k FROM
+        |        (SELECT vec_id, k, row_number() OVER
+        |           (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d2)
+        |       WHERE rn = 1),
+        |cnt AS (SELECT k, count(*) AS n FROM a2 GROUP BY k),
+        |c2x AS (SELECT a.k, e.j,
+        |          CAST(sum(CAST(e.x AS DECIMAL(20,8))) AS DOUBLE)
+        |            / count(*) AS c
+        |        FROM a2 a JOIN edx e ON a.vec_id = e.vec_id
+        |        GROUP BY a.k, e.j)
+        |SELECT CAST(c2x.k AS INTEGER) AS cluster, cnt.n AS n,
+        |  round(sqrt(sum(c2x.c * c2x.c)), 6) AS c_norm
+        |FROM c2x JOIN cnt ON c2x.k = cnt.k
+        |GROUP BY c2x.k, cnt.n""".stripMargin,
     "q51_centroids" ->
       """SELECT label, CAST(gs - 1 AS INTEGER) AS pos,
         | round(CAST(SUM(CAST(e AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)

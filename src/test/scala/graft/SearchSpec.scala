@@ -20,6 +20,33 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("q90 phrase search counts token adjacency, not string containment") {
+    import spark.implicits._
+    // same-token runs: "scan scan scan" holds TWO "scan scan" adjacencies
+    // (a LIKE/replace-based count sees one); "scans can" holds none.
+    val docs = Seq(
+      (1L, "scan scan scan"),
+      (2L, "a scan scan b"),
+      (3L, "scans can"),
+      (4L, "scan alone")).toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val t1 = tok.filter(col("w") === "scan")
+      .select(col("doc_id"), col("pos"))
+    val t2 = tok.filter(col("w") === "scan")
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    val got = t1
+      .join(t2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+    // the driver-facing query finds real phrase hits on the test corpus
+    val rows = run("q90_phrase_search").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_occ") >= 1)
+    }
+  }
+
   test("q72 inverted-index dictionary: df/cf on a crafted corpus") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c"))
