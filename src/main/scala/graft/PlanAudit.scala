@@ -22,7 +22,10 @@ object PlanAudit {
       "sim_ann_lsh", "q23_ngram_jaccard",
       "q71_grep", "q72_inverted_index", "q73_bm25", "q74_pagerank",
       "q75_snapshot_diff", "q76_word_entropy", "q77_triangles",
-      "q78_compress_ratio", "q79_zorder").foreach { n =>
+      "q78_compress_ratio", "q79_zorder",
+      "q85_kmeans", "q86_bfs", "q87_skew_profile", "q88_epoch_shuffle",
+      "q89_temperature_mix", "q90_phrase_search", "q91_fuzzy_join")
+      .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head

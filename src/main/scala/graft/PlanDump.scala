@@ -36,7 +36,10 @@ object PlanDump {
       "q65_pack_sequences" -> "distributed prefix sum: per-bucket window cumsum + broadcast 16-row bucket offsets; no global sort of the corpus",
       "q73_bm25" -> "broadcast df (|query| rows) + corpus stats (1 row); one per-doc score shuffle",
       "q74_pagerank" -> "per-round edge-rank equi-join + gather aggregation; O(1) plan depth via localCheckpoint",
-      "q79_zorder" -> "narrow interleave_bits kernel inside codegen; single bounded-key aggregation")
+      "q79_zorder" -> "narrow interleave_bits kernel inside codegen; single bounded-key aggregation",
+      "q85_kmeans" -> "Lloyd assignment as narrow decimal expressions over centroid literals; ONE K-group partial+final aggregation carries the whole update",
+      "q90_phrase_search" -> "per-term postings filters prune the exploded tokens BEFORE the adjacency equi-join shuffle",
+      "q91_fuzzy_join" -> "deletion-neighborhood candidate equi-join (no all-pairs); exact levenshtein verify after the distinct")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -87,7 +90,15 @@ object PlanDump {
       "q75_snapshot_diff" ->
         "no hint, full-outer by design: both snapshots scale with the corpus; the join carries (id, 32-byte hash) only, one co-partitioned shuffle",
       "q77_triangles" ->
-        "no hint on the triangle joins: the edge set is vocabulary-bounded (AQE broadcasts at any realistic vocabulary); the 1-row doc count IS explicitly broadcast into the edge threshold filter")
+        "no hint on the triangle joins: the edge set is vocabulary-bounded (AQE broadcasts at any realistic vocabulary); the 1-row doc count IS explicitly broadcast into the edge threshold filter",
+      "q85_kmeans" ->
+        "no join at all: centroids ride the plan as decimal-expression literals (KB driver metadata, the IVF pattern); the corpus contributes one K-group aggregation per Lloyd round",
+      "q86_bfs" ->
+        "no hint on the frontier semi-joins: the frontier is distinct-node-bounded (AQE broadcasts the seed/supplier frontiers at test scale); at a corpus-scale frontier the semi-join flips to shuffle on the same key",
+      "q90_phrase_search" ->
+        "no hint: both sides are single-term postings lists - rare terms broadcast under AQE, common terms shuffle on doc_id; forcing either would be wrong for the other case",
+      "q91_fuzzy_join" ->
+        "no hint on the candidate-key equi-join: both key sides scale with the entity set; bucket population (names per deletion key) is bounded by near-dup density, the LSH argument")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"
