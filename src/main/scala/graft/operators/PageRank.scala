@@ -21,8 +21,9 @@ import org.apache.spark.sql.graft.ColumnBridge
   *  - the superseded round's blocks are unpersisted as soon as the next
   *    is materialized → at most two rank snapshots live at any instant
   *    (cluster runs: swap for a reliable `checkpoint` dir);
-  *  - the edge list and out-degree table are cached once and released on
-  *    exit — they are the loop's working set.
+  *  - the link table (edge list with out-degree folded in by a window
+  *    count — one shuffle, one upstream pass) is cached once and
+  *    released on exit — it is the loop's working set.
   *
   * Dangling nodes (no out-edges) contribute no mass — their share is
   * dropped rather than redistributed, the common simplification when
@@ -34,42 +35,58 @@ object PageRank {
   /** edges: first two columns = (src, dst). Returns (node, rank) for
     * every node incident to an edge, after `iters` full rounds from the
     * uniform start 1/N.
+    *
+    * `checkpointEvery`: rounds between localCheckpoint barriers. Each
+    * round adds ONE join+agg layer against the static link table, so the
+    * plan grows linearly (not exponentially like a self-join loop) and a
+    * handful of un-checkpointed rounds fuse into a single Spark job —
+    * short runs (the 3-round oracle query) execute as one plan, while
+    * deep runs still truncate lineage every few rounds.
     */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 4): DataFrame = {
     val Seq(cs, cd) = edges.columns.toSeq.take(2).map(col)
-    val e = edges.select(cs.as("u"), cd.as("v"))
-    val deg = e.groupBy(col("u"))
-      .agg(count(lit(1)).cast("double").as("deg"))
-    // the loop's working set, built ONCE: out-degree pre-joined into the
-    // link table (saves a join per round) — cached post-shuffle, so each
-    // round's join against the rank vector reuses its partitioning
-    val links = e.join(deg, "u").cache()
-    val nodes = e.select(col("u"))
-      .union(e.select(col("v").as("u"))).distinct().cache()
+    // the loop's working set, built in ONE pass over the (possibly
+    // expensive) upstream edge derivation: out-degree via a window count
+    // on the source key — one shuffle, no deg-table join, and the
+    // upstream plan executes exactly once. The unbounded count frame
+    // buffers one node's out-edges per group (spills via Spark's row
+    // array for extreme hubs). nodes/noIn below derive from this cache,
+    // so nothing upstream ever re-executes.
+    val links = edges.select(cs.as("u"), cd.as("v"))
+      .withColumn("deg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u")))
+        .cast("double"))
+      .cache()
+    val nodes = links.select(col("u"))
+      .union(links.select(col("v").as("u"))).distinct().cache()
     val n = nodes.count().toDouble // one scalar to the driver
     val teleport = (1 - damping) / n
     // nodes with NO in-edges never receive gathered mass — a constant
     // set, computed once; each round unions it back at teleport mass
     // instead of left-joining the full node table per round
     val noIn = nodes
-      .join(e.select(col("v").as("u")).distinct(), Seq("u"), "left_anti")
+      .join(links.select(col("v").as("u")).distinct(), Seq("u"), "left_anti")
       .withColumn("r", lit(teleport)).cache()
-    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
     var prev: DataFrame = null
-    (1 to iters).foreach { _ =>
-      if (prev != null) { ColumnBridge.unpersistCheckpoint(prev); prev = null }
-      val next = links.join(ranks, "u")
+    (1 to iters).foreach { i =>
+      var next = links.join(ranks, "u")
         .groupBy(col("v"))
         .agg(sum(col("r") / col("deg")).as("m"))
         .select(col("v").as("u"),
           (lit(teleport) + lit(damping) * col("m")).as("r"))
         .unionByName(noIn)
-        .localCheckpoint(true)
-      prev = ranks
+      // the final round ALWAYS checkpoints (the returned frame owns its
+      // blocks, lineage-free — same contract as before); superseded
+      // checkpoints are freed only after the newer one materializes
+      if (i % checkpointEvery == 0 || i == iters) {
+        next = next.localCheckpoint(true)
+        if (prev != null) ColumnBridge.unpersistCheckpoint(prev)
+        prev = next
+      }
       ranks = next
     }
-    if (prev != null) ColumnBridge.unpersistCheckpoint(prev)
     links.unpersist(); nodes.unpersist(); noIn.unpersist()
     ranks.select(col("u").as("node"), col("r").as("rank"))
   }

@@ -125,18 +125,25 @@ object PipelineOps {
     * aggregation on doc_id — three bounded shuffles total.
     */
   def dupSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
-    val exploded = docs
+    val withSpans = docs
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= spanTokens)
       .withColumn("spans", expr(
         s"array_distinct(transform(sequence(0, size(tk) - $spanTokens), " +
           s"i -> xxhash64(concat_ws(' ', slice(tk, i + 1, $spanTokens)))))"))
-      .select(col("doc_id"), explode(col("spans")).as("h"))
+    // per-doc totals are a NARROW projection (no shuffle) — only the
+    // duplicate HITS flow through the doc_id aggregation, so the second
+    // shuffle carries dup-span rows (dup-density-bounded), not every
+    // span in the corpus as the former full left-join did
+    val totals = withSpans
+      .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+    val exploded = withSpans.select(col("doc_id"), explode(col("spans")).as("h"))
     val shared = exploded.groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"), lit(1).as("isdup"))
-    exploded.join(shared, Seq("h"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"), count(col("isdup")).as("n_dup_spans"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val dupCounts = exploded.join(shared, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("nd_doc"))
+    totals.join(dupCounts, Seq("doc_id"), "left")
+      .withColumn("n_dup_spans", coalesce(col("nd_doc"), lit(0L)))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         round(col("n_dup_spans") / col("n_spans"), 6).as("dup_span_frac"))
   }
