@@ -20,8 +20,12 @@ import org.apache.spark.sql.types._
   * embedding). AUDIO (WAV/PCM) decode is REAL too: `javax.sound.sampled`
   * is also JDK-native — payloads are decoded to samples and featurized
   * (sample-rate/sample-count/RMS/zero-crossing-rate/16-bin |amplitude|
-  * envelope). VIDEO kernels remain deterministic STUBS (clearly
-  * marked — video codecs genuinely aren't in this container); the
+  * envelope). VIDEO decode and frame sampling are REAL for the one
+  * multi-frame container the JDK can read — animated GIF: frames are
+  * pixel-decoded (frame count, dims, per-frame luma envelope) and frame
+  * sampling extracts actual frames re-encoded as PNG. Payloads in codecs
+  * the JDK genuinely lacks (H.264/VP9/...) fall back to a clearly-marked
+  * deterministic byte-split STUB with `real_decode = false`. The
   * Spark-side contract is identical and tested either way: schema,
   * per-partition batched execution (the mapPartitions shape an
   * Arrow/pandas-batch UDF would have), shuffle-free narrow execution,
@@ -101,12 +105,53 @@ object Multimodal {
 
   private val syntheticWavUdf = udf((id: Long) => syntheticWav(id))
 
+  /** Deterministic animated GIF for an asset id: (id % 8) + 1 frames of
+    * w×h two-band grayscale, band levels pure functions of (id, frame),
+    * encoded with the JDK's built-in GIF sequence writer. Gray pixels
+    * survive GIF palettization exactly (r = g = b ⇒ Rec.601 luma = the
+    * gray level), so decoded lumas are bit-exact against the formula.
+    */
+  private[graft] def syntheticGif(id: Long, w: Int = 16, h: Int = 16)
+      : Array[Byte] = {
+    val nFrames = (id % 8 + 1).toInt
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g1 = ((id * 37 + f * 11) & 0xff).toInt
+      val g2 = ((id * 29 + f * 17) & 0xff).toInt
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = if (x < w / 2) g1 else g2
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  private val syntheticGifUdf = udf((id: Long) => syntheticGif(id))
+
   /** Deterministic synthetic assets derived from `documents` — stands in
     * for an ingested media table so the pipeline shape is testable with
-    * the driver's data. Image payloads are real 32×32 PNGs and audio
-    * payloads real PCM WAVs (both decodable by `decodeFeatures`); video
-    * payloads are recycled utf-8 of the text, truncated/padded to a
-    * deterministic length. Metadata derives from doc fields.
+    * the driver's data. Image payloads are real 32×32 PNGs, audio
+    * payloads real PCM WAVs, and video payloads real animated GIFs with
+    * exactly meta.n_frames frames (all three decodable by
+    * `decodeFeatures`). Metadata derives from doc fields.
     */
   def syntheticAssets(spark: SparkSession, sfDir: String): DataFrame =
     graft.Tables(spark, sfDir, "documents")
@@ -118,8 +163,7 @@ object Multimodal {
         col("kind"),
         when(col("kind") === "image", syntheticPngUdf(col("doc_id")))
           .when(col("kind") === "audio", syntheticWavUdf(col("doc_id")))
-          .otherwise(to_binary(rpad(repeat(col("text"), 8), 1024, "."),
-            lit("utf-8")))
+          .otherwise(syntheticGifUdf(col("doc_id")))
           .as("bytes"),
         struct(
           lit(32).as("width"), lit(32).as("height"),
@@ -157,7 +201,7 @@ object Multimodal {
       mean_byte: Double, checksum: Long, feature: Array[Float],
       width: Int, height: Int, mean_luma: Double,
       sample_rate: Int, n_samples: Int, rms: Double,
-      real_decode: Boolean)
+      n_frames: Int, real_decode: Boolean)
 
   // ----- DECODE KERNELS ----------------------------------------------
   // IMAGE: real pixel decode via the JDK's javax.imageio (PNG/JPEG/BMP/
@@ -270,13 +314,81 @@ object Multimodal {
     }
   }
 
+  /** REAL video (animated-GIF) decode: frames → (width, height, frame
+    * count, mean luma across frames, 16-bin per-frame mean-luma envelope
+    * as a feature). Frames map onto envelope bins by position, the same
+    * binning the audio envelope uses over samples. Returns None when the
+    * payload is not an ImageIO-readable multi-frame container.
+    */
+  private[graft] def decodeVideo(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Double, Array[Float])] =
+    readVideoFrames(bytes).map { frames =>
+      val n = frames.length
+      val lumas = frames.map { img =>
+        var s = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        s / (img.getWidth.toLong * img.getHeight)
+      }
+      // resample the frame-luma sequence onto 16 bins: each bin averages
+      // its frame range (≥ 1 frame, so short clips fill every bin)
+      val bins = 16
+      val feat = Array.tabulate(bins) { b =>
+        val lo = b * n / bins
+        val hi = math.max(lo + 1, (b + 1) * n / bins)
+        (lumas.slice(lo, hi).sum / (hi - lo)).toFloat
+      }
+      (frames.head.getWidth, frames.head.getHeight, n, lumas.sum / n, feat)
+    }
+
+  /** All frames of an ImageIO-readable multi-frame payload (animated
+    * GIF — the one video container the JDK decodes natively). None for
+    * unreadable or zero-frame payloads.
+    */
+  private[graft] def readVideoFrames(bytes: Array[Byte])
+      : Option[IndexedSeq[BufferedImage]] = {
+    val iis =
+      try ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (iis == null) None
+    else {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map(reader.read))
+        } catch {
+          case _: java.io.IOException => None
+          case _: IndexOutOfBoundsException => None
+        } finally {
+          reader.dispose(); iis.close()
+        }
+      }
+    }
+  }
+
   /** Decode one asset. Byte stats (length/mean/FNV-1a checksum) are
     * always computed; `kind = image` additionally runs the REAL
-    * javax.imageio pixel decode (feature = 4×4 grid-luma embedding) and
+    * javax.imageio pixel decode (feature = 4×4 grid-luma embedding),
     * `kind = audio` the REAL javax.sound.sampled WAV/PCM decode
-    * (feature = 16-bin |amplitude| envelope). Non-decodable payloads and
-    * video fall back to the STUB featurization (mean of each length/16
-    * byte stripe standing in for decoded features).
+    * (feature = 16-bin |amplitude| envelope), and `kind = video` the
+    * REAL multi-frame GIF decode (feature = 16-bin frame-luma
+    * envelope). Non-decodable payloads fall back to the STUB
+    * featurization (mean of each length/16 byte stripe standing in for
+    * decoded features) with `real_decode = false`.
     */
   private[graft] def decodeKernel(id: Long, kind: String,
       bytes: Array[Byte]): AssetFeatures = {
@@ -292,13 +404,17 @@ object Multimodal {
       if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
     val image = if (kind == "image") decodeImage(bytes) else None
     val audio = if (kind == "audio") decodeWav(bytes) else None
-    (image, audio) match {
-      case (Some((w, h, meanLuma, feat)), _) =>
+    val video = if (kind == "video") decodeVideo(bytes) else None
+    (image, audio, video) match {
+      case (Some((w, h, meanLuma, feat)), _, _) =>
         AssetFeatures(id, kind, bytes.length, meanByte, crc, feat,
-          w, h, meanLuma, -1, -1, -1.0, real_decode = true)
-      case (_, Some((rate, _, n, rms, _, feat))) =>
+          w, h, meanLuma, -1, -1, -1.0, -1, real_decode = true)
+      case (_, Some((rate, _, n, rms, _, feat)), _) =>
         AssetFeatures(id, kind, bytes.length, meanByte, crc, feat,
-          -1, -1, -1.0, rate, n, rms, real_decode = true)
+          -1, -1, -1.0, rate, n, rms, -1, real_decode = true)
+      case (_, _, Some((w, h, nf, meanLuma, feat))) =>
+        AssetFeatures(id, kind, bytes.length, meanByte, crc, feat,
+          w, h, meanLuma, -1, -1, -1.0, nf, real_decode = true)
       case _ =>
         val dim = 16
         val stripe = math.max(1, bytes.length / dim)
@@ -313,7 +429,7 @@ object Multimodal {
           }
         }
         AssetFeatures(id, kind, bytes.length, meanByte, crc, feat,
-          -1, -1, -1.0, -1, -1, -1.0, real_decode = false)
+          -1, -1, -1.0, -1, -1, -1.0, -1, real_decode = false)
     }
   }
 
@@ -387,21 +503,46 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame sampling: split the payload into meta.n_frames equal chunks
-    * and keep every `everyN`-th — one output row per kept frame
-    * (explode; still narrow).
+  /** Frame sampling: keep every `everyN`-th frame, one output row per
+    * kept frame. Video payloads the JDK can decode (animated GIF) yield
+    * REAL frames — each kept frame is pixel-decoded and re-encoded as a
+    * standalone PNG, so downstream image operators (decode, resize)
+    * compose directly on the output. Everything else falls back to the
+    * STUB byte split (meta.n_frames equal chunks). Narrow either way —
+    * per-partition decode, no shuffle.
     */
-  def frameSample(assets: DataFrame, everyN: Int): DataFrame =
+  def frameSample(assets: DataFrame, everyN: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
     assets
-      .withColumn("frame_size",
-        greatest(lit(1), (length(col("bytes")) / col("meta.n_frames"))
-          .cast("int")))
-      .select(col("asset_id"), col("kind"), col("meta"), col("frame_size"),
-        posexplode(expr(
-          """transform(sequence(0, meta.n_frames - 1),
-            |  f -> substring(bytes, f * frame_size + 1, frame_size))"""
-            .stripMargin)))
-      .toDF("asset_id", "kind", "meta", "frame_size", "frame_idx", "frame")
-      .filter(pmod(col("frame_idx"), lit(everyN)) === 0)
-      .select(col("asset_id"), col("kind"), col("frame_idx"), col("frame"))
+      .select(col("asset_id"), col("kind"), col("bytes"),
+        col("meta.n_frames").as("nf"))
+      .flatMap { r =>
+        val id = r.getLong(0); val kind = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val real =
+          if (kind == "video") readVideoFrames(bytes) else None
+        val frames: Seq[(Int, Array[Byte])] = real match {
+          case Some(imgs) =>
+            imgs.indices.filter(_ % everyN == 0).map { i =>
+              val baos = new ByteArrayOutputStream()
+              ImageIO.write(imgs(i), "png", baos)
+              (i, baos.toByteArray)
+            }
+          case None =>
+            val n = math.max(1, r.getInt(3))
+            val size = math.max(1, bytes.length / n)
+            (0 until n).filter(_ % everyN == 0).map { i =>
+              (i, bytes.slice(i * size,
+                math.min(bytes.length, i * size + size)))
+            }
+        }
+        frames.map { case (i, b) => Row(id, kind, i, b) }
+      }(enc)
+  }
 }

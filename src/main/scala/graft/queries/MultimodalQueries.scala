@@ -6,17 +6,19 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
 /** Multimodal pipeline surfaced as queries (rows-only driver check —
-  * image decode is real javax.imageio pixel decode and audio decode real
-  * javax.sound.sampled WAV/PCM decode; the video kernel is a disclosed
-  * stub. None is SQL-expressible, so MultimodalSpec pins the semantics).
+  * all three decode paths are REAL and JDK-native: image via
+  * javax.imageio pixel decode, audio via javax.sound.sampled WAV/PCM
+  * decode, video via multi-frame GIF decode with actual frame
+  * extraction. None is SQL-expressible, so MultimodalSpec pins the
+  * semantics against known payloads).
   */
 object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // decode/feature-extract pass: per-kind feature statistics. For
-    // kind=image and kind=audio n_decoded == n_assets (real pixel /
-    // sample decode); luma and rms stats are -1 sentinels for the
-    // kinds the respective decoder doesn't apply to.
+    // every kind n_decoded == n_assets (real pixel / sample / frame
+    // decode); luma and rms stats are -1 sentinels for the kinds the
+    // respective decoder doesn't apply to.
     "mm_decode_stats" -> ((s, d) => {
       Multimodal.decodeFeatures(Multimodal.syntheticAssets(s, d))
         .toDF()

@@ -27,8 +27,8 @@ class MultimodalSpec extends SparkSpec {
     // same field names/types (nullability differs: lit() is non-null)
     assert(assets.schema("meta").dataType.simpleString ==
       Multimodal.assetSchema("meta").dataType.simpleString)
-    // image payloads are real PNGs, audio payloads real RIFF/WAVs
-    // (magic bytes); video is the padded 1024-byte stub payload
+    // image payloads are real PNGs, audio payloads real RIFF/WAVs,
+    // video payloads real animated GIFs (magic bytes)
     val img = assets.filter(col("kind") === "image").head()
       .getAs[Array[Byte]]("bytes")
     assert((img(0) & 0xff) == 0x89 && img(1) == 'P' && img(2) == 'N' &&
@@ -37,8 +37,10 @@ class MultimodalSpec extends SparkSpec {
       .getAs[Array[Byte]]("bytes")
     assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' &&
       wav(3) == 'F', "audio payload must be a WAV")
-    val other = assets.filter(col("kind") === "video").head()
-    assert(other.getAs[Array[Byte]]("bytes").length == 1024)
+    val gif = assets.filter(col("kind") === "video").head()
+      .getAs[Array[Byte]]("bytes")
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F' &&
+      gif(3) == '8', "video payload must be a GIF")
   }
 
   test("decodeFeatures is deterministic and narrow (no shuffle)") {
@@ -52,14 +54,17 @@ class MultimodalSpec extends SparkSpec {
       "batch size must not affect results")
     assert(a.forall(_.feature.length == 16))
     assert(a.forall(f => f.mean_byte > 0 && f.mean_byte < 256))
-    // every image asset really pixel-decodes and every audio asset
-    // really sample-decodes; the video stub kind never does
+    // every image asset really pixel-decodes, every audio asset really
+    // sample-decodes, and every video asset really frame-decodes with
+    // the frame count its metadata promises
     assert(a.filter(_.kind == "image")
       .forall(f => f.real_decode && f.width == 32 && f.height == 32))
     assert(a.filter(_.kind == "audio")
       .forall(f => f.real_decode && f.sample_rate == 8000 &&
         f.n_samples == 800 && f.rms > 0))
-    assert(a.filter(_.kind == "video").forall(!_.real_decode))
+    assert(a.filter(_.kind == "video")
+      .forall(f => f.real_decode && f.width == 16 && f.height == 16 &&
+        f.n_frames == (f.asset_id % 8 + 1).toInt))
   }
 
   test("image decode is real: known PNG pixels → known luma features") {
@@ -144,6 +149,47 @@ class MultimodalSpec extends SparkSpec {
   test("decode kernel: non-WAV audio payload falls back to byte-stats stub") {
     val f = Multimodal.decodeKernel(3L, "audio", Array[Byte](1, 3, 5, 7))
     assert(!f.real_decode && f.sample_rate == -1 && f.rms == -1.0)
+  }
+
+  test("video decode is real: known GIF frames → known luma features") {
+    // id ≡ 1 (mod 8) ⇒ 2 frames; bands g1 = (37id + 11f) & 255,
+    // g2 = (29id + 17f) & 255 — gray survives GIF palettization exactly
+    val id = 9L
+    val f = Multimodal.decodeKernel(id, "video", Multimodal.syntheticGif(id))
+    assert(f.real_decode && f.width == 16 && f.height == 16 &&
+      f.n_frames == 2)
+    val lumas = (0 until 2).map { fr =>
+      (((id * 37 + fr * 11) & 0xff) + ((id * 29 + fr * 17) & 0xff)) / 2.0
+    }
+    assert(math.abs(f.mean_luma - lumas.sum / 2) < 1e-9,
+      s"mean_luma=${f.mean_luma} want=${lumas.sum / 2}")
+    // 2 frames over 16 bins: bins 0-7 = frame 0, bins 8-15 = frame 1
+    val expected = Array.tabulate(16)(b => lumas(b * 2 / 16).toFloat)
+    assert(f.feature.toSeq == expected.toSeq)
+  }
+
+  test("video frame sampling extracts real frames as decodable PNGs") {
+    import spark.implicits._
+    val id = 12L // 5 frames
+    val vid = Seq((id, "video", Multimodal.syntheticGif(id)))
+      .toDF("asset_id", "kind", "bytes")
+      .withColumn("meta", struct(lit(16).as("width"), lit(16).as("height"),
+        lit(-1).as("sample_rate"), lit(5).as("n_frames")))
+    val frames = Multimodal.frameSample(vid, 2).collect()
+      .sortBy(_.getAs[Int]("frame_idx"))
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
+    // each kept frame is a standalone PNG whose mean luma matches the
+    // generator formula for THAT frame — frames compose with decode
+    frames.foreach { r =>
+      val fr = r.getAs[Int]("frame_idx")
+      val d = Multimodal.decodeKernel(id, "image",
+        r.getAs[Array[Byte]]("frame"))
+      assert(d.real_decode && d.width == 16 && d.height == 16)
+      val want = (((id * 37 + fr * 11) & 0xff) +
+        ((id * 29 + fr * 17) & 0xff)) / 2.0
+      assert(math.abs(d.mean_luma - want) < 1e-9,
+        s"frame $fr luma ${d.mean_luma} want $want")
+    }
   }
 
   test("frameSample keeps every Nth frame with correct payload split") {
