@@ -13,10 +13,17 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Seq("q20_exact_dedup", "dedup_keep_min", "q21_minhash_lsh",
-      "dedup_simhash", "dedup_simhash_w", "q23_ngram_jaccard").foreach { n =>
+      "dedup_simhash", "dedup_simhash_w", "q23_ngram_jaccard",
+      "q70_dup_spans", "q88_epoch_shuffle").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, args.headOption.getOrElse("/tmp/sfbig"))
+      // noop write (the Bench discipline), NOT count(): count lets
+      // Catalyst prune row-preserving joins/aggregations out of the plan
+      // and times a row counter instead of the operator
       val t0 = System.nanoTime()
-      val cnt = SparkEntry.queries(n)(spark, args.headOption.getOrElse("/tmp/sfbig")).count()
-      println(f"SMOKE $n%-20s ${(System.nanoTime()-t0)/1e9}%8.2fs  rows=$cnt")
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val cnt = df.count() // untimed, for the row report only
+      println(f"SMOKE $n%-20s $secs%8.2fs  rows=$cnt")
     }
     spark.stop()
   }
