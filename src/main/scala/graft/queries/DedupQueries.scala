@@ -220,6 +220,12 @@ object DedupQueries {
     // stop-shingle df cap bounds the inverted-index join's worst case.
     "q23_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d, ShingleFreqCap)),
 
+    // Incremental dedup (see incrementalDedup below): the "don't
+    // re-ingest what the corpus already holds" pass of a continuously
+    // fed pipeline, over the q75 snapshot simulation.
+    "q92_incremental_dedup" -> ((s, d) =>
+      incrementalDedup(graft.Tables(s, d, "documents"))),
+
     // Exact transitive dedup clusters: connected components over the
     // exact near-dup pairs (q23) via distributed min-label propagation —
     // the closure dedup_keep_min approximates in one pass. Component id
@@ -343,6 +349,67 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** q92: incremental dedup of a NEW snapshot against the EXISTING
+    * corpus — the pass a continuously-fed pipeline runs on every
+    * delivery. Snapshots reuse q75's deterministic simulation (A = the
+    * corpus, B = the delivery with drops/edits); "incoming" = B rows
+    * whose (id, content) pair is not already in A (added + changed).
+    * Two dedup stages, mirroring the batch family:
+    *
+    *  1. EXACT: drop incoming docs whose content hash equals ANY corpus
+    *     doc's (one anti-join on a 16-byte key).
+    *  2. NEAR: drop incoming docs with 3-gram Jaccard ≥ 0.5 against ANY
+    *     corpus doc, via a BIPARTITE inverted shingle-index join — the
+    *     cross-corpus form of q23. Join volume per shingle is
+    *     df_corpus × df_incoming, i.e. DELTA-bounded on one side (the
+    *     property that makes incremental dedup cheap: the corpus side
+    *     never self-joins). The q23 stop-shingle df cap applies
+    *     unchanged at production scale; it is omitted here so the
+    *     DuckDB oracle stays an exact replica (it never binds at test
+    *     SFs — same reasoning as q23's oracle).
+    *
+    * Edited docs are near-dups of their own previous version, so an
+    * edit that only appends a token does NOT re-ingest — exactly the
+    * semantics a dedup-gated ingest wants. Docs with < 3 tokens carry
+    * no shingles and pass the near stage (both engines).
+    */
+  private[graft] def incrementalDedup(docs: DataFrame): DataFrame = {
+    val a = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+      .select(col("doc_id"), col("text"))
+    val b = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 5,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+    val aHash = a.select(col("doc_id"), md5(col("text")).as("h"))
+    val incoming = b.withColumn("h", md5(col("text")))
+      .join(aHash, Seq("doc_id", "h"), "left_anti")
+    val candidates = incoming
+      .join(aHash.select(col("h")).distinct(), Seq("h"), "left_anti")
+    // distinct STRING shingles per doc (q23/oracle parity), hashed to
+    // 64-bit longs only for the index join
+    def shingled(df: DataFrame, id: String): DataFrame =
+      df.select(col("doc_id").as(id), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col(id), expr(
+          """array_distinct(transform(sequence(1, size(tk) - 2),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+            |                 element_at(tk, i + 2))))""".stripMargin).as("sh"))
+        .select(col(id), size(col("sh")).as(s"n_$id"),
+          explode(expr("transform(sh, v -> xxhash64(v))")).as("s"))
+    val co = shingled(a, "a_id")
+      .join(shingled(candidates, "b_id"), "s")
+      .groupBy(col("b_id"), col("a_id"), col("n_a_id"), col("n_b_id"))
+      .agg(count(lit(1)).as("common"))
+    val nearDup = co
+      .filter(col("common").cast("double")
+        / (col("n_a_id") + col("n_b_id") - col("common"))
+        >= JaccardThreshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    candidates.join(nearDup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** The exact near-dup pair set (3-gram shingle Jaccard ≥ 0.5) — oracle
     * for q21 (LSH-found) and q23 (exact join).
     */
@@ -381,6 +448,38 @@ object DedupQueries {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "q21_minhash_lsh" -> exactPairsSql,
     "q23_ngram_jaccard" -> exactPairsSql,
+    "q92_incremental_dedup" ->
+      """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 13 = 5 THEN text || ' v2'
+        |             ELSE text END AS text,
+        |        lang, source
+        |      FROM documents WHERE doc_id % 11 <> 3),
+        |inc AS (SELECT b.* FROM b
+        |        WHERE NOT EXISTS (SELECT 1 FROM a
+        |          WHERE a.doc_id = b.doc_id AND a.text = b.text)),
+        |cand AS (SELECT * FROM inc
+        |         WHERE md5(text) NOT IN (SELECT md5(text) FROM a)),
+        |ash AS (SELECT doc_id AS a_id, unnest(list_distinct(
+        |          [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |           FOR i IN range(1, len(tk) - 1)])) AS s
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM a
+        |              WHERE len(string_split(text, ' ')) >= 3)),
+        |ish AS (SELECT doc_id AS b_id, unnest(list_distinct(
+        |          [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |           FOR i IN range(1, len(tk) - 1)])) AS s
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM cand
+        |              WHERE len(string_split(text, ' ')) >= 3)),
+        |sza AS (SELECT a_id, count(*) AS na FROM ash GROUP BY a_id),
+        |szi AS (SELECT b_id, count(*) AS nb FROM ish GROUP BY b_id),
+        |co AS (SELECT i.b_id, h.a_id, count(*) AS c
+        |       FROM ish i JOIN ash h ON i.s = h.s GROUP BY i.b_id, h.a_id),
+        |dup AS (SELECT DISTINCT co.b_id FROM co
+        |        JOIN sza ON co.a_id = sza.a_id
+        |        JOIN szi ON co.b_id = szi.b_id
+        |        WHERE CAST(c AS DOUBLE) / (sza.na + szi.nb - c) >= 0.5)
+        |SELECT doc_id, lang, source FROM cand
+        |WHERE doc_id NOT IN (SELECT b_id FROM dup)""".stripMargin,
     "q24_embedding_dedup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)

@@ -187,4 +187,27 @@ class DedupSpec extends SparkSpec {
     // repopulate for any later suite that relies on the cache
     graft.queries.ShingleCache.arrays(spark, sf).count()
   }
+
+  test("incremental dedup: exact copies, edits, and uniques route correctly") {
+    import spark.implicits._
+    // doc_id branch map (q75 snapshot arithmetic):
+    //   1  -> in A and B unchanged        -> not incoming
+    //   2  -> %7==2: NOT in A, in B       -> incoming, EXACT copy of doc 1 -> dropped
+    //   3  -> %11==3: not in B            -> irrelevant
+    //   5  -> %13==5: edited in B (" v2") -> incoming, near-dup of its A self -> dropped
+    //   9  -> %7==2: NOT in A, in B       -> incoming, unique text -> SURVIVES
+    //   16 -> %7==2: NOT in A, in B       -> incoming, one-token variant of doc 1 -> near-dup -> dropped
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "en", "s0"),
+      (2L, base, "en", "s0"),
+      (3L, "never delivered text here at all", "en", "s0"),
+      (5L, "one two three four five six seven eight nine ten", "en", "s0"),
+      (9L, "completely different words nothing shared with anything else here", "en", "s0"),
+      (16L, base.replace("kappa", "lambda"), "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = DedupQueries.incrementalDedup(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(9L), s"only the genuinely new doc survives; got $got")
+  }
 }
