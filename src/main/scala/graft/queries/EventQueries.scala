@@ -68,6 +68,13 @@ object EventQueries {
       graft.streaming.EventStream.dedupBatch(e.union(e))
     }),
 
+    // §2.10: streaming top-k's batch twin — per-window "trending" event
+    // types. The streaming form (EventStream.topKStream) maintains the
+    // per-window count map in flatMapGroupsWithState state; the spec
+    // pins its final snapshot == this plan.
+    "q93_stream_topk" -> ((s, d) =>
+      graft.streaming.EventStream.topKPerWindow(Tables(s, d, "events"))),
+
     // Ordered funnel: view -> click (after the first view) -> purchase
     // (after that click), per user, over day 1 (the narrow window keeps
     // the steps discriminating — over the full month every user
@@ -120,6 +127,15 @@ object EventQueries {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q93_stream_topk" ->
+      """WITH c AS (SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+        |             event_type, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT ws, event_type, n,
+        |  CAST(row_number() OVER (PARTITION BY ws
+        |    ORDER BY n DESC, event_type) AS INTEGER) AS rk
+        |FROM c
+        |QUALIFY rk <= 3""".stripMargin,
     "q19_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events,
         | COUNT(DISTINCT event_type) AS n_types,

@@ -189,6 +189,70 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_end"), col("n_events"), col("sum_value"))
 
+  /** Per-window top-k event types, batch form — q93's oracle-checked
+    * shape: tumbling 10-minute windows, types ranked by (count desc,
+    * type). Two-phase at scale: the windowed count is a partial+final
+    * aggregation; the rank window partitions on ws so no global sort.
+    */
+  def topKPerWindow(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ws")).orderBy(col("n").desc, col("event_type"))
+    events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Streaming top-k per window via flatMapGroupsWithState — the
+    * "trending now" primitive windowed aggregation alone can't express
+    * (ranking needs the whole group, streaming agg can't re-sort its own
+    * output). State per OPEN window is the per-type count map — bounded
+    * by (windows inside the watermark horizon) × (type cardinality) —
+    * keyed and shuffle-partitioned on the window start, evicted by
+    * event-time timeout once the watermark passes the window. Each
+    * micro-batch emits the window's REFRESHED top-k (Update mode) with
+    * `seen` = events folded so far, so a consumer (and the spec) can
+    * identify the freshest snapshot per window; the final snapshot
+    * equals [[topKPerWindow]] on the same data, pinned in
+    * EventStreamSpec.
+    */
+  def topKStream(events: DataFrame, k: Int = 3)
+      : Dataset[(Timestamp, String, Long, Int, Long)] = {
+    import events.sparkSession.implicits._
+    // the watermark rides the window-START column (the grouping key is
+    // the event-time for state purposes): 30-min late-data horizon plus
+    // the 10-min window width a late event can reach back
+    val typed = events
+      .select(window(col("ts"), "10 minutes").getField("start").as("ws"),
+        col("event_type"))
+      .withWatermark("ws", "40 minutes")
+      .as[(Timestamp, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (ws: Timestamp, rows: Iterator[(Timestamp, String)],
+            state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val m = rows.foldLeft(
+              state.getOption.getOrElse(Map.empty[String, Long])) {
+              case (acc, (_, t)) => acc.updated(t, acc.getOrElse(t, 0L) + 1L)
+            }
+            state.update(m)
+            // evict once the watermark passes the window's end (timeout
+            // must stay ahead of the current watermark or Spark throws)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              math.max(ws.getTime + 10 * 60000L, wm + 1))
+            val seen = m.values.sum
+            m.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex
+              .map { case ((t, n), i) => (ws, t, n, i + 1, seen) }.iterator
+          }
+      }
+  }
+
   /** readStream twin of Tables(): parquet source with the RAW on-disk
     * schema (streaming needs it explicit), then the same ts
     * normalization the batch loader applies.

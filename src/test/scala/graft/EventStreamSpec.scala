@@ -216,4 +216,36 @@ class EventStreamSpec extends SparkSpec {
       .select("ws").distinct().count()
     assert(n > t, "sliding 10m/5m must emit more buckets than tumbling 10m")
   }
+
+  test("streaming top-k final snapshots equal the batch twin (q93 shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables(spark, sf, "events")
+      .select(col("ts"), col("event_type"))
+    val rows = batch.as[(Timestamp, String)].collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String)]
+    // two micro-batches: the count-map state must carry between them
+    val (first, second) = rows.splitAt(rows.size / 2)
+    stream.addData(first)
+    stream.addData(second)
+    val streamed = EventStream.topKStream(
+      stream.toDF().toDF("ts", "event_type"))
+    EventStream.runToMemory(streamed.toDF(), "topk_stream",
+      OutputMode.Update())
+
+    // Update mode emits a refreshed snapshot per micro-batch; `seen`
+    // (events folded so far) identifies the freshest one per window
+    val emitted = spark.table("topk_stream").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    val lastSeen = emitted.groupBy(_._1).view.mapValues(_.map(_._5).max)
+    val got = emitted
+      .filter { case (ws, _, _, _, seen) => seen == lastSeen(ws) }
+      .map { case (ws, t, n, rk, _) => (ws, t, n, rk) }.toSet
+    val want = EventStream.topKPerWindow(batch).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got == want && want.nonEmpty)
+  }
 }
