@@ -24,7 +24,8 @@ object PlanAudit {
       "q75_snapshot_diff", "q76_word_entropy", "q77_triangles",
       "q78_compress_ratio", "q79_zorder",
       "q85_kmeans", "q86_bfs", "q87_skew_profile", "q88_epoch_shuffle",
-      "q89_temperature_mix", "q90_phrase_search", "q91_fuzzy_join")
+      "q89_temperature_mix", "q90_phrase_search", "q91_fuzzy_join",
+      "q92_incremental_dedup", "q93_stream_topk")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
