@@ -222,6 +222,26 @@ object SimilarityQueries {
       .select(col("k").as("cluster"), col("n"), normExpr.as("c_norm"))
   }
 
+  /** q94's kernel: feature-hashed unit-norm text vectors, exploded as
+    * (doc_id, dim, val) rows. See the queries-map comment.
+    */
+  private[graft] def hashEmbed(docs: DataFrame, dims: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val h = tok.select(col("doc_id"),
+      (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int")
+        % dims).as("dim"),
+      when(conv(substring(md5(col("w")), 5, 1), 16, 10).cast("int")
+        % 2 === 0, 1).otherwise(-1).as("sgn"))
+    val v = h.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).cast("double").as("raw"))
+    val w = Window.partitionBy(col("doc_id"))
+    v.withColumn("nrm", sqrt(sum(col("raw") * col("raw")).over(w)))
+      .filter(col("nrm") > 0)
+      .select(col("doc_id"), col("dim"),
+        round(col("raw") / col("nrm"), 6).as("val"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = centroidQueries ++ Map(
     // Oracle-checked Lloyd k-means over the embedding corpus (K=5, two
     // assign→update rounds): output = per-cluster size + updated-centroid
@@ -230,6 +250,20 @@ object SimilarityQueries {
     "q85_kmeans" -> ((s, d) => kmeansLloyd(
       Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
       k = 5, iters = 2, dim = 64)),
+
+    // Feature-hashed text embeddings [hashing trick, Weinberger et al.
+    // ICML'09]: the in-engine embedder for when no model is available —
+    // each token lands in md5-bucket dim ∈ [0, 32) with an md5-derived
+    // ±1 sign; per-doc sums L2-normalize into a sparse unit vector that
+    // feeds the ANN / k-means / SemDeDup family. md5 is used (not
+    // xxhash64) because it is the one hash both engines share, keeping
+    // the query exactly oracle-checkable; swap xxhash64 in production
+    // for ~4× cheaper hashing. Scale shape: one explode + one (doc, dim)
+    // partial aggregation; the normalization window partitions on
+    // doc_id over ≤ 32 rows. Output exploded as (doc_id, dim, val) —
+    // the q51 convention that keeps float arrays hash-comparable.
+    "q94_hash_embed" -> ((s, d) =>
+      hashEmbed(Tables(s, d, "documents"), dims = 32)),
 
     // Exact brute-force cosine top-k for the first NumQueries vectors.
     "q25_ann_topk" -> ((s, d) => {
@@ -315,6 +349,21 @@ object SimilarityQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q94_hash_embed" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) % 32 AS dim,
+        |        CASE WHEN CAST(('0x' || substr(md5(w), 5, 1)) AS INTEGER)
+        |               % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |      FROM tok),
+        |v AS (SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS raw
+        |      FROM h GROUP BY doc_id, dim),
+        |n AS (SELECT doc_id, sqrt(sum(raw * raw)) AS nrm
+        |      FROM v GROUP BY doc_id)
+        |SELECT v.doc_id, v.dim, round(v.raw / n.nrm, 6) AS val
+        |FROM v JOIN n ON v.doc_id = n.doc_id
+        |WHERE n.nrm > 0""".stripMargin,
     // Two unrolled Lloyd rounds, same decimal discipline as kmeansLloyd:
     // DECIMAL(25,12) per-dim squared deltas (exact, order-independent
     // sums ⇒ bit-identical argmins), DECIMAL(20,8) centroid sums cast to

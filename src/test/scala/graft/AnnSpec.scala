@@ -145,4 +145,29 @@ class AnnSpec extends SparkSpec {
       s"default (4,2) is not the best setting: $recalls")
     assert(recalls((4, 2)) >= 0.6, s"best recall ${recalls((4, 2))}")
   }
+
+  test("hash embeddings: unit norm, identical texts collide, disjoint differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // identical → identical vector
+      (3L, "zeta eta theta iota kappa lambda")) // disjoint tokens
+      .toDF("doc_id", "text")
+    val rows = graft.queries.SimilarityQueries.hashEmbed(docs, 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byDoc = rows.groupBy(_._1)
+      .view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    // unit norm (up to the 1e-6 output rounding)
+    byDoc.values.foreach { v =>
+      assert(math.abs(v.values.map(x => x * x).sum - 1.0) < 1e-4)
+    }
+    assert(byDoc(1L) == byDoc(2L), "same text must embed identically")
+    assert(byDoc(1L) != byDoc(3L), "disjoint texts must differ")
+    // cosine of disjoint-token docs: no shared dims with same sign
+    // pattern beyond hash collisions — just assert it differs from 1
+    val cos = byDoc(1L).map { case (d, x) =>
+      x * byDoc(3L).getOrElse(d, 0.0)
+    }.sum
+    assert(cos < 0.99, s"disjoint docs should not be near-identical: $cos")
+  }
 }
