@@ -25,7 +25,9 @@ object PlanAudit {
       "q78_compress_ratio", "q79_zorder",
       "q85_kmeans", "q86_bfs", "q87_skew_profile", "q88_epoch_shuffle",
       "q89_temperature_mix", "q90_phrase_search", "q91_fuzzy_join",
-      "q92_incremental_dedup", "q93_stream_topk")
+      "q92_incremental_dedup", "q93_stream_topk",
+      "q95_star_join", "q96_exists_subquery", "q97_scalar_subquery",
+      "q98_unpivot", "q99_gap_fill")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

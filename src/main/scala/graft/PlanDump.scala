@@ -39,7 +39,11 @@ object PlanDump {
       "q79_zorder" -> "narrow interleave_bits kernel inside codegen; single bounded-key aggregation",
       "q85_kmeans" -> "Lloyd assignment as narrow decimal expressions over centroid literals; ONE K-group partial+final aggregation carries the whole update",
       "q90_phrase_search" -> "per-term postings filters prune the exploded tokens BEFORE the adjacency equi-join shuffle",
-      "q91_fuzzy_join" -> "deletion-neighborhood candidate equi-join (no all-pairs); exact levenshtein verify after the distinct")
+      "q91_fuzzy_join" -> "deletion-neighborhood candidate equi-join (no all-pairs); exact levenshtein verify after the distinct",
+      "q95_star_join" -> "six-table star: broadcast dims at the bottom, fact-fact shuffles above — Catalyst-chosen join order",
+      "q96_exists_subquery" -> "correlated EXISTS decorrelated to a left-semi join (no nested-loop subquery execution)",
+      "q97_scalar_subquery" -> "correlated scalar subquery decorrelated to ONE aggregate + join on p_partkey",
+      "q99_gap_fill" -> "per-group sequence() explode builds the grid narrowly; AQE broadcasts the grid side of the left join")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -98,7 +102,15 @@ object PlanDump {
       "q90_phrase_search" ->
         "no hint: both sides are single-term postings lists - rare terms broadcast under AQE, common terms shuffle on doc_id; forcing either would be wrong for the other case",
       "q91_fuzzy_join" ->
-        "no hint on the candidate-key equi-join: both key sides scale with the entity set; bucket population (names per deletion key) is bounded by near-dup density, the LSH argument")
+        "no hint on the candidate-key equi-join: both key sides scale with the entity set; bucket population (names per deletion key) is bounded by near-dup density, the LSH argument",
+      "q92_incremental_dedup" ->
+        "shuffle_hash hint on the bipartite postings join: the corpus postings side is corpus-sized (never broadcastable) and the incoming-delta side can be anything from a single doc to a full re-delivery, so both sides shuffle on the shingle key unconditionally; pair aggregation groups on (b_id, a_id) only, folding the per-doc sizes through max() — grouping on all four keys measured 6x slower from the wider exchange rows",
+      "q95_star_join" ->
+        "explicit broadcast(nation, region) only: the four corpus-scale tables (customer-orders-lineitem-supplier) shuffle on their keys; Catalyst owns the join ORDER, pushing the region filter through the broadcast dims before the fact shuffles",
+      "q96_exists_subquery / q97_scalar_subquery" ->
+        "no hint: Catalyst decorrelates EXISTS to a left-semi join and the scalar subquery to an aggregate + join, both on corpus-scale keys - AQE owns the strategy (semi-join build sides grow with the corpus)",
+      "q99_gap_fill" ->
+        "no hint needed: the day grid is rangeDays x nTypes rows - independent of event cardinality, AQE broadcasts it at any corpus size; the observed-daily side arrives pre-aggregated (one row per type-day)")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational-surface completions the earlier families did not reach:
+  * correlated subqueries (EXISTS and scalar — Catalyst decorrelates both
+  * into joins), a many-table star join (join-order selection), UNPIVOT
+  * (the inverse of q42's pivot), and time-series gap filling (a grid the
+  * data does NOT contain, generated without a cartesian product).
+  *
+  * The reference engine reaches none of this directly — its surface is
+  * mapper/reducer pairs (reference `Worker/worker_v1.py:113-116`) — but
+  * each is a standard composition of the MR-expressible primitives the
+  * derived surface (SURVEY.md §2.3) already covers; they are included so
+  * a reference user migrating real query workloads finds the full ANSI
+  * shapes, not just the primitives.
+  *
+  * The two subquery operators go through `spark.sql` ON PURPOSE: the
+  * thing under test is Catalyst's subquery rewrite (EXISTS → left semi;
+  * correlated scalar → aggregate + join), which the DataFrame API cannot
+  * express. The SAME SQL text is the DuckDB oracle — one string, two
+  * engines — so the queries also pin ANSI-dialect compatibility.
+  */
+object SqlSurface {
+
+  private val dec = DecimalType(18, 4)
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+  /** Exact revenue term matching Relational.revTerm / the q3 oracle. */
+  private def revTerm(price: Column, disc: Column): Column =
+    (price.cast(dec) * (lit(1).cast(dec) - disc.cast(dec)))
+      .cast(DecimalType(28, 8))
+
+  /** q96: TPC-H Q4-shaped correlated EXISTS — orders in a date window
+    * that had at least one late line (shipped >60 days after ordering).
+    * Catalyst rewrites the EXISTS to a left-semi join on l_orderkey with
+    * the correlated date predicate as the join condition — the
+    * decorrelation IS the operator; the same text runs on DuckDB.
+    */
+  val existsSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q97: TPC-H Q17-shaped correlated SCALAR subquery — revenue lost by
+    * small-quantity orders of one brand, threshold 20% of that part's
+    * mean quantity. Catalyst decorrelates the per-part average into one
+    * aggregate joined back on p_partkey.
+    *
+    * Cross-engine determinism: quantities are integer-valued doubles, so
+    * both engines' avg() sums are EXACT (no accumulation-order ULP) and
+    * the 0.2× threshold compare is bit-identical; the revenue sum routes
+    * through DECIMAL and divides by 7 only after the round-to-4 cast to
+    * double (double/int division is IEEE-deterministic, while decimal
+    * division result scales differ between engines).
+    */
+  val scalarSubSql: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+      |         AS DOUBLE) / 7 AS avg_yearly,
+      |       COUNT(*) AS n_small
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      // Star join over all six chained tables (TPC-H Q5 shape): local
+      // supplier revenue by nation for one region-year. Catalyst's job
+      // here is join ORDER (pushing the region/nation reduction below
+      // the fact-fact joins) + strategy per join: nation/region are
+      // constant-size dims (explicit broadcast), customer-orders-
+      // lineitem-supplier shuffle on their keys. The c_nationkey =
+      // s_nationkey equality ("local supplier") rides the supplier join.
+      "q95_star_join" -> ((s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        val su = Tables(s, d, "supplier")
+        val n = Tables(s, d, "nation")
+        val r = Tables(s, d, "region")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey")
+            && c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .filter(r("r_name") === "ASIA"
+            && o("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && o("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(n("n_name"))
+          .agg(round(sum(revTerm(li("l_extendedprice"), li("l_discount"))), 4)
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      }),
+
+      "q96_exists_subquery" -> ((s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(existsSql)
+      }),
+
+      "q97_scalar_subquery" -> ((s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        Tables(s, d, "part").createOrReplaceTempView("part")
+        s.sql(scalarSubSql)
+      }),
+
+      // UNPIVOT — melt lineitem's four measure columns into
+      // (measure, val) rows, then aggregate per measure. The unpivot
+      // itself is a narrow 4× row expansion (Spark's Expand node — no
+      // shuffle); only the 4-group aggregation shuffles. The inverse of
+      // q42's pivot, closing the reshape pair.
+      "q98_unpivot" -> ((s, d) => {
+        Tables(s, d, "lineitem")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "measure", "val")
+          .groupBy(col("measure"))
+          .agg(count(lit(1)).as("n"), dsum(col("val")).as("total"),
+            round(min(col("val")), 4).as("mn"),
+            round(max(col("val")), 4).as("mx"))
+      }),
+
+      // Time-series gap fill — the per-(type, day) activity series WITH
+      // the silent days restored: each type's own [first, last] day range
+      // is generated by sequence() INSIDE its group row (explode of a
+      // per-group array — narrow, no cartesian grid join, no
+      // generate_series table), left-joined back to the observed counts,
+      // zero-filled, and running-summed so downstream windows see a
+      // dense series. Grid size is rangeDays × nTypes — independent of
+      // event cardinality, so the join's right side stays tiny at 100 TB
+      // of events (AQE broadcasts it).
+      "q99_gap_fill" -> ((s, d) => {
+        gapFill(Tables(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("value")))
+      }))
+
+  /** Dense daily series from a sparse (event_type, day, value) input:
+    * observed days aggregate, each type's own [first, last] range is
+    * densified, silent days appear with n=0 / day_value=0, and the
+    * running total treats them as real rows. Exposed so the spec can
+    * drive crafted gappy inputs through the exact production plan.
+    */
+  def gapFill(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("day_value"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("day_value"), lit(0.0)).as("day_value"))
+      .withColumn("run_total", sum(col("n"))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q95_star_join" ->
+      """SELECT n_name,
+        | CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |   AS DECIMAL(28,8))), 4) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q96_exists_subquery" -> existsSql,
+    "q97_scalar_subquery" -> scalarSubSql,
+    "q98_unpivot" ->
+      """SELECT measure, COUNT(*) AS n,
+        | CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        | ROUND(MIN(val), 4) AS mn, ROUND(MAX(val), 4) AS mx
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY measure""".stripMargin,
+    "q99_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    CAST(UNNEST(generate_series(CAST(MIN(day) AS TIMESTAMP),
+        |      CAST(MAX(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY event_type)
+        |SELECT g.event_type, g.day,
+        |  COALESCE(n, 0) AS n, COALESCE(day_value, 0.0) AS day_value,
+        |  CAST(SUM(COALESCE(n, 0)) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.day) AS BIGINT) AS run_total
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.event_type = d.event_type AND g.day = d.day""".stripMargin)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions.col
+
+import graft.queries.SqlSurface
+
+/** The ANSI-completion operators: subquery decorrelation plan pins and
+  * gap-fill semantics on crafted gappy inputs (the driver oracle covers
+  * value correctness on the real tables; these pin the parts the oracle
+  * can't see — plan shape and behavior on data the tables don't contain).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q96 EXISTS decorrelates to a semi join, never a nested loop") {
+    val p = executedPlan("q96_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"decorrelation must not fall back to cartesian:\n$p")
+    // the correlated date predicate (l_shipdate > o_orderdate + 60d) can
+    // only live in a non-equi join condition, not a post-filter: a
+    // BroadcastNestedLoop would mean decorrelation failed
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"correlated predicate must ride the equi semi join:\n$p")
+  }
+
+  test("q97 scalar subquery decorrelates to one aggregate + join") {
+    val p = executedPlan("q97_scalar_subquery")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoop"),
+      s"per-part average must be a decorrelated aggregate:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected the decorrelated per-part aggregate in the plan:\n$p")
+  }
+
+  test("q98 unpivot lowers to Expand — a narrow 4x expansion, no shuffle") {
+    val p = executedPlan("q98_unpivot").split("== Initial Plan ==").head
+    assert(p.contains("Expand"), s"unpivot should lower to Expand:\n$p")
+    // one exchange total: the 4-group aggregation; the expansion itself
+    // must not repartition
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"unpivot must stay narrow before the aggregation:\n$p")
+  }
+
+  test("gap fill restores silent days with zeros inside each type's range") {
+    import spark.implicits._
+    val ev = Seq(
+      // type a: days 1, 4 observed -> 2, 3 are gaps
+      ("a", Date.valueOf("2024-03-01"), 10.0),
+      ("a", Date.valueOf("2024-03-01"), 5.0),
+      ("a", Date.valueOf("2024-03-04"), 2.0),
+      // type b: single day -> no gaps, range of one
+      ("b", Date.valueOf("2024-03-02"), 7.0))
+      .toDF("event_type", "day", "value")
+    val got = SqlSurface.gapFill(ev)
+      .orderBy(col("event_type"), col("day"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+      .toList
+    assert(got == List(
+      ("a", "2024-03-01", 2L, 15.0, 2L),
+      ("a", "2024-03-02", 0L, 0.0, 2L),
+      ("a", "2024-03-03", 0L, 0.0, 2L),
+      ("a", "2024-03-04", 1L, 2.0, 3L),
+      ("b", "2024-03-02", 1L, 7.0, 1L)), got.toString)
+  }
+
+  test("gap-fill grid join broadcasts the day grid, no cartesian") {
+    val df = SparkEntry.queries("q99_gap_fill")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"the day grid must come from per-group sequence(), not a cross join:\n$p")
+  }
+}
