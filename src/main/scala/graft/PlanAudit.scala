@@ -27,7 +27,8 @@ object PlanAudit {
       "q89_temperature_mix", "q90_phrase_search", "q91_fuzzy_join",
       "q92_incremental_dedup", "q93_stream_topk",
       "q95_star_join", "q96_exists_subquery", "q97_scalar_subquery",
-      "q98_unpivot", "q99_gap_fill")
+      "q98_unpivot", "q99_gap_fill",
+      "q100_quality_audit", "q101_state_merge", "layout_compact")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -27,7 +27,8 @@ object SparkEntry {
       SimilarityQueries.queries ++ TextAnalysis.queries ++
       MultimodalQueries.queries ++ AdvancedQueries.queries ++
       CurationOps.queries ++ PipelineOps.queries ++ SearchQueries.queries ++
-      GraphQueries.queries ++ TrainingOps.queries ++ SqlSurface.queries
+      GraphQueries.queries ++ TrainingOps.queries ++ SqlSurface.queries ++
+      WarehouseOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -39,5 +40,6 @@ object SparkEntry {
       SimilarityQueries.oracle ++ TextAnalysis.oracle ++
       MultimodalQueries.oracle ++ AdvancedQueries.oracle ++
       CurationOps.oracle ++ PipelineOps.oracle ++ SearchQueries.oracle ++
-      GraphQueries.oracle ++ TrainingOps.oracle ++ SqlSurface.oracle
+      GraphQueries.oracle ++ TrainingOps.oracle ++ SqlSurface.oracle ++
+      WarehouseOps.oracle
 }

@@ -1,0 +1,178 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.Compaction
+
+/** Warehouse-maintenance operators — the jobs that keep a 100 TB corpus
+  * healthy BETWEEN queries (SURVEY.md §2.11 [EXT]):
+  *
+  *  - q100 data-quality audit: a Deequ-style constraint suite computed
+  *    in ONE aggregation pass over the table — completeness, key
+  *    distinctness, value bounds, cross-column consistency — emitted as
+  *    (metric, value, pass) verdict rows. The scan cost is one pass no
+  *    matter how many constraints ride it; adding a constraint adds an
+  *    aggregate expression, not a job. The one non-narrow term is the
+  *    exact key-distinctness count (Spark plans it as an expand +
+  *    two-level aggregate — the price of an EXACT uniqueness check; the
+  *    sketch family's HLL is the one-shuffle approximate alternative).
+  *  - q101 aggregate-state merge: incremental materialized-view
+  *    maintenance — yesterday's per-key aggregate STATE merged with
+  *    today's delta partials, never rescanning the history. Works for
+  *    any commutative-monoid aggregate (count/sum merge by +); algebraic
+  *    aggregates (avg here) are carried as their monoid components and
+  *    finalized after the merge. At 100 TB the merge shuffles one state
+  *    row per key — fact-table bytes appear only in the (small) delta
+  *    scan. This is the batch twin of streaming state stores, and the
+  *    same partial-combine algebra D1-D4's map-side combine uses.
+  *  - layout_compact (rows-only): small-file compaction audit — see
+  *    `operators.Compaction` for the scale story. The query fragments a
+  *    copy of `documents` into 64 shards (the streaming-ingest layout
+  *    pathology), compacts to ~4 MB files, and returns the before/after
+  *    (files, rows) audit a maintenance job logs.
+  */
+object WarehouseOps {
+
+  private val dec = DecimalType(18, 4)
+
+  /** q101 cutoff: orders strictly before it are the "materialized"
+    * history; on/after are the incoming delta. ~1 TPC-H year of delta.
+    */
+  val MergeCutoff = "1997-06-01"
+
+  /** layout_compact target output file size. 4 MB at sf0.01 test scale;
+    * production tables use 128 MB-1 GB (match maxPartitionBytes so one
+    * compacted file is one scan task).
+    */
+  val CompactTargetBytes = 4L * 1024 * 1024
+
+  /** q100: the constraint suite, one aggregation pass → verdict rows.
+    * All values land as ROUND(x, 6) doubles computed from exact integer
+    * or decimal sums, so both engines agree bit-for-bit.
+    */
+  def qualityAudit(docs: DataFrame): DataFrame = {
+    val agg = docs.agg(
+      count(lit(1)).as("n"),
+      count(col("text")).as("n_text"),
+      count(col("lang")).as("n_lang"),
+      countDistinct(col("doc_id")).as("n_id"),
+      min(col("n_chars")).as("mn_chars"),
+      max(col("n_chars")).as("mx_chars"),
+      sum(col("n_chars").cast(dec)).as("s_chars"),
+      sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
+        .as("n_len_ok"))
+    // inline(array(struct...)) turns the single metrics row into one
+    // verdict row per constraint — narrow, after the aggregation.
+    agg.selectExpr(
+      """inline(array(
+        | named_struct('metric', 'row_count',
+        |   'value', cast(n as double), 'pass', n > 0),
+        | named_struct('metric', 'completeness_text',
+        |   'value', round(n_text / cast(n as double), 6),
+        |   'pass', n_text = n),
+        | named_struct('metric', 'completeness_lang',
+        |   'value', round(n_lang / cast(n as double), 6),
+        |   'pass', n_lang = n),
+        | named_struct('metric', 'distinctness_doc_id',
+        |   'value', round(n_id / cast(n as double), 6),
+        |   'pass', n_id = n),
+        | named_struct('metric', 'min_n_chars',
+        |   'value', cast(mn_chars as double), 'pass', mn_chars >= 0),
+        | named_struct('metric', 'max_n_chars',
+        |   'value', cast(mx_chars as double), 'pass', mx_chars <= 100000),
+        | named_struct('metric', 'mean_n_chars',
+        |   'value', round(cast(s_chars as double) / n, 6),
+        |   'pass', cast(s_chars as double) / n between 1 and 100000),
+        | named_struct('metric', 'len_consistency',
+        |   'value', round(n_len_ok / cast(n as double), 6),
+        |   'pass', n_len_ok = n)))""".stripMargin)
+  }
+
+  /** q101: merge per-customer order-aggregate STATE with a delta's
+    * partials. `history`/`delta` are the two fact slices; the history
+    * side stands in for a persisted state table — its aggregation runs
+    * here only because the test must build the state it merges.
+    */
+  def stateMerge(history: DataFrame, delta: DataFrame): DataFrame = {
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).as("total"))
+    partials(history).unionByName(partials(delta))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("total")).as("total_dec"))
+      .select(col("o_custkey"), col("n_orders"),
+        round(col("total_dec"), 4).cast("double").as("total"),
+        round(col("total_dec").cast("double") / col("n_orders"), 6)
+          .as("avg_price"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      "q100_quality_audit" -> ((s, d) =>
+        qualityAudit(Tables(s, d, "documents"))),
+
+      "q101_state_merge" -> ((s, d) => {
+        val o = Tables(s, d, "orders")
+        val cut = lit(MergeCutoff).cast("timestamp")
+        stateMerge(
+          o.filter(col("o_orderdate") < cut),
+          o.filter(col("o_orderdate") >= cut))
+      }),
+
+      // rows-only: file counts aren't SQL over the source tables. The
+      // before/after audit shape is pinned exactly by CompactionSpec.
+      "layout_compact" -> ((s, d) => {
+        val base = Files.createTempDirectory("graft_compact").toString
+        Tables(s, d, "documents").repartition(64)
+          .write.mode("overwrite").parquet(s"$base/frag")
+        Compaction.compact(s, s"$base/frag", s"$base/out",
+          CompactTargetBytes)
+      }))
+
+  def oracle: Map[String, String] = Map(
+    "q100_quality_audit" ->
+      """WITH a AS (SELECT COUNT(*) AS n, COUNT(text) AS n_text,
+        |  COUNT(lang) AS n_lang, COUNT(DISTINCT doc_id) AS n_id,
+        |  MIN(n_chars) AS mn_chars, MAX(n_chars) AS mx_chars,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS s_chars,
+        |  COUNT(*) FILTER (WHERE n_chars = LENGTH(text)) AS n_len_ok
+        | FROM documents)
+        |SELECT 'row_count' AS metric, CAST(n AS DOUBLE) AS value,
+        |  n > 0 AS pass FROM a
+        |UNION ALL SELECT 'completeness_text',
+        |  ROUND(n_text / CAST(n AS DOUBLE), 6), n_text = n FROM a
+        |UNION ALL SELECT 'completeness_lang',
+        |  ROUND(n_lang / CAST(n AS DOUBLE), 6), n_lang = n FROM a
+        |UNION ALL SELECT 'distinctness_doc_id',
+        |  ROUND(n_id / CAST(n AS DOUBLE), 6), n_id = n FROM a
+        |UNION ALL SELECT 'min_n_chars', CAST(mn_chars AS DOUBLE),
+        |  mn_chars >= 0 FROM a
+        |UNION ALL SELECT 'max_n_chars', CAST(mx_chars AS DOUBLE),
+        |  mx_chars <= 100000 FROM a
+        |UNION ALL SELECT 'mean_n_chars', ROUND(s_chars / n, 6),
+        |  s_chars / n BETWEEN 1 AND 100000 FROM a
+        |UNION ALL SELECT 'len_consistency',
+        |  ROUND(n_len_ok / CAST(n AS DOUBLE), 6), n_len_ok = n FROM a""".stripMargin,
+    "q101_state_merge" ->
+      """WITH hist AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'
+        |  GROUP BY o_custkey),
+        |delta AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+        |  GROUP BY o_custkey),
+        |u AS (SELECT * FROM hist UNION ALL SELECT * FROM delta)
+        |SELECT o_custkey, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        |  CAST(ROUND(SUM(total), 4) AS DOUBLE) AS total,
+        |  ROUND(CAST(SUM(total) AS DOUBLE) / CAST(SUM(n_orders) AS BIGINT), 6)
+        |    AS avg_price
+        |FROM u GROUP BY o_custkey""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Compaction
+import graft.queries.WarehouseOps
+
+/** Warehouse-maintenance ops: single-pass quality audit, aggregate-state
+  * merge (incremental MV maintenance), small-file compaction.
+  */
+class WarehouseOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality audit flags injected nulls, dup keys, and bad lengths") {
+    val clean = Seq(
+      (1L, "abcd", "en", "web", 4L),
+      (2L, "xy", "de", "web", 2L)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val cleanRows = WarehouseOps.qualityAudit(clean)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(cleanRows.size == 8 && cleanRows.values.forall(identity))
+
+    val dirty = Seq(
+      (1L, "abcd", "en", "web", 4L),
+      (1L, null: String, null: String, "web", 9L), // dup key, nulls, bad len
+      (2L, "xy", "de", "web", 2L)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val rows = WarehouseOps.qualityAudit(dirty)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(rows("row_count") == ((3.0, true)))
+    assert(rows("completeness_text") == ((0.666667, false)))
+    assert(rows("completeness_lang") == ((0.666667, false)))
+    assert(rows("distinctness_doc_id") == ((0.666667, false)))
+    // null text vs n_chars=9 fails the cross-column consistency check
+    assert(rows("len_consistency") == ((0.666667, false)))
+    assert(rows("min_n_chars")._2 && rows("max_n_chars")._2)
+  }
+
+  test("quality audit is ONE aggregation pass over the table") {
+    val df = WarehouseOps.qualityAudit(Tables(spark, sf, "documents"))
+    df.collect()
+    val scans = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, "constraint suite must not re-scan per constraint")
+  }
+
+  test("state merge == full recompute for count/sum/avg") {
+    val o = Tables(spark, sf, "orders")
+    val cut = lit(WarehouseOps.MergeCutoff).cast("timestamp")
+    val merged = WarehouseOps.stateMerge(
+      o.filter(col("o_orderdate") < cut),
+      o.filter(col("o_orderdate") >= cut))
+    val full = WarehouseOps.stateMerge(o, o.limit(0)) // state of everything
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("state merge with an empty delta is identity") {
+    val o = Tables(spark, sf, "orders")
+    val base = WarehouseOps.stateMerge(o, o.limit(0))
+    val again = WarehouseOps.stateMerge(o, o.limit(0))
+    assert(base.exceptAll(again).isEmpty)
+    assert(base.count() == o.select("o_custkey").distinct().count())
+  }
+
+  test("compaction shrinks a 64-shard table to target-sized files, content intact") {
+    val base = Files.createTempDirectory("graft_compact_spec").toString
+    val docs = Tables(spark, sf, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+
+    val audit = Compaction.compact(spark, s"$base/frag", s"$base/out",
+      WarehouseOps.CompactTargetBytes)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (inFiles, inRows) = audit("before")
+    val (outFiles, outRows) = audit("after")
+    assert(inFiles == 64 && outFiles < inFiles && outRows == inRows)
+
+    // content equality, not just counts
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.exceptAll(docs).isEmpty && docs.exceptAll(out).isEmpty)
+
+    // target sizing: every output file well below pathological tiny-file
+    // land and ≤ ~2x target (parquet row groups round up)
+    val (_, outBytes, _) = Compaction.stats(spark, s"$base/out")
+    assert(outBytes / outFiles <= 2 * WarehouseOps.CompactTargetBytes)
+  }
+
+  test("compaction with clusterBy keeps range clustering") {
+    val base = Files.createTempDirectory("graft_compact_rng").toString
+    Tables(spark, sf, "documents").repartition(32)
+      .write.mode("overwrite").parquet(s"$base/frag")
+    Compaction.compact(spark, s"$base/frag", s"$base/out", 1L << 20,
+      clusterBy = Seq("doc_id")).collect()
+    // each output file covers a disjoint doc_id range: per-file min/max
+    // extents must not overlap
+    val extents = spark.read.parquet(s"$base/out")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    extents.sliding(2).foreach {
+      case Array((_, mx1), (mn2, _)) => assert(mx1 <= mn2,
+        s"overlapping file extents: $mx1 > $mn2")
+      case _ =>
+    }
+  }
+}
