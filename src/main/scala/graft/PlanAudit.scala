@@ -28,7 +28,8 @@ object PlanAudit {
       "q92_incremental_dedup", "q93_stream_topk",
       "q95_star_join", "q96_exists_subquery", "q97_scalar_subquery",
       "q98_unpivot", "q99_gap_fill",
-      "q100_quality_audit", "q101_state_merge", "layout_compact")
+      "q100_quality_audit", "q101_state_merge", "layout_compact",
+      "q102_outliers", "q103_range_window")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

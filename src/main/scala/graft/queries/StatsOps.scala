@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Statistical cleaning + time-frame analytics over the event stream
+  * (SURVEY.md §2.11 [EXT]):
+  *
+  *  - q102 group-wise outlier detection: per-event-type z-scores with
+  *    |z| above a cutoff flagged — the "drop corrupt measurements"
+  *    cleaning pass. Two stages: a tiny per-type moments aggregation
+  *    (one row per event type — bounded vocabulary, broadcast back like
+  *    q56's thresholds), then a narrow scoring map over the corpus.
+  *    Mean/std derive from EXACT decimal sums (q61's discipline), so
+  *    both engines compute bit-identical doubles and the cutoff compare
+  *    never flakes.
+  *  - q103 time-RANGE window frames: per-user trailing-7-day spend —
+  *    `rangeBetween` over event-time MICROSECONDS (q32 covers ROWS
+  *    frames; RANGE frames bound by TIME, not row count, are the other
+  *    half of the frame surface). Ordering by `unix_micros` rather than
+  *    seconds keeps the frame boundary exact — second-truncation would
+  *    disagree with the oracle's full-precision interval arithmetic on
+  *    events within 1 s of the boundary. One shuffle on user_id; frame
+  *    state is per-user and time-bounded, the same boundedness argument
+  *    as the streaming watermark ops.
+  */
+object StatsOps {
+
+  private val dec = DecimalType(18, 4)
+
+  /** q102 cutoff: |z| above this is an outlier. */
+  val ZCutoff = 2.5
+
+  /** q103 trailing frame width in microseconds (7 days). */
+  val FrameMicros = 7L * 24 * 3600 * 1000000
+
+  /** Per-group z-score outliers; moments from exact decimal sums. */
+  def outliers(ev: DataFrame): DataFrame = {
+    val m = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(dec)).cast("double").as("sx"),
+      sum((col("value") * col("value")).cast(dec)).cast("double").as("sxx"))
+      .filter(col("n") > 1)
+      .select(col("event_type"), (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)).as("std"))
+    ev.join(broadcast(m), "event_type")
+      .withColumn("z", round((col("value") - col("mean")) / col("std"), 4))
+      .filter(abs(col("z")) > ZCutoff)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      "q102_outliers" -> ((s, d) => outliers(Tables(s, d, "events"))),
+
+      "q103_range_window" -> ((s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"))
+          .rangeBetween(-FrameMicros, Window.currentRow)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("n_7d", count(lit(1)).over(w))
+          .withColumn("sum_7d",
+            sum(col("value").cast(dec)).over(w).cast("double"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("n_7d"), round(col("sum_7d"), 4).as("sum_7d"))
+      }))
+
+  def oracle: Map[String, String] = Map(
+    "q102_outliers" ->
+      """WITH m AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type HAVING COUNT(*) > 1),
+        |s AS (SELECT event_type, sx / n AS mean,
+        |    SQRT((sxx - sx * sx / n) / (n - 1)) AS std FROM m)
+        |SELECT event_id, e.event_type, value,
+        |  ROUND((value - mean) / std, 4) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE ABS(ROUND((value - mean) / std, 4)) > 2.5""".stripMargin,
+    "q103_range_window" ->
+      """SELECT event_id, user_id, value,
+        | COUNT(*) OVER w AS n_7d,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
+        |   AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin)
+}

@@ -29,9 +29,10 @@ class RelationalSpec extends SparkSpec {
   test("every query has an oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only checks are allowed only for non-SQL-expressible ops:
-    // the approximate dedup/ANN families, multimodal decode, and
-    // kernels DuckDB has no twin for (deflate)
-    val rowsOnly = Set("q78_compress_ratio")
+    // the approximate dedup/ANN families, multimodal decode, kernels
+    // DuckDB has no twin for (deflate), and file-layout audits whose
+    // output (file counts) isn't SQL over the source tables
+    val rowsOnly = Set("q78_compress_ratio", "layout_compact")
     assert(missing.forall(n => n.startsWith("dedup_") || n.startsWith("sim_")
       || n.startsWith("text_") || n.startsWith("mm_") || n.startsWith("mr_")
       || rowsOnly(n)),

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.StatsOps
+
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("outliers: crafted spike is flagged with the hand-computed z") {
+    // group 'a': nine 10.0s and one 20.0 → mean 11, var (81+9*1)/9 = 10,
+    // std sqrt(10); z(20) = 9/sqrt(10) = 2.8460 > 2.5, z(10) ≈ -0.32
+    val ev = ((1 to 9).map(i => (i.toLong, "a", 10.0)) :+ (10L, "a", 20.0))
+      .toDF("event_id", "event_type", "value")
+    val got = StatsOps.outliers(ev).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 10L)
+    assert(got(0).getDouble(3) == 2.846)
+  }
+
+  test("outliers: corpus side rides a broadcast join, one tiny moments shuffle") {
+    val df = StatsOps.outliers(Tables(spark, sf, "events"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), s"moments must broadcast:\n$p")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx <= 1, s"corpus must not shuffle for scoring, got $nEx:\n$p")
+  }
+
+  test("range window honors the exact 7-day microsecond boundary") {
+    val t0 = Timestamp.valueOf("2024-01-10 00:00:00")
+    def at(micros: Long) = new Timestamp(t0.getTime + micros / 1000) // ms precision here
+    val ev = Seq(
+      (1L, 7L, at(0L), 1.0),                          // anchor - 7d exactly: IN frame
+      (2L, 7L, at(1000L), 2.0),                       // 1ms after: IN
+      (3L, 7L, at(StatsOps.FrameMicros - 1000), 4.0), // 1ms before anchor: IN
+      (4L, 7L, at(StatsOps.FrameMicros), 8.0),        // the anchor row
+      (5L, 8L, at(StatsOps.FrameMicros), 99.0))       // other user: never
+      .toDF("event_id", "user_id", "ts", "value")
+    // row 1 is exactly FrameMicros before row 4 — RANGE is inclusive, so
+    // the anchor's trailing frame holds all four of user 7's rows
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-StatsOps.FrameMicros, Window.currentRow)
+    val got = ev.withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d", sum(col("value")).over(w))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_7d"), r.getAs[Double]("sum_7d"))).toMap
+    assert(got(4L) == ((4L, 15.0)))
+    assert(got(3L) == ((3L, 7.0)))
+    assert(got(5L) == ((1L, 99.0)))
+    // one row later than 7d after row 1: row 1 must have aged out
+    val ev2 = ev.union(Seq((6L, 7L, at(StatsOps.FrameMicros + 1000), 16.0))
+      .toDF("event_id", "user_id", "ts", "value"))
+    val got2 = ev2.withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_7d"))
+      .toMap
+    assert(got2(6L) == 4L, "row at +7d+1ms must exclude the t0 row")
+  }
+}

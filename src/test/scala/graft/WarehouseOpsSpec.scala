@@ -89,6 +89,36 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(outBytes / outFiles <= 2 * WarehouseOps.CompactTargetBytes)
   }
 
+  test("dynamic partition overwrite replaces only the delivered partitions") {
+    // the incremental-rewrite contract a daily pipeline needs: re-running
+    // one day's job must replace THAT day's partition and leave every
+    // other day untouched (static overwrite mode would truncate them all)
+    val dir = Files.createTempDirectory("graft_dyn_part").toString
+    val days = Seq((1L, "d1", 10.0), (2L, "d2", 20.0), (3L, "d3", 30.0))
+      .toDF("id", "day", "v")
+    days.write.partitionBy("day").mode("overwrite").parquet(dir)
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // corrected re-delivery of day d2 only
+      Seq((2L, "d2", 21.0), (4L, "d2", 22.0)).toDF("id", "day", "v")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("day"),
+        r.getAs[Double]("v"))).toSet
+    assert(got == Set((1L, "d1", 10.0), (3L, "d3", 30.0),
+      (2L, "d2", 21.0), (4L, "d2", 22.0)))
+  }
+
   test("compaction with clusterBy keeps range clustering") {
     val base = Files.createTempDirectory("graft_compact_rng").toString
     Tables(spark, sf, "documents").repartition(32)
