@@ -58,6 +58,13 @@ object EventQueries {
     "q45_stream_join" -> ((s, d) =>
       graft.streaming.EventStream.clickPurchaseJoin(Tables(s, d, "events"))),
 
+    // §2.10: stream-stream LEFT OUTER join, batch twin — every click
+    // with its purchase or NULLs (streaming emits the null rows only
+    // once the watermark proves no match can arrive; EventStreamSpec
+    // pins streaming == batch including those rows).
+    "q104_stream_left_join" -> ((s, d) =>
+      graft.streaming.EventStream.clickPurchaseLeftJoin(Tables(s, d, "events"))),
+
     // §2.10: streaming dedup's batch twin. event_id is unique in the
     // data, so the input is doubled with a self-union to make the dedup
     // real; duplicates are byte-identical rows, keeping the kept-row
@@ -150,6 +157,17 @@ object EventQueries {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'"""
         .stripMargin,
+    "q104_stream_left_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.purchase_id,
+        | c.ts AS click_ts, p.purchase_ts
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT user_id AS p_user, event_id AS purchase_id,
+        |      ts AS purchase_ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.p_user
+        | AND p.purchase_ts >= c.ts
+        | AND p.purchase_ts <= c.ts + INTERVAL '10 minutes'""".stripMargin,
     "q55_stream_dedup" ->
       """SELECT DISTINCT event_id, ts, user_id, event_type, value, props
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)"""

@@ -93,6 +93,39 @@ object EventStream {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — every click, with its
+    * matching purchase or with NULL purchase columns once the watermark
+    * PROVES no match can still arrive. This is the semantics inner joins
+    * can't give a streaming pipeline: "conversion or confirmed
+    * non-conversion", emitted incrementally. The null-padded row for an
+    * unmatched click is only emitted when the purchase-side watermark
+    * passes click_ts + 10 min (emitting earlier could be contradicted by
+    * a late purchase), so outer results trail the inner ones by the
+    * lateness horizon — the correctness/latency trade Structured
+    * Streaming makes explicit. State bounds are identical to
+    * [[clickPurchaseJoin]]: both sides evict below the watermark.
+    * Batch twin (watermarks no-op) = a plain left interval join, which
+    * the q104 oracle hash-checks; EventStreamSpec pins streaming ==
+    * batch including the null rows.
+    */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)
   case class SessionAcc(start: Long, end: Long, n: Long, sum: Double)

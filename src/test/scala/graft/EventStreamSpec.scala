@@ -148,6 +148,39 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join emits null rows once the watermark proves no match (q104)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val rows = batch.as[(Long, Long, Timestamp, String)].collect().toSeq
+    val maxTs = rows.map(_._3.getTime).max
+    // sentinel click+purchase pair far past the data: pushes BOTH sides'
+    // watermarks beyond every real click's match horizon, so all real
+    // unmatched clicks must emit their null-padded row
+    val sentinels = Seq(
+      (900001L, 999999L, new Timestamp(maxTs + 10L * 3600 * 1000), "click"),
+      (900002L, 999999L,
+        new Timestamp(maxTs + 10L * 3600 * 1000 + 60000), "purchase"))
+    val stream = MemoryStream[(Long, Long, Timestamp, String)]
+    val (first, second) = rows.splitAt(rows.size / 2)
+    stream.addData(first)
+    stream.addData(second)
+    stream.addData(sentinels)
+    val streamed = EventStream.clickPurchaseLeftJoin(
+      stream.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+    EventStream.runToMemory(streamed, "ss_left_join", OutputMode.Append())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))
+    val got = spark.table("ss_left_join").collect().map(key).toSet
+    val want = EventStream.clickPurchaseLeftJoin(
+      batch.unionByName(sentinels.toDF("event_id", "user_id", "ts", "event_type")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))))
+      .collect().map(key).toSet
+    assert(want.exists(_._2.isEmpty), "twin must contain unmatched clicks")
+    assert(got == want)
+  }
+
   test("stream-static enrich joins a broadcast dimension per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
