@@ -29,7 +29,8 @@ object PlanAudit {
       "q95_star_join", "q96_exists_subquery", "q97_scalar_subquery",
       "q98_unpivot", "q99_gap_fill",
       "q100_quality_audit", "q101_state_merge", "layout_compact",
-      "q102_outliers", "q103_range_window", "q104_stream_left_join")
+      "q102_outliers", "q103_range_window", "q104_stream_left_join",
+      "q105_upsert", "q106_eqdepth_hist")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -54,9 +54,42 @@ object StatsOps {
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
   }
 
+  /** q106 bucket count for the equi-depth histogram. */
+  val EqDepthBuckets = 10
+
+  /** q106: equi-depth histogram — decile boundaries from exact
+    * percentiles (rounded to 4 dp so both engines bucket on identical
+    * doubles; the data has 2-dp prices, so a 4-dp boundary can't sit
+    * ambiguously close to a value), then each row's bucket is "how many
+    * boundaries are below it". The 9 boundary doubles are collected to
+    * the driver and ride the scoring plan as an array LITERAL — the
+    * q85-kmeans/IVF pattern for KB-scale metadata; a join (even a 1-row
+    * broadcast) would plan a nested-loop node for no benefit. Scoring
+    * is then a pure narrow pass + one bounded-key aggregation. The
+    * exact `percentile` agg buffers a value-count map per partition; at
+    * corpus scale swap `approx_percentile` (mergeable sketch, one
+    * pass) — the boundary consumer doesn't change. Equi-depth via
+    * global ntile would need a total sort; this form never sorts.
+    */
+  def eqDepthHistogram(df: DataFrame, valueCol: String): DataFrame = {
+    val ps = (1 until EqDepthBuckets).map(_.toDouble / EqDepthBuckets)
+    val bnds = df.agg(array(ps.map(p =>
+      round(expr(s"percentile($valueCol, $p)"), 4)): _*).as("bnds"))
+      .head().getSeq[Double](0)
+    df.select(col(valueCol).as("v"),
+        expr(s"size(filter(array(${bnds.mkString(",")}), " +
+          s"x -> $valueCol > x))").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "q102_outliers" -> ((s, d) => outliers(Tables(s, d, "events"))),
+
+      "q106_eqdepth_hist" -> ((s, d) =>
+        eqDepthHistogram(Tables(s, d, "lineitem"), "l_extendedprice")),
 
       "q103_range_window" -> ((s, d) => {
         val w = Window.partitionBy(col("user_id"))
@@ -73,6 +106,22 @@ object StatsOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    "q106_eqdepth_hist" ->
+      """WITH b AS (SELECT [round(quantile_cont(l_extendedprice, 0.1), 4),
+        |  round(quantile_cont(l_extendedprice, 0.2), 4),
+        |  round(quantile_cont(l_extendedprice, 0.3), 4),
+        |  round(quantile_cont(l_extendedprice, 0.4), 4),
+        |  round(quantile_cont(l_extendedprice, 0.5), 4),
+        |  round(quantile_cont(l_extendedprice, 0.6), 4),
+        |  round(quantile_cont(l_extendedprice, 0.7), 4),
+        |  round(quantile_cont(l_extendedprice, 0.8), 4),
+        |  round(quantile_cont(l_extendedprice, 0.9), 4)] AS bnds
+        | FROM lineitem)
+        |SELECT CAST(len(list_filter(bnds, x -> l_extendedprice > x))
+        |    AS INTEGER) AS bucket,
+        |  COUNT(*) AS n, MIN(l_extendedprice) AS mn,
+        |  MAX(l_extendedprice) AS mx
+        |FROM lineitem, b GROUP BY 1""".stripMargin,
     "q102_outliers" ->
       """WITH m AS (SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,

@@ -93,6 +93,17 @@ object WarehouseOps {
         |   'pass', n_len_ok = n)))""".stripMargin)
   }
 
+  /** q105: MERGE/upsert — apply a change set to a keyed table: matched
+    * keys take the update's row, unmatched keys insert, everything else
+    * carries over. Composed as update ∪ (target ⟂ update) — one
+    * anti-join + union, the MR-native form of MERGE INTO (no per-row
+    * lookups; both sides co-partition on the key, and AQE broadcasts a
+    * small change set so the 100 TB target never shuffles). Row-level
+    * history is q83's SCD2; this is the snapshot-in-place form.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(target.join(updates, Seq(key), "left_anti"))
+
   /** q101: merge per-customer order-aggregate STATE with a delta's
     * partials. `history`/`delta` are the two fact slices; the history
     * side stands in for a persisted state table — its aggregation runs
@@ -124,6 +135,19 @@ object WarehouseOps {
         stateMerge(
           o.filter(col("o_orderdate") < cut),
           o.filter(col("o_orderdate") >= cut))
+      }),
+
+      // MERGE/upsert over documents with a deterministic change set
+      // derived from the table itself: every 10th doc gets a '[v2] '
+      // revision, every 97th spawns a new doc at doc_id + 1e6.
+      "q105_upsert" -> ((s, d) => {
+        val t = Tables(s, d, "documents")
+        val upd = t.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", concat(lit("[v2] "), col("text")))
+          .withColumn("n_chars", col("n_chars") + 5)
+        val ins = t.filter(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        upsert(t, upd.unionByName(ins), "doc_id")
       }),
 
       // rows-only: file counts aren't SQL over the source tables. The
@@ -160,6 +184,18 @@ object WarehouseOps {
         |  s_chars / n BETWEEN 1 AND 100000 FROM a
         |UNION ALL SELECT 'len_consistency',
         |  ROUND(n_len_ok / CAST(n AS DOUBLE), 6), n_len_ok = n FROM a""".stripMargin,
+    "q105_upsert" ->
+      """WITH upd AS (SELECT doc_id, '[v2] ' || text AS text, lang, source,
+        |    n_chars + 5 AS n_chars FROM documents WHERE doc_id % 10 = 0),
+        |ins AS (SELECT doc_id + 1000000 AS doc_id, text, lang, source,
+        |    n_chars FROM documents WHERE doc_id % 97 = 0),
+        |u AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT * FROM u
+        |UNION ALL
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.doc_id = d.doc_id)"""
+        .stripMargin,
     "q101_state_merge" ->
       """WITH hist AS (SELECT o_custkey, COUNT(*) AS n_orders,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total

@@ -31,6 +31,26 @@ class StatsOpsSpec extends SparkSpec {
     assert(nEx <= 1, s"corpus must not shuffle for scoring, got $nEx:\n$p")
   }
 
+  test("equi-depth histogram: near-equal buckets, full coverage, ordered extents") {
+    val df = StatsOps.eqDepthHistogram(
+      Tables(spark, sf, "lineitem"), "l_extendedprice")
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 until StatsOps.EqDepthBuckets))
+    val total = Tables(spark, sf, "lineitem").count()
+    assert(rows.map(_._2).sum == total, "every row lands in some bucket")
+    // equi-DEPTH: each bucket within 2% of total/k (ties can shift rows)
+    val ideal = total.toDouble / StatsOps.EqDepthBuckets
+    rows.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - ideal) <= ideal * 0.02 + 1,
+        s"bucket $b holds $n vs ideal $ideal") }
+    // buckets tile the value axis in order
+    rows.sliding(2).foreach {
+      case Array((_, _, _, mx1), (_, _, mn2, _)) => assert(mx1 <= mn2)
+      case _ =>
+    }
+  }
+
   test("range window honors the exact 7-day microsecond boundary") {
     val t0 = Timestamp.valueOf("2024-01-10 00:00:00")
     def at(micros: Long) = new Timestamp(t0.getTime + micros / 1000) // ms precision here

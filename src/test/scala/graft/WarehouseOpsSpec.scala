@@ -89,6 +89,19 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(outBytes / outFiles <= 2 * WarehouseOps.CompactTargetBytes)
   }
 
+  test("upsert: updates win, inserts appear, the rest carries over, keys stay unique") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+    val changes = Seq((2L, "B2"), (9L, "new")).toDF("doc_id", "v")
+    val got = WarehouseOps.upsert(target, changes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c", 9L -> "new"))
+    // idempotent: applying the same change set again is a no-op
+    val again = WarehouseOps.upsert(
+      WarehouseOps.upsert(target, changes, "doc_id"), changes, "doc_id")
+    assert(again.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == got)
+  }
+
   test("dynamic partition overwrite replaces only the delivered partitions") {
     // the incremental-rewrite contract a daily pipeline needs: re-running
     // one day's job must replace THAT day's partition and leave every
