@@ -43,7 +43,11 @@ object PlanDump {
       "q95_star_join" -> "six-table star: broadcast dims at the bottom, fact-fact shuffles above — Catalyst-chosen join order",
       "q96_exists_subquery" -> "correlated EXISTS decorrelated to a left-semi join (no nested-loop subquery execution)",
       "q97_scalar_subquery" -> "correlated scalar subquery decorrelated to ONE aggregate + join on p_partkey",
-      "q99_gap_fill" -> "per-group sequence() explode builds the grid narrowly; AQE broadcasts the grid side of the left join")
+      "q99_gap_fill" -> "per-group sequence() explode builds the grid narrowly; AQE broadcasts the grid side of the left join",
+      "q100_quality_audit" -> "whole constraint suite in ONE aggregation pass (single scan); inline() verdict expansion after the agg",
+      "q102_outliers" -> "per-type moments broadcast back over the corpus: scoring is a narrow map, corpus never shuffles",
+      "q105_upsert" -> "MERGE as update UNION anti-join: co-partitioned or broadcast, no per-row lookups",
+      "q106_eqdepth_hist" -> "percentile boundaries as an array literal (driver metadata) — narrow bucket scoring, no join, no sort")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -110,7 +114,15 @@ object PlanDump {
       "q96_exists_subquery / q97_scalar_subquery" ->
         "no hint: Catalyst decorrelates EXISTS to a left-semi join and the scalar subquery to an aggregate + join, both on corpus-scale keys - AQE owns the strategy (semi-join build sides grow with the corpus)",
       "q99_gap_fill" ->
-        "no hint needed: the day grid is rangeDays x nTypes rows - independent of event cardinality, AQE broadcasts it at any corpus size; the observed-daily side arrives pre-aggregated (one row per type-day)")
+        "no hint needed: the day grid is rangeDays x nTypes rows - independent of event cardinality, AQE broadcasts it at any corpus size; the observed-daily side arrives pre-aggregated (one row per type-day)",
+      "q102_outliers" ->
+        "explicit broadcast(moments): one row per event type - bounded vocabulary like q56's thresholds; the corpus side is a narrow scoring pass, zero corpus shuffles",
+      "q104_stream_left_join" ->
+        "stream-stream left outer: both sides watermark-bounded state, no broadcast (the null-emission semantics need symmetric state); batch twin: AQE decides",
+      "q105_upsert" ->
+        "no hint on the anti-join: the change set can be one row or a full re-delivery - AQE broadcasts small deltas, shuffles big ones on the key; the update union is narrow",
+      "q101_state_merge / q106_eqdepth_hist" ->
+        "no join at all where it matters: q101 merges partial-aggregate STATE rows (one per key) through a union+regroup; q106's boundaries ride the plan as an array literal (KB driver metadata, the kmeans/IVF pattern)")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"
