@@ -238,6 +238,27 @@ object DedupQueries {
         .withColumnRenamed("comp", "component")
     }),
 
+    // Cluster-keeper by QUALITY: per exact dup cluster, keep the best
+    // document instead of the smallest id — what a curation pipeline
+    // actually wants (SemDeDup keeps one representative; which one
+    // matters for training data). "Best" = longest doc, ties to the
+    // smaller id, encoded as one BIGINT sort key so both engines'
+    // arg-max agree bit-for-bit (q49's okey discipline). The per-doc
+    // length join is one narrow column against the component labels;
+    // the keeper choice is a single max_by aggregation per cluster —
+    // no sort, no window over the corpus.
+    "dedup_cluster_best" -> ((s, d) => {
+      val comps = queries("dedup_components")(s, d)
+      val len = graft.Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      comps.join(len, "doc_id")
+        .groupBy(col("component"))
+        .agg(expr("max_by(doc_id, n_chars * 4294967296 - doc_id)")
+          .as("keeper"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     // Embedding-cosine near-dup, EXACT, via a block-grid pair join (the
     // semantics demand every pair, so the O(n²) compare count is
     // inherent — the design question is only how the work is sharded).
@@ -448,6 +469,21 @@ object DedupQueries {
          |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.node)
          |SELECT node AS doc_id, min(lbl) AS component
          |FROM walk GROUP BY node""".stripMargin,
+    "dedup_cluster_best" ->
+      s"""WITH RECURSIVE pr AS ($exactPairsSql),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |walk(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.node),
+         |comp AS (SELECT node AS doc_id, min(lbl) AS component
+         |         FROM walk GROUP BY node)
+         |SELECT component,
+         |  arg_max(c.doc_id, n_chars * 4294967296 - c.doc_id) AS keeper,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+         |GROUP BY component""".stripMargin,
     "q20_exact_dedup" ->
       """SELECT sha256(text) AS fp, min(doc_id) AS keeper,
         | count(*) AS n_copies

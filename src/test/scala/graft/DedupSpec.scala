@@ -83,6 +83,21 @@ class DedupSpec extends SparkSpec {
       s"component mismatch: ${got.toSet -- want.toSet} vs ${want.toSet -- got.toSet}")
   }
 
+  test("cluster-best keeper: longest doc wins, ties break to the smaller id") {
+    import spark.implicits._
+    // component {1,2,3}: doc 2 is longest → keeper. component {10,11}:
+    // equal lengths → smaller id 10. labels as dedup_components emits
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    val len = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "n_chars")
+    val got = comps.join(len, "doc_id").groupBy("component")
+      .agg(org.apache.spark.sql.functions.expr(
+        "max_by(doc_id, n_chars * 4294967296 - doc_id)").as("keeper"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 10L -> 10L))
+  }
+
   test("shingle df cap: inactive at default, prunes hot shingles when low") {
     // default cap is far above any test-corpus df — output identical
     assert(DedupQueries.ngramJaccard(spark, sf, DedupQueries.ShingleFreqCap)
