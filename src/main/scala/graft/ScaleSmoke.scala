@@ -14,7 +14,8 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     Seq("q20_exact_dedup", "dedup_keep_min", "q21_minhash_lsh",
       "dedup_simhash", "dedup_simhash_w", "q23_ngram_jaccard",
-      "q70_dup_spans", "q88_epoch_shuffle").foreach { n =>
+      "dedup_cluster_best", "q70_dup_spans", "q88_epoch_shuffle",
+      "q100_quality_audit", "q105_upsert").foreach { n =>
       val df = SparkEntry.queries(n)(spark, args.headOption.getOrElse("/tmp/sfbig"))
       // noop write (the Bench discipline), NOT count(): count lets
       // Catalyst prune row-preserving joins/aggregations out of the plan
