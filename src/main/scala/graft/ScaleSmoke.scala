@@ -16,11 +16,14 @@ object ScaleSmoke {
       "dedup_simhash", "dedup_simhash_w", "q23_ngram_jaccard",
       "dedup_cluster_best", "q70_dup_spans", "q88_epoch_shuffle",
       "q100_quality_audit", "q105_upsert").foreach { n =>
-      val df = SparkEntry.queries(n)(spark, args.headOption.getOrElse("/tmp/sfbig"))
-      // noop write (the Bench discipline), NOT count(): count lets
-      // Catalyst prune row-preserving joins/aggregations out of the plan
-      // and times a row counter instead of the operator
+      // construction INSIDE the timer (the Bench discipline): iterative
+      // operators (components) materialize eagerly while the plan is
+      // being built, so timing only the final write would hide them.
+      // noop write, NOT count(): count lets Catalyst prune
+      // row-preserving joins/aggregations out of the plan and times a
+      // row counter instead of the operator
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(n)(spark, args.headOption.getOrElse("/tmp/sfbig"))
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       val cnt = df.count() // untimed, for the row report only

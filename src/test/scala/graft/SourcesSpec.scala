@@ -50,6 +50,29 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSet == src.collect().toSet)
   }
 
+  test("schema evolution: mergeSchema unifies old and new files, nulls backfill") {
+    // the long-lived-table reality: files written before a column existed
+    // sit next to files written after. mergeSchema reconciles the footers
+    // (metadata-only) and old rows surface the new column as NULL.
+    val dir = tmp("graft_evolve")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "c", 0.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("id", "v", "score"))
+    val rows = merged.collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[Any]("score")))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty,
+      "pre-evolution rows must backfill NULL")
+    assert(rows(3L).contains(0.5))
+    // quality audit composes: completeness of the new column reflects
+    // exactly the backfilled nulls
+    val nulls = merged.filter(col("score").isNull).count()
+    assert(nulls == 2)
+  }
+
   test("csv without schema infers and still aggregates correctly") {
     val dir = tmp("graft_csv2")
     Tables(spark, sf, "supplier")
