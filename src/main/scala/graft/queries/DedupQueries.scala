@@ -232,8 +232,9 @@ object DedupQueries {
     // = min doc_id of the cluster. Rows-only (iterative; not one SQL
     // statement), pinned against an in-memory union-find in DedupSpec.
     "dedup_components" -> ((s, d) => {
-      val pairs = queries("q23_ngram_jaccard")(s, d).select("doc_a", "doc_b")
-      graft.operators.Components.connectedComponents(pairs)
+      // pair list from the session cache: components and cluster_best
+      // consume the same graph, so the expensive pair join runs once
+      graft.operators.Components.connectedComponents(PairCache.pairs(s, d))
         .withColumnRenamed("node", "doc_id")
         .withColumnRenamed("comp", "component")
     }),
@@ -593,4 +594,41 @@ private[graft] object ShingleCache {
 
   def arrays(s: SparkSession, d: String): DataFrame = entry(s, d)._1
   def hashed(s: SparkSession, d: String): DataFrame = entry(s, d)._2
+}
+
+/** Session-scoped materialization of the exact near-dup PAIR LIST — the
+  * layer above ShingleCache's tokenize-once: a curation session that
+  * clusters (dedup_components) and then picks keepers
+  * (dedup_cluster_best) consumes the same pair graph twice, and at
+  * corpus scale the pair join is the most expensive stage in the whole
+  * family (52 s on the dup-heavy smoke corpus vs seconds for everything
+  * downstream) — so it is produced ONCE per (session, dataset).
+  * q21/q23 deliberately do NOT read this cache: they ARE the pair
+  * producers whose correctness and cost are being measured.
+  * Lifecycle/staleness contract identical to [[ShingleCache]].
+  */
+private[graft] object PairCache {
+
+  import org.apache.spark.storage.StorageLevel
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  def evict(s: SparkSession, d: String): Unit = {
+    val e = cache.remove((s, d))
+    if (e != null) e.unpersist()
+  }
+
+  def clear(): Unit = {
+    val keys = cache.keySet().toArray(Array.empty[(SparkSession, String)])
+    keys.foreach { case (s, d) => evict(s, d) }
+  }
+
+  /** The exact-Jaccard pair list (doc_a, doc_b), persisted on first use. */
+  def pairs(s: SparkSession, d: String): DataFrame =
+    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+      DedupQueries.queries("q23_ngram_jaccard")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 }

@@ -203,6 +203,19 @@ class DedupSpec extends SparkSpec {
     graft.queries.ShingleCache.arrays(spark, sf).count()
   }
 
+  test("pair cache matches direct q23 pairs; eviction frees the frame") {
+    val cached = graft.queries.PairCache.pairs(spark, sf)
+    val got = cached.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = SparkEntry.queries("q23_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == direct && got.nonEmpty)
+    assert(cached.storageLevel.useMemory || cached.storageLevel.useDisk)
+    graft.queries.PairCache.evict(spark, sf)
+    assert(cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evict must unpersist the pair list")
+  }
+
   test("incremental dedup: exact copies, edits, and uniques route correctly") {
     import spark.implicits._
     // doc_id branch map (q75 snapshot arithmetic):
