@@ -96,6 +96,29 @@ object StatsOps {
       "q106_eqdepth_hist" -> ((s, d) =>
         eqDepthHistogram(Tables(s, d, "lineitem"), "l_extendedprice")),
 
+      // Rolling distinct users per trailing 7-day window — COUNT
+      // (DISTINCT) is not window-able and the exact form needs a
+      // day×events range self-join that rescans the corpus per day.
+      // The mergeable-sketch form is the 100 TB answer: ONE pass builds
+      // a daily HLL sketch (one row per day — corpus-independent
+      // metadata, like the IVF centroids), then the window merges 7
+      // tiny sketches per row. Approximate by nature → rows-only for
+      // the driver; StatsOpsSpec pins relative error < 5% against the
+      // exact self-join at test scale.
+      "q107_rolling_distinct" -> ((s, d) => {
+        val daily = Tables(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .groupBy(col("day"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+            count_distinct(col("user_id")).as("users_1d"))
+        val w = Window.orderBy(col("dn")).rangeBetween(-6, Window.currentRow)
+        daily
+          .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
+          .withColumn("sk7", expr("hll_union_agg(sk)").over(w))
+          .withColumn("users_7d", expr("hll_sketch_estimate(sk7)"))
+          .select(col("day"), col("users_1d"), col("users_7d"))
+      }),
+
       "q103_range_window" -> ((s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("us"))

@@ -51,6 +51,29 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("rolling distinct via merged daily HLL sketches tracks the exact join") {
+    val got = SparkEntry.queries("q107_rolling_distinct")(spark, sf)
+      .collect().map(r => (r.getDate(0).toString,
+        r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.nonEmpty)
+    // exact twin: day x events range self-join (test-scale only)
+    val days = Tables(spark, sf, "events")
+      .select(to_date(col("ts")).as("day")).distinct()
+    val ev = Tables(spark, sf, "events")
+      .select(to_date(col("ts")).as("eday"), col("user_id"))
+    val exact = days.join(ev,
+        col("eday").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("exact_7d"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    got.foreach { case (day, d1, d7) =>
+      val ex = exact(day)
+      assert(d7 >= d1, s"$day: 7d window can't be smaller than its own day")
+      assert(math.abs(d7 - ex) <= math.max(1L, (ex * 0.05).toLong),
+        s"$day: sketch $d7 vs exact $ex drifts >5%")
+    }
+  }
+
   test("range window honors the exact 7-day microsecond boundary") {
     val t0 = Timestamp.valueOf("2024-01-10 00:00:00")
     def at(micros: Long) = new Timestamp(t0.getTime + micros / 1000) // ms precision here
