@@ -220,6 +220,10 @@ object DedupQueries {
     // stop-shingle df cap bounds the inverted-index join's worst case.
     "q23_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d, ShingleFreqCap)),
 
+    // Asymmetric containment (small-doc-inside-big-doc detection) —
+    // see containmentPairs.
+    "q108_containment" -> ((s, d) => containmentPairs(s, d, ShingleFreqCap)),
+
     // Incremental dedup (see incrementalDedup below): the "don't
     // re-ingest what the corpus already holds" pass of a continuously
     // fed pipeline, over the q75 snapshot simulation.
@@ -371,6 +375,39 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** q108: shingle CONTAINMENT join — |A∩B| / |A| ≥ threshold, the
+    * asymmetric cousin of q23's Jaccard. Jaccard misses the case a
+    * training pipeline most wants caught: a small document living whole
+    * inside a big one (quotations, boilerplate wrappers, page-of-a-book
+    * extracts), where the union term drowns the overlap. Same machinery
+    * and scale shape as q23 — shared shingle cache, df-capped inverted
+    * index, bucket-grouped pair generation, per-doc size lookups — plus
+    * one narrow explode emitting each qualifying direction. The ratio is
+    * a single IEEE division of two ints, so both engines agree exactly.
+    */
+  private[graft] val ContainmentThreshold = 0.9
+  private[graft] def containmentPairs(s: SparkSession, d: String,
+      cap: Int): DataFrame = {
+    val sh = shingles(s, d)
+    val ex = hashedShingles(s, d).withColumnRenamed("h", "s")
+    val kept = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select(col("s"))
+    val exCapped = ex.join(kept.hint("shuffle_hash"), "s")
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val co = bucketPairs(exCapped, Seq("s"), "doc_id")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          (col("common").cast("double") / col("na")).as("containment")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          (col("common").cast("double") / col("nb")).as("containment"))))
+        .as("p"))
+      .select(col("p.contained"), col("p.container"), col("p.containment"))
+      .filter(col("containment") >= ContainmentThreshold)
+  }
+
   /** q92: incremental dedup of a NEW snapshot against the EXISTING
     * corpus — the pass a continuously-fed pipeline runs on every
     * delivery. Snapshots reuse q75's deterministic simulation (A = the
@@ -491,6 +528,25 @@ object DedupQueries {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "q21_minhash_lsh" -> exactPairsSql,
     "q23_ngram_jaccard" -> exactPairsSql,
+    "q108_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |          FOR i IN range(1, len(tk) - 1)])) AS s FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |dirs AS (
+        |  SELECT da AS contained, db AS container,
+        |         CAST(c AS DOUBLE) / x.n AS containment
+        |  FROM co JOIN sz x ON da = x.doc_id
+        |  UNION ALL
+        |  SELECT db, da, CAST(c AS DOUBLE) / y.n
+        |  FROM co JOIN sz y ON db = y.doc_id)
+        |SELECT contained, container, containment
+        |FROM dirs WHERE containment >= 0.9""".stripMargin,
     "q92_incremental_dedup" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
         |b AS (SELECT doc_id,

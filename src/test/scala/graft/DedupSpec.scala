@@ -203,6 +203,26 @@ class DedupSpec extends SparkSpec {
     graft.queries.ShingleCache.arrays(spark, sf).count()
   }
 
+  test("containment join equals the exact in-memory subset ratio, both directions") {
+    val got = SparkEntry.queries("q108_containment")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // exact reference from the shingle arrays
+    val sets = graft.queries.ShingleCache.arrays(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      c = (sa & sb).size.toDouble / sa.size if c >= 0.9
+    } yield (a, b) -> c).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    want.foreach { case (k, c) => assert(math.abs(got(k) - c) < 1e-12) }
+    // the asymmetric payoff: at least one pair must be contained in one
+    // direction only (small-in-big), which Jaccard-style symmetry misses
+    assert(want.keys.exists { case (a, b) => !want.contains((b, a)) },
+      "corpus should exhibit one-directional containment")
+  }
+
   test("pair cache matches direct q23 pairs; eviction frees the frame") {
     val cached = graft.queries.PairCache.pairs(spark, sf)
     val got = cached.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
