@@ -84,16 +84,20 @@ object Observability {
     * metadata only — reads the progress ring buffer, runs no job.
     */
   case class BatchHealth(batchId: Long, inputRows: Long,
-      rowsPerSec: Double, stateRows: Long, watermark: String)
+      rowsPerSec: Double, stateRows: Long, droppedLate: Long,
+      watermark: String)
 
   def streamHealth(q: StreamingQuery): Seq[BatchHealth] =
     q.recentProgress.toSeq.map { p =>
-      val stateRows =
-        if (p.stateOperators == null) 0L
-        else p.stateOperators.map(_.numRowsTotal).sum
+      val (stateRows, dropped) =
+        if (p.stateOperators == null) (0L, 0L)
+        else (p.stateOperators.map(_.numRowsTotal).sum,
+          // rows the watermark excluded: the data-loss number a
+          // pipeline owner alarms on before widening the lateness horizon
+          p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
       BatchHealth(p.batchId, p.numInputRows,
         if (p.processedRowsPerSecond.isNaN) 0.0 else p.processedRowsPerSecond,
-        stateRows,
+        stateRows, dropped,
         Option(p.eventTime.get("watermark")).getOrElse(""))
     }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -75,6 +76,35 @@ object SearchQueries {
         .groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("cf"))),
+
+    // TF-IDF top terms per document — the doc-REPRESENTATION dual of
+    // q73's query-scoring: the 3 most characteristic terms of every
+    // document, the feature extraction behind keyword tagging and the
+    // interpretable cousin of q94's hashed embeddings. tf from one
+    // explode + (doc, term) aggregation, df shared from the same table
+    // (vocabulary-sized, shuffle-joined on term — never broadcast: the
+    // vocabulary grows with the corpus), N as a driver literal (IVF
+    // pattern). Scores rounded to 6 dp BEFORE ranking and tie-broken by
+    // term, so both engines' row_number agrees despite libm ln ULP
+    // (q73's proven discipline). The rank window partitions by doc —
+    // per-doc term lists are document-length-bounded.
+    "q109_tfidf_topterms" -> ((s, d) => {
+      val tk = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val n = tk.count().toDouble
+      val tf = tk.select(col("doc_id"), explode(col("t")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df.hint("shuffle_hash"), "term")
+        .withColumn("score", round(col("tf") * log(lit(n) / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("score"))
+    }),
 
     // BM25: tf per (doc, query-term) via one explode + filter (the term
     // IN-list prunes ~all tokens before the shuffle), df and corpus
@@ -158,6 +188,24 @@ object SearchQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q109_tfidf_topterms" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tk),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |       GROUP BY term),
+        |scored AS (SELECT doc_id, tf.term,
+        |    round(tf * ln(n.n / df.df), 6) AS score
+        |  FROM tf JOIN df ON tf.term = df.term, n),
+        |ranked AS (SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3"""
+        .stripMargin,
     "q71_grep" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '$GrepPattern')) AS INTEGER)

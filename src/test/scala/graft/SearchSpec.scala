@@ -123,4 +123,33 @@ class SearchSpec extends SparkSpec {
     // BM25 tf saturation: doubling tf less than doubles the score
     assert(scored(1L) < 2 * scored(2L), s"tf term must saturate: $scored")
   }
+
+  test("tf-idf top terms: ranks complete, scores monotone, ubiquitous terms excluded") {
+    val rows = SparkEntry.queries("q109_tfidf_topterms")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, ts) =>
+      val sorted = ts.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"doc $doc ranks not 1..k")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true
+      }, s"doc $doc scores not monotone")
+    }
+    // a term in EVERY document has idf = ln(1) = 0 and can never beat a
+    // distinctive term; verify none of the top terms is corpus-ubiquitous
+    val n = Tables(spark, sf, "documents").count()
+    val docsPerTerm = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).as("term"))
+      .distinct().groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ubiquitousTop = rows.filter(r => docsPerTerm(r._3) == n)
+    assert(ubiquitousTop.forall(_._4 == 0.0),
+      s"zero-idf terms can only surface with score 0: ${ubiquitousTop.take(3).toSeq}")
+  }
 }
