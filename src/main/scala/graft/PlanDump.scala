@@ -121,6 +121,10 @@ object PlanDump {
         "stream-stream left outer: both sides watermark-bounded state, no broadcast (the null-emission semantics need symmetric state); batch twin: AQE decides",
       "q105_upsert" ->
         "no hint on the anti-join: the change set can be one row or a full re-delivery - AQE broadcasts small deltas, shuffles big ones on the key; the update union is narrow",
+      "q108_containment" ->
+        "no join on the pair path (bucket-grouped, as q21/q23); per-doc size lookups un-hinted - one row per document, AQE broadcasts at test scale, shuffles at corpus scale",
+      "q109_tfidf_topterms" ->
+        "shuffle_hash hint on the df join: the vocabulary grows with the corpus and must NEVER broadcast (contrast q73, whose df is bounded by the QUERY's terms and is explicitly broadcast)",
       "q101_state_merge / q106_eqdepth_hist" ->
         "no join at all where it matters: q101 merges partial-aggregate STATE rows (one per key) through a union+regroup; q106's boundaries ride the plan as an array literal (KB driver metadata, the kmeans/IVF pattern)")
 
