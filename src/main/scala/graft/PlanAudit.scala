@@ -31,7 +31,8 @@ object PlanAudit {
       "q100_quality_audit", "q101_state_merge", "layout_compact",
       "q102_outliers", "q103_range_window", "q104_stream_left_join",
       "q105_upsert", "q106_eqdepth_hist", "dedup_cluster_best",
-      "q107_rolling_distinct", "q108_containment", "q109_tfidf_topterms")
+      "q107_rolling_distinct", "q108_containment", "q109_tfidf_topterms",
+      "q110_share_of_total")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

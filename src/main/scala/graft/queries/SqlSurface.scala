@@ -134,6 +134,43 @@ object SqlSurface {
             round(max(col("val")), 4).as("mx"))
       }),
 
+      // Contribution analysis — share-of-parent and share-of-total, the
+      // BI staple: nation revenue as a fraction of its region and of the
+      // world. The heavy lifting is ONE fact aggregation down to
+      // (region, nation) rows; both window sums then run over ≤25
+      // aggregated rows — bounded metadata, so the unpartitioned
+      // grand-total window is fine at any corpus size. Shares are
+      // decimal-sum ratios rounded to 6 dp (IEEE-deterministic).
+      "q110_share_of_total" -> ((s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        val n = Tables(s, d, "nation")
+        val r = Tables(s, d, "region")
+        // sums stay DECIMAL through the windows (window sums over
+        // doubles are accumulation-order-dependent); only the final
+        // ratio drops to double — exact inputs ⇒ identical quotients
+        val rev = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(r("r_name"), n("n_name"))
+          .agg(sum(revTerm(li("l_extendedprice"), li("l_discount")))
+            .as("rev_dec"))
+        val byRegion = Window.partitionBy(col("r_name"))
+        val world = Window.partitionBy()
+        rev
+          .withColumn("region_share",
+            round(col("rev_dec").cast("double")
+              / sum(col("rev_dec")).over(byRegion).cast("double"), 6))
+          .withColumn("world_share",
+            round(col("rev_dec").cast("double")
+              / sum(col("rev_dec")).over(world).cast("double"), 6))
+          .select(col("r_name"), col("n_name"),
+            round(col("rev_dec"), 4).cast("double").as("rev"),
+            col("region_share"), col("world_share"))
+      }),
+
       // Time-series gap fill — the per-(type, day) activity series WITH
       // the silent days restored: each type's own [first, last] day range
       // is generated by sequence() INSIDE its group row (explode of a
@@ -171,6 +208,26 @@ object SqlSurface {
   }
 
   def oracle: Map[String, String] = Map(
+    "q110_share_of_total" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(28,8))) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name,
+        |  CAST(ROUND(rev_dec, 4) AS DOUBLE) AS rev,
+        |  ROUND(CAST(rev_dec AS DOUBLE) /
+        |    CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+        |    AS region_share,
+        |  ROUND(CAST(rev_dec AS DOUBLE) /
+        |    CAST(SUM(rev_dec) OVER () AS DOUBLE), 6) AS world_share
+        |FROM rev""".stripMargin,
     "q95_star_join" ->
       """SELECT n_name,
         | CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))

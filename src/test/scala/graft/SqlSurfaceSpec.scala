@@ -49,6 +49,18 @@ class SqlSurfaceSpec extends SparkSpec {
       s"unpivot must stay narrow before the aggregation:\n$p")
   }
 
+  test("share-of-total: shares sum to 1 per region and globally") {
+    val rows = SparkEntry.queries("q110_share_of_total")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (region, rs) =>
+      val s = rs.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$region region shares sum to $s")
+    }
+    val g = rows.map(_._3).sum
+    assert(math.abs(g - 1.0) < 1e-4, s"world shares sum to $g")
+  }
+
   test("gap fill restores silent days with zeros inside each type's range") {
     import spark.implicits._
     val ev = Seq(
