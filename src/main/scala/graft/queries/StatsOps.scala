@@ -96,6 +96,31 @@ object StatsOps {
       "q106_eqdepth_hist" -> ((s, d) =>
         eqDepthHistogram(Tables(s, d, "lineitem"), "l_extendedprice")),
 
+      // Robust outlier statistics — the MAD complement to q102's
+      // z-scores: median and median-absolute-deviation are unmoved by
+      // the very outliers being hunted, where one extreme value drags a
+      // mean/std enough to mask its peers. Three passes by definition
+      // (deviation needs the median; the flag needs the MAD), each the
+      // q102 shape: a per-type scalar table broadcast back over a
+      // narrow corpus scan — no corpus shuffle anywhere. Medians/MADs
+      // rounded to 4 dp before reuse so both engines subtract identical
+      // constants (q47's proven percentile-interpolation parity).
+      "q111_mad_outliers" -> ((s, d) => {
+        val ev = Tables(s, d, "events")
+        val med = ev.groupBy(col("event_type"))
+          .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .groupBy(col("event_type"))
+          .agg(first(col("med")).as("med"),
+            round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+        ev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            first(col("med")).as("median"), first(col("mad")).as("mad"),
+            sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1L)
+              .otherwise(0L)).as("n_outliers"))
+      }),
+
       // Rolling distinct users per trailing 7-day window — COUNT
       // (DISTINCT) is not window-able and the exact form needs a
       // day×events range self-join that rescans the corpus per day.
@@ -134,6 +159,20 @@ object StatsOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    "q111_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (SELECT e.event_type, ANY_VALUE(med) AS med,
+        |    round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+        |  FROM events e JOIN med ON e.event_type = med.event_type
+        |  GROUP BY e.event_type)
+        |SELECT e.event_type, COUNT(*) AS n, ANY_VALUE(m.med) AS median,
+        |  ANY_VALUE(m.mad) AS mad,
+        |  CAST(COUNT(*) FILTER (WHERE abs(value - m.med) > m.mad * 3)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad m ON e.event_type = m.event_type
+        |GROUP BY e.event_type""".stripMargin,
     "q106_eqdepth_hist" ->
       """WITH b AS (SELECT [round(quantile_cont(l_extendedprice, 0.1), 4),
         |  round(quantile_cont(l_extendedprice, 0.2), 4),

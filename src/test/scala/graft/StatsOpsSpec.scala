@@ -51,6 +51,30 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("MAD stays anchored where one extreme value inflates the std") {
+    // nine 10.0s and one 1000.0: the spike drags std to ~313 (z of the
+    // spike ≈ 2.85, z of the 10s ≈ -0.3 — everything looks "normal-ish")
+    // while median=10, MAD=0 stays put and the spike alone violates
+    // |x - med| > 3*MAD
+    val ev = ((1 to 9).map(i => (i.toLong, "a", 10.0)) :+ (10L, "a", 1000.0))
+      .toDF("event_id", "event_type", "value")
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.first(col("med")).as("med"),
+        round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      .collect()(0)
+    assert(mad.getDouble(1) == 10.0 && mad.getDouble(2) == 0.0)
+    val outliers = ev.filter(abs(col("value") - lit(10.0)) > lit(0.0) * 3)
+      .count()
+    assert(outliers == 1L, "only the spike violates the MAD fence")
+    // contrast: the classical z-score at the same 3x fence misses it
+    val std = math.sqrt(ev.agg(expr("var_samp(value)")).head().getDouble(0))
+    assert(math.abs((1000.0 - 109.0) / std) < 3,
+      "the spike hides from its own mean/std fence")
+  }
+
   test("rolling distinct via merged daily HLL sketches tracks the exact join") {
     val got = SparkEntry.queries("q107_rolling_distinct")(spark, sf)
       .collect().map(r => (r.getDate(0).toString,
