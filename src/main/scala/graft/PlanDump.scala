@@ -126,7 +126,11 @@ object PlanDump {
       "q109_tfidf_topterms" ->
         "shuffle_hash hint on the df join: the vocabulary grows with the corpus and must NEVER broadcast (contrast q73, whose df is bounded by the QUERY's terms and is explicitly broadcast)",
       "q101_state_merge / q106_eqdepth_hist" ->
-        "no join at all where it matters: q101 merges partial-aggregate STATE rows (one per key) through a union+regroup; q106's boundaries ride the plan as an array literal (KB driver metadata, the kmeans/IVF pattern)")
+        "no join at all where it matters: q101 merges partial-aggregate STATE rows (one per key) through a union+regroup; q106's boundaries ride the plan as an array literal (KB driver metadata, the kmeans/IVF pattern)",
+      "q110_share_of_total" ->
+        "explicit broadcast(nation, region) only; both share windows run over <=25 AGGREGATED rows (bounded metadata), so the unpartitioned grand-total window is safe at any corpus size",
+      "q102_outliers / q111_mad_outliers" ->
+        "explicit broadcast(per-type scalar tables): moments/median/MAD are one row per event type - bounded vocabulary; every corpus pass stays narrow, zero corpus shuffles")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"
