@@ -65,7 +65,14 @@ object Bench {
     val errs = jmap { case (k, (_, _, e)) => e.map(m =>
       s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") }
     val total = results.values.collect { case (t, _, None) => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"n_failed":${results.count(_._2._3.isDefined)},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"n_failed":${results.count(_._2._3.isDefined)},"sf":"$sfDir"}"""
+    println(json)
+    // stdout capture buffers have truncated this line before (122 queries
+    // ≈ 10 KB of JSON); the file copy is the canonical artifact
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

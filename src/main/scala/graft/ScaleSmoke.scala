@@ -15,7 +15,10 @@ object ScaleSmoke {
     Seq("q20_exact_dedup", "dedup_keep_min", "q21_minhash_lsh",
       "dedup_simhash", "dedup_simhash_w", "q23_ngram_jaccard",
       "dedup_cluster_best", "q70_dup_spans", "q88_epoch_shuffle",
-      "q100_quality_audit", "q105_upsert").foreach { n =>
+      "q100_quality_audit", "q105_upsert",
+      // iterative operators: driver loops whose per-round join+agg shape
+      // is the scale question — smoke them off-gate like the dedup family
+      "q74_pagerank", "q85_kmeans", "q92_incremental_dedup").foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is
       // being built, so timing only the final write would hide them.

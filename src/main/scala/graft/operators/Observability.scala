@@ -36,7 +36,12 @@ object Observability {
   }
 
   private val seen = mutable.Map[String, Row]()
-  @volatile private var registered = false
+  // per-SESSION registration (a lone global flag would leave every
+  // session after the first without a listener, so its observed metrics
+  // never arrive and awaitMetrics spins to timeout). Weak keys: holding
+  // a stopped session here would pin its whole runtime graph.
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Most recent observed-metrics row for `name`, if any action has
     * completed since. Listener registration is lazy and idempotent.
@@ -63,8 +68,9 @@ object Observability {
     * Call once per session before running observed frames.
     */
   def register(spark: SparkSession): Unit = {
-    if (registered) return
-    registered = true
+    registered.synchronized {
+      if (!registered.add(spark)) return
+    }
     spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,

@@ -247,8 +247,10 @@ object DedupQueries {
     // document instead of the smallest id — what a curation pipeline
     // actually wants (SemDeDup keeps one representative; which one
     // matters for training data). "Best" = longest doc, ties to the
-    // smaller id, encoded as one BIGINT sort key so both engines'
-    // arg-max agree bit-for-bit (q49's okey discipline). The per-doc
+    // smaller id, as a STRUCT-ordered arg-max (lexicographic on
+    // (n_chars, -doc_id) in both engines) — the former single-BIGINT
+    // encoding n_chars * 2^32 - doc_id silently mis-ordered once
+    // doc_id ≥ 2^32, which a 100 TB corpus reaches. The per-doc
     // length join is one narrow column against the component labels;
     // the keeper choice is a single max_by aggregation per cluster —
     // no sort, no window over the corpus.
@@ -258,7 +260,7 @@ object DedupQueries {
         .select(col("doc_id"), col("n_chars"))
       comps.join(len, "doc_id")
         .groupBy(col("component"))
-        .agg(expr("max_by(doc_id, n_chars * 4294967296 - doc_id)")
+        .agg(expr("max_by(doc_id, struct(n_chars, -doc_id))")
           .as("keeper"),
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
@@ -518,7 +520,7 @@ object DedupQueries {
          |comp AS (SELECT node AS doc_id, min(lbl) AS component
          |         FROM walk GROUP BY node)
          |SELECT component,
-         |  arg_max(c.doc_id, n_chars * 4294967296 - c.doc_id) AS keeper,
+         |  first(c.doc_id ORDER BY n_chars DESC, c.doc_id) AS keeper,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM comp c JOIN documents d ON c.doc_id = d.doc_id
          |GROUP BY component""".stripMargin,

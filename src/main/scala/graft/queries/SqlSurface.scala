@@ -41,15 +41,17 @@ object SqlSurface {
     * the correlated date predicate as the join condition — the
     * decorrelation IS the operator; the same text runs on DuckDB.
     */
-  val existsSql: String =
-    """SELECT o_orderpriority, COUNT(*) AS n
-      |FROM orders
+  def existsSqlOn(orders: String, lineitem: String): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n
+      |FROM $orders
       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
-      |  AND EXISTS (SELECT 1 FROM lineitem
+      |  AND EXISTS (SELECT 1 FROM $lineitem
       |              WHERE l_orderkey = o_orderkey
       |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY o_orderpriority""".stripMargin
+
+  val existsSql: String = existsSqlOn("orders", "lineitem")
 
   /** q97: TPC-H Q17-shaped correlated SCALAR subquery — revenue lost by
     * small-quantity orders of one brand, threshold 20% of that part's
@@ -63,15 +65,17 @@ object SqlSurface {
     * double (double/int division is IEEE-deterministic, while decimal
     * division result scales differ between engines).
     */
-  val scalarSubSql: String =
-    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+  def scalarSubSqlOn(lineitem: String, part: String): String =
+    s"""SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
       |         AS DOUBLE) / 7 AS avg_yearly,
       |       COUNT(*) AS n_small
-      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |FROM $lineitem JOIN $part ON p_partkey = l_partkey
       |WHERE p_brand = 'Brand#4'
       |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
-      |                    FROM lineitem l2
+      |                    FROM $lineitem l2
       |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  val scalarSubSql: String = scalarSubSqlOn("lineitem", "part")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -104,16 +108,28 @@ object SqlSurface {
             count(lit(1)).as("n_items"))
       }),
 
+      // graft_-prefixed temp views, dropped once the statement is
+      // ANALYZED (spark.sql resolves views eagerly; the returned frame
+      // keeps the bound relations) — running a graft query must not
+      // clobber a caller's own `orders`/`lineitem` views in the shared
+      // session catalog. The oracle runs the same text on the plain
+      // table names.
       "q96_exists_subquery" -> ((s, d) => {
-        Tables(s, d, "orders").createOrReplaceTempView("orders")
-        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
-        s.sql(existsSql)
+        Tables(s, d, "orders").createOrReplaceTempView("graft_q96_orders")
+        Tables(s, d, "lineitem").createOrReplaceTempView("graft_q96_lineitem")
+        val df = s.sql(existsSqlOn("graft_q96_orders", "graft_q96_lineitem"))
+        s.catalog.dropTempView("graft_q96_orders")
+        s.catalog.dropTempView("graft_q96_lineitem")
+        df
       }),
 
       "q97_scalar_subquery" -> ((s, d) => {
-        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
-        Tables(s, d, "part").createOrReplaceTempView("part")
-        s.sql(scalarSubSql)
+        Tables(s, d, "lineitem").createOrReplaceTempView("graft_q97_lineitem")
+        Tables(s, d, "part").createOrReplaceTempView("graft_q97_part")
+        val df = s.sql(scalarSubSqlOn("graft_q97_lineitem", "graft_q97_part"))
+        s.catalog.dropTempView("graft_q97_lineitem")
+        s.catalog.dropTempView("graft_q97_part")
+        df
       }),
 
       // UNPIVOT — melt lineitem's four measure columns into

@@ -48,6 +48,10 @@ object StatsOps {
       .select(col("event_type"), (col("sx") / col("n")).as("mean"),
         sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
           / (col("n") - 1)).as("std"))
+      // zero-variance groups: Spark's Divide yields NULL where DuckDB's
+      // IEEE default yields ±inf — exclude the degenerate group in BOTH
+      // engines so the oracle compare can't diverge on constant data
+      .filter(col("std") > 0)
     ev.join(broadcast(m), "event_type")
       .withColumn("z", round((col("value") - col("mean")) / col("std"), 4))
       .filter(abs(col("z")) > ZCutoff)
@@ -199,7 +203,8 @@ object StatsOps {
         |SELECT event_id, e.event_type, value,
         |  ROUND((value - mean) / std, 4) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
-        |WHERE ABS(ROUND((value - mean) / std, 4)) > 2.5""".stripMargin,
+        |WHERE std > 0
+        |  AND ABS(ROUND((value - mean) / std, 4)) > 2.5""".stripMargin,
     "q103_range_window" ->
       """SELECT event_id, user_id, value,
         | COUNT(*) OVER w AS n_7d,

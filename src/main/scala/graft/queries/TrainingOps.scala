@@ -68,10 +68,16 @@ object TrainingOps {
     * verify after the equi-join.
     */
   private[graft] def fuzzyPairs(names: DataFrame): DataFrame = {
+    // the empty string contributes only its identity key: Spark's
+    // sequence(0, -1) is the DESCENDING array [0, -1], not empty, so an
+    // unguarded transform would mint bogus deletion keys for "" that the
+    // all-pairs oracle never produces
     val keyed = names.select(col("id"), col("name"),
       explode(concat(array(col("name")), expr(
-        "transform(sequence(0, length(name) - 1)," +
-          " i -> concat(substring(name, 1, i), substring(name, i + 2)))")))
+        "case when length(name) > 0 then" +
+          " transform(sequence(0, length(name) - 1)," +
+          " i -> concat(substring(name, 1, i), substring(name, i + 2)))" +
+          " else array() end")))
         .as("key"))
     val a = keyed.select(col("id").as("id_a"), col("name").as("name_a"),
       col("key"))

@@ -11,8 +11,13 @@ Usage: python3 tools/make_scale_corpus.py [src_dir] [out_dir]
   (defaults: /root/testdata/sf0.1 -> /tmp/sfbig)
 
 Round-2 built this corpus ad hoc and lost the script; this file is the
-reproducible home. Only `documents.parquet` is materialized — the dedup
-family reads nothing else.
+reproducible home. Besides `documents.parquet` (the dedup family's
+input), round 4 adds 10x key-remapped replicas of orders / lineitem /
+embeddings so the iterative operators (q74 pagerank, q85 kmeans, q92)
+smoke at the same off-gate scale: order keys are remapped consistently
+on both sides of the orders-lineitem join, and customer/supplier keys
+fan out so the pagerank graph grows in nodes, not just edge
+multiplicity.
 """
 import sys
 
@@ -46,3 +51,23 @@ COPY (
 """)
 n = con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
 print(f"wrote {out}/documents.parquet ({n} docs)")
+
+# 10x replicas for the iterative-operator smokes. Key remapping keeps the
+# orders-lineitem equi-join consistent (same k*10+r on both sides) and
+# grows the customer/supplier node space of the q74 graph 10x.
+for name, sql in {
+    "orders": """SELECT * REPLACE (o_orderkey * 10 + r AS o_orderkey,
+                                    o_custkey * 10 + r AS o_custkey)
+                 FROM '{src}/orders.parquet', unnest(range(0, 10)) AS t(r)""",
+    "lineitem": """SELECT * REPLACE (l_orderkey * 10 + r AS l_orderkey,
+                                      l_suppkey * 10 + r AS l_suppkey)
+                   FROM '{src}/lineitem.parquet',
+                        unnest(range(0, 10)) AS t(r)""",
+    "embeddings": """SELECT * REPLACE (vec_id * 10 + r AS vec_id)
+                     FROM '{src}/embeddings.parquet',
+                          unnest(range(0, 10)) AS t(r)""",
+}.items():
+    con.sql(f"COPY ({sql.format(src=src)}) TO '{out}/{name}.parquet'"
+            " (FORMAT PARQUET)")
+    n = con.sql(f"SELECT count(*) FROM '{out}/{name}.parquet'").fetchone()[0]
+    print(f"wrote {out}/{name}.parquet ({n} rows)")
