@@ -46,21 +46,24 @@ object PageRank {
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85, checkpointEvery: Int = 4): DataFrame = {
     val Seq(cs, cd) = edges.columns.toSeq.take(2).map(col)
-    // the loop's working set, built in ONE pass over the (possibly
-    // expensive) upstream edge derivation: out-degree via a window count
-    // on the source key — one shuffle, no deg-table join, and the
-    // upstream plan executes exactly once. The unbounded count frame
-    // buffers one node's out-edges per group (spills via Spark's row
-    // array for extreme hubs). nodes/noIn below derive from this cache,
-    // so nothing upstream ever re-executes.
-    val links = edges.select(cs.as("u"), cd.as("v"))
-      .withColumn("deg", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u")))
-        .cast("double"))
-      .cache()
+    // the loop's working set. Out-degree via map-side-combined
+    // groupBy + join, NOT a window count: the unbounded window frame
+    // buffered one node's ENTIRE out-edge list in a single task's
+    // sort — a power-law hub made that a giant one-group sort+spill —
+    // where the groupBy pre-aggregates each map partition to one row
+    // per node before its (node-cardinality) shuffle, and the join
+    // back streams one deg row per key. The raw edge cache keeps the
+    // (possibly expensive) upstream edge derivation to exactly ONE
+    // execution; its blocks are freed as soon as `links` materializes
+    // below (nodes.count() forces both).
+    val raw = edges.select(cs.as("u"), cd.as("v")).cache()
+    val deg = raw.groupBy(col("u"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val links = raw.join(deg, "u").cache()
     val nodes = links.select(col("u"))
       .union(links.select(col("v").as("u"))).distinct().cache()
     val n = nodes.count().toDouble // one scalar to the driver
+    raw.unpersist()
     val teleport = (1 - damping) / n
     // nodes with NO in-edges never receive gathered mass — a constant
     // set, computed once; each round unions it back at teleport mass

@@ -148,6 +148,50 @@ object PipelineOps {
         round(col("n_dup_spans") / col("n_spans"), 6).as("dup_span_frac"))
   }
 
+  /** Duplicate-span REMOVAL — the operation q70 only measures: emit each
+    * document's text with every duplicated 8-token window spliced out
+    * [Lee et al. ACL'22]. A token is dropped iff SOME shared span covers
+    * it, so overlapping duplicated spans merge into one cut — the
+    * standard substring-dedup splice.
+    *
+    * Plan shape: positional spans (narrow transform + explode, hashes
+    * only) → the q70 shared-span set (one agg on the 64-bit span key) →
+    * a semi join keeps each doc's COVERED start positions (dup-density-
+    * bounded volume) → collect_list packs them per doc (bounded by the
+    * doc's own span count) → one co-partitioned join back and a narrow
+    * filter-by-index splice. Three bounded shuffles, same class as q70;
+    * nothing corpus-sized is ever buffered per task. The oracle replays
+    * the identical mask on raw span STRINGS (the q70 hash-vs-text
+    * equivalence; a divergence needs a live 64-bit collision).
+    */
+  def removeDupSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
+    val st = spanTokens
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // (doc, start, span-hash) for every window — positions matter here,
+    // so no per-doc distinct before the explode
+    val pos = toks.filter(size(col("tk")) >= st)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(tk) - $st), " +
+          s"j -> struct(j AS j, " +
+          s"xxhash64(concat_ws(' ', slice(tk, j + 1, $st))) AS h))")).as("p"))
+      .select(col("doc_id"), col("p.j").as("j"), col("p.h").as("h"))
+    // q70's shared-span definition: distinct per doc, then ≥ 2 docs
+    val shared = pos.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val starts = pos.join(shared, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("j")).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), expr("array()")))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        expr(s"filter(tk, (x, i) -> " +
+          s"NOT exists(starts, j -> j <= i AND i <= j + ${st - 1}))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** Fixed-window token chunking with overlap — the "split long
     * documents into context-length training samples" pass. Chunk starts
     * step by `stride` (< `chunkTokens` → overlapping windows, the usual
@@ -226,6 +270,8 @@ object PipelineOps {
     "q65_pack_sequences" -> ((s, d) => packSequences(Tables(s, d, "documents"))),
     "q66_domain_mix" -> ((s, d) => domainMix(Tables(s, d, "documents"))),
     "q70_dup_spans" -> ((s, d) => dupSpans(Tables(s, d, "documents"))),
+    "q114_span_removal" -> ((s, d) =>
+      removeDupSpans(Tables(s, d, "documents"))),
     "q81_chunk_docs" -> ((s, d) => chunkDocs(Tables(s, d, "documents"))),
     "q82_bigram_lm" -> ((s, d) => bigramScore(Tables(s, d, "documents"))),
 
@@ -388,6 +434,25 @@ object PipelineOps {
         |SELECT doc_id, n_tokens,
         | CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
+    "q114_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |pos AS (SELECT doc_id, j, array_to_string(tk[j:j+7], ' ') AS s
+        |        FROM t, unnest(range(1, len(tk) - 6)) AS u(j)),
+        |shared AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos)
+        |           GROUP BY s HAVING COUNT(*) >= 2),
+        |cov AS (SELECT doc_id, list(j) AS starts
+        |        FROM pos JOIN shared USING (s) GROUP BY doc_id),
+        |m AS (SELECT t.doc_id, t.tk, COALESCE(cov.starts, []) AS starts
+        |      FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id),
+        |k AS (SELECT doc_id, tk,
+        |        list_filter(tk, (x, i) -> len(list_filter(starts,
+        |          j -> j <= i AND i <= j + 7)) = 0) AS kept
+        |      FROM m)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+        |FROM k""".stripMargin,
     "q70_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |           FROM documents WHERE len(string_split(text, ' ')) >= 8),

@@ -61,6 +61,16 @@ object StatsOps {
   /** q106 bucket count for the equi-depth histogram. */
   val EqDepthBuckets = 10
 
+  /** Accuracy knob for the approx_percentile twins (q112 /
+    * stats_approx_eqdepth): the KLL-style sketch buffers O(accuracy)
+    * entries per group REGARDLESS of input size and merges
+    * associatively, vs the exact `percentile`'s value→count map of the
+    * WHOLE input concentrated in one final merge — the one buffer in
+    * this codebase that does not survive a 100× scale-up. 10000 bounds
+    * rank error at 1/accuracy = 0.01% of rows.
+    */
+  val ApproxAccuracy = 10000
+
   /** q106: equi-depth histogram — decile boundaries from exact
     * percentiles (rounded to 4 dp so both engines bucket on identical
     * doubles; the data has 2-dp prices, so a 4-dp boundary can't sit
@@ -75,15 +85,21 @@ object StatsOps {
     * pass) — the boundary consumer doesn't change. Equi-depth via
     * global ntile would need a total sort; this form never sorts.
     */
-  def eqDepthHistogram(df: DataFrame, valueCol: String): DataFrame = {
+  def eqDepthHistogram(df: DataFrame, valueCol: String,
+      approx: Boolean = false): DataFrame = {
     val ps = (1 until EqDepthBuckets).map(_.toDouble / EqDepthBuckets)
     // ONE percentile aggregate with an array of percentages: nine scalar
     // percentile() calls each carry their own full value-count buffer
     // (9x the state and 9x the merge — measured 17 s vs 2 s at sf0.1);
     // the array form shares a single buffer across all boundaries.
+    // approx=true swaps in the bounded-buffer approx_percentile sketch —
+    // the form to run at corpus scale; exact stays the oracle gate.
+    val pctAgg =
+      if (approx) s"approx_percentile($valueCol, array(${ps.mkString(",")})," +
+        s" $ApproxAccuracy)"
+      else s"percentile($valueCol, array(${ps.mkString(",")}))"
     val bnds = df.agg(expr(
-      s"transform(percentile($valueCol, array(${ps.mkString(",")})), " +
-        "x -> round(x, 4))").as("bnds"))
+      s"transform($pctAgg, x -> round(x, 4))").as("bnds"))
       .head().getSeq[Double](0)
     df.select(col(valueCol).as("v"),
         expr(s"size(filter(array(${bnds.mkString(",")}), " +
@@ -99,6 +115,30 @@ object StatsOps {
 
       "q106_eqdepth_hist" -> ((s, d) =>
         eqDepthHistogram(Tables(s, d, "lineitem"), "l_extendedprice")),
+
+      // The 100 TB form of q106: identical consumer (boundaries →
+      // narrow bucket assignment → bounded-key agg), boundaries from the
+      // mergeable approx_percentile sketch instead of the exact
+      // value-count buffer. Approximate by nature → rows-only for the
+      // driver; StatsOpsSpec pins per-bucket depth within 1% of exact
+      // at sf0.1.
+      "stats_approx_eqdepth" -> ((s, d) =>
+        eqDepthHistogram(Tables(s, d, "lineitem"), "l_extendedprice",
+          approx = true)),
+
+      // The 100 TB form of q47: same per-group (p50, p90, n) surface via
+      // ONE shared approx_percentile sketch per group (array form), so
+      // group state is O(accuracy), not O(group size). Rows-only;
+      // StatsOpsSpec pins relative quantile error ≤ 1% vs q47 at sf0.1.
+      "q112_approx_percentiles" -> ((s, d) =>
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(expr(s"approx_percentile(o_totalprice, array(0.5, 0.9), " +
+            s"$ApproxAccuracy)").as("ps"),
+            count(lit(1)).as("n"))
+          .select(col("o_orderpriority"),
+            round(element_at(col("ps"), 1), 4).as("p50"),
+            round(element_at(col("ps"), 2), 4).as("p90"), col("n"))),
 
       // Robust outlier statistics — the MAD complement to q102's
       // z-scores: median and median-absolute-deviation are unmoved by
@@ -148,6 +188,29 @@ object StatsOps {
           .select(col("day"), col("users_1d"), col("users_7d"))
       }),
 
+      // Exact twin of q107 — oracle-checked: each event is exploded to
+      // the 7 trailing windows it contributes to (a narrow 7× map, no
+      // non-equi join → no BroadcastNestedLoopJoin), then ONE distinct
+      // aggregation per (day). users_1d rides the same pass via a
+      // conditional distinct. The semi join restricts output to days
+      // that exist in the data (q107's domain); the distinct-days set is
+      // date-cardinality metadata, broadcast. This rescans nothing per
+      // day — but the distinct state per day is the full 7-day user set,
+      // which is why the HLL sketch form (q107) is the 100 TB default
+      // and this exact form is the gate that pins it.
+      "q113_rolling_distinct_exact" -> ((s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(to_date(col("ts")).as("eday"), col("user_id"))
+        val days = ev.select(col("eday").as("day")).distinct()
+        ev.select(col("eday"), col("user_id"),
+            explode(expr("sequence(eday, date_add(eday, 6))")).as("day"))
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(count_distinct(when(col("eday") === col("day"),
+            col("user_id"))).as("users_1d"),
+            count_distinct(col("user_id")).as("users_7d"))
+      }),
+
       "q103_range_window" -> ((s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("us"))
@@ -163,6 +226,15 @@ object StatsOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    "q113_rolling_distinct_exact" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS eday, user_id FROM events),
+        |days AS (SELECT DISTINCT eday AS day FROM e)
+        |SELECT day,
+        |  CAST(COUNT(DISTINCT CASE WHEN eday = day THEN user_id END)
+        |    AS BIGINT) AS users_1d,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+        |FROM days JOIN e ON e.eday BETWEEN day - 6 AND day
+        |GROUP BY day""".stripMargin,
     "q111_mad_outliers" ->
       """WITH med AS (SELECT event_type,
         |    round(quantile_cont(value, 0.5), 4) AS med

@@ -108,6 +108,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L) == ((5L, 0L)))
   }
 
+  test("span removal splices exactly the covered tokens") {
+    import spark.implicits._
+    // doc 1: x1..x4 a1..a8 y1..y4 — the a-run is an 8-token span shared
+    // with doc 2; tokens covered by ANY shared span are dropped. Spans
+    // overlapping the a-run but containing x/y tokens are unique to
+    // doc 1, so exactly a1..a8 goes; doc 3 is untouched.
+    val a = (1 to 8).map(i => s"a$i")
+    val docs = Seq(
+      (1L, ((1 to 4).map(i => s"x$i") ++ a ++ (1 to 4).map(i => s"y$i"))
+        .mkString(" ")),
+      (2L, (a ++ (1 to 8).map(i => s"z$i")).mkString(" ")),
+      (3L, (1 to 10).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.removeDupSpans(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((16L, 8L,
+      ((1 to 4).map(i => s"x$i") ++ (1 to 4).map(i => s"y$i")).mkString(" "))))
+    assert(got(2L) == ((16L, 8L, (1 to 8).map(i => s"z$i").mkString(" "))))
+    assert(got(3L) == ((10L, 0L, (1 to 10).map(i => s"c$i").mkString(" "))))
+    // the cleaned corpus carries no shared 8-token span: measuring the
+    // output with q70's machinery reports zero duplicated spans
+    val again = PipelineOps.dupSpans(
+      PipelineOps.removeDupSpans(docs)
+        .select(col("doc_id"), col("clean_text").as("text")))
+      .agg(org.apache.spark.sql.functions.sum("n_dup_spans")).head()
+    assert(again.isNullAt(0) || again.getLong(0) == 0L)
+  }
+
+  test("span removal on the corpus leaves no shared spans and is idempotent") {
+    val docs = Tables(spark, sf, "documents")
+    val cleaned = PipelineOps.removeDupSpans(docs)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // no 8-token window of the cleaned corpus appears in 2+ docs
+    val residual = PipelineOps.dupSpans(cleaned)
+      .agg(org.apache.spark.sql.functions.sum("n_dup_spans")).head()
+    assert(residual.isNullAt(0) || residual.getLong(0) == 0L,
+      s"cleaned corpus still shares spans: $residual")
+    // a second pass removes nothing
+    val second = PipelineOps.removeDupSpans(cleaned)
+      .agg(org.apache.spark.sql.functions.sum("n_removed")).head()
+    assert(second.getLong(0) == 0L)
+  }
+
   test("map facets compute the expected scalars") {
     import spark.implicits._
     val ev = Seq((7L, "click", 42L, """{"k": 9}"""))

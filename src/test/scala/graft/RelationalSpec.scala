@@ -33,7 +33,8 @@ class RelationalSpec extends SparkSpec {
     // DuckDB has no twin for (deflate), and file-layout audits whose
     // output (file counts) isn't SQL over the source tables
     val rowsOnly = Set("q78_compress_ratio", "layout_compact",
-      "q107_rolling_distinct")
+      "q107_rolling_distinct", "q112_approx_percentiles",
+      "stats_approx_eqdepth")
     assert(missing.forall(n => n.startsWith("dedup_") || n.startsWith("sim_")
       || n.startsWith("text_") || n.startsWith("mm_") || n.startsWith("mr_")
       || rowsOnly(n)),

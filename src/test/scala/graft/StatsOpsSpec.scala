@@ -75,21 +75,44 @@ class StatsOpsSpec extends SparkSpec {
       "the spike hides from its own mean/std fence")
   }
 
+  test("approx percentile twins track the exact forms within 1% at sf0.1") {
+    val big = "/root/testdata/sf0.1"
+    // q112 vs q47: per-group p50/p90 relative error ≤ 1%
+    val exact = SparkEntry.queries("q47_percentiles")(spark, big)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("q112_approx_percentiles")(spark, big)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (g, (p50, p90)) =>
+      val (e50, e90) = exact(g)
+      assert(math.abs(p50 - e50) <= e50 * 0.01, s"$g p50: $p50 vs $e50")
+      assert(math.abs(p90 - e90) <= e90 * 0.01, s"$g p90: $p90 vs $e90")
+    }
+    // approx eq-depth vs exact: same bucket ids, per-bucket depth within
+    // 1% of total (boundary drift shifts rows only near the boundary)
+    val exHist = SparkEntry.queries("q106_eqdepth_hist")(spark, big)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val apHist = SparkEntry.queries("stats_approx_eqdepth")(spark, big)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(apHist.keySet == exHist.keySet)
+    val total = exHist.values.sum
+    apHist.foreach { case (b, n) =>
+      assert(math.abs(n - exHist(b)) <= total * 0.01,
+        s"bucket $b: approx depth $n vs exact ${exHist(b)}")
+    }
+  }
+
   test("rolling distinct via merged daily HLL sketches tracks the exact join") {
     val got = SparkEntry.queries("q107_rolling_distinct")(spark, sf)
       .collect().map(r => (r.getDate(0).toString,
         r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(got.nonEmpty)
-    // exact twin: day x events range self-join (test-scale only)
-    val days = Tables(spark, sf, "events")
-      .select(to_date(col("ts")).as("day")).distinct()
-    val ev = Tables(spark, sf, "events")
-      .select(to_date(col("ts")).as("eday"), col("user_id"))
-    val exact = days.join(ev,
-        col("eday").between(date_sub(col("day"), 6), col("day")))
-      .groupBy(col("day"))
-      .agg(count_distinct(col("user_id")).as("exact_7d"))
-      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // exact twin is now a first-class oracle-checked entry (q113): the
+    // sketch is pinned against the same query the driver hash-checks
+    val exact = SparkEntry.queries("q113_rolling_distinct_exact")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
     got.foreach { case (day, d1, d7) =>
       val ex = exact(day)
       assert(d7 >= d1, s"$day: 7d window can't be smaller than its own day")
