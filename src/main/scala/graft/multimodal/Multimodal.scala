@@ -248,6 +248,75 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image hash (dHash [difference hash]): decode pixels,
+    * average luma over a 9×8 grid, then one bit per horizontally
+    * adjacent cell pair (left < right). Near-identical images — a
+    * one-pixel edit, light recompression — move at most a few cells'
+    * means, so their hashes sit within a small hamming distance, while
+    * unrelated images land ~32 bits apart. 64 bits packed in row-major
+    * (bit 63 = top-left comparison). None when not a decodable image.
+    */
+  private[graft] def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val gw = 9; val gh = 8
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = new Array[Double](gw * gh)
+      val cellN = new Array[Long](gw * gh)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(gh - 1, y * gh / h)
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          val c = cy * gw + math.min(gw - 1, x * gw / w)
+          cellSum(c) += luma; cellN(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      def cell(cy: Int, cx: Int): Double = {
+        val c = cy * gw + cx
+        if (cellN(c) == 0) 0.0 else cellSum(c) / cellN(c)
+      }
+      var sig = 0L
+      var cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw - 1) {
+          sig = (sig << 1) | (if (cell(cy, cx) < cell(cy, cx + 1)) 1L else 0L)
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(sig)
+    }
+  }
+
+  private[graft] val imageDHashUdf =
+    udf((b: Array[Byte]) => imageDHash(b))
+
+  /** A NEAR-duplicate of [[syntheticPng]]: identical except one corner
+    * pixel forced to a fixed color — the "same image, one-pixel edit"
+    * fixture for the perceptual-hash near-dup pipeline.
+    */
+  private[graft] def syntheticPngNear(id: Long, w: Int = 32, h: Int = 32)
+      : Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(syntheticPng(id, w, h)))
+    img.setRGB(0, 0, 0xFFFFFF)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private[graft] val syntheticPngNearUdf =
+    udf((id: Long) => syntheticPngNear(id))
+
   /** REAL audio decode: WAV/PCM samples → (sample rate, channel count,
     * sample frames, RMS amplitude, zero-crossing rate, 16-bin mean-|s|
     * envelope as a feature). Samples are normalized to [-1, 1);

@@ -90,20 +90,24 @@ object Observability {
     * metadata only — reads the progress ring buffer, runs no job.
     */
   case class BatchHealth(batchId: Long, inputRows: Long,
-      rowsPerSec: Double, stateRows: Long, droppedLate: Long,
-      watermark: String)
+      rowsPerSec: Double, stateRows: Long, stateBytes: Long,
+      droppedLate: Long, watermark: String)
 
   def streamHealth(q: StreamingQuery): Seq[BatchHealth] =
     q.recentProgress.toSeq.map { p =>
-      val (stateRows, dropped) =
-        if (p.stateOperators == null) (0L, 0L)
+      val (stateRows, stateBytes, dropped) =
+        if (p.stateOperators == null) (0L, 0L, 0L)
         else (p.stateOperators.map(_.numRowsTotal).sum,
+          // state-store MEMORY, not just row count: the 100× risk
+          // metric for stateful ops whose per-key state is wide (q93's
+          // count maps) — rows can stay flat while bytes balloon
+          p.stateOperators.map(_.memoryUsedBytes).sum,
           // rows the watermark excluded: the data-loss number a
           // pipeline owner alarms on before widening the lateness horizon
           p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
       BatchHealth(p.batchId, p.numInputRows,
         if (p.processedRowsPerSecond.isNaN) 0.0 else p.processedRowsPerSecond,
-        stateRows, dropped,
+        stateRows, stateBytes, dropped,
         Option(p.eventTime.get("watermark")).getOrElse(""))
     }
 }

@@ -43,6 +43,54 @@ object SkewOps {
       .drop(saltedRight(key)).drop("_salt")
   }
 
+  /** The q87 skew-profile diagnostic as a reusable primitive: the ≤
+    * `topK` key values whose row count reaches `minCount`, most frequent
+    * first. One map-side-combined aggregation; the result is driver-side
+    * KB metadata (the IVF-centroid class), embedded downstream as a
+    * literal so no extra join rides the mitigated plan.
+    */
+  def hotKeys(df: DataFrame, key: String, topK: Int = 20,
+      minCount: Long = 1000L): Seq[Any] =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col(key))
+      .limit(topK)
+      .collect().map(_.get(0)).toSeq
+
+  /** [[saltedJoin]] with the diagnostic wired in: profile the left
+    * side's hot keys first and salt ONLY those — cold keys join on salt
+    * 0, so the right side is replicated `salts`× solely for the hot-key
+    * rows instead of wholesale. This is the form to reach for when the
+    * skew is data-dependent rather than known up front; with no key
+    * above `minCount` it degenerates to the plain join (everything on
+    * salt 0, zero replication). Same joinType restriction as
+    * [[saltedJoin]] and for the same reason.
+    */
+  def saltedJoinAuto(left: DataFrame, right: DataFrame, key: String,
+      salts: Int, joinType: String = "inner", topK: Int = 20,
+      minCount: Long = 1000L): DataFrame = {
+    require(salts > 0)
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")(joinType.toLowerCase),
+      s"saltedJoinAuto does not support joinType '$joinType': replicated " +
+        "right rows would duplicate unmatched-right output")
+    val hot = hotKeys(left, key, topK, minCount)
+    val allSalts = array((0 until salts).map(i => lit(i.toLong)): _*)
+    val (leftSalt, rightSalts) =
+      if (hot.isEmpty) (lit(0L), array(lit(0L)))
+      else (
+        when(col(key).isin(hot: _*),
+          pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+          .otherwise(lit(0L)),
+        when(col(key).isin(hot: _*), allSalts).otherwise(array(lit(0L))))
+    val saltedLeft = left.withColumn("_salt", leftSalt)
+    val saltedRight = right.withColumn("_salt", explode(rightSalts))
+    saltedLeft.join(saltedRight,
+        saltedLeft(key) === saltedRight(key) &&
+          saltedLeft("_salt") === saltedRight("_salt"), joinType)
+      .drop(saltedRight(key)).drop("_salt")
+  }
+
   def saltedSum(df: DataFrame, key: String, valueCol: Column,
       salts: Int, resultName: String): DataFrame = {
     require(salts > 0)

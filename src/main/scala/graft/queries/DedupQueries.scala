@@ -312,12 +312,21 @@ object DedupQueries {
     * signature aggregation is computed once by construction), then
     * exact-Jaccard verify.
     */
-  private def simhashPairs(sigs: DataFrame, sh: DataFrame): DataFrame = {
+  /** Hamming-band candidate pairs over 64-bit signatures: 8 one-byte
+    * pigeonhole bands (two signatures within hamming ≤ 7 MUST agree on
+    * some band; above that, detection is heuristic), bucket-grouped
+    * pair explode (one shuffle, no self-join), then the exact
+    * bit_count(xor) ≤ maxHamming cut. Shared by the SimHash text family
+    * and the perceptual-hash image near-dup. Returns (doc_a, doc_b,
+    * hamming) with doc_a < doc_b.
+    */
+  private[graft] def hammingBandPairs(sigs: DataFrame,
+      maxHamming: Int): DataFrame = {
     val bands = sigs
       .select(col("doc_id"), col("sig"), posexplode(array((0 until 8).map(
         j => shiftrightunsigned(col("sig"), j * 8).bitwiseAND(0xFFL)): _*)))
       .toDF("doc_id", "sig", "band", "bv")
-    val withHamming = bands.groupBy(col("band"), col("bv"))
+    bands.groupBy(col("band"), col("bv"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
         .as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -327,11 +336,14 @@ object DedupQueries {
           |            b -> struct(a.doc_id AS doc_a, a.sig AS sig_a,
           |                        b.doc_id AS doc_b, b.sig AS sig_b))))"""
           .stripMargin)).as("p"))
-      .filter(bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))) <= 15)
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
-    verifyExact(withHamming, sh)
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
   }
+
+  private def simhashPairs(sigs: DataFrame, sh: DataFrame): DataFrame =
+    verifyExact(hammingBandPairs(sigs, 15).drop("hamming"), sh)
 
   /** EXACT n-gram Jaccard similarity join via inverted shingle index:
     * explode → df-cap filter → self-equi-join on the shingle → count

@@ -35,8 +35,36 @@ object MultimodalQueries {
       Multimodal.frameSample(Multimodal.syntheticAssets(s, d), 2)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n_frames"),
-          sum(length(col("frame"))).as("frame_bytes")))
+          sum(length(col("frame"))).as("frame_bytes"))),
+
+    // Image near-dup: perceptual dHash (9×8 grid-luma difference bits
+    // over REAL decoded pixels) + the SimHash family's hamming-band
+    // machinery — the standard image-dedup pass, composing the
+    // multimodal and dedup families. Every 10th image gains a
+    // deterministic one-pixel-edited twin (id + NearDupIdOffset), so
+    // the pipeline demonstrably catches planted near-dups on driver
+    // data while unrelated images (hamming ~32) stay apart. Scale
+    // shape: decode is narrow per-partition CPU work; the pair search
+    // is ONE shuffle on (band, byte) buckets — never all-pairs.
+    "mm_image_neardup" -> ((s, d) => {
+      val imgs = Multimodal.syntheticAssets(s, d)
+        .filter(col("kind") === "image")
+      val planted = imgs.filter(pmod(col("asset_id"), lit(10)) === 0)
+        .select((col("asset_id") + lit(NearDupIdOffset)).as("asset_id"),
+          Multimodal.syntheticPngNearUdf(col("asset_id")).as("bytes"))
+      val sigs = imgs.select(col("asset_id"), col("bytes"))
+        .unionByName(planted)
+        .select(col("asset_id").as("doc_id"),
+          Multimodal.imageDHashUdf(col("bytes")).as("sig"))
+        .filter(col("sig").isNotNull)
+      DedupQueries.hammingBandPairs(sigs, maxHamming = 6)
+        .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+          col("hamming"))
+    })
   )
+
+  /** Planted near-dup twins carry asset_id + this offset. */
+  val NearDupIdOffset = 10000000L
 
   def oracle: Map[String, String] = Map.empty
 }

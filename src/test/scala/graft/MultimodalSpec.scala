@@ -269,4 +269,63 @@ class MultimodalSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("dHash: one-pixel edit stays within hamming 6, distinct images far") {
+    val base = Multimodal.imageDHash(Multimodal.syntheticPng(7L)).get
+    // identical bytes → identical hash
+    assert(Multimodal.imageDHash(Multimodal.syntheticPng(7L)).get == base)
+    // one-pixel edit → tiny hamming distance
+    val near = Multimodal.imageDHash(Multimodal.syntheticPngNear(7L)).get
+    assert(java.lang.Long.bitCount(base ^ near) <= 6,
+      s"near twin drifted ${java.lang.Long.bitCount(base ^ near)} bits")
+    // a different synthetic image → far (unrelated gradient signs)
+    val other = Multimodal.imageDHash(Multimodal.syntheticPng(8L)).get
+    assert(java.lang.Long.bitCount(base ^ other) > 6)
+    // non-image bytes → None
+    assert(Multimodal.imageDHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("image near-dup: exactly the one-pixel twins among noise images") {
+    import spark.implicits._
+    // 10 unrelated noise images (hash-scrambled pixels → iid gradient
+    // signs, so cross-image hamming ~32) + one-pixel twins for 3
+    def noise(id: Long): Array[Byte] = pngOf(32, 32) { (x, y) =>
+      val h = scala.util.hashing.MurmurHash3
+        .productHash((id, x, y)) & 0xFFFFFF
+      h
+    }
+    def onePixelEdit(b: Array[Byte]): Array[Byte] = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(b))
+      img.setRGB(0, 0, 0xFFFFFF)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val base = (1L to 10L).map(i => (i, noise(i)))
+    val twins = Seq(1L, 4L, 7L).map(i => (i + 100L, onePixelEdit(noise(i))))
+    val sigs = (base ++ twins).toDF("doc_id", "bytes")
+      .select(col("doc_id"), Multimodal.imageDHashUdf(col("bytes")).as("sig"))
+    val got = queries.DedupQueries.hammingBandPairs(sigs, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 101L), (4L, 104L), (7L, 107L)),
+      s"expected exactly the planted twins, got $got")
+  }
+
+  test("image near-dup query catches every planted corpus twin") {
+    val got = queries.MultimodalQueries.queries("mm_image_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val off = queries.MultimodalQueries.NearDupIdOffset
+    val planted = assets.filter(col("kind") === "image")
+      .filter(pmod(col("asset_id"), lit(10)) === 0)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    // every planted twin is caught (the synthetic corpus's linear
+    // gradient patterns also yield some true structural near-dups —
+    // legitimate dHash hits, so the result is a superset)
+    planted.foreach { id =>
+      assert(pairs((id, id + off)), s"missed planted twin of $id")
+    }
+    got.foreach { case (_, _, hm) => assert(hm <= 6) }
+  }
 }

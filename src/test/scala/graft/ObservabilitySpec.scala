@@ -42,6 +42,9 @@ class ObservabilitySpec extends SparkSpec {
       assert(health.map(_.inputRows).sum == 3L)
       val last = health.last
       assert(last.stateRows > 0, "windowed agg must carry state")
+      assert(last.stateBytes > 0,
+        "state-store memory must be reported — the metric a stateful " +
+          "op's 100x risk is read from")
       assert(health.exists(_.watermark.nonEmpty),
         "watermark must advance once data flows")
     } finally q.stop()

@@ -45,6 +45,57 @@ class SkewOpsSpec extends SparkSpec {
     }
   }
 
+  test("hotKeys finds exactly the planted hot key") {
+    val (l, _) = skewed()
+    assert(SkewOps.hotKeys(l, "k", topK = 20, minCount = 1000) == Seq(0L))
+    // with the threshold above every key's count, nothing is hot
+    assert(SkewOps.hotKeys(l, "k", topK = 20, minCount = 100000).isEmpty)
+  }
+
+  test("saltedJoinAuto == plain join, salting only the profiled hot key") {
+    val (l, r) = skewed()
+    val plain = l.join(r, "k").select("k", "v", "w").collect().toSet
+    val auto = SkewOps.saltedJoinAuto(l, r, "k", salts = 8,
+      minCount = 1000)
+      .select("k", "v", "w").collect().toSet
+    assert(auto == plain && plain.nonEmpty)
+    // left outer keeps unmatched rows exactly once
+    val plainL = l.join(r, Seq("k"), "left")
+      .select("k", "v", "w").collect().toSet
+    val autoL = SkewOps.saltedJoinAuto(l, r, "k", salts = 8,
+      joinType = "left", minCount = 1000)
+      .select("k", "v", "w").collect().toSet
+    assert(autoL == plainL)
+    // the hot key's rows spread over the salt space (bounded per-task
+    // share), while cold keys stay on salt 0 — so right-side replication
+    // is paid ONLY for the one hot key
+    val saltCounts = l.withColumn("_salt",
+        when(col("k").isin(0L),
+          pmod(xxhash64(l.columns.map(col).toIndexedSeq: _*), lit(8)))
+          .otherwise(lit(0L)))
+      .groupBy("k", "_salt").count()
+    val hotMax = saltCounts.filter(col("k") === 0L)
+      .agg(max("count")).head().getLong(0)
+    assert(hotMax < 9000 / 4, s"hot key not spread: max bucket $hotMax")
+    val coldSalts = saltCounts.filter(col("k") =!= 0L)
+      .select("_salt").distinct().collect().map(_.getLong(0)).toSeq
+    assert(coldSalts == Seq(0L), "cold keys must not be salted")
+  }
+
+  test("saltedJoinAuto with no hot keys degenerates to the plain join") {
+    val (l, r) = skewed()
+    val plain = l.join(r, "k").select("k", "v", "w").collect().toSet
+    val auto = SkewOps.saltedJoinAuto(l, r, "k", salts = 8,
+      minCount = 100000)
+      .select("k", "v", "w").collect().toSet
+    assert(auto == plain)
+    Seq("right", "full").foreach { jt =>
+      intercept[IllegalArgumentException] {
+        SkewOps.saltedJoinAuto(l, r, "k", salts = 4, joinType = jt)
+      }
+    }
+  }
+
   test("saltedSum == plain sum, spread across salt sub-keys first") {
     val (l, _) = skewed()
     val plain = l.groupBy("k").agg(sum("v").as("s"))
