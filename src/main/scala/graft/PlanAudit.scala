@@ -32,7 +32,10 @@ object PlanAudit {
       "q102_outliers", "q103_range_window", "q104_stream_left_join",
       "q105_upsert", "q106_eqdepth_hist", "dedup_cluster_best",
       "q107_rolling_distinct", "q108_containment", "q109_tfidf_topterms",
-      "q110_share_of_total", "q111_mad_outliers")
+      "q110_share_of_total", "q111_mad_outliers",
+      "q112_approx_percentiles", "stats_approx_eqdepth",
+      "q113_rolling_distinct_exact", "q114_span_removal",
+      "mm_image_neardup", "text_bpe_train", "text_bpe_encode")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.BpeOps
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hand-computable corpus: "ab" x3, "cd" x1 →
+  //   round 1 pairs: (a,b)=3, (b,</w>)=3, (c,d)=1, (d,</w>)=1
+  //     → tie (a,b)/(b,</w>) breaks lexicographically → merge (a,b)
+  //   round 2: (ab,</w>)=3 wins → merge (ab,</w>)
+  //   round 3: (c,d)=1, (d,</w>)=1 — below the repeat threshold → stop
+  private def tinyCorpus = Seq(
+    (1L, "ab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+
+  test("train learns the hand-computed ranked merges and stops when dry") {
+    val merges = BpeOps.train(tinyCorpus, numMerges = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(merges.toSeq == Seq(
+      (1, "a", "b", "ab"),
+      (2, "ab", BpeOps.EowMarker, "ab" + BpeOps.EowMarker)))
+  }
+
+  test("encodeWord replays training greedily, lowest rank first") {
+    val rank = Map(("a", "b") -> 0, ("ab", BpeOps.EowMarker) -> 1)
+    assert(BpeOps.encodeWord("ab", rank) == Seq("ab" + BpeOps.EowMarker))
+    assert(BpeOps.encodeWord("cd", rank) ==
+      Seq("c", "d", BpeOps.EowMarker))
+    // "aab": rank-0 (a,b) merges first → [a, ab, </w>], then rank-1
+    // (ab, </w>) applies → [a, ab</w>]
+    assert(BpeOps.encodeWord("aab", rank) ==
+      Seq("a", "ab" + BpeOps.EowMarker))
+    // overlap semantics: "aaa" under (a,a) merges non-overlapping L→R
+    assert(BpeOps.encodeWord("aaa", Map(("a", "a") -> 0)) ==
+      Seq("aa", "a", BpeOps.EowMarker))
+  }
+
+  test("encode == training state on the training corpus") {
+    // the classic consistency property: applying the learned merges via
+    // the lowest-rank-first encode loop reproduces exactly the symbol
+    // sequences the trainer ended with
+    val docs = Tables(spark, sf, "documents").limit(50)
+    val mergeRows = BpeOps.train(docs, numMerges = 12).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val rank = mergeRows.zipWithIndex.toMap
+    // trainer's final state, recomputed by folding merges in rank order
+    var w = BpeOps.wordTable(docs)
+    val trained = w.collect().map { r =>
+      val word = r.getString(0)
+      var syms = word.map(_.toString).toVector :+ BpeOps.EowMarker
+      mergeRows.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      word -> syms
+    }.toMap
+    trained.foreach { case (word, expected) =>
+      assert(BpeOps.encodeWord(word, rank) == expected,
+        s"encode('$word') diverges from training state")
+    }
+  }
+
+  test("query entries: ranked table, per-doc stats, cached single train") {
+    BpeOps.MergeCache.clear()
+    val table = SparkEntry.queries("text_bpe_train")(spark, sf)
+      .orderBy("rank").collect()
+    assert(table.nonEmpty && table.length <= BpeOps.NumMerges)
+    assert(table.map(_.getInt(0)).toSeq == (1 to table.length))
+    table.foreach(r => assert(r.getString(3) ==
+      r.getString(1) + r.getString(2)))
+    val enc = SparkEntry.queries("text_bpe_encode")(spark, sf)
+    val rows = enc.collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        "a word is at least one subword")
+    }
+    BpeOps.MergeCache.evict(spark, sf)
+  }
+}
