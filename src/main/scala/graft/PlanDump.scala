@@ -47,7 +47,11 @@ object PlanDump {
       "q100_quality_audit" -> "whole constraint suite in ONE aggregation pass (single scan); inline() verdict expansion after the agg",
       "q102_outliers" -> "per-type moments broadcast back over the corpus: scoring is a narrow map, corpus never shuffles",
       "q105_upsert" -> "MERGE as update UNION anti-join: co-partitioned or broadcast, no per-row lookups",
-      "q106_eqdepth_hist" -> "percentile boundaries as an array literal (driver metadata) — narrow bucket scoring, no join, no sort")
+      "q106_eqdepth_hist" -> "percentile boundaries as an array literal (driver metadata) — narrow bucket scoring, no join, no sort",
+      "q112_approx_percentiles" -> "approx_percentile sketch: O(accuracy) group state, partial+final merge — the q47 form that survives 100x",
+      "q113_rolling_distinct_exact" -> "7x day-explode + ONE distinct aggregation; no non-equi join, so no BroadcastNestedLoop",
+      "q114_span_removal" -> "positional span hashes -> shared-set semi join (dup-bounded) -> collect_list starts -> narrow filter-by-index splice",
+      "mm_image_neardup" -> "dHash per image (narrow decode) + hamming-band bucket grouping — one shuffle, never all-pairs")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -94,7 +98,7 @@ object PlanDump {
       "q73_bm25" ->
         "explicit broadcast(df, corpus stats): df is one row per QUERY term (bounded by the query, not the corpus), stats one row; the (doc, term) tf table stays partitioned and shuffles once for the per-doc score sum",
       "q74_pagerank" ->
-        "no hint: the rank vector is node-cardinality (corpus-scale) and must never broadcast; each round equi-joins edges against ranks on the source key - both sides hash-partition on the same key so rounds after the first reuse the partitioning",
+        "no hint: the rank vector is node-cardinality (corpus-scale) and must never broadcast; each round equi-joins edges against ranks on the source key - both sides hash-partition on the same key so rounds after the first reuse the partitioning. Out-degree is a map-side-combined groupBy + join on the SAME source key (round 4: replaced the unbounded window count, which buffered a power-law hub's whole edge list in one task's sort)",
       "q75_snapshot_diff" ->
         "no hint, full-outer by design: both snapshots scale with the corpus; the join carries (id, 32-byte hash) only, one co-partitioned shuffle",
       "q77_triangles" ->
@@ -130,7 +134,15 @@ object PlanDump {
       "q110_share_of_total" ->
         "explicit broadcast(nation, region) only; both share windows run over <=25 AGGREGATED rows (bounded metadata), so the unpartitioned grand-total window is safe at any corpus size",
       "q102_outliers / q111_mad_outliers" ->
-        "explicit broadcast(per-type scalar tables): moments/median/MAD are one row per event type - bounded vocabulary; every corpus pass stays narrow, zero corpus shuffles")
+        "explicit broadcast(per-type scalar tables): moments/median/MAD are one row per event type - bounded vocabulary; every corpus pass stays narrow, zero corpus shuffles",
+      "q113_rolling_distinct_exact" ->
+        "explicit broadcast(distinct-days semi join): date cardinality is calendar-bounded metadata; the exploded events shuffle ONCE for the per-day distinct aggregation",
+      "q114_span_removal" ->
+        "no hint anywhere: the shared-span semi join and the starts join are both corpus-keyed (shingle hash / doc_id) and co-partition with their producing aggregations; only dup-covered positions flow through the second shuffle",
+      "mm_image_neardup" ->
+        "no join on the pair path (bucket-grouped like q21/the simhash family); signatures are 8 bytes per image so the band shuffle carries fixed-width rows",
+      "SkewOps.saltedJoinAuto" ->
+        "hot-key set is driver-side KB metadata embedded as an isin literal - no profile join rides the mitigated plan; the right side replicates salts-fold ONLY for hot-key rows")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"

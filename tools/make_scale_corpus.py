@@ -63,7 +63,10 @@ for name, sql in {
                                       l_suppkey * 10 + r AS l_suppkey)
                    FROM '{src}/lineitem.parquet',
                         unnest(range(0, 10)) AS t(r)""",
-    "embeddings": """SELECT * REPLACE (vec_id * 10 + r AS vec_id)
+    # block replication (vec_id + r*1e6), NOT interleaved (*10+r): the
+    # k-means smoke seeds from the lowest vec_ids, and interleaving
+    # would make all k seeds copies of ONE original vector
+    "embeddings": """SELECT * REPLACE (vec_id + r * 1000000 AS vec_id)
                      FROM '{src}/embeddings.parquet',
                           unnest(range(0, 10)) AS t(r)""",
 }.items():
