@@ -35,7 +35,10 @@ object PlanAudit {
       "q110_share_of_total", "q111_mad_outliers",
       "q112_approx_percentiles", "stats_approx_eqdepth",
       "q113_rolling_distinct_exact", "q114_span_removal",
-      "mm_image_neardup", "text_bpe_train", "text_bpe_encode")
+      "mm_image_neardup", "text_bpe_train", "text_bpe_encode",
+      "q115_setops_all", "q116_not_exists", "q117_percentile_disc",
+      "q118_regexp_extract", "q119_filtered_aggs", "q120_value_window_fns",
+      "q121_grouping_id", "q122_stream_full_join")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

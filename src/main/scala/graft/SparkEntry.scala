@@ -28,7 +28,8 @@ object SparkEntry {
       MultimodalQueries.queries ++ AdvancedQueries.queries ++
       CurationOps.queries ++ PipelineOps.queries ++ SearchQueries.queries ++
       GraphQueries.queries ++ TrainingOps.queries ++ SqlSurface.queries ++
-      WarehouseOps.queries ++ StatsOps.queries ++ BpeOps.queries
+      WarehouseOps.queries ++ StatsOps.queries ++ BpeOps.queries ++
+      SurfaceCompletions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -41,5 +42,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++ AdvancedQueries.oracle ++
       CurationOps.oracle ++ PipelineOps.oracle ++ SearchQueries.oracle ++
       GraphQueries.oracle ++ TrainingOps.oracle ++ SqlSurface.oracle ++
-      WarehouseOps.oracle ++ StatsOps.oracle ++ BpeOps.oracle
+      WarehouseOps.oracle ++ StatsOps.oracle ++ BpeOps.oracle ++
+      SurfaceCompletions.oracle
 }

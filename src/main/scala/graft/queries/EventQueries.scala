@@ -65,6 +65,12 @@ object EventQueries {
     "q104_stream_left_join" -> ((s, d) =>
       graft.streaming.EventStream.clickPurchaseLeftJoin(Tables(s, d, "events"))),
 
+    // §2.10: stream-stream FULL OUTER interval join's batch twin —
+    // completes the streaming join matrix (inner q45, left q104): both
+    // null orientations (non-conversions AND organic purchases).
+    "q122_stream_full_join" -> ((s, d) =>
+      graft.streaming.EventStream.clickPurchaseFullJoin(Tables(s, d, "events"))),
+
     // §2.10: streaming dedup's batch twin. event_id is unique in the
     // data, so the input is doubled with a self-union to make the dedup
     // real; duplicates are byte-identical rows, keeping the kept-row
@@ -163,6 +169,18 @@ object EventQueries {
         |FROM (SELECT user_id, event_id, ts FROM events
         |      WHERE event_type = 'click') c
         |LEFT JOIN (SELECT user_id AS p_user, event_id AS purchase_id,
+        |      ts AS purchase_ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.p_user
+        | AND p.purchase_ts >= c.ts
+        | AND p.purchase_ts <= c.ts + INTERVAL '10 minutes'""".stripMargin,
+    "q122_stream_full_join" ->
+      """SELECT COALESCE(c.user_id, p.p_user) AS user_id,
+        | c.event_id AS click_id, p.purchase_id,
+        | c.ts AS click_ts, p.purchase_ts
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |FULL JOIN (SELECT user_id AS p_user, event_id AS purchase_id,
         |      ts AS purchase_ts FROM events
         |      WHERE event_type = 'purchase') p
         |  ON c.user_id = p.p_user

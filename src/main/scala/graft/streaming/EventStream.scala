@@ -126,6 +126,37 @@ object EventStream {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the streaming
+    * join matrix (inner q45, left q104): unmatched CLICKS null-pad on
+    * the purchase side (non-conversions) AND unmatched PURCHASES
+    * null-pad on the click side (untracked/organic purchases) — each
+    * emitted only once the OTHER side's watermark proves no partner can
+    * still arrive. Same O(rate × horizon) state bound as the inner
+    * form; the outer rows trail by the lateness horizon on whichever
+    * side must be proven empty. Batch twin (watermarks no-op) = plain
+    * full interval join, hash-checked by the q122 oracle;
+    * EventStreamSpec pins streaming == batch including both null
+    * orientations.
+    */
+  def clickPurchaseFullJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)
   case class SessionAcc(start: Long, end: Long, n: Long, sum: Double)

@@ -181,6 +181,41 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream FULL OUTER join emits both null orientations (q122)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val rows = batch.as[(Long, Long, Timestamp, String)].collect().toSeq
+    val maxTs = rows.map(_._3.getTime).max
+    // the same sentinel discipline as the left-outer spec: push both
+    // watermarks past every real row's match horizon so every unmatched
+    // click AND purchase must have emitted its null-padded row
+    val sentinels = Seq(
+      (910001L, 999999L, new Timestamp(maxTs + 10L * 3600 * 1000), "click"),
+      (910002L, 999999L,
+        new Timestamp(maxTs + 10L * 3600 * 1000 + 60000), "purchase"))
+    val stream = MemoryStream[(Long, Long, Timestamp, String)]
+    val (first, second) = rows.splitAt(rows.size / 2)
+    stream.addData(first)
+    stream.addData(second)
+    stream.addData(sentinels)
+    val streamed = EventStream.clickPurchaseFullJoin(
+      stream.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+    EventStream.runToMemory(streamed, "ss_full_join", OutputMode.Append())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))
+    val got = spark.table("ss_full_join").collect().map(key).toSet
+    val want = EventStream.clickPurchaseFullJoin(
+      batch.unionByName(sentinels.toDF("event_id", "user_id", "ts", "event_type")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))))
+      .collect().map(key).toSet
+    assert(want.exists(_._2.isEmpty), "twin must contain click-less purchases")
+    assert(want.exists(_._3.isEmpty), "twin must contain unmatched clicks")
+    assert(got == want)
+  }
+
   test("stream-static enrich joins a broadcast dimension per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -31,6 +31,25 @@ class SqlSurfaceSpec extends SparkSpec {
       s"correlated predicate must ride the equi semi join:\n$p")
   }
 
+  test("q116 NOT EXISTS decorrelates to an anti join, never a nested loop") {
+    val p = executedPlan("q116_not_exists")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"decorrelation must not fall back to cartesian/BNLJ:\n$p")
+  }
+
+  test("q115 multiset set ops preserve duplicate counts") {
+    import spark.implicits._
+    // multiset semantics on crafted bags: {1,1,2,3} except_all {1,2} =
+    // {1,3}; intersect_all = {1,2} — the distinct forms would lose the
+    // second 1
+    val a = Seq(1, 1, 2, 3).toDF("nk")
+    val b = Seq(1, 2).toDF("nk")
+    val ex = a.exceptAll(b).collect().map(_.getInt(0)).sorted.toSeq
+    val in = a.intersectAll(b).collect().map(_.getInt(0)).sorted.toSeq
+    assert(ex == Seq(1, 3) && in == Seq(1, 2))
+  }
+
   test("q97 scalar subquery decorrelates to one aggregate + join") {
     val p = executedPlan("q97_scalar_subquery")
     assert(!p.contains("CartesianProduct")
