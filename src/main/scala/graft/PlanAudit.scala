@@ -38,7 +38,9 @@ object PlanAudit {
       "mm_image_neardup", "text_bpe_train", "text_bpe_encode",
       "q115_setops_all", "q116_not_exists", "q117_percentile_disc",
       "q118_regexp_extract", "q119_filtered_aggs", "q120_value_window_fns",
-      "q121_grouping_id", "q122_stream_full_join")
+      "q121_grouping_id", "q122_stream_full_join",
+      "q123_cdc_apply", "q124_checksum_compare", "q125_moving_median",
+      "sim_ann_ivfpq")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -93,6 +93,103 @@ object SimilarityQueries {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Per-subspace PQ codebooks (M × Ks × subDim): seeds from the lowest
+    * vec_ids' sub-slices + `iters` Lloyd rounds (argmax-dot assignment,
+    * per-dimension mean update — each round is one Spark job over the
+    * SUB-slice, same discipline as [[trainCentroids]]). Driver-side KB
+    * metadata: 8 × 16 × 8 floats = 4 KB.
+    */
+  private[graft] def trainPqCodebooks(e: DataFrame, m: Int, subDim: Int,
+      ks: Int, iters: Int = 1): Array[Array[Array[Float]]] = {
+    // seeds: one collect of the lowest-ks full vectors, sliced locally
+    val seedRows = e.filter(col("vec_id") < ks).orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    var cbs: Array[Array[Array[Float]]] = Array.tabulate(m)(ms =>
+      seedRows.map(v => v.slice(ms * subDim, (ms + 1) * subDim)))
+    (1 to iters).foreach { _ =>
+      // ONE job updates ALL m codebooks: every row contributes one
+      // (subspace, assigned-code, position, value) quadruple per
+      // subspace dimension, folded by a single grouped mean
+      val perSub = array((0 until m).map { ms =>
+        val sub = expr(s"slice(embedding, ${ms * subDim + 1}, $subDim)")
+        val sims = array(cbs(ms).zipWithIndex.map { case (c, i) =>
+          struct(vec_dot(sub, typedlit(c.toSeq)).as("sim"),
+            lit(i).as("idx"))
+        }: _*)
+        struct(lit(ms).as("ms"), array_max(sims).getField("idx").as("c"),
+          sub.as("sub"))
+      }: _*)
+      val means = e.select(explode(perSub).as("a"))
+        .select(col("a.ms").as("ms"), col("a.c").as("c"),
+          posexplode(col("a.sub")))
+        .groupBy(col("ms"), col("c"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("ms"), col("c"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m)))," +
+          " x -> CAST(x.m AS FLOAT))").as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getAs[scala.collection.Seq[Float]]("centroid").toArray).toMap
+      cbs = Array.tabulate(m)(ms => cbs(ms).indices.map(i =>
+        means.getOrElse((ms, i), cbs(ms)(i))).toArray)
+    }
+    cbs
+  }
+
+  /** IVF-PQ retrieval: coarse cluster pruning (shared quantizer) + an
+    * ADC candidate scan that reads ONLY the 8-code column + exact
+    * cosine re-rank of the per-query top-`Pool`. See the sim_ann_ivfpq
+    * entry comment for the scale argument.
+    */
+  private[graft] def annIvfPq(e: DataFrame, numQueries: Int = NumQueries,
+      k: Int = K, pool: Int = 50): DataFrame = {
+    val M = 8; val SubDim = 8; val Ks = 16
+    val CoarseC = 16; val Probes = 4
+    val coarse = trainCentroids(e, CoarseC, 2)
+    val cbs = trainPqCodebooks(e, M, SubDim, Ks)
+    // encode: per subspace, argmax-dot sub-centroid index — a narrow
+    // expression pass; the codes column is 8 small ints per vector
+    val codesCol = array((0 until M).map { ms =>
+      val sims = array(cbs(ms).zipWithIndex.map { case (c, i) =>
+        struct(vec_dot(expr(s"slice(embedding, ${ms * SubDim + 1}, $SubDim)"),
+          typedlit(c.toSeq)).as("sim"), lit(i).as("idx"))
+      }: _*)
+      array_max(sims).getField("idx")
+    }: _*)
+    val indexed = assignCluster(e, coarse).withColumn("codes", codesCol)
+    val q = indexed.filter(col("vec_id") < numQueries)
+      .withColumn("sims", simArray(coarse))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(expr(s"transform(slice(reverse(array_sort(sims)), 1, " +
+          s"$Probes), x -> x.idx)")).as("probe"))
+    // ADC: approx dot = Σ_m dot(q_m, codebook_m[code_m]) — candidates
+    // carry codes ONLY (embedding dropped before the join: the
+    // bandwidth win PQ exists for)
+    val adcScore = (0 until M).map { ms =>
+      vec_dot(expr(s"slice(qe, ${ms * SubDim + 1}, $SubDim)"),
+        element_at(typedlit(cbs(ms).map(_.toSeq).toSeq),
+          element_at(col("codes"), lit(ms + 1)) + 1))
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = indexed.drop("embedding")
+      .join(broadcast(q), col("c") === col("probe") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcScore)
+      .withColumn("prk", row_number().over(wAdc))
+      .filter(col("prk") <= pool)
+      .select(col("q_id"), col("qe"), col("vec_id"))
+    // exact re-rank: embeddings joined back for pool×queries rows only
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.join(e, "vec_id")
+      .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Per-centroid (sim, idx) struct array for argmax assignment. */
   private def simArray(cents: Array[Array[Float]]): Column =
     array(cents.zipWithIndex.map { case (c, i) =>
@@ -308,6 +405,23 @@ object SimilarityQueries {
         .filter(col("rk") <= K)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
           round(col("sim"), 6).as("sim"))
+    }),
+
+    // IVF-PQ [Jégou et al., TPAMI'11] — the memory-bandwidth scale path
+    // for ANN: vectors are COMPRESSED to M subspace codes (64 floats /
+    // 256 B → 8 small ints), the coarse IVF prunes clusters, the ADC
+    // scan ranks candidates by Σ_m dot(q_m, codebook_m[code_m]) reading
+    // ONLY the code column, and exact cosine re-ranks the top-C pool.
+    // At 100 TB the ADC scan touches ~3% of the bytes a raw-vector scan
+    // reads — that, not FLOPs, is the win. Here: M=8 subspaces × 16
+    // codes (1 Lloyd round per subspace, seeded deterministically);
+    // plain PQ (no residual encoding — documented trade: residuals add
+    // one subtract per dim and ~recover a few recall points); re-rank
+    // pool C=50 per query. Approximate → rows-only; AnnSpec pins recall
+    // against q25's exact top-k.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      annIvfPq(e)
     }),
 
     // SemDeDup semantic dedup over the embedding corpus — cluster with

@@ -211,6 +211,23 @@ object StatsOps {
             count_distinct(col("user_id")).as("users_7d"))
       }),
 
+      // Moving MEDIAN — an order statistic as a WINDOW aggregate (sum/
+      // count frames are q103; rank fns are q62; this is the remaining
+      // case: a TypedImperativeAggregate evaluated per frame). The
+      // trailing 7-ROW frame bounds per-row state at 7 values, so the
+      // exact percentile buffer that is a hazard globally (q47 note) is
+      // constant-size here — frame-bounded exactness is the one place
+      // the exact form IS the 100 TB answer. One shuffle on user_id.
+      "q125_moving_median" -> ((s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("med_7", round(expr("percentile(value, 0.5)").over(w), 4))
+          .drop("ts")
+      }),
+
       "q103_range_window" -> ((s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("us"))
@@ -226,6 +243,12 @@ object StatsOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    "q125_moving_median" ->
+      """SELECT event_id, user_id, value,
+        |  round(quantile_cont(value, 0.5) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med_7
+        |FROM events""".stripMargin,
     "q113_rolling_distinct_exact" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS eday, user_id FROM events),
         |days AS (SELECT DISTINCT eday AS day FROM e)

@@ -150,6 +150,66 @@ object WarehouseOps {
         upsert(t, upd.unionByName(ins), "doc_id")
       }),
 
+      // CDC changelog apply — materialize final table state from an
+      // ordered change stream (op ∈ I/U/D): per key keep the LATEST
+      // change (one window over (key) ordered by change sequence desc),
+      // drop keys whose last op is D. THE warehouse primitive under
+      // every Debezium/lakehouse merge pipeline; q105's upsert is its
+      // single-batch special case. One shuffle on the key; per-key
+      // window state is one row. The changelog is simulated
+      // deterministically from `documents` (inserts for all, updates
+      // for id%4==1 at seq 2, deletes for id%9==2 at seq 3) —
+      // identically in both engines.
+      "q123_cdc_apply" -> ((s, d) => {
+        val t = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val changes =
+          t.select(col("doc_id"), lit(1L).as("seq"), lit("I").as("op"),
+              col("text"))
+            .unionByName(t.filter(col("doc_id") % 4 === 1)
+              .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
+                concat(lit("[u] "), col("text")).as("text")))
+            .unionByName(t.filter(col("doc_id") % 9 === 2)
+              .select(col("doc_id"), lit(3L).as("seq"), lit("D").as("op"),
+                lit("").as("text")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("seq").desc)
+        changes
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("doc_id"), col("seq").as("last_seq"), md5(col("text"))
+            .as("state_hash"))
+      }),
+
+      // Table-diff checksum — the at-scale reconciliation primitive:
+      // bucket both tables on a key hash, aggregate an ORDER-INDEPENDENT
+      // per-bucket checksum (bit_xor of a 60-bit md5 prefix — any
+      // single-row difference flips the xor), and compare bucket rows.
+      // Divergent buckets localize re-sync work to 1/64 of the data per
+      // bucket — the pattern behind anti-entropy repair. Engines parse
+      // the hex prefix differently (Spark conv(), DuckDB from-hex cast)
+      // but produce the same BIGINT, which is all the oracle compares.
+      // Snapshots are the q75 simulation (A drops id%7==2, B drops
+      // id%11==3 and edits id%13==5).
+      "q124_checksum_compare" -> ((s, d) => {
+        val docs = Tables(s, d, "documents")
+        def side(df: org.apache.spark.sql.DataFrame) = df
+          .select(pmod(col("doc_id"), lit(64)).as("bucket"),
+            conv(substring(md5(concat_ws("|",
+              col("doc_id").cast("string"), col("text"))), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("xsum"))
+        val a = side(docs.filter(pmod(col("doc_id"), lit(7)) =!= 2))
+        val b = side(docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+          .withColumn("text", when(pmod(col("doc_id"), lit(13)) === 5,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+        a.select(col("bucket"), col("n").as("n_a"), col("xsum").as("x_a"))
+          .join(b.select(col("bucket"), col("n").as("n_b"),
+            col("xsum").as("x_b")), Seq("bucket"), "full_outer")
+          .withColumn("in_sync",
+            col("n_a") === col("n_b") && col("x_a") === col("x_b"))
+      }),
+
       // rows-only: file counts aren't SQL over the source tables. The
       // before/after audit shape is pinned exactly by CompactionSpec.
       "layout_compact" -> ((s, d) => {
@@ -161,6 +221,37 @@ object WarehouseOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    "q123_cdc_apply" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, 1 AS seq, 'I' AS op, text FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'U', '[u] ' || text FROM t WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'D', '' FROM t WHERE doc_id % 9 = 2),
+        |r AS (SELECT doc_id, seq, op, text,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+        |          AS rn
+        |      FROM ch)
+        |SELECT doc_id, CAST(seq AS BIGINT) AS last_seq,
+        |  md5(text) AS state_hash
+        |FROM r WHERE rn = 1 AND op != 'D'""".stripMargin,
+    "q124_checksum_compare" ->
+      """WITH a AS (
+        |  SELECT doc_id % 64 AS bucket, COUNT(*) AS n,
+        |    bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |      text), 1, 15))::BIGINT) AS xsum
+        |  FROM documents WHERE doc_id % 7 != 2 GROUP BY doc_id % 64),
+        |b AS (
+        |  SELECT doc_id % 64 AS bucket, COUNT(*) AS n,
+        |    bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |      CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END),
+        |      1, 15))::BIGINT) AS xsum
+        |  FROM documents WHERE doc_id % 11 != 3 GROUP BY doc_id % 64)
+        |SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+        |  a.n AS n_a, a.xsum AS x_a, b.n AS n_b, b.xsum AS x_b,
+        |  (a.n = b.n AND a.xsum = b.xsum) AS in_sync
+        |FROM a FULL JOIN b ON a.bucket = b.bucket""".stripMargin,
     "q100_quality_audit" ->
       """WITH a AS (SELECT COUNT(*) AS n, COUNT(text) AS n_text,
         |  COUNT(lang) AS n_lang, COUNT(DISTINCT doc_id) AS n_id,

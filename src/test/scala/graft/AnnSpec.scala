@@ -58,6 +58,31 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("IVF-PQ ANN: codes-only ADC + exact re-rank, recall >= 0.6") {
+    val exact = SparkEntry.queries("q25_ann_topk")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("sim_ann_ivfpq")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty, "IVF-PQ returned nothing")
+    val recall = (approx & exact).size.toDouble / exact.size
+    // measured 0.75 at this corpus (pool=50, 4/16 clusters probed);
+    // the compression trade vs pure IVF's 0.4 floor is the re-rank pool
+    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+    // the re-ranked sims are EXACT cosines: every reported sim matches
+    // the brute-force value for the same (q, neighbor) pair
+    val exactSims = SparkEntry.queries("q25_ann_topk")(spark, sf)
+      .select("q_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    SparkEntry.queries("sim_ann_ivfpq")(spark, sf)
+      .select("q_id", "neighbor_id", "sim").collect()
+      .foreach { r =>
+        exactSims.get((r.getLong(0), r.getLong(1))).foreach(es =>
+          assert(r.getDouble(2) == es, "re-ranked sim must be exact"))
+      }
+  }
+
   test("LSH ANN: default setting recall vs brute force >= 0.6") {
     val exact = SparkEntry.queries("q25_ann_topk")(spark, sf)
       .select("q_id", "neighbor_id").collect()

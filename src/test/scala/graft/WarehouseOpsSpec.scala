@@ -102,6 +102,48 @@ class WarehouseOpsSpec extends SparkSpec {
       == got)
   }
 
+  test("cdc apply: last change per key wins, deleted keys vanish") {
+    val got = SparkEntry.queries("q123_cdc_apply")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"),
+        md5(concat(lit("[u] "), col("text"))).as("hu"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    docs.foreach { case (id, (_, h, hu)) =>
+      if (id % 9 == 2) assert(!got.contains(id), s"deleted key $id survived")
+      else if (id % 4 == 1) assert(got(id) == ((2L, hu)),
+        s"update must win for $id")
+      else assert(got(id) == ((1L, h)), s"insert state wrong for $id")
+    }
+    assert(got.keySet == docs.keySet.filterNot(_ % 9 == 2))
+  }
+
+  test("checksum compare flags exactly the buckets holding divergent docs") {
+    val rows = SparkEntry.queries("q124_checksum_compare")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    // reference: replay the snapshot simulation per doc and compare the
+    // per-bucket (id → content) maps directly — a doc dropped from BOTH
+    // sides (id%7==2 AND id%11==3) diverges nothing, so a naive "any
+    // touched doc dirties its bucket" over-flags
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val a = docs.filter(_._1 % 7 != 2).toMap
+    val b = docs.filter(_._1 % 11 != 3)
+      .map { case (id, t) => id -> (if (id % 13 == 5) t + " v2" else t) }
+      .toMap
+    (0L until 64L).foreach { bucket =>
+      val aB = a.filter(_._1 % 64 == bucket)
+      val bB = b.filter(_._1 % 64 == bucket)
+      if (aB.nonEmpty || bB.nonEmpty)
+        assert(rows(bucket) == (aB == bB),
+          s"bucket $bucket: in_sync=${rows(bucket)} but ref=${aB == bB}")
+    }
+    assert(rows.values.exists(!_), "simulation must produce dirty buckets")
+  }
+
   test("dynamic partition overwrite replaces only the delivered partitions") {
     // the incremental-rewrite contract a daily pipeline needs: re-running
     // one day's job must replace THAT day's partition and leave every
