@@ -40,7 +40,8 @@ object PlanAudit {
       "q118_regexp_extract", "q119_filtered_aggs", "q120_value_window_fns",
       "q121_grouping_id", "q122_stream_full_join",
       "q123_cdc_apply", "q124_checksum_compare", "q125_moving_median",
-      "sim_ann_ivfpq", "q126_corr_matrix", "sim_pca")
+      "sim_ann_ivfpq", "q126_corr_matrix", "sim_pca",
+      "q127_linreg", "q128_distribution_fns")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

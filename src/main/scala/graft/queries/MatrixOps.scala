@@ -15,6 +15,10 @@ import graft.Tables
   *    deterministic in both engines — the q1/dsum discipline) and the
   *    Pearson formula runs in double on those exact sums, rounded to 6
   *    dp: bit-identical cross-engine, hash-comparable.
+  *  - q127 per-group OLS: slope/intercept/r² from the same exact
+  *    moment pass, grouped — the regression counterpart of q126 (and
+  *    the hash-safe alternative to engine-native `regr_*`, whose
+  *    float accumulation order differs per engine).
   *  - sim_pca: distributed PCA over the embedding corpus. The cluster
   *    computes the mean vector and the 64×64 covariance (explode to
   *    (i, j, product) with map-side partial aggregation — shuffle
@@ -139,6 +143,33 @@ object MatrixOps {
       order.map(i => (0 until n).map(k => v(k)(i)).toArray).toArray)
   }
 
+  /** q127: per-group simple OLS (y ~ x) assembled from the SAME
+    * decimal-exact moment pass as the correlation matrix — slope,
+    * intercept, and r² from {n, Σx, Σy, Σx², Σy², Σxy} per group. The
+    * moments are exact decimals, the closed-form assembly runs in
+    * double on identical values in both engines, rounded to 6 dp:
+    * hash-comparable, unlike engine-native `regr_slope` whose internal
+    * float accumulation order differs per engine.
+    */
+  def linReg(df: DataFrame, y: String, x: String, by: String): DataFrame = {
+    def m(c: Column) = sum(c.cast(dec)).cast("double")
+    val g = df.groupBy(col(by)).agg(
+      count(lit(1)).cast("double").as("n"),
+      m(col(x)).as("sx"), m(col(y)).as("sy"),
+      m(col(x) * col(x)).as("sxx"), m(col(y) * col(y)).as("syy"),
+      m(col(x) * col(y)).as("sxy"))
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+    val num = n * sxy - sx * sy
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    val slope = num / denx
+    g.select(col(by), n.cast("long").as("n"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / n, 6).as("intercept"),
+      round((num * num) / (denx * deny), 6).as("r2"))
+  }
+
   /** PCA projection: (vec_id, pc array of `k` scores) — the narrow
     * expression pass over eigenvector literals.
     */
@@ -166,7 +197,10 @@ object MatrixOps {
       corrMatrix(Tables(s, d, "lineitem"), CorrCols)),
     "sim_pca" -> ((s, d) =>
       pcaProject(Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"))))
+        .select(col("vec_id"), col("embedding")))),
+    "q127_linreg" -> ((s, d) =>
+      linReg(Tables(s, d, "lineitem"),
+        y = "l_extendedprice", x = "l_quantity", by = "l_returnflag"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -193,5 +227,24 @@ object MatrixOps {
          |  ${moments.mkString(",\n  ")}
          |  FROM lineitem)
          |${selects.mkString("\nUNION ALL\n")}""".stripMargin
-    })
+    },
+    "q127_linreg" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
+        |    AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice
+        |    AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8)))
+        |    AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m""".stripMargin)
 }

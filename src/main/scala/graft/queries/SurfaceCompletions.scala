@@ -29,6 +29,10 @@ import graft.Tables
   *  - q121 grouping flags: GROUPING()/GROUPING_ID() over rollup — how
   *    consumers distinguish "NULL because subtotal" from "NULL in the
   *    data"; without it q18's rollup output is ambiguous.
+  *  - q128 distribution window functions: cume_dist / percent_rank /
+  *    ntile — the rank-normalizing third of the window surface (q62
+  *    covered ordinal ranks). Ratios of per-partition integer ranks:
+  *    identical ints → identical doubles, so cross-engine exact.
   *
   * All seven are oracle-checked (hash-compared against DuckDB). Scale
   * shapes are inherited from the families they complete: bounded-key
@@ -105,7 +109,18 @@ object SurfaceCompletions {
           .agg(count(lit(1)).as("n"),
             grouping(col("l_returnflag")).cast("long").as("g_rf"),
             grouping(col("l_linestatus")).cast("long").as("g_ls"),
-            grouping_id().cast("long").as("gid"))))
+            grouping_id().cast("long").as("gid"))),
+
+      "q128_distribution_fns" -> ((s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .drop("ts")
+      }))
 
   /** q116: TPC-H Q22 shape — positive-balance customers with NO
     * high-value order (every customer in the test data has SOME order,
@@ -176,5 +191,13 @@ object SurfaceCompletions {
         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q128_distribution_fns" ->
+      """SELECT event_id, user_id, value,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+        .stripMargin)
 }
