@@ -41,7 +41,8 @@ object PlanAudit {
       "q121_grouping_id", "q122_stream_full_join",
       "q123_cdc_apply", "q124_checksum_compare", "q125_moving_median",
       "sim_ann_ivfpq", "q126_corr_matrix", "sim_pca",
-      "q127_linreg", "q128_distribution_fns")
+      "q127_linreg", "q128_distribution_fns", "q129_shingle_cosine",
+      "q130_bloom_join")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -232,6 +232,28 @@ object AdvancedQueries {
             .as("overlap_days"))
     }),
 
+    // Bloom-pruned fact/dim join (see operators.RuntimeFilter): a
+    // selective dimension predicate becomes a 16 KB bloom literal that
+    // prunes the fact scan BEFORE its shuffle — the explicit form of
+    // Spark's stats-gated runtime filter. Result == the plain join
+    // (blooms have no false negatives; positives die in the real
+    // join), so the oracle is the unhinted SQL. Revenue follows the
+    // q3 decimal discipline.
+    "q130_bloom_join" -> ((s, d) => {
+      val d184 = DecimalType(18, 4)
+      val hot = Tables(s, d, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.RuntimeFilter
+        .bloomPrunedJoin(Tables(s, d, "lineitem"), "l_orderkey",
+          hot, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum((col("l_extendedprice").cast(d184) *
+          (lit(1).cast(d184) - col("l_discount").cast(d184)))
+          .cast(DecimalType(28, 8))), 4).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // §2.6 [EXT]: SCD2 (slowly-changing-dimension type 2) history build
     // from a change log — each user's event stream becomes versioned
     // rows with [valid_from, valid_to) ranges and a current-row flag,
@@ -405,6 +427,16 @@ object AdvancedQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
         .stripMargin,
+    "q130_bloom_join" ->
+      """SELECT o_orderpriority,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |   (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))),
+        |   4) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+        |      WHERE o_totalprice > 450000) o ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q80_interval_overlap" ->
       """WITH li AS (
         | SELECT l_suppkey, l_orderkey, l_linenumber,

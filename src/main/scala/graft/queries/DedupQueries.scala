@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.sketches._
@@ -223,6 +224,44 @@ object DedupQueries {
     // Asymmetric containment (small-doc-inside-big-doc detection) —
     // see containmentPairs.
     "q108_containment" -> ((s, d) => containmentPairs(s, d, ShingleFreqCap)),
+
+    // TF-IDF cosine similarity join over the shingle space — the
+    // weighted counterpart of q23's set Jaccard: rare shared shingles
+    // count more than common ones. Same inverted-index shape (postings
+    // joined on the shingle key, df capped at ShingleFreqCap so no
+    // posting list explodes; df=1 singletons pruned — they cannot form
+    // a pair but would inflate norms identically in both engines only
+    // if kept, so they are EXCLUDED from the vector space by
+    // definition). Weights are idf rounded to 6 dp and cast to
+    // DECIMAL(18,6); dot products and norms accumulate in EXACT
+    // decimal, so the only float ops (ln, sqrt, final divide) run on
+    // identical values in both engines — hash-comparable despite the
+    // self-join's nondeterministic accumulation order.
+    "q129_shingle_cosine" -> ((s, d) => {
+      val nDocs = ShingleCache.arrays(s, d).count().toDouble
+      val post = ShingleCache.hashed(s, d)
+      val dfT = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, ShingleFreqCap))
+      val w = post.join(dfT.hint("shuffle_hash"), "h")
+        .select(col("doc_id"), col("h"),
+          round(log(lit(nDocs) / col("df").cast("double")), 6)
+            .cast(DecimalType(18, 6)).as("w"))
+      val nrm = w.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+      val dots = w.as("a")
+        .join(w.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.w") * col("b.w")).cast("double").as("dot"))
+      val cosine = round(col("dot") / (col("na") * col("nb")), 6)
+      dots
+        .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+          "doc_a")
+        .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+          "doc_b")
+        .filter(cosine >= 0.6)
+        .select(col("doc_a"), col("doc_b"), cosine.as("cosine"))
+    }),
 
     // Incremental dedup (see incrementalDedup below): the "don't
     // re-ingest what the corpus already holds" pass of a continuously
@@ -542,6 +581,32 @@ object DedupQueries {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "q21_minhash_lsh" -> exactPairsSql,
     "q23_ngram_jaccard" -> exactPairsSql,
+    // Replays the idf-cosine on raw shingle strings (the Spark side
+    // joins on xxhash64 keys — collision-free at any plausible shingle
+    // vocabulary; same assumption as q23's postings).
+    "q129_shingle_cosine" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |          FOR i IN range(1, len(tk) - 1)])) AS s FROM t),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+        |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+        |       HAVING COUNT(*) BETWEEN 2 AND $ShingleFreqCap),
+        |w AS (SELECT doc_id, sh.s,
+        |        CAST(round(ln((SELECT n FROM nn) / CAST(df AS DOUBLE)), 6)
+        |             AS DECIMAL(18,6)) AS w
+        |      FROM sh JOIN df ON sh.s = df.s),
+        |nrm AS (SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+        |        FROM w GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+        |         FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(dot / (x.nrm * y.nrm), 6) AS cosine
+        |FROM dots JOIN nrm x ON dots.doc_a = x.doc_id
+        |          JOIN nrm y ON dots.doc_b = y.doc_id
+        |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.6""".stripMargin,
     "q108_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),
