@@ -51,7 +51,10 @@ object PlanDump {
       "q112_approx_percentiles" -> "approx_percentile sketch: O(accuracy) group state, partial+final merge — the q47 form that survives 100x",
       "q113_rolling_distinct_exact" -> "7x day-explode + ONE distinct aggregation; no non-equi join, so no BroadcastNestedLoop",
       "q114_span_removal" -> "positional span hashes -> shared-set semi join (dup-bounded) -> collect_list starts -> narrow filter-by-index splice",
-      "mm_image_neardup" -> "dHash per image (narrow decode) + hamming-band bucket grouping — one shuffle, never all-pairs")
+      "mm_image_neardup" -> "dHash per image (narrow decode) + hamming-band bucket grouping — one shuffle, never all-pairs",
+      "q126_corr_matrix" -> "ALL 15 moments in ONE partial+final aggregation pass; pair assembly is a narrow explode over the 1-row result",
+      "q129_shingle_cosine" -> "inverted-index postings self-join on the shingle hash, df-capped; decimal-exact dot/norm aggregations",
+      "q130_bloom_join" -> "16 KB bloom literal prunes the fact scan INSIDE codegen before the join shuffle (explicit runtime filter)")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -142,7 +145,13 @@ object PlanDump {
       "mm_image_neardup" ->
         "no join on the pair path (bucket-grouped like q21/the simhash family); signatures are 8 bytes per image so the band shuffle carries fixed-width rows",
       "SkewOps.saltedJoinAuto" ->
-        "hot-key set is driver-side KB metadata embedded as an isin literal - no profile join rides the mitigated plan; the right side replicates salts-fold ONLY for hot-key rows")
+        "hot-key set is driver-side KB metadata embedded as an isin literal - no profile join rides the mitigated plan; the right side replicates salts-fold ONLY for hot-key rows",
+      "q129_shingle_cosine" ->
+        "shuffle_hash hint on the df join (vocabulary-sized, the q109 rule); the postings self-join shuffles both sides on the shingle hash - both corpus-scale, never broadcastable; the two norm joins are un-hinted (one row per doc: AQE broadcasts at test scale, shuffles at corpus scale)",
+      "q130_bloom_join" ->
+        "no broadcast of the dim keys: a 16 KB bloom literal rides the fact scan (the q69 pattern) and the residual equi-join is AQE-owned - small dims broadcast, large ones shuffle a fact side that the bloom already pruned",
+      "q126_corr_matrix / q127_linreg / sim_pca" ->
+        "no join at all: moment/covariance aggregations with map-side partial combine; eigenvectors, means, and moment totals return to the plan as KB-scale literals (the kmeans/IVF pattern)")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"
