@@ -42,7 +42,7 @@ object PlanAudit {
       "q123_cdc_apply", "q124_checksum_compare", "q125_moving_median",
       "sim_ann_ivfpq", "q126_corr_matrix", "sim_pca",
       "q127_linreg", "q128_distribution_fns", "q129_shingle_cosine",
-      "q130_bloom_join")
+      "q130_bloom_join", "mm_scene_cuts", "mm_audio_segments")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

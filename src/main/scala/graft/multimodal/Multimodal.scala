@@ -323,8 +323,14 @@ object Multimodal {
     * multi-channel frames are averaged to one track before the stats.
     * Returns None when the payload is not decodable 16-bit PCM.
     */
-  private[graft] def decodeWav(bytes: Array[Byte])
-      : Option[(Int, Int, Int, Double, Double, Array[Float])] = {
+  /** Decode a 16-bit PCM WAV payload to (sample rate, channel count,
+    * normalized mono track) — per-frame channel average in [-1, 1].
+    * None when the payload is not 16-bit signed PCM. Shared by the
+    * stats decode (decodeWav) and the silence segmentation
+    * (audioSegmentKernel).
+    */
+  private[graft] def wavTrack(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Double])] = {
     val in =
       try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       catch {
@@ -360,28 +366,34 @@ object Multimodal {
             track(f) = s / ch
             f += 1
           }
-          var sq = 0.0; var crossings = 0L
-          val bins = 16
-          val env = new Array[Double](bins)
-          val cnt = new Array[Long](bins)
-          var i = 0
-          while (i < n) {
-            val v = track(i)
-            sq += v * v
-            if (i > 0 && (v >= 0) != (track(i - 1) >= 0)) crossings += 1
-            val b = math.min(bins - 1, i * bins / n)
-            env(b) += math.abs(v); cnt(b) += 1
-            i += 1
-          }
-          val feat = Array.tabulate(bins)(b =>
-            if (cnt(b) == 0) 0.0f else (env(b) / cnt(b)).toFloat)
-          val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
-          Some((fmt.getSampleRate.toInt, ch, n, math.sqrt(sq / n), zcr,
-            feat))
+          Some((fmt.getSampleRate.toInt, ch, track))
         }
       }
     }
   }
+
+  private[graft] def decodeWav(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Double, Double, Array[Float])] =
+    wavTrack(bytes).map { case (rate, ch, track) =>
+      val n = track.length
+      var sq = 0.0; var crossings = 0L
+      val bins = 16
+      val env = new Array[Double](bins)
+      val cnt = new Array[Long](bins)
+      var i = 0
+      while (i < n) {
+        val v = track(i)
+        sq += v * v
+        if (i > 0 && (v >= 0) != (track(i - 1) >= 0)) crossings += 1
+        val b = math.min(bins - 1, i * bins / n)
+        env(b) += math.abs(v); cnt(b) += 1
+        i += 1
+      }
+      val feat = Array.tabulate(bins)(b =>
+        if (cnt(b) == 0) 0.0f else (env(b) / cnt(b)).toFloat)
+      val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+      (rate, ch, n, math.sqrt(sq / n), zcr, feat)
+    }
 
   /** REAL video (animated-GIF) decode: frames → (width, height, frame
     * count, mean luma across frames, 16-bin per-frame mean-luma envelope
@@ -614,4 +626,121 @@ object Multimodal {
         frames.map { case (i, b) => Row(id, kind, i, b) }
       }(enc)
   }
+
+  // ----- SCENE CUTS ---------------------------------------------------
+
+  /** Scene-change detection over a decodable multi-frame payload: per
+    * frame a 4×4 grid of mean lumas (decodeImage's cells), then the
+    * mean ABSOLUTE cell delta between consecutive frames; frame f is a
+    * cut when its delta exceeds `threshold` luma levels. Cell-wise (not
+    * whole-frame-mean) deltas so a content swap with equal average
+    * brightness still registers. Returns (n_frames, cut frame indices,
+    * max delta); None when the payload is not decodable video.
+    */
+  private[graft] def sceneCutKernel(bytes: Array[Byte], threshold: Double)
+      : Option[(Int, Array[Int], Double)] =
+    readVideoFrames(bytes).map { frames =>
+      val grid = 4
+      val grids = frames.map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val cellSum = new Array[Double](grid * grid)
+        val cellN = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val cy = math.min(grid - 1, y * grid / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val c = cy * grid + math.min(grid - 1, x * grid / w)
+            cellSum(c) += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            cellN(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(grid * grid)(i =>
+          if (cellN(i) == 0) 0.0 else cellSum(i) / cellN(i))
+      }
+      val deltas = new Array[Double](math.max(0, frames.length - 1))
+      var f = 1
+      while (f < frames.length) {
+        var s = 0.0; var i = 0
+        while (i < grid * grid) {
+          s += math.abs(grids(f)(i) - grids(f - 1)(i)); i += 1
+        }
+        deltas(f - 1) = s / (grid * grid)
+        f += 1
+      }
+      val cuts = deltas.zipWithIndex.collect {
+        case (dl, i) if dl > threshold => i + 1
+      }
+      (frames.length, cuts, if (deltas.isEmpty) 0.0 else deltas.max)
+    }
+
+  private def sceneCutUdf(threshold: Double) =
+    udf((bytes: Array[Byte]) => sceneCutKernel(bytes, threshold))
+
+  /** Scene-cut table: one row per video asset with frame count, cut
+    * frame indices, and the largest inter-frame delta. Narrow
+    * per-partition decode (the mm_decode_stats scale shape) — no
+    * shuffle at all. The default threshold deliberately avoids
+    * half-integer values: grid deltas of flat-band frames are exact
+    * multiples of 0.5, and a threshold ON a representable delta would
+    * make the > comparison hinge on double rounding.
+    */
+  def sceneCuts(assets: DataFrame, threshold: Double = 24.3): DataFrame =
+    assets.filter(col("kind") === "video")
+      .select(col("asset_id"),
+        sceneCutUdf(threshold)(col("bytes")).as("sc"))
+      .filter(col("sc").isNotNull)
+      .select(col("asset_id"), col("sc._1").as("n_frames"),
+        size(col("sc._2")).cast("long").as("n_cuts"),
+        col("sc._2").as("cut_frames"),
+        round(col("sc._3"), 6).as("max_delta"))
+
+  // ----- AUDIO SILENCE SEGMENTATION -----------------------------------
+
+  /** Silence segmentation: RMS per `win`-sample window of the decoded
+    * mono track; a window below `silenceRms` is silent; segments are
+    * maximal runs of non-silent windows (the units a speech pipeline
+    * would ship to transcription). Returns (n_windows, n_silent,
+    * n_segments, max window RMS); None when not 16-bit PCM.
+    */
+  private[graft] def audioSegmentKernel(bytes: Array[Byte], win: Int,
+      silenceRms: Double): Option[(Int, Int, Int, Double)] =
+    wavTrack(bytes).map { case (_, _, track) =>
+      val nw = (track.length + win - 1) / win
+      var silent = 0; var segments = 0; var maxRms = 0.0
+      var inSeg = false
+      var wi = 0
+      while (wi < nw) {
+        var sq = 0.0
+        var i = wi * win
+        val end = math.min(track.length, i + win)
+        while (i < end) { sq += track(i) * track(i); i += 1 }
+        val rms = math.sqrt(sq / (end - wi * win))
+        if (rms > maxRms) maxRms = rms
+        if (rms < silenceRms) { silent += 1; inSeg = false }
+        else if (!inSeg) { segments += 1; inSeg = true }
+        wi += 1
+      }
+      (nw, silent, segments, maxRms)
+    }
+
+  private def audioSegmentUdf(win: Int, silenceRms: Double) =
+    udf((bytes: Array[Byte]) => audioSegmentKernel(bytes, win, silenceRms))
+
+  /** Silence-segmentation table: one row per audio asset. Narrow
+    * per-partition decode, no shuffle.
+    */
+  def audioSegments(assets: DataFrame, win: Int = 80,
+      silenceRms: Double = 0.01): DataFrame =
+    assets.filter(col("kind") === "audio")
+      .select(col("asset_id"),
+        audioSegmentUdf(win, silenceRms)(col("bytes")).as("ag"))
+      .filter(col("ag").isNotNull)
+      .select(col("asset_id"), col("ag._1").as("n_windows"),
+        col("ag._2").as("n_silent"), col("ag._3").as("n_segments"),
+        round(col("ag._4"), 6).as("max_rms"))
 }

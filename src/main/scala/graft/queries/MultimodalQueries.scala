@@ -60,7 +60,23 @@ object MultimodalQueries {
       DedupQueries.hammingBandPairs(sigs, maxHamming = 6)
         .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
           col("hamming"))
-    })
+    }),
+
+    // Video scene-change detection: per-frame 4×4 grid lumas over the
+    // REAL multi-frame decode, cuts where the mean absolute cell delta
+    // exceeds the threshold. Narrow per-partition decode, no shuffle;
+    // MultimodalSpec replays the synthetic GIF's luma formula to pin
+    // the exact cut indices.
+    "mm_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(Multimodal.syntheticAssets(s, d))
+        .drop("cut_frames")),
+
+    // Audio silence segmentation: per-80-sample-window RMS over the
+    // REAL PCM decode; segments are maximal non-silent runs. Narrow,
+    // no shuffle; MultimodalSpec pins exact window/segment counts on a
+    // WAV with planted silent spans.
+    "mm_audio_segments" -> ((s, d) =>
+      Multimodal.audioSegments(Multimodal.syntheticAssets(s, d)))
   )
 
   /** Planted near-dup twins carry asset_id + this offset. */

@@ -311,6 +311,60 @@ class MultimodalSpec extends SparkSpec {
       s"expected exactly the planted twins, got $got")
   }
 
+  test("scene cuts match the synthetic GIF's luma formula exactly") {
+    val threshold = 24.3
+    (1L to 16L).filter(_ % 8 >= 1).foreach { id => // ≥ 2 frames
+      val n = (id % 8 + 1).toInt
+      def g1(f: Int) = ((id * 37 + f * 11) & 0xff).toDouble
+      def g2(f: Int) = ((id * 29 + f * 17) & 0xff).toDouble
+      // two equal-width flat bands → mean |cell delta| is the band mean
+      val deltas = (1 until n).map(f =>
+        (math.abs(g1(f) - g1(f - 1)) + math.abs(g2(f) - g2(f - 1))) / 2)
+      val want = deltas.zipWithIndex.collect {
+        case (dl, i) if dl > threshold => i + 1
+      }
+      val Some((nf, cuts, maxd)) =
+        Multimodal.sceneCutKernel(Multimodal.syntheticGif(id), threshold)
+      assert(nf == n, s"id=$id")
+      assert(cuts.toSeq == want, s"id=$id: got ${cuts.toSeq}, want $want")
+      assert(math.abs(maxd - deltas.max) < 1e-9, s"id=$id")
+    }
+  }
+
+  test("single-frame video has no cuts and zero max delta") {
+    val Some((nf, cuts, maxd)) =
+      Multimodal.sceneCutKernel(Multimodal.syntheticGif(8L), 24.3) // 8%8+1=1
+    assert(nf == 1 && cuts.isEmpty && maxd == 0.0)
+  }
+
+  test("audio segmentation: planted silent spans → exact counts") {
+    // 10 windows of 80 samples; windows 2,3,4 and 8 zeroed
+    val samples = Array.tabulate(800) { i =>
+      if ((i >= 160 && i < 400) || (i >= 640 && i < 720)) 0.0
+      else if ((i / 8) % 2 == 0) 0.5 else -0.5
+    }
+    val Some((nw, silent, segs, maxRms)) =
+      Multimodal.audioSegmentKernel(wavOf(8000, samples), 80, 0.01)
+    assert(nw == 10)
+    assert(silent == 4, s"silent=$silent")
+    assert(segs == 3, s"segments=$segs") // windows 0-1, 5-7, 9
+    assert(math.abs(maxRms - 0.5) < 1e-3)
+  }
+
+  test("scene-cut and audio-segment queries cover every asset of their kind") {
+    val sc = queries.MultimodalQueries.queries("mm_scene_cuts")(spark, sf)
+      .collect()
+    assert(sc.length == assets.filter(col("kind") === "video").count())
+    val ag = queries.MultimodalQueries.queries("mm_audio_segments")(spark, sf)
+      .collect()
+    assert(ag.length == assets.filter(col("kind") === "audio").count())
+    // synthetic WAVs are constant-amplitude square waves: no silence,
+    // exactly one segment each
+    ag.foreach { r =>
+      assert(r.getInt(2) == 0 && r.getInt(3) == 1, r.toString)
+    }
+  }
+
   test("image near-dup query catches every planted corpus twin") {
     val got = queries.MultimodalQueries.queries("mm_image_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
