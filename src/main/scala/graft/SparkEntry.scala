@@ -29,7 +29,8 @@ object SparkEntry {
       CurationOps.queries ++ PipelineOps.queries ++ SearchQueries.queries ++
       GraphQueries.queries ++ TrainingOps.queries ++ SqlSurface.queries ++
       WarehouseOps.queries ++ StatsOps.queries ++ BpeOps.queries ++
-      SurfaceCompletions.queries ++ MatrixOps.queries
+      SurfaceCompletions.queries ++ MatrixOps.queries ++
+      BehaviorOps.queries ++ MiningOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -43,5 +44,6 @@ object SparkEntry {
       CurationOps.oracle ++ PipelineOps.oracle ++ SearchQueries.oracle ++
       GraphQueries.oracle ++ TrainingOps.oracle ++ SqlSurface.oracle ++
       WarehouseOps.oracle ++ StatsOps.oracle ++ BpeOps.oracle ++
-      SurfaceCompletions.oracle ++ MatrixOps.oracle
+      SurfaceCompletions.oracle ++ MatrixOps.oracle ++
+      BehaviorOps.oracle ++ MiningOps.oracle
 }

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-sequence (behavioral) analytics over the `events` table — the
+  * product-analytics surface a reference user would run as chained
+  * MapReduce jobs (reference `Worker/worker_v1.py:26-218` mapper/reducer
+  * pairs per stage); here each is one Catalyst plan:
+  *
+  *  - q131 ordered funnel: how many users complete view → click →
+  *    purchase IN ORDER. Stage frames are per-user aggregates (bounded
+  *    by distinct users, never event volume) and shrink monotonically;
+  *    each stage is one co-partitioned equi-join on user_id + min-agg.
+  *  - q132 cohort retention: weekly signup cohort × week-offset active
+  *    users. Two user-bounded aggregates + one join; the cohort-size
+  *    dimension is weeks-cardinality (broadcast).
+  *  - q133 transition matrix: first-order Markov transitions between
+  *    event types via lag() — one per-user window pass over the event
+  *    log, then a K²-bounded aggregation (K = event-type cardinality).
+  *  - q135 EWMA smoothing (α = 1/2, adjusted form): per-type daily
+  *    series smoothed exactly. All arithmetic is integer/decimal until
+  *    one final IEEE division, so the oracle matches bit-for-bit — see
+  *    [[BehaviorOps.ewmaDaily]] for the 2^j weighting trick.
+  *
+  * All four are oracle-checked (hash-compared against DuckDB).
+  */
+object BehaviorOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      "q131_funnel" -> ((s, d) => funnel(s, d)),
+      "q132_retention" -> ((s, d) => retention(s, d)),
+      "q133_transitions" -> ((s, d) => transitions(s, d)),
+      "q135_ewma" -> ((s, d) => ewmaDaily(s, d)))
+
+  /** Ordered funnel view → click → purchase. Stage N keeps the earliest
+    * qualifying event strictly after the user's stage-N-1 time, so an
+    * out-of-order purchase (before the first click) does not count —
+    * the semantics product funnels need and a plain per-type count
+    * cannot express.
+    *
+    * Scale: `events` is touched once per stage with the type filter
+    * pushed to the scan; every aggregate/join is keyed on user_id, so
+    * all three stages reuse one hash-partitioning on a user-cardinality
+    * frame. At gate scale AQE broadcasts the shrinking stage frames.
+    */
+  private def funnel(s: SparkSession, d: String): DataFrame =
+    funnelStages(Tables(s, d, "events")
+      .select("user_id", "event_type", "ts"))
+
+  private[graft] def funnelStages(e: DataFrame): DataFrame = {
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, idx: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_users"))
+    stage(s1, 1L, "view")
+      .union(stage(s2, 2L, "click"))
+      .union(stage(s3, 3L, "purchase"))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday truncation, the
+    * same rule in both engines) of the user's FIRST event; offset =
+    * whole weeks between the cohort Monday and the activity timestamp
+    * (floor division — identical to DuckDB `//` because the diff is
+    * never negative). retention = active / cohort_size, a ratio of two
+    * exact BIGINTs, so one IEEE division matches cross-engine.
+    */
+  private def retention(s: SparkSession, d: String): DataFrame =
+    retentionOf(Tables(s, d, "events").select("user_id", "ts"))
+
+  private[graft] def retentionOf(e: DataFrame): DataFrame = {
+    val firsts = e.groupBy("user_id").agg(min("ts").as("t0"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("t0"))).as("cohort"))
+    val sizes = firsts.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    val active = e.join(firsts, "user_id")
+      .select(col("cohort"),
+        expr("datediff(cast(ts as date), cohort) div 7").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    active.join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 4).as("retention"))
+  }
+
+  /** First-order Markov transition matrix over event types: one lag()
+    * pass per user (the event log's natural partitioning), then a
+    * K²-row aggregation. p = n / Σ_curr n per prev row — exact-int
+    * ratio. The row-normalizing window runs over K² ≤ 25 aggregated
+    * rows: bounded metadata, not corpus data.
+    */
+  private def transitions(s: SparkSession, d: String): DataFrame =
+    transitionsOf(Tables(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("curr")))
+
+  private[graft] def transitionsOf(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = e
+      .withColumn("prev", lag(col("curr"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "curr").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev")))
+          .cast("double"), 4))
+  }
+
+  /** EWMA (α = 1/2, adjusted form) over the per-type daily value series:
+    *
+    *   ewma_t = Σ_{j≤t} 2^j · x_j  /  (2^{t+1} − 1)
+    *
+    * which is the textbook Σ β^{t−j}x_j / Σ β^{t−j} with β = 1−α = 1/2,
+    * both sides multiplied by 2^t. Daily x_j is an exact decimal sum
+    * rounded to a BIGINT, the 2^j weights are exact shifts, and the
+    * running numerator is a BIGINT window sum — so the ONLY floating
+    * operation is the final division of two exactly-representable
+    * longs (< 2^53), and DuckDB reproduces it bit-for-bit.
+    *
+    * Preconditions/scale: series length here is days (30), bounded
+    * metadata after the daily aggregation — the window runs over
+    * day-cardinality rows per type, never raw events. The 2^j encoding
+    * caps at j ≤ ~45 for these magnitudes; longer horizons use a
+    * bounded trailing frame, which is exact anyway because weights
+    * below 2^-40 are sub-ULP in the final double.
+    */
+  private def ewmaDaily(s: SparkSession, d: String): DataFrame =
+    ewmaOf(Tables(s, d, "events"))
+
+  private[graft] def ewmaOf(e: DataFrame): DataFrame = {
+    val daily = e
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+      .select(col("event_type"), col("day"),
+        round(col("v"), 0).cast("long").as("x"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("j", (row_number().over(byDay) - 1).cast("long"))
+      .withColumn("wx", expr("shiftleft(cast(1 as bigint), j) * x"))
+      .withColumn("num", sum(col("wx")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_type"), col("day"), col("x"),
+        round(col("num").cast("double") /
+          expr("cast(shiftleft(cast(1 as bigint), j + 1) - 1 as double)"),
+          4).as("ewma"))
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q131_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |  count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+    "q132_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |sizes AS (SELECT cohort, count(*) AS cohort_size
+        |          FROM firsts GROUP BY cohort),
+        |active AS (
+        |  SELECT f.cohort,
+        |    date_diff('day', f.cohort, CAST(e.ts AS DATE)) // 7
+        |      AS week_offset,
+        |    count(DISTINCT e.user_id) AS n_active
+        |  FROM events e JOIN firsts f ON e.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort, a.week_offset, a.n_active, s.cohort_size,
+        |  CAST(ROUND(CAST(a.n_active AS DOUBLE) /
+        |             CAST(s.cohort_size AS DOUBLE), 4) AS DOUBLE)
+        |    AS retention
+        |FROM active a JOIN sizes s ON a.cohort = s.cohort""".stripMargin,
+    "q133_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS curr,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |counts AS (SELECT prev, curr, count(*) AS n FROM seq
+        |           WHERE prev IS NOT NULL GROUP BY prev, curr)
+        |SELECT prev, curr, n,
+        |  CAST(ROUND(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 4) AS DOUBLE)
+        |    AS p
+        |FROM counts""".stripMargin,
+    "q135_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 0) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, day, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |         - 1 AS BIGINT) AS j
+        |  FROM daily)
+        |SELECT event_type, day, x,
+        |  CAST(ROUND(
+        |    CAST(sum((1::BIGINT << j) * x) OVER (
+        |           PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) /
+        |    CAST((1::BIGINT << (j + 1)) - 1 AS DOUBLE), 4) AS DOUBLE)
+        |    AS ewma
+        |FROM seq""".stripMargin)
+}

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Pattern-mining operators — the frequent-itemset and preference-query
+  * surface (reference users run these as multi-round MapReduce chains;
+  * here each is one Catalyst plan):
+  *
+  *  - q134 association rules: frequent token PAIRS over `documents`
+  *    with support / confidence / lift, Apriori-pruned — items below
+  *    min-support are dropped BEFORE the pair self-join, the classic
+  *    anti-monotonicity cut [Agrawal & Srikant, VLDB'94] that bounds
+  *    the join to frequent-item baskets only.
+  *  - q138 skyline (Pareto frontier) of suppliers maximizing
+  *    (best item price, item count): two-phase — a sound bucket-prune pass
+  *    (per-bucket max cascades from the high-revenue side) shrinks the
+  *    corpus-scale input to a skyline-biased candidate set, then an
+  *    exact windowed pass runs over the survivors [Börzsönyi ICDE'01
+  *    block-nested skyline, re-expressed as prune + window].
+  *
+  * Both are oracle-checked: the rule metrics are ratios of exact
+  * BIGINTs (one IEEE division, bit-identical cross-engine) and the
+  * skyline oracle is the quadratic NOT EXISTS dominance definition.
+  */
+object MiningOps {
+
+  /** Pair support threshold as an exact fraction: n * DEN >= total * NUM
+    * avoids a float threshold the two engines could round differently.
+    * 5% of docs.
+    */
+  private val SupNum = 1L
+  private val SupDen = 20L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      "q134_assoc_rules" -> ((s, d) => assocRules(s, d)),
+      "q138_skyline" -> ((s, d) => supplierSkyline(s, d)))
+
+  /** Distinct (doc_id, token) baskets — whitespace tokenization, the
+    * corpus-wide convention (TextAnalysis oracle parity).
+    */
+  private[graft] def baskets(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+
+  /** Association rules over frequent token pairs.
+    *
+    * Scale shape: the basket explode is narrow; item df is a
+    * vocabulary-sized aggregate; the Apriori cut (df*20 >= n_docs)
+    * prunes infrequent items BEFORE the per-doc pair self-join, so the
+    * join is co-partitioned on doc_id and generates only
+    * frequent-item pairs (worst case k² per doc for k FREQUENT tokens
+    * in the doc, not all tokens). Pair counts are a vocab²-bounded
+    * aggregate; df sides join back on the pair's words (vocab-sized,
+    * broadcast). All metrics are ratios of exact longs.
+    */
+  private def assocRules(s: SparkSession, d: String): DataFrame = {
+    val b = baskets(s, d)
+    val nDocs: Long = Tables(s, d, "documents").count()
+    val df = b.groupBy("w").agg(count(lit(1)).as("df"))
+    val frequent = df.filter(col("df") * SupDen >= lit(nDocs) * SupNum)
+    val fb = b.join(broadcast(frequent), "w")
+    val pairs = fb.as("a")
+      .join(fb.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") * SupDen >= lit(nDocs) * SupNum)
+    pairs
+      .join(broadcast(frequent.select(col("w").as("w1"),
+        col("df").as("df1"))), "w1")
+      .join(broadcast(frequent.select(col("w").as("w2"),
+        col("df").as("df2"))), "w2")
+      .select(col("w1"), col("w2"), col("n_pair"), col("df1"), col("df2"),
+        round(col("n_pair").cast("double") / lit(nDocs.toDouble), 4)
+          .as("support"),
+        round(col("n_pair").cast("double") / col("df1").cast("double"), 4)
+          .as("conf_fwd"),
+        round(col("n_pair").cast("double") / col("df2").cast("double"), 4)
+          .as("conf_rev"),
+        round((col("n_pair") * lit(nDocs)).cast("double") /
+          (col("df1") * col("df2")).cast("double"), 4).as("lift"))
+  }
+
+  /** Exact 2-D skyline (maximize both columns) of a frame with columns
+    * (key, rev, n): collapse each rev level to its max n (anything
+    * below is dominated within the level), then a strictly-descending
+    * running max over rev levels — a level survives iff its max n
+    * strictly beats every higher-revenue level. Equal (rev, n) rows
+    * are mutually non-dominating and all survive.
+    *
+    * The level window is global but runs over DISTINCT rev values of
+    * the (already pruned) input — callers bound that input.
+    */
+  private[graft] def skyline2D(per: DataFrame): DataFrame = {
+    val levels = per.groupBy(col("rev")).agg(max(col("n")).as("nmax"))
+    val desc = Window.orderBy(col("rev").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val live = levels
+      .withColumn("prev_max", max(col("nmax")).over(desc))
+      .filter(col("prev_max").isNull || col("nmax") > col("prev_max"))
+      .select(col("rev"), col("nmax"))
+    per.join(broadcast(live), "rev").filter(col("n") === col("nmax"))
+      .select(col("key"), col("rev"), col("n"))
+  }
+
+  /** Sound pre-prune for [[skyline2D]]: uniform-bucket rev, take each
+    * bucket's max n, cascade the running max from strictly higher
+    * buckets; any row whose n is strictly below its bucket's cascade
+    * threshold is dominated by a point with >= rev and > n. Keeps the
+    * exact global pass off corpus-scale input (worst case — all rev
+    * equal, or n anti-correlated perfectly — degenerates to the naive
+    * form, and the code stays correct, just unpruned).
+    */
+  private[graft] def skylinePrune(per: DataFrame, buckets: Int)
+    : DataFrame = {
+    val bounds = per.agg(min(col("rev").cast("double")).as("lo"),
+      max(col("rev").cast("double")).as("hi")).head()
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    if (hi <= lo) per
+    else {
+      val bucketed = per.withColumn("bkt",
+        width_bucket(col("rev").cast("double"), lit(lo), lit(hi),
+          lit(buckets)))
+      val cascade = Window.orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val thr = bucketed.groupBy("bkt").agg(max(col("n")).as("bmax"))
+        .withColumn("thr", max(col("bmax")).over(cascade))
+        .select(col("bkt"), col("thr"))
+      bucketed.join(broadcast(thr), "bkt")
+        .filter(col("thr").isNull || col("n") >= col("thr"))
+        .drop("bkt", "thr")
+    }
+  }
+
+  /** Supplier Pareto frontier on (best single-item price, item count) —
+    * two weakly-correlated axes, so the frontier is non-trivial (total
+    * revenue vs count collapses to ~1 point: both are volume).
+    * Decimal-exact price so the frontier comparison and the final
+    * double cast match DuckDB bit-for-bit.
+    */
+  private def supplierSkyline(s: SparkSession, d: String): DataFrame = {
+    val per = Tables(s, d, "lineitem")
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n"))
+    skyline2D(skylinePrune(per, 32))
+      .select(col("key").as("suppkey"),
+        col("rev").cast("double").as("best_price"),
+        col("n").as("n_items"))
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q134_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE len(w) > 0),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (SELECT w, count(*) AS df FROM b GROUP BY w),
+        |freq AS (SELECT w, df FROM df, n WHERE df * 20 >= n_docs),
+        |fb AS (SELECT b.doc_id, b.w FROM b JOIN freq ON b.w = freq.w),
+        |pairs AS (
+        |  SELECT a.w AS w1, c.w AS w2, count(*) AS n_pair
+        |  FROM fb a JOIN fb c ON a.doc_id = c.doc_id AND a.w < c.w
+        |  GROUP BY 1, 2),
+        |keep AS (SELECT * FROM pairs, n WHERE n_pair * 20 >= n_docs)
+        |SELECT w1, w2, n_pair, f1.df AS df1, f2.df AS df2,
+        |  CAST(ROUND(CAST(n_pair AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+        |       AS DOUBLE) AS support,
+        |  CAST(ROUND(CAST(n_pair AS DOUBLE) / CAST(f1.df AS DOUBLE), 4)
+        |       AS DOUBLE) AS conf_fwd,
+        |  CAST(ROUND(CAST(n_pair AS DOUBLE) / CAST(f2.df AS DOUBLE), 4)
+        |       AS DOUBLE) AS conf_rev,
+        |  CAST(ROUND(CAST(n_pair * n_docs AS DOUBLE) /
+        |             CAST(f1.df * f2.df AS DOUBLE), 4) AS DOUBLE) AS lift
+        |FROM keep JOIN freq f1 ON keep.w1 = f1.w
+        |          JOIN freq f2 ON keep.w2 = f2.w""".stripMargin,
+    "q138_skyline" ->
+      """WITH per AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+        |    count(*) AS n_items
+        |  FROM lineitem GROUP BY 1)
+        |SELECT suppkey, CAST(rev AS DOUBLE) AS best_price, n_items
+        |FROM per p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM per q
+        |  WHERE q.rev >= p.rev AND q.n_items >= p.n_items
+        |    AND (q.rev > p.rev OR q.n_items > p.n_items))""".stripMargin)
+}

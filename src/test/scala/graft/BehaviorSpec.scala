@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.BehaviorOps
+
+/** Behavioral-analytics semantics on crafted event logs — the parts the
+  * driver oracle (real tables) can't see: out-of-order funnel events,
+  * cohort-week boundary handling, and the EWMA closed form against the
+  * textbook recursive definition.
+  */
+class BehaviorSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("q131 funnel counts stages strictly in order") {
+    import spark.implicits._
+    // A completes the funnel in order; B's purchase precedes the click
+    // (must NOT count); C clicks without ever viewing (no stage at all)
+    val e = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "purchase", ts("2024-01-01 10:02:00")),
+      (2L, "purchase", ts("2024-01-02 09:00:00")),
+      (2L, "view", ts("2024-01-02 10:00:00")),
+      (2L, "click", ts("2024-01-02 11:00:00")),
+      (3L, "click", ts("2024-01-03 08:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = BehaviorOps.funnelStages(e)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 2L, "click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("q132 retention cohorts truncate to Monday and offset by whole weeks") {
+    import spark.implicits._
+    // both users land in the 2024-01-01 (Monday) cohort; u1 returns in
+    // week 1, u2 doesn't — retention 1.0 then 0.5
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:01")),
+      (1L, ts("2024-01-09 12:00:00")),
+      (2L, ts("2024-01-03 08:00:00")))
+      .toDF("user_id", "ts")
+    val rows = BehaviorOps.retentionOf(e)
+      .select("cohort", "week_offset", "n_active", "cohort_size",
+        "retention")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(rows == Set(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5)))
+  }
+
+  test("q133 transition probabilities row-normalize per prev state") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "b"),
+      (2L, ts("2024-01-01 11:00:00"), 4L, "a"),
+      (2L, ts("2024-01-01 11:01:00"), 5L, "c"))
+      .toDF("user_id", "ts", "event_id", "curr")
+    val rows = BehaviorOps.transitionsOf(e)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows == Map(
+      ("a", "b") -> (1L, 0.5), ("a", "c") -> (1L, 0.5),
+      ("b", "b") -> (1L, 1.0)))
+  }
+
+  test("q135 EWMA closed form equals the recursive definition") {
+    val out = SparkEntry.queries("q135_ewma")(spark, sf)
+      .orderBy("event_type", "day").collect()
+    // pin the SEMANTICS against the textbook adjusted-EWMA float
+    // recursion: num_t = x_t + beta*num_{t-1}, den_t = 1 + beta*den_{t-1},
+    // ewma = num/den with beta = 1/2 — the query's integer closed form
+    // must agree to within its own 4-decimal rounding
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      var num = 0.0
+      var den = 0.0
+      rows.foreach { r =>
+        num = r.getLong(2).toDouble + 0.5 * num
+        den = 1.0 + 0.5 * den
+        val expected = num / den
+        assert(math.abs(r.getDouble(3) - expected) < 2e-4,
+          s"ewma mismatch: got ${r.getDouble(3)}, want ~$expected")
+      }
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("q131/q133 shuffle only on user-bounded keys (no cartesian)") {
+    Seq("q131_funnel", "q133_transitions").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop"),
+        s"$name must stay on equi-joins:\n$p")
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.MiningOps
+
+/** Pattern-mining semantics the driver oracle can't see: skyline tie
+  * handling on crafted points, prune-pass soundness, and the Apriori
+  * cut's result-equivalence to the unpruned pair join.
+  */
+class MiningSpec extends SparkSpec {
+
+  test("skyline keeps mutually non-dominating ties and drops dominated points") {
+    import spark.implicits._
+    // (10,5) twice: equal points never dominate each other — both stay.
+    // (10,3) loses to (10,5) within the level; (4,1) loses to (5,7).
+    val per = Seq(
+      ("k1", 10L, 5L), ("k2", 10L, 5L), ("k3", 10L, 3L),
+      ("k4", 5L, 7L), ("k5", 4L, 1L))
+      .toDF("key", "rev", "n")
+    val expect = Set("k1", "k2", "k4")
+    val direct = MiningOps.skyline2D(per)
+      .collect().map(_.getString(0)).toSet
+    val pruned = MiningOps.skyline2D(MiningOps.skylinePrune(per, 4))
+      .collect().map(_.getString(0)).toSet
+    assert(direct == expect && pruned == expect)
+  }
+
+  test("skylinePrune never drops a skyline point (random check)") {
+    import spark.implicits._
+    // deterministic pseudo-random cloud: anything the pruned pipeline
+    // returns must equal the unpruned exact skyline
+    val pts = (1 to 500).map { i =>
+      val r = (i * 2654435761L) % 1000
+      val n = (i * 40503L) % 1000
+      (s"p$i", r, n)
+    }.toDF("key", "rev", "n")
+    val exact = MiningOps.skyline2D(pts).collect().map(_.getString(0)).toSet
+    val fast = MiningOps.skyline2D(MiningOps.skylinePrune(pts, 16))
+      .collect().map(_.getString(0)).toSet
+    assert(fast == exact, s"prune lost ${exact -- fast}, added ${fast -- exact}")
+  }
+
+  test("q138 two-phase skyline equals brute-force dominance on sf0.001") {
+    val per = SparkEntry.queries("q138_skyline")(spark, sf)
+    val got = per.collect().map(_.getLong(0)).toSet
+    // brute force: a supplier is dominated if any other has >= both
+    // metrics with one strict
+    val base = graft.Tables(spark, sf, "lineitem")
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2)))
+    val want = base.filter { case (_, rev, n) =>
+      !base.exists { case (_, r2, n2) =>
+        r2.compareTo(rev) >= 0 && n2 >= n &&
+          (r2.compareTo(rev) > 0 || n2 > n)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("q134 Apriori item cut returns exactly the unpruned frequent pairs") {
+    val b = MiningOps.baskets(spark, sf).cache()
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    // unpruned: pair ALL tokens per doc, threshold only at the end
+    val unpruned = b.as("a")
+      .join(b.as("c"), col("a.doc_id") === col("c.doc_id") &&
+        col("a.w") < col("c.w"))
+      .groupBy(col("a.w").as("w1"), col("c.w").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") * 20 >= lit(nDocs))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val got = SparkEntry.queries("q134_assoc_rules")(spark, sf)
+      .select("w1", "w2", "n_pair")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    b.unpersist()
+    assert(got == unpruned)
+  }
+
+  test("q134/q138 plans stay on equi-joins (no cartesian/BNLJ)") {
+    Seq("q134_assoc_rules", "q138_skyline").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop"),
+        s"$name must stay on equi-joins:\n$p")
+    }
+  }
+}
