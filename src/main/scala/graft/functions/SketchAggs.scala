@@ -383,6 +383,59 @@ case class FreqItemsAgg(
     copy(child = c(0))
 }
 
+/** count_min(h, d, w): Count-Min sketch [Cormode & Muthukrishnan,
+  * J. Algorithms '05] — a d×w counter grid; each member's 64-bit hash
+  * increments ONE counter per row, at an index derived by xor-rotate
+  * (no multiply, so the SQL-side estimator can mirror it without
+  * ANSI overflow). Estimates (min over the d rows) are upward-biased
+  * only: true ≤ est ≤ true + (e/w)·N with probability 1 − e^{−d}.
+  * O(d·w) fixed state, mergeable by elementwise add — the shuffle-safe
+  * frequency counter for corpus-scale streams where a value→count map
+  * (the exact-percentile hazard) would grow with cardinality. `w` must
+  * be a power of two (mask indexing, mirrored by StatsOps' estimator).
+  */
+case class CountMinAgg(
+    child: Expression, d: Int, w: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends LongBufferAgg {
+  require((w & (w - 1)) == 0, "count_min width must be a power of two")
+
+  override def n: Int = d * w
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "count_min"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](n)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val hv = child.eval(input)
+    if (hv != null) {
+      val h = hv.asInstanceOf[Long]
+      var i = 0
+      while (i < d) {
+        val idx = ((h ^ java.lang.Long.rotateLeft(h, 11 * i + 5))
+          & (w - 1)).toInt
+        buf(i * w + idx) += 1
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < n) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): CountMinAgg =
+    copy(child = c(0))
+}
+
 object sketches {
   /** n-element minhash signature column (array<long>). */
   def minhash_sig(h1: Column, h2: Column, n: Int): Column =
@@ -398,6 +451,10 @@ object sketches {
     ColumnBridge.column(
       FreqItemsAgg(ColumnBridge.expression(item), capacity, k)
         .toAggregateExpression())
+  /** d×w Count-Min sketch column (array<long>, row-major). */
+  def count_min(h: Column, d: Int, w: Int): Column =
+    ColumnBridge.column(
+      CountMinAgg(ColumnBridge.expression(h), d, w).toAggregateExpression())
   /** 64-bit simhash signature column (array<long> of length 1). */
   def simhash_sig(h: Column): Column =
     ColumnBridge.column(

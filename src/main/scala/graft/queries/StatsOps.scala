@@ -109,6 +109,48 @@ object StatsOps {
         max(col("v")).as("mx"))
   }
 
+  /** Count-Min sketch dimensions: 4 rows × 2048 counters = 64 KB of
+    * state regardless of vocabulary size.
+    */
+  val CmDepth = 4
+  val CmWidth = 2048
+
+  /** est(key) = min over rows of sketch[i·w + idx_i(h)], with idx_i the
+    * agg's xor-rotate index — pure column ops over the sketch literal,
+    * so the probe stays inside whole-stage codegen.
+    */
+  private[graft] def cmEstimate(sketch: Seq[Long], h: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column = {
+    def rotl(c: org.apache.spark.sql.Column, k: Int) =
+      shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
+    val sk = typedlit(sketch)
+    least((0 until CmDepth).map { i =>
+      element_at(sk,
+        (h.bitwiseXOR(rotl(h, 11 * i + 5)).bitwiseAND(lit(CmWidth - 1L))
+          + lit(i.toLong * CmWidth + 1L)).cast("int"))
+    }: _*)
+  }
+
+  /** One-pass global Count-Min over the document token stream, probed
+    * for the exact top-20 words: (word, exact n, estimate, abs error).
+    * The sketch is a single-group mergeable aggregate (64 KB collected
+    * — driver metadata, the k-means-centroid precedent); the probe side
+    * is the vocabulary-bounded exact count table.
+    */
+  private[graft] def countMinTopWords(s: SparkSession, d: String): DataFrame = {
+    val words = Tables(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sketch: Seq[Long] = words
+      .agg(graft.functions.sketches.count_min(xxhash64(col("w")),
+        CmDepth, CmWidth).as("sk"))
+      .head().getSeq[Long](0)
+    words.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(20)
+      .withColumn("est", cmEstimate(sketch, xxhash64(col("w"))))
+      .withColumn("overcount", col("est") - col("n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "q102_outliers" -> ((s, d) => outliers(Tables(s, d, "events"))),
@@ -139,6 +181,17 @@ object StatsOps {
           .select(col("o_orderpriority"),
             round(element_at(col("ps"), 1), 4).as("p50"),
             round(element_at(col("ps"), 2), 4).as("p90"), col("n"))),
+
+      // Count-Min heavy-key counts: the O(d·w)-state frequency
+      // complement to q46's Misra-Gries TOP-K — CMS answers "how often
+      // does key X occur" for ANY key after one pass, mergeable across
+      // partitions, state independent of cardinality (the 100 TB
+      // requirement). Estimates are upward-biased only; rows-only for
+      // the driver, SketchSpec pins est ≥ exact, the ε·N bound, and
+      // partition-merge invariance. The estimator mirrors the agg's
+      // xor-rotate indexing in pure codegen'd column ops over the
+      // KB-sized sketch literal (no UDF).
+      "stats_countmin" -> ((s, d) => countMinTopWords(s, d)),
 
       // Robust outlier statistics — the MAD complement to q102's
       // z-scores: median and median-absolute-deviation are unmoved by

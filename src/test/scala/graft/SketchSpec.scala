@@ -51,4 +51,42 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.02,
       s"approx median $approx vs exact $exact")
   }
+
+  test("count-min estimates are upward-biased within the eps*N bound " +
+    "for EVERY key, and the SQL estimator mirrors the agg") {
+    import graft.functions.sketches._
+    import graft.queries.StatsOps
+    val words = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).cache()
+    val sketch = words
+      .agg(count_min(xxhash64(col("w")), StatsOps.CmDepth, StatsOps.CmWidth))
+      .head().getSeq[Long](0)
+    val n = words.count()
+    val rows = words.groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("est", StatsOps.cmEstimate(sketch, xxhash64(col("w"))))
+      .collect()
+    words.unpersist()
+    val epsN = math.ceil(math.E / StatsOps.CmWidth * n).toLong
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact,
+        s"count-min must never undercount: ${r.getString(0)} $est < $exact")
+      assert(est - exact <= epsN,
+        s"overcount ${est - exact} above eps*N=$epsN for ${r.getString(0)}")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("count-min sketch is partition-merge invariant") {
+    import graft.functions.sketches._
+    import graft.queries.StatsOps
+    val words = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    def sk(parts: Int): Seq[Long] = words.repartition(parts)
+      .agg(count_min(xxhash64(col("w")), StatsOps.CmDepth, StatsOps.CmWidth))
+      .head().getSeq[Long](0)
+    assert(sk(1) == sk(7), "merge must equal single-partition fold")
+  }
 }
