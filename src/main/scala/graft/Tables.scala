@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -20,22 +20,38 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
-    * so it arrives as epoch-nanos LongType — normalize to a timestamp.
-    * Integer `div` (not /): ns epoch values exceed double's 2^53 exact
-    * range, and floor-to-microsecond matches DuckDB's ns→us truncation.
+  /** Timestamp normalization across TESTDATA generations. Older drops
+    * wrote events.ts as parquet TIMESTAMP(NANOS) (vectorized reader
+    * rejects it; with spark.sql.legacy.parquet.nanosAsLong it arrives as
+    * epoch-nanos LongType — integer `div`, not /: ns epoch values exceed
+    * double's 2^53 exact range, and floor-to-microsecond matches DuckDB's
+    * ns→us truncation). Current drops write TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ unless
+    * the session disables inferTimestampNTZ — NTZ breaks watermarks,
+    * unix_micros and Row.getTimestamp, so any NTZ column is cast to the
+    * instant type here as a belt-and-braces fallback (UTC sessions make
+    * the two readings value-identical, matching DuckDB's naive read).
     * Exposed so the readStream twin applies the identical rewrite.
     */
-  def normalize(df: DataFrame): DataFrame =
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
-    }
+  def normalize(df: DataFrame): DataFrame = {
+    val nanosFixed =
+      df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case None => df
+      }
+    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(nanosFixed) { (d, f) =>
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
+      }
+  }
 
   /** Session config required to read all TESTDATA tables (nanos-timestamp
-    * handling for `events`). Apply on every SparkSession this engine uses.
+    * handling for `events`; micros-NTZ read as instants so watermarks and
+    * epoch functions type-check). Apply on every SparkSession this engine
+    * uses, alongside spark.sql.session.timeZone=UTC.
     */
   val requiredConf: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
 }
