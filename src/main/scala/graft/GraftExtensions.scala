@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, BloomContains, DeflateLen, FreqItemsAgg, InterleaveBits, MinHashSigAgg, OphSigAgg, SimHashSigAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm, WeightedSimHashSigAgg}
+import graft.functions.{BloomAgg, BloomContains, DamerauLevenshtein, DeflateLen, FreqItemsAgg, InterleaveBits, JaroWinkler, MinHashSigAgg, OphSigAgg, SimHashSigAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm, WeightedSimHashSigAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("... vec_cosine(a,b) ...")`
@@ -66,7 +66,13 @@ object GraftExtensions {
         (es: Seq[Expression]) => DeflateLen(es(0))),
       ("interleave_bits", info("interleave_bits",
         "interleave_bits(x, y) - 64-bit Morton (Z-order) key of two 32-bit ints"),
-        (es: Seq[Expression]) => InterleaveBits(es(0), es(1))))
+        (es: Seq[Expression]) => InterleaveBits(es(0), es(1))),
+      ("dam_lev", info("dam_lev",
+        "dam_lev(a, b) - unrestricted Damerau-Levenshtein edit distance"),
+        (es: Seq[Expression]) => DamerauLevenshtein(es(0), es(1))),
+      ("jaro_winkler", info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1]"),
+        (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
 
   /** Constant int argument of a SQL call (e.g. the k in top_k(s, 3)). */
   private def intArg(e: Expression): Int = e.eval(null) match {

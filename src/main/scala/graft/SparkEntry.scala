@@ -30,7 +30,8 @@ object SparkEntry {
       GraphQueries.queries ++ TrainingOps.queries ++ SqlSurface.queries ++
       WarehouseOps.queries ++ StatsOps.queries ++ BpeOps.queries ++
       SurfaceCompletions.queries ++ MatrixOps.queries ++
-      BehaviorOps.queries ++ MiningOps.queries
+      BehaviorOps.queries ++ MiningOps.queries ++ StringSimOps.queries ++
+      InferenceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -45,5 +46,6 @@ object SparkEntry {
       GraphQueries.oracle ++ TrainingOps.oracle ++ SqlSurface.oracle ++
       WarehouseOps.oracle ++ StatsOps.oracle ++ BpeOps.oracle ++
       SurfaceCompletions.oracle ++ MatrixOps.oracle ++
-      BehaviorOps.oracle ++ MiningOps.oracle
+      BehaviorOps.oracle ++ MiningOps.oracle ++ StringSimOps.oracle ++
+      InferenceOps.oracle
 }

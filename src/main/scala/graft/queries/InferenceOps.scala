@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Statistical inference over event streams (SURVEY.md §2.11 [EXT]) —
+  * the hypothesis-testing layer of an experimentation / data-quality
+  * pipeline, built on the same decimal-exact moment discipline as
+  * q61/q126 (explicit DECIMAL sums make the shuffle reduction order-
+  * independent, so the final double arithmetic is bit-identical across
+  * engines and the oracle hash-compares):
+  *
+  *  - q136 Welch two-sample t-test per event_type (A/B arms split on
+  *    user_id parity): t statistic and Welch-Satterthwaite degrees of
+  *    freedom from one grouped pass with conditional sums — ONE
+  *    map-side-combined shuffle regardless of corpus size.
+  *  - q137 chi-square independence cells: event_type x user-bucket
+  *    contingency table with expected counts and per-cell (o-e)^2/e
+  *    contributions. Cell counts are one grouped aggregation; marginals
+  *    come from windows over the CELL table (5 types x 3 buckets = 15
+  *    rows — bounded metadata, same pattern as q110's share-of-total).
+  *  - q142 autocorrelation function: per event_type, Pearson ACF of the
+  *    daily-sum series at lags 1..3 — the seasonality probe. Daily sums
+  *    are decimal-exact; the lag pairing is a per-series window (keyed
+  *    by event_type, days per series bounded by the calendar), and the
+  *    correlation reduces the paired moments decimally once more.
+  */
+object InferenceOps {
+
+  private val dec = DecimalType(18, 4)
+
+  /** ACF lags computed by q142. */
+  private val Lags = Seq(1, 2, 3)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_welch_ttest" -> ((s, d) => {
+      val a = col("user_id") % 2 === 0
+      def csum(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        sum(when(cond, v).otherwise(lit(null))).cast("double")
+      val x = col("value").cast(dec)
+      val xx = (col("value") * col("value")).cast(dec)
+      val g = Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(when(a, 1)).as("n1"), count(when(!a, 1)).as("n2"),
+          csum(a, x).as("sx1"), csum(!a, x).as("sx2"),
+          csum(a, xx).as("sxx1"), csum(!a, xx).as("sxx2"))
+      val m1 = col("sx1") / col("n1")
+      val m2 = col("sx2") / col("n2")
+      val v1 = (col("sxx1") - col("sx1") * col("sx1") / col("n1")) / (col("n1") - 1)
+      val v2 = (col("sxx2") - col("sx2") * col("sx2") / col("n2")) / (col("n2") - 1)
+      val se2 = v1 / col("n1") + v2 / col("n2")
+      val df = se2 * se2 /
+        ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1) +
+          (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))
+      g.select(col("event_type"), col("n1"), col("n2"),
+        round(m1 - m2, 6).as("mean_diff"),
+        round((m1 - m2) / sqrt(se2), 6).as("t_stat"),
+        round(df, 6).as("welch_df"))
+    }),
+
+    "q137_chi_square" -> ((s, d) => {
+      val cells = Tables(s, d, "events")
+        .groupBy(col("event_type"), (col("user_id") % 3).as("bucket"))
+        .agg(count(lit(1)).as("o"))
+      // marginals over the 15-row cell table: bounded metadata windows
+      val wRow = Window.partitionBy(col("event_type"))
+      val wCol = Window.partitionBy(col("bucket"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("row_n", sum(col("o")).over(wRow))
+        .withColumn("col_n", sum(col("o")).over(wCol))
+        .withColumn("n", sum(col("o")).over(wAll))
+        .withColumn("e",
+          col("row_n").cast("double") * col("col_n") / col("n"))
+        .select(col("event_type"), col("bucket"), col("o"),
+          round(col("e"), 6).as("expected"),
+          round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6)
+            .as("chi2_cell"))
+    }),
+
+    "q142_autocorr" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast(dec)).cast("double").as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val lagged = Lags.foldLeft(daily) { (df, k) =>
+        df.withColumn(s"x_$k", lag(col("x"), k).over(w))
+      }
+      val pairs = lagged.select(
+        (Seq(col("event_type"), col("x")) ++ Lags.map(k => col(s"x_$k"))): _*)
+      val stacked = pairs.select(col("event_type"),
+        explode(array(Lags.map(k =>
+          struct(lit(k).as("lag"), col("x").as("x"),
+            col(s"x_$k").as("y"))): _*)).as("p"))
+        .select(col("event_type"), col("p.lag").as("lag"),
+          col("p.x").as("x"), col("p.y").as("y"))
+        .filter(col("y").isNotNull)
+      stacked
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).cast("double").as("sx"),
+          sum(col("y").cast(dec)).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"))
+        .select(col("event_type"), col("lag"), col("n"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              * (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+            .as("acf"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q136_welch_ttest" ->
+      """WITH g AS (SELECT event_type,
+        |  COUNT(*) FILTER (user_id % 2 = 0) AS n1,
+        |  COUNT(*) FILTER (user_id % 2 <> 0) AS n2,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |    FILTER (user_id % 2 = 0) AS DOUBLE) AS sx1,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |    FILTER (user_id % 2 <> 0) AS DOUBLE) AS sx2,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(18,4)))
+        |    FILTER (user_id % 2 = 0) AS DOUBLE) AS sxx1,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(18,4)))
+        |    FILTER (user_id % 2 <> 0) AS DOUBLE) AS sxx2
+        | FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, n1, n2,
+        |  sx1 / n1 AS m1, sx2 / n2 AS m2,
+        |  (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+        |  (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+        | FROM g)
+        |SELECT event_type, n1, n2,
+        |  round(m1 - m2, 6) AS mean_diff,
+        |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+        |  round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+        |    / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+        |      + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df
+        |FROM m""".stripMargin,
+    "q137_chi_square" ->
+      """WITH cells AS (SELECT event_type, user_id % 3 AS bucket,
+        |  COUNT(*) AS o FROM events GROUP BY event_type, user_id % 3),
+        |m AS (SELECT event_type, bucket, o,
+        |  SUM(o) OVER (PARTITION BY event_type) AS row_n,
+        |  SUM(o) OVER (PARTITION BY bucket) AS col_n,
+        |  SUM(o) OVER () AS n
+        | FROM cells)
+        |SELECT event_type, bucket, o,
+        |  round(CAST(row_n AS DOUBLE) * col_n / n, 6) AS expected,
+        |  round((o - CAST(row_n AS DOUBLE) * col_n / n)
+        |    * (o - CAST(row_n AS DOUBLE) * col_n / n)
+        |    / (CAST(row_n AS DOUBLE) * col_n / n), 6) AS chi2_cell
+        |FROM m""".stripMargin,
+    "q142_autocorr" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        | FROM events GROUP BY event_type, date_trunc('day', ts)),
+        |lagged AS (SELECT event_type, x,
+        |  LAG(x, 1) OVER w AS x_1, LAG(x, 2) OVER w AS x_2,
+        |  LAG(x, 3) OVER w AS x_3
+        | FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |stacked AS (
+        |  SELECT event_type, 1 AS lag, x, x_1 AS y FROM lagged
+        |  UNION ALL
+        |  SELECT event_type, 2, x, x_2 FROM lagged
+        |  UNION ALL
+        |  SELECT event_type, 3, x, x_3 FROM lagged),
+        |mom AS (SELECT event_type, lag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(x * x AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(y * y AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(x * y AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        | FROM stacked WHERE y IS NOT NULL GROUP BY event_type, lag)
+        |SELECT event_type, lag, n,
+        |  round((sxy - sx * sy / n)
+        |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS acf
+        |FROM mom""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.stringdistances.{dam_lev, jaro_winkler}
+
+/** Record-linkage string similarity (SURVEY.md §2.11 [EXT]) — the fuzzy
+  * matching layer the reference's text pipeline implies but cannot
+  * express (its records are opaque lines): Damerau-Levenshtein and
+  * Jaro-Winkler as custom codegen kernels (see
+  * [[graft.functions.StringDistance]]), applied in the two standard
+  * shapes:
+  *
+  *  - q139 blocked fuzzy pair join: candidate pairs come from an equi-
+  *    join on a blocking key (p_brand) — never an all-pairs cross join —
+  *    then the O(n·m) distance kernel verifies only within-block pairs.
+  *    At 100 TB the blocking key bounds per-task work exactly like the
+  *    q91 deletion-neighborhood and q23 inverted-index joins; the kernel
+  *    is integer-exact so the oracle hash-compares with no rounding.
+  *  - q140 per-row metric columns: a narrow scan computing all three
+  *    measures (builtin levenshtein + the two custom kernels) — the
+  *    profiling pass a linkage pipeline runs before choosing thresholds.
+  *
+  * Both oracle-checked: DuckDB ships the same textbook definitions
+  * (unrestricted DL; Jaro-Winkler with boost threshold 0.7, p=0.1,
+  * prefix<=4 — verified constants, see StringDistances.scala).
+  */
+object StringSimOps {
+
+  /** Max Damerau-Levenshtein distance for a q139 fuzzy match. */
+  private val MaxDist = 4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_fuzzy_pairs" -> ((s, d) => {
+      val p = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      // blocking join on brand: AQE broadcasts the (small) build side at
+      // gate scale; at 100x both sides shuffle on the same bounded key
+      val pairs = p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand")
+          && col("a.p_partkey") < col("b.p_partkey"))
+      pairs
+        .select(col("a.p_partkey").as("key_a"),
+          col("b.p_partkey").as("key_b"),
+          dam_lev(col("a.p_name"), col("b.p_name")).as("dl_dist"),
+          round(jaro_winkler(col("a.p_name"), col("b.p_name")), 6).as("jw_sim"))
+        .filter(col("dl_dist") <= MaxDist)
+    }),
+
+    "q140_string_metrics" -> ((s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).as("lev_dist"),
+          dam_lev(col("p_name"), col("p_type")).as("dl_dist"),
+          round(jaro_winkler(col("p_name"), col("p_type")), 6).as("jw_sim")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q139_fuzzy_pairs" ->
+      s"""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER)
+         |    AS dl_dist,
+         |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
+         |FROM part a JOIN part b
+         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         |WHERE damerau_levenshtein(a.p_name, b.p_name) <= $MaxDist"""
+        .stripMargin,
+    "q140_string_metrics" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, p_type) AS INTEGER) AS lev_dist,
+        |  CAST(damerau_levenshtein(p_name, p_type) AS INTEGER) AS dl_dist,
+        |  round(jaro_winkler_similarity(p_name, p_type), 6) AS jw_sim
+        |FROM part""".stripMargin
+  )
+}

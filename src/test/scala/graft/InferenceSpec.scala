@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.InferenceOps
+
+class InferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a crafted events table to a temp dir so the (spark, sfDir)
+    * query entries run against known data.
+    */
+  private def eventsDir(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inf").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("welch t-test matches the hand-computed statistic") {
+    // arm A (even users): 1,2,3 -> n=3, mean=2, var=1
+    // arm B (odd users): 2,4,6,8 -> n=4, mean=5, var=20/3
+    // se2 = 1/3 + 5/3 = 2; t = -3/sqrt(2); df = 4/(1/18 + 25/27)
+    val ev = Seq((2L, "a", 1.0), (4L, "a", 2.0), (6L, "a", 3.0),
+      (1L, "a", 2.0), (3L, "a", 4.0), (5L, "a", 6.0), (7L, "a", 8.0))
+      .toDF("user_id", "event_type", "value")
+    val d = eventsDir(ev)
+    val r = InferenceOps.queries("q136_welch_ttest")(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 3 && row.getLong(2) == 4)
+    assert(row.getDouble(3) == -3.0)
+    assert(row.getDouble(4) == BigDecimal(-3.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getDouble(5) == BigDecimal(4.0 / (1.0 / 18 + 25.0 / 27))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("chi-square cells vanish under exact independence") {
+    // type a: 2 users per bucket; type b: 1 user per bucket — the
+    // contingency table is exactly independent, so every cell's
+    // (o-e)^2/e must be 0
+    val ev = ((0 to 5).map(u => (u.toLong, "a", 1.0)) ++
+      (0 to 2).map(u => (u.toLong, "b", 1.0)))
+      .toDF("user_id", "event_type", "value")
+    val d = eventsDir(ev)
+    val rows = InferenceOps.queries("q137_chi_square")(spark, d).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getDouble(4) == 0.0, s"cell $r not independent")
+      assert(r.getLong(2) == math.round(r.getDouble(3)), "e == o here")
+    }
+  }
+
+  test("chi-square marginals are consistent on real data") {
+    val rows = InferenceOps.queries("q137_chi_square")(spark, sf).collect()
+    val total = Tables(spark, sf, "events").count()
+    assert(rows.map(_.getLong(2)).sum == total, "cells partition the corpus")
+    assert(rows.forall(_.getDouble(3) > 0))
+    assert(rows.forall(_.getDouble(4) >= 0))
+    // expected counts preserve row totals (within rounding)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val o = rs.map(_.getLong(2)).sum.toDouble
+      val e = rs.map(_.getDouble(3)).sum
+      assert(math.abs(o - e) < 1e-3, s"row marginal drift: $o vs $e")
+    }
+  }
+
+  test("autocorrelation of an alternating series is exactly -1, +1, -1") {
+    val day0 = 1704067200000L // 2024-01-01 UTC
+    val ev = (0 until 12).map { i =>
+      (new Timestamp(day0 + i * 86400000L), "a", if (i % 2 == 0) 10.0 else -10.0)
+    }.toDF("ts", "event_type", "value")
+    val d = eventsDir(ev)
+    val rows = InferenceOps.queries("q142_autocorr")(spark, d).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    // lag 1: pairs lie on y = -x -> acf -1; lag 2: y = x -> +1; lag 3: -1
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rows.map(_._2).toSeq == Seq(11L, 10L, 9L), "pair counts shrink by lag")
+    assert(rows.map(_._3).toSeq == Seq(-1.0, 1.0, -1.0))
+  }
+
+  test("autocorrelation on real data stays in [-1, 1] with per-lag pair counts") {
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts"))).count()
+      .groupBy(col("event_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val rows = InferenceOps.queries("q142_autocorr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (et, lag, n, acf) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(n == daily(et) - lag, s"pair count off for $et lag $lag")
+      assert(acf >= -1.0 && acf <= 1.0, s"acf out of range: $acf")
+    }
+  }
+}
