@@ -35,7 +35,35 @@ object BehaviorOps {
       "q131_funnel" -> ((s, d) => funnel(s, d)),
       "q132_retention" -> ((s, d) => retention(s, d)),
       "q133_transitions" -> ((s, d) => transitions(s, d)),
-      "q135_ewma" -> ((s, d) => ewmaDaily(s, d)))
+      "q135_ewma" -> ((s, d) => ewmaDaily(s, d)),
+      "q144_streaks" -> ((s, d) => streaks(s, d)))
+
+  /** q144 gaps-and-islands: per-user consecutive-day activity streaks —
+    * the classic "longest streak" pattern (date minus row_number is
+    * constant within a run). Work is bounded by distinct (user, day)
+    * pairs, not event volume: one distinct aggregation, one per-user
+    * window over day counts (days per user ≤ calendar span), one run
+    * aggregation. The longest-streak tie-break (earliest start) packs
+    * into a single max(struct(len, -day)) so no second window or join
+    * revisits the runs.
+    */
+  def streaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+    runs.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_days"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("len"),
+          (lit(0) - unix_date(col("start"))).as("neg"))).as("m"))
+      .select(col("user_id"), col("n_days"), col("n_streaks"),
+        col("m.len").as("max_streak"),
+        date_from_unix_date(lit(0) - col("m.neg")).as("best_start"))
+  }
 
   /** Ordered funnel view → click → purchase. Stage N keeps the earliest
     * qualifying event strictly after the user's stage-N-1 time, so an
@@ -163,6 +191,19 @@ object BehaviorOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q144_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        | FROM days),
+        |runs AS (SELECT user_id, day - CAST(rn AS INTEGER) AS grp,
+        |  COUNT(*) AS len, MIN(day) AS start
+        | FROM r GROUP BY user_id, day - CAST(rn AS INTEGER))
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+        |  COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak,
+        |  first(start ORDER BY len DESC, start) AS best_start
+        |FROM runs GROUP BY user_id""".stripMargin,
     "q131_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),

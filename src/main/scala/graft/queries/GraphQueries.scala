@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -38,6 +39,21 @@ object GraphQueries {
 
   /** Edge threshold: co-occurrence in ≥ this fraction of documents. */
   private val CoocFrac = 0.62
+
+  /** Bellman-Ford relaxation: `rounds` min-plus steps of
+    * dist' = min(dist, min over edges (u,v,w) of dist(u) + w) starting
+    * from `seeds(node, dist)` over `edges(u, v, w)`. Each round is one
+    * frontier-keyed equi-join plus a map-side-combinable grouped min;
+    * state stays one row per reached node. Exposed so the spec drives a
+    * crafted weighted graph with hand-computed shortest paths.
+    */
+  def bellmanFord(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(seeds) { (dist, _) =>
+      val relaxed = edges.join(dist, col("u") === col("node"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      dist.union(relaxed).groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_pagerank" -> ((s, d) => {
@@ -86,6 +102,62 @@ object GraphQueries {
         .union(d2.select(lit("customer"), col("id"), lit(2)))
     }),
 
+    // Single-source-set shortest paths (weighted): 3 Bellman-Ford
+    // relaxation rounds over the customer↔supplier trade graph, edge
+    // weight = cheapest line item ever traded on the link. Each round is
+    // ONE equi-join keyed on the frontier + a grouped min — the
+    // map-side-combinable min-plus step of the MapReduce-graph
+    // literature; work per round is proportional to edges incident to
+    // reached nodes, state is one (node, dist) row per reached node.
+    // Both engines unroll the identical 3 rounds (double additions along
+    // identical paths, exact min), so the oracle hash-compares.
+    "q141_shortest_path" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        .agg(min(col("l_extendedprice")).as("w"))
+      val edges = ce.union(ce.select(col("v"), col("u"), col("w")))
+      val seeds = Tables(s, d, "customer")
+        .filter(pmod(col("c_custkey"), lit(100)) === 0)
+        .select((col("c_custkey") * 2).as("node"), lit(0.0).as("dist"))
+      bellmanFord(edges, seeds.toDF(), rounds = 3)
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === 0, "customer")
+            .otherwise("supplier").as("kind"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
+    // Majority-vote label propagation (one synchronous round over the
+    // bipartite trade graph — suppliers take the modal nation of their
+    // customers, ties to the smallest key). The per-node mode with a
+    // deterministic tie-break is the primitive of semi-supervised label
+    // propagation [Raghavan et al., Phys. Rev. E 2007]; here the graph
+    // is bipartite so one round converges the unlabeled side. Vote
+    // counts are one grouped aggregation bounded by (supplier × nation)
+    // cardinality; the argmax window runs over ≤ |nations| rows per
+    // supplier — bounded metadata, never event volume.
+    "q146_majority_label" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val votes = ce.join(c, col("cust") === col("c_custkey"))
+        .groupBy(col("supp"), col("c_nationkey").as("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy(col("supp"))
+        .orderBy(col("n_votes").desc, col("label"))
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("supp").as("s_suppkey"), col("label"), col("n_votes"))
+    }),
+
     "q77_triangles" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       // one scalar to the driver (IVF-centroid pattern) — a 1-row
@@ -117,6 +189,48 @@ object GraphQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q146_majority_label" ->
+      """WITH ce AS (SELECT DISTINCT o.o_custkey AS cust,
+        |                   l.l_suppkey AS supp
+        |            FROM lineitem l
+        |            JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |votes AS (SELECT ce.supp, c.c_nationkey AS label,
+        |            COUNT(*) AS n_votes
+        |          FROM ce JOIN customer c ON ce.cust = c.c_custkey
+        |          GROUP BY ce.supp, c.c_nationkey),
+        |ranked AS (SELECT supp, label, n_votes,
+        |  ROW_NUMBER() OVER (PARTITION BY supp
+        |    ORDER BY n_votes DESC, label) AS rn FROM votes)
+        |SELECT supp AS s_suppkey, label, n_votes
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "q141_shortest_path" ->
+      """WITH ce AS (SELECT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v,
+        |              min(l.l_extendedprice) AS w
+        |            FROM lineitem l
+        |            JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |            GROUP BY 1, 2),
+        |edges AS (SELECT u, v, w FROM ce UNION ALL SELECT v, u, w FROM ce),
+        |d0 AS (SELECT c_custkey * 2 AS node, 0.0 AS dist FROM customer
+        |       WHERE c_custkey % 100 = 0),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL
+        |         SELECT e.v, d0.dist + e.w FROM edges e
+        |         JOIN d0 ON e.u = d0.node) GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL
+        |         SELECT e.v, d1.dist + e.w FROM edges e
+        |         JOIN d1 ON e.u = d1.node) GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL
+        |         SELECT e.v, d2.dist + e.w FROM edges e
+        |         JOIN d2 ON e.u = d2.node) GROUP BY node)
+        |SELECT node,
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  round(dist, 6) AS dist
+        |FROM d3""".stripMargin,
     "q86_bfs" ->
       """WITH ce AS (SELECT DISTINCT o.o_custkey AS cust,
         |                   l.l_suppkey AS supp

@@ -77,6 +77,48 @@ object SqlSurface {
 
   val scalarSubSql: String = scalarSubSqlOn("lineitem", "part")
 
+  /** q147: LATERAL correlated subquery — per-nation top-2 customers by
+    * account balance, expressed as the ANSI lateral derived table (the
+    * "top-N per group as a join operand" idiom). Catalyst plans the
+    * correlated ORDER BY/LIMIT subquery as a lateral join with a
+    * per-group limit; the same text runs on DuckDB. Deterministic: ties
+    * break on c_custkey, balances pass through unreduced.
+    */
+  def lateralTopSqlOn(nation: String, customer: String): String =
+    s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM $nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM $customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+
+  /** q143: RECURSIVE CTE reachability — min-hop distance from the seed
+    * customers over the customer↔supplier trade graph, depth-capped at 2.
+    * The operator under test is the engine's recursive-union execution
+    * (Spark 4 plans it as a UnionLoop); the same text runs on DuckDB.
+    * The recursive term is DISTINCT so per-level state is bounded by the
+    * node set (never the path set — an uncapped UNION ALL recursion on a
+    * dense bipartite graph multiplies paths combinatorially), and the
+    * depth guard makes both engines unroll the identical two levels;
+    * final MIN(dist) collapses revisits. Result agrees with q86's
+    * join-unrolled BFS by construction.
+    */
+  def recursiveReachSqlOn(lineitem: String, orders: String,
+      customer: String): String =
+    s"""WITH RECURSIVE ce AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+      |  FROM $lineitem l JOIN $orders o ON l.l_orderkey = o.o_orderkey),
+      |edges AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce),
+      |reach(node, dist) AS (
+      |  SELECT c_custkey * 2 AS node, 0 AS dist FROM $customer
+      |  WHERE c_custkey % 100 = 0
+      |  UNION ALL
+      |  SELECT DISTINCT e.v AS node, r.dist + 1 AS dist
+      |  FROM reach r JOIN edges e ON e.u = r.node
+      |  WHERE r.dist < 2)
+      |SELECT node, MIN(dist) AS dist,
+      |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
+      |FROM reach GROUP BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       // Star join over all six chained tables (TPC-H Q5 shape): local
@@ -200,6 +242,28 @@ object SqlSurface {
         gapFill(Tables(s, d, "events")
           .select(col("event_type"), to_date(col("ts")).as("day"),
             col("value")))
+      }),
+
+      "q147_lateral_topk" -> ((s, d) => {
+        Tables(s, d, "nation").createOrReplaceTempView("graft_q147_nation")
+        Tables(s, d, "customer").createOrReplaceTempView("graft_q147_customer")
+        val df = s.sql(lateralTopSqlOn("graft_q147_nation",
+          "graft_q147_customer"))
+        s.catalog.dropTempView("graft_q147_nation")
+        s.catalog.dropTempView("graft_q147_customer")
+        df
+      }),
+
+      "q143_recursive_reach" -> ((s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("graft_q143_lineitem")
+        Tables(s, d, "orders").createOrReplaceTempView("graft_q143_orders")
+        Tables(s, d, "customer").createOrReplaceTempView("graft_q143_customer")
+        val df = s.sql(recursiveReachSqlOn("graft_q143_lineitem",
+          "graft_q143_orders", "graft_q143_customer"))
+        s.catalog.dropTempView("graft_q143_lineitem")
+        s.catalog.dropTempView("graft_q143_orders")
+        s.catalog.dropTempView("graft_q143_customer")
+        df
       }))
 
   /** Dense daily series from a sparse (event_type, day, value) input:
@@ -224,6 +288,9 @@ object SqlSurface {
   }
 
   def oracle: Map[String, String] = Map(
+    "q147_lateral_topk" -> lateralTopSqlOn("nation", "customer"),
+    "q143_recursive_reach" ->
+      recursiveReachSqlOn("lineitem", "orders", "customer"),
     "q110_share_of_total" ->
       """WITH rev AS (
         |  SELECT r_name, n_name,

@@ -146,10 +146,46 @@ object TrainingOps {
     "q91_fuzzy_join" -> ((s, d) => fuzzyPairs(
       Tables(s, d, "customer")
         .filter(col("c_custkey") < FuzzyCap)
-        .select(col("c_custkey").as("id"), col("c_name").as("name"))))
+        .select(col("c_custkey").as("id"), col("c_name").as("name")))),
+
+    // Train/val/test split with a cross-split contamination audit — the
+    // eval-hygiene gate of a training pipeline: a deterministic md5
+    // split (50/25/25 on the first hex digit, stable under
+    // repartitioning like q50), then per split the count of documents
+    // whose exact text also appears in a DIFFERENT split (such leakage
+    // inflates eval scores). One content-hash aggregation + one
+    // co-partitioned join back on the hash — the q20 exact-dedup shuffle
+    // shape, so it scales the same way.
+    "q145_split_leakage" -> ((s, d) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          when(h < "8", "train").when(h < "c", "val").otherwise("test")
+            .as("split"),
+          sha2(col("text"), 256).as("fp"))
+      val spread = docs.groupBy(col("fp"))
+        .agg(countDistinct(col("split")).as("n_splits"))
+      docs.join(spread, "fp")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_splits") > 1, 1)).as("n_leaked"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
+    "q145_split_leakage" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  sha256(text) AS fp FROM documents),
+        |g AS (SELECT fp, COUNT(DISTINCT split) AS n_splits
+        |      FROM d GROUP BY fp)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (g.n_splits > 1) AS n_leaked
+        |FROM d JOIN g USING (fp) GROUP BY split""".stripMargin,
     "q87_skew_profile" ->
       s"""WITH c AS (SELECT l_suppkey, count(*) AS cnt
          |           FROM lineitem GROUP BY l_suppkey),

@@ -91,6 +91,25 @@ class BehaviorSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("q144 streaks: crafted gaps yield the hand-counted islands") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val day0 = 1704067200000L // 2024-01-01 UTC
+    def t(d: Int) = new Timestamp(day0 + d * 86400000L)
+    // user 1 active days 0,1,2,4,5 -> runs {3, 2}; user 2 days 0,2,4 ->
+    // three singleton runs, tie on length broken to the EARLIEST start
+    val ev = Seq((1L, t(0)), (1L, t(0)), (1L, t(1)), (1L, t(2)), (1L, t(4)),
+      (1L, t(5)), (2L, t(0)), (2L, t(2)), (2L, t(4)))
+      .toDF("user_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-beh").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.BehaviorOps.streaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDate(4).toString))).toMap
+    assert(got(1L) == ((5L, 2L, 3L, "2024-01-01")))
+    assert(got(2L) == ((3L, 3L, 1L, "2024-01-01")))
+  }
+
   test("q131/q133 shuffle only on user-bounded keys (no cartesian)") {
     Seq("q131_funnel", "q133_transitions").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)

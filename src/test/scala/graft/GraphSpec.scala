@@ -85,4 +85,56 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
     assert(narrow == Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d")))
   }
+
+  test("bellman-ford finds the cheap 3-hop path over the expensive shortcut") {
+    import spark.implicits._
+    // 1→2→3→4 costs 1 each; shortcuts 1→3 (5.0) and 2→4 (10.0) lose
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0),
+      (3L, 4L, 1.0), (2L, 4L, 10.0), (5L, 1L, 1.0)).toDF("u", "v", "w")
+    val seeds = Seq((1L, 0.0)).toDF("node", "dist")
+    val got = graft.queries.GraphQueries.bellmanFord(edges, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // node 5 has no in-path from the seed and must stay unreached
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0))
+    // converged: a 4th round changes nothing
+    val again = graft.queries.GraphQueries.bellmanFord(edges, seeds, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
+
+  test("q146 majority label: modal nation wins, ties break to smallest key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // supplier 10 hears nations {5, 5, 7}; supplier 11 ties {9, 3}
+    Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 11L), (5L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 5L), (2L, 5L), (3L, 7L), (4L, 9L), (5L, 3L))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = graft.queries.GraphQueries
+      .queries("q146_majority_label")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(10L -> ((5L, 2L)), 11L -> ((3L, 1L))))
+  }
+
+  test("q141 shortest paths on driver data: seeds at zero, monotone frontier") {
+    val rows = graft.queries.GraphQueries
+      .queries("q141_shortest_path")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKind = rows.groupBy(_.getString(1))
+    // bipartite: even nodes are customers, odd are suppliers
+    rows.foreach { r =>
+      val even = r.getLong(0) % 2 == 0
+      assert(if (even) r.getString(1) == "customer"
+             else r.getString(1) == "supplier")
+    }
+    // seeds (dist 0) are customers; every supplier needed an odd hop count
+    val zero = rows.filter(_.getDouble(2) == 0.0)
+    assert(zero.nonEmpty && zero.forall(_.getString(1) == "customer"))
+    assert(byKind("supplier").forall(_.getDouble(2) > 0.0))
+  }
 }

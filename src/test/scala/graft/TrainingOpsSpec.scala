@@ -104,4 +104,28 @@ class TrainingOpsSpec extends SparkSpec {
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     assert(want.nonEmpty, "test corpus must exercise the join")
   }
+
+  test("q145 split leakage equals a brute-force cross-split duplicate count") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.TrainingOps
+      .queries("q145_split_leakage")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "8", "train")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "val")
+          .otherwise("test").as("split"),
+        col("text"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val bySplit = docs.groupBy(_._1)
+    val textSplits = docs.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    bySplit.foreach { case (split, rows) =>
+      val leaked = rows.count { case (_, text) =>
+        (textSplits(text) - split).nonEmpty }
+      assert(got(split) == ((rows.size.toLong, leaked.toLong)),
+        s"split $split: got ${got(split)}, want (${rows.size}, $leaked)")
+    }
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+    assert(got.keySet == Set("train", "val", "test"))
+  }
 }
