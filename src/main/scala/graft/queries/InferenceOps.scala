@@ -82,6 +82,40 @@ object InferenceOps {
             .as("chi2_cell"))
     }),
 
+    // Seasonal-naive anomaly detection: per type, each day's total is
+    // compared to the same weekday one week earlier (lag-7 of the dense
+    // daily series); days whose residual z-score exceeds 2 are flagged.
+    // The residual moments reduce decimally per type (bounded rows) and
+    // broadcast back over the daily series — zero corpus-sized shuffles
+    // beyond the one daily aggregation, the q102 outlier shape applied
+    // to time series. Zero-variance types are excluded in BOTH engines
+    // (IEEE ±inf vs NULL division differs cross-engine on degenerate
+    // groups).
+    "q148_seasonal_anomaly" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast(dec)).cast("double").as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val resid = daily
+        .withColumn("baseline", lag(col("x"), 7).over(w))
+        .filter(col("baseline").isNotNull)
+        .withColumn("r", col("x") - col("baseline"))
+      val mom = resid.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r").cast(dec)).cast("double").as("sr"),
+          sum((col("r") * col("r")).cast(dec)).cast("double").as("srr"))
+        .select(col("event_type").as("et"), (col("sr") / col("n")).as("mean_r"),
+          sqrt((col("srr") - col("sr") * col("sr") / col("n"))
+            / (col("n") - 1)).as("std_r"))
+      resid.join(broadcast(mom), col("event_type") === col("et"))
+        .filter(col("std_r") > 0)
+        .withColumn("z", (col("r") - col("mean_r")) / col("std_r"))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_type"), col("day"), round(col("x"), 4).as("x"),
+          round(col("baseline"), 4).as("baseline"), round(col("z"), 6).as("z"))
+    }),
+
     "q142_autocorr" -> ((s, d) => {
       val daily = Tables(s, d, "events")
         .groupBy(col("event_type"),
@@ -156,6 +190,27 @@ object InferenceOps {
         |    * (o - CAST(row_n AS DOUBLE) * col_n / n)
         |    / (CAST(row_n AS DOUBLE) * col_n / n), 6) AS chi2_cell
         |FROM m""".stripMargin,
+    "q148_seasonal_anomaly" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        | FROM events GROUP BY event_type, date_trunc('day', ts)),
+        |resid AS (SELECT event_type, day, x,
+        |  LAG(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS baseline
+        | FROM daily),
+        |r2 AS (SELECT event_type, day, x, baseline, x - baseline AS r
+        | FROM resid WHERE baseline IS NOT NULL),
+        |mom AS (SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(r AS DECIMAL(18,4))) AS DOUBLE) AS sr,
+        |  CAST(SUM(CAST(r * r AS DECIMAL(18,4))) AS DOUBLE) AS srr
+        | FROM r2 GROUP BY event_type),
+        |ms AS (SELECT event_type, sr / n AS mean_r,
+        |  sqrt((srr - sr * sr / n) / (n - 1)) AS std_r FROM mom)
+        |SELECT r2.event_type, r2.day, round(r2.x, 4) AS x,
+        |  round(r2.baseline, 4) AS baseline,
+        |  round((r2.r - ms.mean_r) / ms.std_r, 6) AS z
+        |FROM r2 JOIN ms ON r2.event_type = ms.event_type
+        |WHERE ms.std_r > 0
+        |  AND abs((r2.r - ms.mean_r) / ms.std_r) > 2""".stripMargin,
     "q142_autocorr" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x

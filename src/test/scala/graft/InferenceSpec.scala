@@ -81,6 +81,40 @@ class InferenceSpec extends SparkSpec {
     assert(rows.map(_._3).toSeq == Seq(-1.0, 1.0, -1.0))
   }
 
+  test("seasonal anomaly flags exactly the planted week-over-week spike") {
+    val day0 = 1704067200000L // 2024-01-01 UTC
+    // flat daily total of 10 for two weeks, except day 10 spikes to 100:
+    // residuals vs lag-7 are 0 everywhere but day 10 (r=90), whose
+    // z ≈ 2.268 is the only one past the 2.0 gate
+    val ev = (0 until 14).map { i =>
+      (new Timestamp(day0 + i * 86400000L), "a",
+        if (i == 10) 100.0 else 10.0)
+    }.toDF("ts", "event_type", "value")
+    val d = eventsDir(ev)
+    val rows = InferenceOps.queries("q148_seasonal_anomaly")(spark, d).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getTimestamp(1).getTime == day0 + 10 * 86400000L)
+    assert(r.getDouble(2) == 100.0 && r.getDouble(3) == 10.0)
+    assert(r.getDouble(4) > 2.2 && r.getDouble(4) < 2.3)
+  }
+
+  test("seasonal anomaly moments broadcast; constant series yields no flags") {
+    val df = InferenceOps.queries("q148_seasonal_anomaly")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type moments must broadcast back over the series:\n$p")
+    // an exactly-periodic series has all-zero residuals -> std 0 -> excluded
+    val day0 = 1704067200000L
+    val flat = (0 until 21).map { i =>
+      (new Timestamp(day0 + i * 86400000L), "b", 5.0)
+    }.toDF("ts", "event_type", "value")
+    val d = eventsDir(flat)
+    assert(InferenceOps.queries("q148_seasonal_anomaly")(spark, d).count() == 0)
+  }
+
   test("autocorrelation on real data stays in [-1, 1] with per-lag pair counts") {
     val daily = Tables(spark, sf, "events")
       .groupBy(col("event_type"), date_trunc("day", col("ts"))).count()

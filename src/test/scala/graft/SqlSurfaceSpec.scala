@@ -111,4 +111,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"the day grid must come from per-group sequence(), not a cross join:\n$p")
   }
+
+  test("q147 lateral top-2 equals the window-ranked twin") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q147_lateral_topk")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val want = Tables(spark, sf, "customer")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(Tables(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"lateral vs window: only-lateral=" +
+      s"${(got -- want).take(3)} only-window=${(want -- got).take(3)}")
+    // every nation contributes at most 2 rows
+    got.groupBy(_._1).foreach { case (n, rs) =>
+      assert(rs.size <= 2, s"nation $n has ${rs.size} rows") }
+  }
 }
