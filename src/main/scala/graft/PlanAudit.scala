@@ -43,7 +43,11 @@ object PlanAudit {
       "q123_cdc_apply", "q124_checksum_compare", "q125_moving_median",
       "sim_ann_ivfpq", "q126_corr_matrix", "sim_pca",
       "q127_linreg", "q128_distribution_fns", "q129_shingle_cosine",
-      "q130_bloom_join", "mm_scene_cuts", "mm_audio_segments")
+      "q130_bloom_join", "mm_scene_cuts", "mm_audio_segments",
+      "q136_welch_ttest", "q137_chi_square", "q139_fuzzy_pairs",
+      "q140_string_metrics", "q141_shortest_path", "q142_autocorr",
+      "q143_recursive_reach", "q144_streaks", "q145_split_leakage",
+      "q146_majority_label", "q147_lateral_topk", "q148_seasonal_anomaly")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -55,7 +55,12 @@ object PlanDump {
       "mm_image_neardup" -> "dHash per image (narrow decode) + hamming-band bucket grouping — one shuffle, never all-pairs",
       "q126_corr_matrix" -> "ALL 15 moments in ONE partial+final aggregation pass; pair assembly is a narrow explode over the 1-row result",
       "q129_shingle_cosine" -> "inverted-index postings self-join on the shingle hash, df-capped; decimal-exact dot/norm aggregations",
-      "q130_bloom_join" -> "16 KB bloom literal prunes the fact scan INSIDE codegen before the join shuffle (explicit runtime filter)")
+      "q130_bloom_join" -> "16 KB bloom literal prunes the fact scan INSIDE codegen before the join shuffle (explicit runtime filter)",
+      "q139_fuzzy_pairs" -> "brand-blocked fuzzy pairing: candidates from an equi-join on the blocking key, dam_lev/jaro_winkler kernels codegen'd in the verify filter — no all-pairs surface",
+      "q141_shortest_path" -> "3 unrolled min-plus rounds: one frontier equi-join + map-side-combined grouped min each; state is one row per reached node",
+      "q143_recursive_reach" -> "native recursive CTE (UnionLoop); DISTINCT recursive term bounds per-level state by the node set, depth guard caps the loop",
+      "q145_split_leakage" -> "content-hash aggregation + co-partitioned join back on the hash — the q20 exact-dedup shuffle shape with a split-spread count",
+      "q148_seasonal_anomaly" -> "daily decimal aggregation + lag-7 window; per-type residual moments broadcast back over the series (the q102 outlier shape on time series)")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -152,7 +157,21 @@ object PlanDump {
       "q130_bloom_join" ->
         "no broadcast of the dim keys: a 16 KB bloom literal rides the fact scan (the q69 pattern) and the residual equi-join is AQE-owned - small dims broadcast, large ones shuffle a fact side that the bloom already pruned",
       "q126_corr_matrix / q127_linreg / sim_pca" ->
-        "no join at all: moment/covariance aggregations with map-side partial combine; eigenvectors, means, and moment totals return to the plan as KB-scale literals (the kmeans/IVF pattern)")
+        "no join at all: moment/covariance aggregations with map-side partial combine; eigenvectors, means, and moment totals return to the plan as KB-scale literals (the kmeans/IVF pattern)",
+      "q139_fuzzy_pairs" ->
+        "no hint on the blocking join: both sides are the same corpus-scale table keyed on the blocking column (AQE broadcasts the build side at test scale, shuffles at corpus scale); the distance kernels run AFTER the equi-join, so no all-pairs surface exists",
+      "q141_shortest_path" ->
+        "no hint: edges and the dist vector are both graph-scale and must never broadcast; each round's join and grouped min hash-partition on the same key, so rounds reuse the partitioning (the q74 rule)",
+      "q145_split_leakage" ->
+        "no hint on the fingerprint join: the spread table is one row per DISTINCT text — shrinks with dup rate but scales with the corpus, so AQE owns the choice (the q39/q54 keeper rule)",
+      "q146_majority_label" ->
+        "no hint: vote counts are (supplier x nation)-bounded; the argmax window partitions by supplier over <= |nations| rows — bounded metadata, never event volume",
+      "q147_lateral_topk" ->
+        "lateral correlated ORDER BY/LIMIT subquery: planned as a per-group ranked join whose outer side is the dimension table — group count bounds the fan-out",
+      "q148_seasonal_anomaly" ->
+        "explicit broadcast(per-type residual moments): one row per event type (the q102 rule); the series side arrives pre-aggregated to (type, day) rows",
+      "q136_welch_ttest / q137_chi_square / q142_autocorr / q144_streaks" ->
+        "no join on the corpus path: conditional/moment sums reduce in ONE grouped pass with map-side combine; q137's marginal windows and q142/q144's per-key windows run over aggregated, bounded row sets")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,6 +27,32 @@ object EventQueries {
     // window() buckets align to the epoch, same as DuckDB's time_bucket
     // (whose origin 2000-01-03 00:00 is itself epoch-aligned for
     // divisor-of-a-day widths).
+    // Time-weighted average — the irregular-sampling mean (each reading
+    // holds until the next one, so it weighs by its holding interval;
+    // the plain mean over-counts bursts). One per-type window for the
+    // interval bounds, then one grouped decimal reduction. Per-row
+    // arithmetic (µs delta → seconds → product) is IEEE-deterministic,
+    // and the sums route through DECIMAL, so the oracle hash-compares.
+    "q150_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val dec = "decimal(18,4)"
+      Tables(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+        .withColumn("dt",
+          (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+            .cast("double") / 1e6)
+        .filter(col("dt").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum((col("value") * col("dt")).cast(dec)).cast("double").as("swv"),
+          sum(col("dt").cast(dec)).cast("double").as("sw"),
+          sum(col("value").cast(dec)).cast("double").as("sv"))
+        .select(col("event_type"), col("n_intervals"),
+          round(col("swv") / col("sw"), 6).as("twa"),
+          round(col("sv") / col("n_intervals"), 6).as("plain_mean"))
+    }),
+
     "q16_window_events" -> ((s, d) =>
       Tables(s, d, "events")
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -130,6 +157,21 @@ object EventQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q150_time_weighted_avg" ->
+      """WITH x AS (SELECT event_type, value,
+        |  CAST(LEAD(epoch_us(ts), 1) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS DOUBLE) / 1e6
+        |    AS dt
+        | FROM events),
+        |g AS (SELECT event_type, COUNT(*) AS n_intervals,
+        |  CAST(SUM(CAST(value * dt AS DECIMAL(18,4))) AS DOUBLE) AS swv,
+        |  CAST(SUM(CAST(dt AS DECIMAL(18,4))) AS DOUBLE) AS sw,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        | FROM x WHERE dt IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_intervals,
+        |  round(swv / sw, 6) AS twa,
+        |  round(sv / n_intervals, 6) AS plain_mean
+        |FROM g""".stripMargin,
     "q15_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

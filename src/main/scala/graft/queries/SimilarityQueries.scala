@@ -377,6 +377,32 @@ object SimilarityQueries {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // k-NN classification on top of the exact top-k: each query vector
+    // takes the majority label of its K nearest neighbors (ties first to
+    // the bigger vote count, then to the smaller label — deterministic).
+    // Same scale shape as q25 (broadcast query set, corpus partitioned);
+    // the vote argmax window runs over <= |labels| rows per query —
+    // bounded metadata.
+    "q149_knn_classify" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val nn = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+      val vw = Window.partitionBy(col("q_id"))
+        .orderBy(col("n_votes").desc, col("label"))
+      nn.groupBy(col("q_id"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(vw))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+    }),
+
     // IVF ANN: inverted-file index with a k-means-lite coarse quantizer.
     // Deterministic: seeds = lowest vec_ids, 2 Lloyd iterations computed
     // as Spark jobs (assign = argmax cosine against broadcast centroid
@@ -550,6 +576,20 @@ object SimilarityQueries {
          |      ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS rk
          |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NumQueries)
-         |WHERE rk <= $K""".stripMargin
+         |WHERE rk <= $K""".stripMargin,
+    "q149_knn_classify" ->
+      s"""WITH nn AS (
+         |  SELECT q.vec_id AS q_id, e.label,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS rk
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |votes AS (SELECT q_id, label, COUNT(*) AS n_votes
+         |          FROM nn WHERE rk <= $K GROUP BY q_id, label),
+         |ranked AS (SELECT q_id, label, n_votes,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY n_votes DESC, label) AS vr FROM votes)
+         |SELECT q_id, label AS pred_label, n_votes
+         |FROM ranked WHERE vr = 1""".stripMargin
   )
 }

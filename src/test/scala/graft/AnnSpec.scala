@@ -195,4 +195,25 @@ class AnnSpec extends SparkSpec {
     }.sum
     assert(cos < 0.99, s"disjoint docs should not be near-identical: $cos")
   }
+
+  test("q149 kNN classify: majority label wins, vote ties break to smaller") {
+    import spark.implicits._
+    // 11 unit-ish 2D vectors; with K=10 every other vector is a
+    // neighbor of q_id 0, so its vote is simply the label histogram:
+    // five 2s and five 1s -> tie -> smaller label 1 predicted
+    val vecs = Seq((0L, Array(1.0f, 0.0f), 9)) ++
+      (1 to 5).map(i => (i.toLong, Array(1.0f, i * 0.01f), 2)) ++
+      (6 to 10).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.01f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.SimilarityQueries
+      .queries("q149_knn_classify")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((1, 5L)),
+      s"expected tie-broken label 1 with 5 votes, got ${got(0L)}")
+    // a label-2 query has only 4 same-label neighbors left vs 5 ones:
+    // its prediction must be 1 with 5 votes too
+    assert(got(3L) == ((1, 5L)))
+  }
 }

@@ -115,6 +115,24 @@ class InferenceSpec extends SparkSpec {
     assert(InferenceOps.queries("q148_seasonal_anomaly")(spark, d).count() == 0)
   }
 
+  test("time-weighted average weighs each reading by its holding interval") {
+    val t0 = 1704067200000L
+    // readings: 10 held for 1s, 20 held for 2s, 30 closes the series ->
+    // twa = (10*1 + 20*2) / 3 = 50/3; plain mean of the held rows = 15
+    val ev = Seq((new Timestamp(t0), 1L, "a", 10.0),
+      (new Timestamp(t0 + 1000L), 2L, "a", 20.0),
+      (new Timestamp(t0 + 3000L), 3L, "a", 30.0))
+      .toDF("ts", "event_id", "event_type", "value")
+    val d = eventsDir(ev)
+    val r = graft.queries.EventQueries
+      .queries("q150_time_weighted_avg")(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 2)
+    assert(r.head.getDouble(2) == BigDecimal(50.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.head.getDouble(3) == 15.0)
+  }
+
   test("autocorrelation on real data stays in [-1, 1] with per-lag pair counts") {
     val daily = Tables(spark, sf, "events")
       .groupBy(col("event_type"), date_trunc("day", col("ts"))).count()
