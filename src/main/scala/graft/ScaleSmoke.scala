@@ -19,7 +19,10 @@ object ScaleSmoke {
       "q100_quality_audit", "q105_upsert",
       // iterative operators: driver loops whose per-round join+agg shape
       // is the scale question — smoke them off-gate like the dedup family
-      "q74_pagerank", "q85_kmeans", "q92_incremental_dedup").foreach { n =>
+      "q74_pagerank", "q85_kmeans", "q92_incremental_dedup",
+      // round-4 additions with corpus-scale joins or unrolled rounds
+      "q141_shortest_path", "q145_split_leakage", "q139_fuzzy_pairs")
+      .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is
       // being built, so timing only the final write would hide them.

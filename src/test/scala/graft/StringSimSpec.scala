@@ -90,7 +90,7 @@ class StringSimSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1), "ordered pair convention")
-      assert(r.getInt(2) <= 4, "distance threshold applied")
+      assert(r.getInt(2) <= 2, "distance threshold applied")
     }
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&

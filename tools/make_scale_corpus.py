@@ -69,6 +69,16 @@ for name, sql in {
     "embeddings": """SELECT * REPLACE (vec_id + r * 1000000 AS vec_id)
                      FROM '{src}/embeddings.parquet',
                           unnest(range(0, 10)) AS t(r)""",
+    # customer keys fan out in step with orders.o_custkey so the q141
+    # shortest-path seeds (c_custkey % 100 = 0) stay joinable
+    "customer": """SELECT * REPLACE (c_custkey * 10 + r AS c_custkey)
+                   FROM '{src}/customer.parquet',
+                        unnest(range(0, 10)) AS t(r)""",
+    # part keys fan out but p_brand (the q139 blocking key) is kept, so
+    # per-brand block population grows 10x — the stress the smoke wants
+    "part": """SELECT * REPLACE (p_partkey * 10 + r AS p_partkey)
+               FROM '{src}/part.parquet',
+                    unnest(range(0, 10)) AS t(r)""",
 }.items():
     con.sql(f"COPY ({sql.format(src=src)}) TO '{out}/{name}.parquet'"
             " (FORMAT PARQUET)")
