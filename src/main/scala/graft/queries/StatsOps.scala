@@ -227,6 +227,42 @@ object StatsOps {
       // tiny sketches per row. Approximate by nature → rows-only for
       // the driver; StatsOpsSpec pins relative error < 5% against the
       // exact self-join at test scale.
+      // Audience-overlap matrix, sketch form: |users(t1) ∩ users(t2)|
+      // for every event-type pair by HLL inclusion-exclusion
+      // (est A + est B − est A∪B). The corpus contributes ONE sketch
+      // aggregation; the pair join runs over the |types|-row sketch
+      // table — bounded metadata, and sketches union without rescanning
+      // (the property that lets 100 TB overlap matrices come from
+      // per-segment sketches). Estimates → rows-only; StatsOpsSpec pins
+      // <5% error against the exact q151 twin.
+      "stats_hll_overlap" -> ((s, d) => {
+        val sk = Tables(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        sk.as("a").join(sk.as("b"),
+            col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"),
+            (expr("hll_sketch_estimate(a.sk)")
+              + expr("hll_sketch_estimate(b.sk)")
+              - expr("hll_sketch_estimate(hll_union(a.sk, b.sk))"))
+              .as("est_overlap"))
+      }),
+
+      // Exact twin of stats_hll_overlap — oracle-checked: distinct
+      // (type, user) pairs self-join on the user, so fan-out is the
+      // per-user type count (≤ |types|), one shuffle on user_id.
+      "q151_overlap_exact" -> ((s, d) => {
+        val du = Tables(s, d, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+        du.as("a").join(du.as("b"),
+            col("a.user_id") === col("b.user_id")
+              && col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_shared"))
+      }),
+
       "q107_rolling_distinct" -> ((s, d) => {
         val daily = Tables(s, d, "events")
           .select(to_date(col("ts")).as("day"), col("user_id"))
@@ -296,6 +332,13 @@ object StatsOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    "q151_overlap_exact" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS n_shared
+        |FROM du a JOIN du b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY a.event_type, b.event_type""".stripMargin,
     "q125_moving_median" ->
       """SELECT event_id, user_id, value,
         |  round(quantile_cont(value, 0.5) OVER

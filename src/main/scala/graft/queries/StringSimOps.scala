@@ -34,42 +34,61 @@ object StringSimOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_fuzzy_pairs" -> ((s, d) => {
-      // per-ROW char-class histogram, computed once before the join: an
-      // edit moves the 4-bucket histogram by at most 2 (substitution),
-      // 1 (indel) or 0 (transposition), so dl <= MaxDist implies the
-      // pairwise L1 distance <= 2*MaxDist — a SOUND prune whose
-      // per-pair cost is 8 integer ops instead of a DP table
+      // KERNEL WORK RUNS ON THE NAME VOCABULARY, NOT THE ROW COUNT: a
+      // duplicate-heavy key column (the norm for product/entity names)
+      // makes row-level pairing quadratic in block population — the 10x
+      // scale smoke measured the row-pair form at 100x the work for 0
+      // new DISTINCT names. So: dedupe to (brand, name), pair + verify
+      // THERE, and expand winners back to part keys by two equi-joins.
+      // Kernel cost is now vocabulary-bounded; only the expansion scales
+      // with the output.
+      // per-NAME char-class histogram: an edit moves the 4-bucket
+      // histogram by at most 2 (substitution), 1 (indel) or 0
+      // (transposition), so dl <= MaxDist implies pairwise L1 distance
+      // <= 2*MaxDist — a SOUND prune costing 8 integer ops per pair
       def sig(i: Int, lo: String, hi: String) =
-        size(filter(split(col("p_name"), ""),
+        size(filter(split(col("name"), ""),
           x => x >= lit(lo) && x <= lit(hi))).as(s"s$i")
       val p = Tables(s, d, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_name"),
-          sig(1, "a", "g"), sig(2, "h", "n"), sig(3, "o", "t"),
-          sig(4, "u", "z"))
-      // blocking join on brand: AQE broadcasts the (small) build side at
-      // gate scale; at 100x both sides shuffle on the same bounded key
-      val pairs = p.as("a").join(p.as("b"),
-        col("a.p_brand") === col("b.p_brand")
-          && col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val dn = p.select(col("p_brand").as("brand"), col("p_name").as("name"))
+        .distinct()
+        .select(col("brand"), col("name"), sig(1, "a", "g"),
+          sig(2, "h", "n"), sig(3, "o", "t"), sig(4, "u", "z"))
+      val cand = dn.as("a").join(dn.as("b"),
+        col("a.brand") === col("b.brand")
+          && col("a.name") <= col("b.name"))
       val l1 = (1 to 4).map(i =>
         abs(col(s"a.s$i") - col(s"b.s$i"))).reduce(_ + _)
       // filter ladder, cheapest first, each SOUND for dl <= MaxDist:
       // length gap (dl >= |len gap|), histogram L1, banded builtin
       // levenshtein (dl >= lev/2 — a transposition costs 1 in DL, 2 in
       // lev — and the 3-arg form early-exits at the threshold), then
-      // the exact kernel on the near-miss survivors only (bench at
-      // sf0.1: 31 s unfiltered -> the ladder removes ~97% before a DP)
-      pairs
-        .filter(abs(length(col("a.p_name")) - length(col("b.p_name")))
+      // the exact kernel on the near-miss survivors only
+      val namePairs = cand
+        .filter(abs(length(col("a.name")) - length(col("b.name")))
           <= MaxDist)
         .filter(l1 <= 2 * MaxDist)
-        .filter(levenshtein(col("a.p_name"), col("b.p_name"),
+        .filter(levenshtein(col("a.name"), col("b.name"),
           2 * MaxDist) >= 0)
-        .select(col("a.p_partkey").as("key_a"),
-          col("b.p_partkey").as("key_b"),
-          dam_lev(col("a.p_name"), col("b.p_name")).as("dl_dist"),
-          round(jaro_winkler(col("a.p_name"), col("b.p_name")), 6).as("jw_sim"))
+        .select(col("a.brand").as("brand"),
+          col("a.name").as("name_a"), col("b.name").as("name_b"),
+          dam_lev(col("a.name"), col("b.name")).as("dl_dist"),
+          round(jaro_winkler(col("a.name"), col("b.name")), 6).as("jw_sim"))
         .filter(col("dl_dist") <= MaxDist)
+      // expand: each unordered part pair materializes exactly once —
+      // name_a < name_b pairs once per (pa, pb) combo, the diagonal
+      // (identical names, dl = 0) once per key-ordered combo
+      namePairs
+        .join(p.as("pa"), col("brand") === col("pa.p_brand")
+          && col("name_a") === col("pa.p_name"))
+        .join(p.as("pb"), col("brand") === col("pb.p_brand")
+          && col("name_b") === col("pb.p_name"))
+        .filter(col("name_a") < col("name_b")
+          || col("pa.p_partkey") < col("pb.p_partkey"))
+        .select(least(col("pa.p_partkey"), col("pb.p_partkey")).as("key_a"),
+          greatest(col("pa.p_partkey"), col("pb.p_partkey")).as("key_b"),
+          col("dl_dist"), col("jw_sim"))
     }),
 
     "q140_string_metrics" -> ((s, d) =>

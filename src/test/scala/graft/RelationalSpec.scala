@@ -34,7 +34,7 @@ class RelationalSpec extends SparkSpec {
     // output (file counts) isn't SQL over the source tables
     val rowsOnly = Set("q78_compress_ratio", "layout_compact",
       "q107_rolling_distinct", "q112_approx_percentiles",
-      "stats_approx_eqdepth", "stats_countmin")
+      "stats_approx_eqdepth", "stats_countmin", "stats_hll_overlap")
     assert(missing.forall(n => n.startsWith("dedup_") || n.startsWith("sim_")
       || n.startsWith("text_") || n.startsWith("mm_") || n.startsWith("mr_")
       || rowsOnly(n)),

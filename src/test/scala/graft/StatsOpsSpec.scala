@@ -152,4 +152,20 @@ class StatsOpsSpec extends SparkSpec {
       .toMap
     assert(got2(6L) == 4L, "row at +7d+1ms must exclude the t0 row")
   }
+
+  test("hll overlap estimate tracks the exact pair counts within 5%") {
+    val est = SparkEntry.queries("stats_hll_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = SparkEntry.queries("q151_overlap_exact")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // same pair domain (pairs with zero overlap would drop only from
+    // the exact side; none exist in this data)
+    assert(est.keySet == exact.keySet)
+    assert(est.nonEmpty)
+    exact.foreach { case (k, ex) =>
+      val er = est(k)
+      assert(math.abs(er - ex) <= math.max(0.05 * ex, 2.0),
+        s"pair $k: estimate $er vs exact $ex")
+    }
+  }
 }
