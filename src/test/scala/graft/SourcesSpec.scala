@@ -84,4 +84,51 @@ class SourcesSpec extends SparkSpec {
       .select(col("s_nationkey")).distinct().count()
     assert(n == want)
   }
+
+  test("malformed rows: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bad").toString
+    // the bad row has the wrong TOKEN COUNT — the CSV notion of
+    // malformed (a type-conversion failure only nulls the field)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/rows.csv"),
+      "id,qty\n1,10\noops\n3,30\n".getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("qty", LongType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (default): bad row arrives as nulls + the raw line in
+    // the corrupt-record column, good rows parse — the quarantine
+    // pattern a 100 TB ingest needs (count the bad, never lose a file)
+    val perm = spark.read.schema(schema).option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    assert(perm.count() == 3)
+    assert(perm.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(perm.filter(col("id").isNotNull).count() == 2)
+    perm.unpersist()
+    // DROPMALFORMED: only the two parseable rows survive. collect(),
+    // not count() — count() lets CSV column pruning skip parsing
+    // entirely, so malformed rows would never be detected
+    val dropped = spark.read
+      .schema(StructType(schema.fields.take(2))).option("header", "true")
+      .option("mode", "DROPMALFORMED").csv(dir)
+    assert(dropped.collect().length == 2)
+    // FAILFAST: the job refuses the file loudly
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.fields.take(2)))
+        .option("header", "true").option("mode", "FAILFAST").csv(dir)
+        .collect()
+    }
+    // same three modes hold for JSON lines
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/rows.json"),
+      "{\"id\":1,\"qty\":10}\n{broken\n{\"id\":3,\"qty\":30}\n".getBytes)
+    val jperm = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/rows.json").cache()
+    assert(jperm.filter(col("_corrupt_record").isNotNull).count() == 1)
+    jperm.unpersist()
+    assert(spark.read.schema(StructType(schema.fields.take(2)))
+      .option("mode", "DROPMALFORMED").json(s"$dir/rows.json").count() == 2)
+  }
 }
