@@ -47,7 +47,9 @@ object PlanAudit {
       "q136_welch_ttest", "q137_chi_square", "q139_fuzzy_pairs",
       "q140_string_metrics", "q141_shortest_path", "q142_autocorr",
       "q143_recursive_reach", "q144_streaks", "q145_split_leakage",
-      "q146_majority_label", "q147_lateral_topk", "q148_seasonal_anomaly")
+      "q146_majority_label", "q147_lateral_topk", "q148_seasonal_anomaly",
+      "q149_knn_classify", "q150_time_weighted_avg", "q151_overlap_exact",
+      "stats_hll_overlap", "q152_event_paths", "q25_ann_topk")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
@@ -56,8 +58,33 @@ object PlanAudit {
       val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
       val pushed = if (p.contains("PushedFilters: [")
         && !p.contains("PushedFilters: []")) "pushed" else "-"
-      println(f"AUDIT $n%-24s exchanges=$nEx bad=${bad.mkString(",")} $pushed")
+      val verdict = bad match {
+        case Nil => ""
+        case b => expectedBnlj.get(n) match {
+          case Some(why) if b == Seq("BroadcastNestedLoop") =>
+            s"bnlj=expected($why)"
+          case _ => s"bad=${b.mkString(",")}"
+        }
+      }
+      println(f"AUDIT $n%-24s exchanges=$nEx $verdict $pushed")
     }
     spark.stop()
   }
+
+  /** Queries whose BroadcastNestedLoopJoin is the CORRECT physical plan,
+    * not a red flag — each pairs a corpus-scale side with a side bounded
+    * by construction, and the "nested loop" IS the operator's defined
+    * work. Anything not listed here still fails the audit on a BNLJ.
+    */
+  private val expectedBnlj: Map[String, String] = Map(
+    // brute-force scoring is DEFINED as every (query, corpus) pair: the
+    // broadcast side is the caller-bounded query set (20 rows); the
+    // plan is one corpus scan per batch of queries — the exact work any
+    // engine must do for an exact top-k baseline
+    "q25_ann_topk" -> "query-set broadcast, corpus scanned once by definition",
+    "q149_knn_classify" -> "query-set broadcast, corpus scanned once by definition",
+    // the `<` pair join runs over the |event-types|-row SKETCH table —
+    // bounded metadata (5x5 here); the corpus contributed one sketch
+    // aggregation upstream
+    "stats_hll_overlap" -> "type-pair join over the |types|-row sketch table")
 }

@@ -36,7 +36,30 @@ object BehaviorOps {
       "q132_retention" -> ((s, d) => retention(s, d)),
       "q133_transitions" -> ((s, d) => transitions(s, d)),
       "q135_ewma" -> ((s, d) => ewmaDaily(s, d)),
-      "q144_streaks" -> ((s, d) => streaks(s, d)))
+      "q144_streaks" -> ((s, d) => streaks(s, d)),
+      "q152_event_paths" -> ((s, d) => eventPaths(s, d)))
+
+  /** q152 path mining: the 10 most common 3-step event-type sequences
+    * across user journeys — q133's transition matrix extended to third
+    * order (the "common navigation paths" product-analytics staple).
+    * Two lag() columns in ONE per-user window pass (work bounded by
+    * events per user), then a K³-bounded aggregation (K = event-type
+    * cardinality) and a TakeOrderedAndProject for the deterministic
+    * top-10 (ties break lexicographically on the path).
+    */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("e1", lag(col("event_type"), 2).over(w))
+      .withColumn("e2", lag(col("event_type"), 1).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(10)
+  }
 
   /** q144 gaps-and-islands: per-user consecutive-day activity streaks —
     * the classic "longest streak" pattern (date minus row_number is
@@ -191,6 +214,16 @@ object BehaviorOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q152_event_paths" ->
+      """WITH seq AS (SELECT event_type AS e3,
+        |  LAG(event_type, 2) OVER w AS e1,
+        |  LAG(event_type, 1) OVER w AS e2
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, COUNT(*) AS n FROM seq
+        |WHERE e1 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
     "q144_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |  CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

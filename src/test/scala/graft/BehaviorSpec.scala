@@ -110,6 +110,23 @@ class BehaviorSpec extends SparkSpec {
     assert(got(2L) == ((3L, 3L, 1L, "2024-01-01")))
   }
 
+  test("q152 event paths: trigram counts match the hand-traced journey") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 1704067200000L
+    // one user walks A B C A B C: trigrams ABC, BCA, CAB, ABC
+    val ev = Seq("A", "B", "C", "A", "B", "C").zipWithIndex.map {
+      case (t, i) => (1L, (i + 1).toLong, new Timestamp(t0 + i * 1000L), t)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.BehaviorOps.eventPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.head == (("A", "B", "C", 2L)))
+    assert(got.toSet == Set(("A", "B", "C", 2L), ("B", "C", "A", 1L),
+      ("C", "A", "B", 1L)))
+  }
+
   test("q131/q133 shuffle only on user-bounded keys (no cartesian)") {
     Seq("q131_funnel", "q133_transitions").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
