@@ -49,7 +49,8 @@ object PlanAudit {
       "q143_recursive_reach", "q144_streaks", "q145_split_leakage",
       "q146_majority_label", "q147_lateral_topk", "q148_seasonal_anomaly",
       "q149_knn_classify", "q150_time_weighted_avg", "q151_overlap_exact",
-      "stats_hll_overlap", "q152_event_paths", "q25_ann_topk")
+      "stats_hll_overlap", "q152_event_paths", "q25_ann_topk",
+      "q153_personalized_pr")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

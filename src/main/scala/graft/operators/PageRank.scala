@@ -95,4 +95,47 @@ object PageRank {
     links.unpersist(); nodes.unpersist(); noIn.unpersist()
     ranks.select(col("u").as("node"), col("r").as("rank"))
   }
+
+  /** Personalized PageRank (random walk with restart): teleport mass
+    * returns ONLY to the seed set, so ranks measure proximity to the
+    * seeds — the recommender / similarity-search variant [Page et al.,
+    * WWW'98 §6; Jeh & Widom, WWW'03]. Same per-round join+agg shape as
+    * [[pageRank]] with two differences that keep it sparse: the rank
+    * vector holds only REACHED nodes (it grows with the walk frontier,
+    * not the graph), and each round ends with a two-term sum per node
+    * (gathered mass + restart) instead of a dangling-node union —
+    * adding two doubles is order-exact, so cross-engine parity needs no
+    * extra discipline beyond the q74 round-to-9.
+    */
+  def personalizedPageRank(edges: DataFrame, seedNodes: DataFrame,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val Seq(cs, cd) = edges.columns.toSeq.take(2).map(col)
+    val raw = edges.select(cs.as("u"), cd.as("v"))
+    val deg = raw.groupBy(col("u"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val links = raw.join(deg, "u").cache()
+    val seeds = seedNodes.select(col(seedNodes.columns.head).as("u"))
+      .distinct().cache()
+    val s = seeds.count().toDouble // one scalar to the driver
+    val restart = (1 - damping) / s
+    val tele = seeds.withColumn("r", lit(restart))
+    var ranks = seeds.withColumn("r", lit(1.0 / s))
+    var prev: DataFrame = null
+    (1 to iters).foreach { i =>
+      var next = links.join(ranks, "u")
+        .groupBy(col("v"))
+        .agg((lit(damping) * sum(col("r") / col("deg"))).as("r"))
+        .select(col("v").as("u"), col("r"))
+        .unionByName(tele)
+        .groupBy(col("u")).agg(sum(col("r")).as("r"))
+      if (i == iters) {
+        next = next.localCheckpoint(true)
+        if (prev != null) ColumnBridge.unpersistCheckpoint(prev)
+        prev = next
+      }
+      ranks = next
+    }
+    links.unpersist(); seeds.unpersist()
+    ranks.select(col("u").as("node"), col("r").as("rank"))
+  }
 }

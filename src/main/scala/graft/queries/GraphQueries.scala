@@ -130,6 +130,32 @@ object GraphQueries {
           round(col("dist"), 6).as("dist"))
     }),
 
+    // Personalized PageRank from the seed customers — random walk with
+    // restart, the "similar entities to THIS set" recommender query.
+    // Teleport mass returns only to seeds, so ranks decay with graph
+    // distance from them; 3 exact rounds unrolled identically in the
+    // DuckDB oracle (9-decimal pin, the q74 discipline). The rank
+    // vector stays sparse (reached nodes only) — at 100x the per-round
+    // join is frontier-proportional, not graph-proportional.
+    "q153_personalized_pr" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val edges = ce.union(ce.select(col("v").as("u"), col("u").as("v")))
+      val seeds = Tables(s, d, "customer")
+        .filter(pmod(col("c_custkey"), lit(100)) === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      PageRank.personalizedPageRank(edges, seeds, iters = PrIters)
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === 0, "customer")
+            .otherwise("supplier").as("kind"),
+          round(col("rank"), 9).as("rank"))
+    }),
+
     // Majority-vote label propagation (one synchronous round over the
     // bipartite trade graph — suppliers take the modal nation of their
     // customers, ties to the smallest key). The per-node mode with a
@@ -189,6 +215,43 @@ object GraphQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q153_personalized_pr" ->
+      """WITH ce AS (SELECT DISTINCT o.o_custkey * 2 AS u,
+        |                   l.l_suppkey * 2 + 1 AS v
+        |            FROM lineitem l
+        |            JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce),
+        |deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg
+        |        FROM edges GROUP BY u),
+        |seeds AS (SELECT c_custkey * 2 AS u FROM customer
+        |          WHERE c_custkey % 100 = 0),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+        |r0 AS (SELECT u, 1.0 / s.n AS r FROM seeds, s),
+        |c1 AS (SELECT e.v AS u, 0.85 * sum(r0.r / deg.deg) AS r
+        |       FROM edges e JOIN r0 ON e.u = r0.u
+        |       JOIN deg ON e.u = deg.u GROUP BY e.v),
+        |r1 AS (SELECT u, sum(r) AS r FROM (
+        |         SELECT u, r FROM c1
+        |         UNION ALL SELECT seeds.u, 0.15 / s.n FROM seeds, s)
+        |       GROUP BY u),
+        |c2 AS (SELECT e.v AS u, 0.85 * sum(r1.r / deg.deg) AS r
+        |       FROM edges e JOIN r1 ON e.u = r1.u
+        |       JOIN deg ON e.u = deg.u GROUP BY e.v),
+        |r2 AS (SELECT u, sum(r) AS r FROM (
+        |         SELECT u, r FROM c2
+        |         UNION ALL SELECT seeds.u, 0.15 / s.n FROM seeds, s)
+        |       GROUP BY u),
+        |c3 AS (SELECT e.v AS u, 0.85 * sum(r2.r / deg.deg) AS r
+        |       FROM edges e JOIN r2 ON e.u = r2.u
+        |       JOIN deg ON e.u = deg.u GROUP BY e.v),
+        |r3 AS (SELECT u, sum(r) AS r FROM (
+        |         SELECT u, r FROM c3
+        |         UNION ALL SELECT seeds.u, 0.15 / s.n FROM seeds, s)
+        |       GROUP BY u)
+        |SELECT u AS node,
+        |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  round(r, 9) AS rank
+        |FROM r3""".stripMargin,
     "q146_majority_label" ->
       """WITH ce AS (SELECT DISTINCT o.o_custkey AS cust,
         |                   l.l_suppkey AS supp

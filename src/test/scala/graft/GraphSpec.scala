@@ -102,6 +102,21 @@ class GraphSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("personalized pagerank matches hand-computed restart walk on a 2-cycle") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = graft.operators.PageRank
+      .personalizedPageRank(edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r1 = {1: .15, 2: .85}; r2 = {1: .8725, 2: .1275};
+    // r3 = {1: .85*.1275+.15, 2: .85*.8725}
+    assert(math.abs(got(1L) - 0.258375) < 1e-12)
+    assert(math.abs(got(2L) - 0.741625) < 1e-12)
+    // restart keeps total mass at 1 on a strongly connected component
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
   test("q146 majority label: modal nation wins, ties break to smallest key") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lpa").toString
