@@ -173,7 +173,9 @@ object PlanDump {
       "q136_welch_ttest / q137_chi_square / q142_autocorr / q144_streaks" ->
         "no join on the corpus path: conditional/moment sums reduce in ONE grouped pass with map-side combine; q137's marginal windows and q142/q144's per-key windows run over aggregated, bounded row sets",
       "q153_personalized_pr" ->
-        "no hint (the q74 rule): links and the rank vector co-partition on the source key per round; the rank vector is SPARSE — reached nodes only — so early rounds join a frontier, not the graph; the seed teleport table rides as a bounded union branch")
+        "no hint (the q74 rule): links and the rank vector co-partition on the source key per round; the rank vector is SPARSE — reached nodes only — so early rounds join a frontier, not the graph; the seed teleport table rides as a bounded union branch",
+      "q154_also_bought" ->
+        "no hint on the basket self-join: both sides are the same (customer, part) relation keyed on the customer — pair volume is bounded by basket size squared per customer, the item-CF bound; the two popularity joins are one row per ITEM (AQE broadcasts at test scale, shuffles at catalog scale)")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Item-item collaborative filtering (SURVEY.md §2.11 [EXT]) — the
+  * "customers who bought X also bought Y" workload, historically THE
+  * marquee MapReduce job [Linden et al., IEEE Internet Computing 2003]:
+  *
+  * q154: from the (customer, part) purchase relation, count co-purchase
+  * pairs within each customer's basket, keep pairs with at least
+  * MinSupport common buyers, score them with the co-occurrence cosine
+  * n12 / sqrt(n1 * n2), and emit each item's top-K neighbors.
+  *
+  * Scale shape: the pair explode is bounded by basket size squared per
+  * customer (never corpus x corpus) — the standard item-CF bound; the
+  * support threshold prunes the long tail BEFORE the cosine join; item
+  * popularity (n1) is a one-row-per-item aggregate joined twice; the
+  * final top-K window partitions by item over support-surviving
+  * candidates only. All counts are exact integers, the cosine is one
+  * IEEE division rounded to 6 — hash-comparable cross-engine.
+  */
+object RecommenderOps {
+
+  /** Minimum common-buyer count for a pair to score. */
+  private val MinSupport = 3
+
+  /** Neighbors kept per item. */
+  private val TopK = 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_also_bought" -> ((s, d) => {
+      val bought = Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val pop = bought.groupBy(col("part"))
+        .agg(count(lit(1)).as("n"))
+      val co = bought.as("a").join(bought.as("b"),
+          col("a.cust") === col("b.cust")
+            && col("a.part") < col("b.part"))
+        .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
+        .agg(count(lit(1)).as("n12"))
+        .filter(col("n12") >= MinSupport)
+      val scored = co
+        .join(pop.select(col("part").as("p1"), col("n").as("n1")), "p1")
+        .join(pop.select(col("part").as("p2"), col("n").as("n2")), "p2")
+        .select(col("p1"), col("p2"), col("n12"),
+          round(col("n12") / sqrt(col("n1") * col("n2")), 6).as("sim"))
+      // both orientations so every item ranks its own neighbors
+      val directed = scored.select(col("p1").as("item"),
+          col("p2").as("neighbor"), col("n12"), col("sim"))
+        .union(scored.select(col("p2"), col("p1"), col("n12"), col("sim")))
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("sim").desc, col("neighbor"))
+      directed.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        // DuckDB's ROW_NUMBER is BIGINT, Spark's INT — align dtypes
+        .select(col("item"), col("neighbor"), col("n12"), col("sim"),
+          col("rk").cast("long").as("rk"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q154_also_bought" ->
+      s"""WITH bought AS (SELECT DISTINCT o.o_custkey AS cust,
+         |                  l.l_partkey AS part
+         |                FROM lineitem l
+         |                JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |pop AS (SELECT part, COUNT(*) AS n FROM bought GROUP BY part),
+         |co AS (SELECT a.part AS p1, b.part AS p2, COUNT(*) AS n12
+         |       FROM bought a JOIN bought b
+         |         ON a.cust = b.cust AND a.part < b.part
+         |       GROUP BY a.part, b.part
+         |       HAVING COUNT(*) >= $MinSupport),
+         |scored AS (SELECT co.p1, co.p2, co.n12,
+         |    round(co.n12 / sqrt(CAST(x.n AS DOUBLE) * y.n), 6) AS sim
+         |  FROM co JOIN pop x ON co.p1 = x.part
+         |          JOIN pop y ON co.p2 = y.part),
+         |directed AS (
+         |  SELECT p1 AS item, p2 AS neighbor, n12, sim FROM scored
+         |  UNION ALL
+         |  SELECT p2, p1, n12, sim FROM scored),
+         |ranked AS (SELECT item, neighbor, n12, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY item
+         |      ORDER BY sim DESC, neighbor) AS rk
+         |  FROM directed)
+         |SELECT item, neighbor, n12, sim, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= $TopK""".stripMargin
+  )
+}

@@ -46,6 +46,20 @@ class StringSimSpec extends SparkSpec {
     }
   }
 
+  test("unrestricted damerau-levenshtein is a metric (triangle inequality)") {
+    // the unrestricted variant is a true metric — the OSA shortcut is
+    // not (its classic counterexample violates the triangle inequality)
+    val rnd = new scala.util.Random(11)
+    def randStr() = (0 until rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    (1 to 400).foreach { _ =>
+      val (a, b, c) = (randStr(), randStr(), randStr())
+      assert(dl(a, b) <= dl(a, c) + dl(c, b),
+        s"triangle violated: ($a, $b) via $c")
+      assert(dl(a, b) == dl(b, a), s"symmetry violated: ($a, $b)")
+      assert((dl(a, b) == 0) == (a == b))
+    }
+  }
+
   test("jaro-winkler: pinned values match the shared record-linkage convention") {
     assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
     assert(math.abs(jw("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-12)
