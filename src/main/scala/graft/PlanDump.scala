@@ -175,7 +175,7 @@ object PlanDump {
       "q153_personalized_pr" ->
         "no hint (the q74 rule): links and the rank vector co-partition on the source key per round; the rank vector is SPARSE — reached nodes only — so early rounds join a frontier, not the graph; the seed teleport table rides as a bounded union branch",
       "q154_also_bought" ->
-        "no hint on the basket self-join: both sides are the same (customer, part) relation keyed on the customer — pair volume is bounded by basket size squared per customer, the item-CF bound; the two popularity joins are one row per ITEM (AQE broadcasts at test scale, shuffles at catalog scale)")
+        "no hint on the basket self-join: both sides are the same (customer, part) relation keyed on the customer — pair volume is bounded by basket size squared per customer, the item-CF bound; item popularity rides each row as a window count computed BEFORE the join (no popularity join revisits the relation), and the pair aggregation carries n1/n2 through functionally dependent grouping keys")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"

@@ -38,17 +38,19 @@ object RecommenderOps {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .distinct()
-      val pop = bought.groupBy(col("part"))
-        .agg(count(lit(1)).as("n"))
-      val co = bought.as("a").join(bought.as("b"),
+      // item popularity rides each row as a window count BEFORE the
+      // self-join, so no popularity join revisits the purchase relation
+      // afterwards — the pair aggregation carries n1/n2 through its own
+      // (functionally dependent) grouping keys
+      val withN = bought.withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("part"))))
+      val scored = withN.as("a").join(withN.as("b"),
           col("a.cust") === col("b.cust")
             && col("a.part") < col("b.part"))
-        .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
+        .groupBy(col("a.part").as("p1"), col("b.part").as("p2"),
+          col("a.n").as("n1"), col("b.n").as("n2"))
         .agg(count(lit(1)).as("n12"))
         .filter(col("n12") >= MinSupport)
-      val scored = co
-        .join(pop.select(col("part").as("p1"), col("n").as("n1")), "p1")
-        .join(pop.select(col("part").as("p2"), col("n").as("n2")), "p2")
         .select(col("p1"), col("p2"), col("n12"),
           round(col("n12") / sqrt(col("n1") * col("n2")), 6).as("sim"))
       // both orientations so every item ranks its own neighbors
