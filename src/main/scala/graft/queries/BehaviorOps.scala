@@ -37,7 +37,8 @@ object BehaviorOps {
       "q133_transitions" -> ((s, d) => transitions(s, d)),
       "q135_ewma" -> ((s, d) => ewmaDaily(s, d)),
       "q144_streaks" -> ((s, d) => streaks(s, d)),
-      "q152_event_paths" -> ((s, d) => eventPaths(s, d)))
+      "q152_event_paths" -> ((s, d) => eventPaths(s, d)),
+      "q157_attribution" -> ((s, d) => attribution(s, d)))
 
   /** q152 path mining: the 10 most common 3-step event-type sequences
     * across user journeys — q133's transition matrix extended to third
@@ -213,7 +214,60 @@ object BehaviorOps {
           4).as("ewma"))
   }
 
+  /** q157 marketing attribution: every `purchase` event's value is
+    * credited to a touch channel under the two standard single-touch
+    * models at once — last-touch (most recent preceding non-purchase
+    * event) and first-touch (earliest preceding non-purchase event).
+    * Purchases with no preceding touch fall into the `direct` bucket.
+    * One per-user window pass over the event log (the q133/q152 shape —
+    * IGNORE-NULLS running first/last probes, ties broken by event_id),
+    * then a models×channels-bounded aggregation; revenue reduces
+    * decimally so the oracle hash-compares.
+    */
+  private def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val p = Tables(s, d, "events")
+      .withColumn("last_ch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("first_ch", first(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+    p.select(explode(array(
+        struct(lit("last_touch").as("model"),
+          coalesce(col("last_ch"), lit("direct")).as("channel")),
+        struct(lit("first_touch").as("model"),
+          coalesce(col("first_ch"), lit("direct")).as("channel"))))
+        .as("m"), col("value"))
+      .groupBy(col("m.model").as("model"), col("m.channel").as("channel"))
+      .agg(count(lit(1)).as("purchases"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
+          .as("revenue"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q157_attribution" ->
+      """WITH w AS (SELECT user_id, ts, event_id, event_type, value,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type
+        |    END IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch,
+        |  first_value(CASE WHEN event_type <> 'purchase' THEN event_type
+        |    END IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_ch
+        | FROM events),
+        |p AS (SELECT coalesce(last_ch, 'direct') AS last_ch,
+        |    coalesce(first_ch, 'direct') AS first_ch, value
+        |  FROM w WHERE event_type = 'purchase'),
+        |st AS (SELECT 'last_touch' AS model, last_ch AS channel, value
+        |    FROM p
+        |  UNION ALL
+        |  SELECT 'first_touch', first_ch, value FROM p)
+        |SELECT model, channel, COUNT(*) AS purchases,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS revenue
+        |FROM st GROUP BY model, channel""".stripMargin,
     "q152_event_paths" ->
       """WITH seq AS (SELECT event_type AS e3,
         |  LAG(event_type, 2) OVER w AS e1,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.stringdistances.{dam_lev, jaro_winkler}
+import graft.operators.GlobalRank
 
 /** Record-linkage string similarity (SURVEY.md §2.11 [EXT]) — the fuzzy
   * matching layer the reference's text pipeline implies but cannot
@@ -31,6 +32,11 @@ object StringSimOps {
 
   /** Max Damerau-Levenshtein distance for a q139 fuzzy match. */
   private val MaxDist = 2
+
+  /** q160 sorted-neighborhood window: each record pairs with its next
+    * `SnmWindow` successors in global sort order.
+    */
+  private val SnmWindow = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_fuzzy_pairs" -> ((s, d) => {
@@ -96,7 +102,31 @@ object StringSimOps {
         .select(col("p_partkey"),
           levenshtein(col("p_name"), col("p_type")).as("lev_dist"),
           dam_lev(col("p_name"), col("p_type")).as("dl_dist"),
-          round(jaro_winkler(col("p_name"), col("p_type")), 6).as("jw_sim")))
+          round(jaro_winkler(col("p_name"), col("p_type")), 6).as("jw_sim"))),
+
+    // q160 sorted-neighborhood linkage (Hernández & Stolfo SIGMOD'95):
+    // the OTHER classic record-linkage blocking — where q139 blocks on a
+    // key, SNM sorts the whole relation and pairs each record with its
+    // next `SnmWindow` neighbors, catching near-dups whose blocking key
+    // itself is dirty. The global sort position comes from
+    // [[graft.operators.GlobalRank]] (range partition + local rank +
+    // prefix offsets — NO single-partition window), the neighbor pairing
+    // is an equi-join on rank (a-side exploded to rn+1..rn+w, never a
+    // non-equi join), and the DL kernel verifies only the w·n candidate
+    // pairs — linear in the corpus.
+    "q160_sorted_neighborhood" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val r = GlobalRank.withRank(c, "rn", col("c_name"), col("c_custkey"))
+      val probes = r.select(col("c_custkey").as("key_a"),
+          col("c_name").as("name_a"),
+          explode(array((1 to SnmWindow).map(k => col("rn") + k): _*))
+            .as("nbr"))
+      probes.join(r.as("b"), col("nbr") === col("b.rn"))
+        .select(col("key_a"), col("b.c_custkey").as("key_b"),
+          dam_lev(col("name_a"), col("b.c_name")).as("dl_dist"))
+        .filter(col("dl_dist") <= 1)
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -109,6 +139,16 @@ object StringSimOps {
          |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          |WHERE damerau_levenshtein(a.p_name, b.p_name) <= $MaxDist"""
         .stripMargin,
+    "q160_sorted_neighborhood" ->
+      s"""WITH r AS (SELECT c_custkey, c_name,
+         |  row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+         | FROM customer)
+         |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         |  CAST(damerau_levenshtein(a.c_name, b.c_name) AS INTEGER)
+         |    AS dl_dist
+         |FROM r a JOIN r b
+         |  ON b.rn - a.rn BETWEEN 1 AND $SnmWindow
+         |WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "q140_string_metrics" ->
       """SELECT p_partkey,
         |  CAST(levenshtein(p_name, p_type) AS INTEGER) AS lev_dist,

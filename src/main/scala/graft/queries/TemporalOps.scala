@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Time-to-event and time-series repair operators (SURVEY.md §2.11
+  * [EXT]) — the lifecycle-analytics layer over the same decimal-exact
+  * moment discipline as q61/q126/q136:
+  *
+  *  - q155 Kaplan-Meier survival estimator over customer inter-order
+  *    gaps: each consecutive-order gap is an observed event, the tail
+  *    from a customer's last order to the dataset horizon is censored.
+  *    Per-customer gaps are one window shuffle (the q83 SCD2 shape);
+  *    the KM risk-set/product windows then run over DISTINCT DURATIONS
+  *    — rows bounded by the calendar span in days, metadata-scale like
+  *    q110's share-of-total, regardless of corpus size. The survival
+  *    product is exp∘Σln with an explicit zero-risk guard (Spark's
+  *    log(0) is NULL while DuckDB errors — both sides route through
+  *    CASE so the curve hits exact 0 when the largest duration is an
+  *    event).
+  *  - q156 linear-interpolation gap fill: the sparse daily series
+  *    (days whose filtered sum exists) is left-joined onto the dense
+  *    type×calendar grid (bounded rows), then each hole takes
+  *    prev + (next−prev)·Δt/Δspan from IGNORE-NULLS window probes —
+  *    the time-series repair a feature pipeline runs before modeling.
+  *    Unlike q99's gap fill (densify with nulls), this one emits the
+  *    interpolated VALUE; boundary holes (no prev or no next) stay
+  *    null and are flagged.
+  *  - q159 CUSUM change-point detection: per event_type, the cumulative
+  *    sum of daily residuals S_t = Σ(x_i − x̄) peaks at the most likely
+  *    mean-shift point (Page's statistic, Pettitt-style argmax).
+  *    Series moments are decimal window sums (order-independent), the
+  *    ordered cumsum is deterministic under the day ordering, and the
+  *    argmax row is picked by (|S| desc, day) — ties resolve to the
+  *    earliest day identically in both engines. One corpus shuffle
+  *    (the daily aggregation); everything after runs on bounded
+  *    type×day rows.
+  */
+object TemporalOps {
+
+  private val dec = DecimalType(18, 4)
+
+  /** Sparsity threshold for q156's raw series — days whose per-type sum
+    * of values over this threshold exists form the known points.
+    */
+  private val InterpMinValue = 190
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_survival" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .select(col("o_custkey"), date_trunc("day", col("o_orderdate")).as("od"))
+        .distinct()
+      val mx = o.agg(max(col("od")).as("m"))
+      val gaps = o
+        .withColumn("pod",
+          lag(col("od"), 1).over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("od"))))
+        .filter(col("pod").isNotNull)
+        .select(datediff(col("od"), col("pod")).as("dur"), lit(1L).as("ev"))
+      val cens = o.groupBy(col("o_custkey")).agg(max(col("od")).as("lod"))
+        .crossJoin(broadcast(mx))
+        .select(datediff(col("m"), col("lod")).as("dur"), lit(0L).as("ev"))
+      val byDur = gaps.unionByName(cens)
+        .groupBy(col("dur"))
+        .agg(sum(col("ev")).as("d"), count(lit(1)).as("tot"))
+      // risk-set / product windows over distinct durations only —
+      // bounded by the calendar span, not the order count
+      val wDesc = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDur
+        .withColumn("n_risk", sum(col("tot")).over(wDesc))
+        .withColumn("lnsum",
+          sum(when(col("n_risk") === col("d"), lit(0.0))
+            .otherwise(log((col("n_risk") - col("d")).cast("double")
+              / col("n_risk")))).over(wAsc))
+        .withColumn("mins", min(col("n_risk") - col("d")).over(wAsc))
+        .filter(col("d") > 0)
+        .select(col("dur").as("dur_days"), col("n_risk"),
+          col("d").as("n_events"),
+          round(when(col("mins") === 0, lit(0.0)).otherwise(exp(col("lnsum"))),
+            6).as("survival"))
+    }),
+
+    "q156_interpolate" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val daily = ev.filter(col("value") > InterpMinValue)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum(col("value").cast(dec)).cast("double"), 4).as("x"))
+      val span = ev.agg(min(date_trunc("day", col("ts"))).as("lo"),
+        max(date_trunc("day", col("ts"))).as("hi"))
+      val cal = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+            .as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+      cal.join(broadcast(daily), Seq("event_type", "day"), "left")
+        .withColumn("px", last(col("x"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("x").isNotNull, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nx", first(col("x"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("x").isNotNull, col("day")),
+          ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("day"),
+          when(col("x").isNotNull, col("x"))
+            .when(col("px").isNotNull && col("nx").isNotNull,
+              round(col("px") + (col("nx") - col("px"))
+                * datediff(col("day"), col("pd"))
+                / datediff(col("nd"), col("pd")), 6))
+            .as("y"),
+          (col("x").isNull && col("px").isNotNull && col("nx").isNotNull)
+            .as("filled"))
+    }),
+
+    "q159_cusum" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast(dec)).as("xd"))
+      val wp = Window.partitionBy(col("event_type"))
+      val wCum = wp.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m = daily.select(col("event_type"), col("day"),
+        col("xd").cast("double").as("x"),
+        sum(col("xd")).over(wp).cast("double").as("sx"),
+        sum(col("xd") * col("xd")).over(wp).cast("double").as("sxx"),
+        count(lit(1)).over(wp).as("n"))
+      val c = m
+        .withColumn("s", sum(col("x") - col("sx") / col("n")).over(wCum))
+        .withColumn("std",
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)))
+      c.withColumn("rn", row_number().over(
+          wp.orderBy(abs(col("s")).desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          round(abs(col("s")) / (col("std") * sqrt(col("n"))), 6)
+            .as("cusum_stat"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q155_survival" ->
+      """WITH o AS (SELECT DISTINCT o_custkey,
+        |    date_trunc('day', o_orderdate) AS od FROM orders),
+        |mx AS (SELECT max(od) AS m FROM o),
+        |gaps AS (SELECT date_diff('day',
+        |    lag(od) OVER (PARTITION BY o_custkey ORDER BY od), od) AS dur,
+        |    1 AS ev FROM o),
+        |cens AS (SELECT date_diff('day', max(od), max(m)) AS dur, 0 AS ev
+        |  FROM o, mx GROUP BY o_custkey),
+        |du AS (SELECT dur, ev FROM gaps WHERE dur IS NOT NULL
+        |  UNION ALL SELECT dur, ev FROM cens),
+        |g AS (SELECT dur, SUM(ev) AS d, COUNT(*) AS tot FROM du GROUP BY dur),
+        |o2 AS (SELECT dur, d, tot, SUM(tot) OVER (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM g),
+        |s AS (SELECT dur, d, n_risk,
+        |  SUM(ln(CASE WHEN n_risk = d THEN 1.0
+        |    ELSE CAST(n_risk - d AS DOUBLE) / n_risk END))
+        |    OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+        |  MIN(n_risk - d) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mins
+        | FROM o2)
+        |SELECT CAST(dur AS INTEGER) AS dur_days,
+        |  CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events,
+        |  round(CASE WHEN mins = 0 THEN 0.0 ELSE exp(lnsum) END, 6)
+        |    AS survival
+        |FROM s WHERE d > 0""".stripMargin,
+    "q156_interpolate" ->
+      s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+         |      AS x
+         |  FROM events WHERE value > $InterpMinValue GROUP BY 1, 2),
+         |span AS (SELECT min(date_trunc('day', ts)) AS lo,
+         |    max(date_trunc('day', ts)) AS hi FROM events),
+         |cal AS (SELECT t.event_type, u.day
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS day FROM span) u),
+         |j AS (SELECT cal.event_type, cal.day, daily.x FROM cal
+         |  LEFT JOIN daily ON cal.event_type = daily.event_type
+         |    AND cal.day = daily.day),
+         |w AS (SELECT event_type, day, x,
+         |  last_value(x IGNORE NULLS) OVER (PARTITION BY event_type
+         |    ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS px,
+         |  last_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS)
+         |    OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+         |  first_value(x IGNORE NULLS) OVER (PARTITION BY event_type
+         |    ORDER BY day
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx,
+         |  first_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS)
+         |    OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+         | FROM j)
+         |SELECT event_type, day,
+         |  CASE WHEN x IS NOT NULL THEN x
+         |    WHEN px IS NOT NULL AND nx IS NOT NULL THEN
+         |      round(px + (nx - px) * date_diff('day', pd, day)
+         |        / date_diff('day', pd, nd), 6)
+         |    ELSE NULL END AS y,
+         |  (x IS NULL AND px IS NOT NULL AND nx IS NOT NULL) AS filled
+         |FROM w""".stripMargin,
+    "q159_cusum" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS xd
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, day, CAST(xd AS DOUBLE) AS x,
+        |  CAST(SUM(xd) OVER (PARTITION BY event_type) AS DOUBLE) AS sx,
+        |  CAST(SUM(xd * xd) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    AS sxx,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        | FROM daily),
+        |c AS (SELECT event_type, day, n,
+        |  SUM(x - sx / n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+        | FROM m),
+        |r AS (SELECT event_type, day, abs(s) AS abss, std, n,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(s) DESC, day) AS rn
+        | FROM c)
+        |SELECT event_type, day AS change_day,
+        |  round(abss / (std * sqrt(n)), 6) AS cusum_stat
+        |FROM r WHERE rn = 1""".stripMargin
+  )
+}

@@ -212,6 +212,48 @@ object WarehouseOps {
 
       // rows-only: file counts aren't SQL over the source tables. The
       // before/after audit shape is pinned exactly by CompactionSpec.
+      // q158 one-scan column profiler (the discovery pass a warehouse
+      // runs before planning a migration): per column null count, exact
+      // distinct count and typed min/max — numerics as doubles, strings
+      // as-is, timestamps formatted (second precision). All 11 columns
+      // profile in a SINGLE aggregation; the multi-distinct rewrite
+      // expands rows ×distinct-columns, the documented exact-profile
+      // cost (at 100 TB swap countDistinct → approx_count_distinct, the
+      // q107⇄q113 trade applied to profiling). Output is 11 rows.
+      "q158_profile" -> ((s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val strCols = Seq("l_returnflag", "l_linestatus")
+        val tsCols = Seq("l_shipdate")
+        val all = numCols ++ strCols ++ tsCols
+        val aggs = all.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+            countDistinct(col(c)).as(s"${c}__nd"),
+            min(col(c)).as(s"${c}__mn"), max(col(c)).as(s"${c}__mx"))
+        }
+        val one = li.agg(aggs.head, aggs.tail: _*)
+        val rows = numCols.map(c => struct(lit(c).as("col_name"),
+            col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+            col(s"${c}__mn").cast("double").as("min_num"),
+            col(s"${c}__mx").cast("double").as("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"))) ++
+          strCols.map(c => struct(lit(c).as("col_name"),
+            col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+            lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"),
+            col(s"${c}__mn").as("min_str"), col(s"${c}__mx").as("max_str"))) ++
+          tsCols.map(c => struct(lit(c).as("col_name"),
+            col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+            lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"),
+            date_format(col(s"${c}__mn"), "yyyy-MM-dd HH:mm:ss").as("min_str"),
+            date_format(col(s"${c}__mx"), "yyyy-MM-dd HH:mm:ss").as("max_str")))
+        one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      }),
+
       "layout_compact" -> ((s, d) => {
         val base = Files.createTempDirectory("graft_compact").toString
         Tables(s, d, "documents").repartition(64)
@@ -221,6 +263,34 @@ object WarehouseOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    "q158_profile" -> {
+      val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val num = numCols.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_num,
+           |  CAST(MAX($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str,
+           |  CAST(NULL AS VARCHAR) AS max_str FROM lineitem""".stripMargin)
+      val str = strCols.map(c =>
+        s"""SELECT '$c', CAST(COUNT(*) - COUNT($c) AS BIGINT),
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  MIN($c), MAX($c) FROM lineitem""".stripMargin)
+      val ts = Seq(
+        """SELECT 'l_shipdate',
+          |  CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+          |  CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+          |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+          |  strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+          |  FROM lineitem""".stripMargin)
+      (num ++ str ++ ts).mkString("\nUNION ALL\n")
+    },
     "q123_cdc_apply" ->
       """WITH t AS (SELECT doc_id, text FROM documents),
         |ch AS (
