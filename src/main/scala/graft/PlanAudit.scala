@@ -50,7 +50,10 @@ object PlanAudit {
       "q146_majority_label", "q147_lateral_topk", "q148_seasonal_anomaly",
       "q149_knn_classify", "q150_time_weighted_avg", "q151_overlap_exact",
       "stats_hll_overlap", "q152_event_paths", "q25_ann_topk",
-      "q153_personalized_pr", "q154_also_bought")
+      "q153_personalized_pr", "q154_also_bought",
+      "q155_survival", "q156_interpolate", "q157_attribution",
+      "q158_profile", "q159_cusum", "q160_sorted_neighborhood",
+      "q161_hits", "mm_audio_neardup")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

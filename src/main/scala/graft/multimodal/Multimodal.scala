@@ -105,6 +105,93 @@ object Multimodal {
 
   private val syntheticWavUdf = udf((id: Long) => syntheticWav(id))
 
+  /** splitmix64-style bit mixer for (id, segment) → non-negative Long —
+    * the per-segment pitch seed of [[syntheticMelodyWav]].
+    */
+  private[graft] def mixIdSeg(id: Long, seg: Int): Long = {
+    var z = id * 0x9E3779B97F4A7C15L + seg * 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 31); z *= 0x94D049BB133111EBL; z ^= (z >>> 27)
+    z & Long.MaxValue
+  }
+
+  /** Deterministic "melody" WAV: `segments` spans of `segLen` samples,
+    * each a square wave whose half-period (3..12 samples) walks an
+    * id-seeded pseudo-random sequence — a pitch CONTOUR unique to the
+    * id. The contour, not the amplitude, is the perceptual identity:
+    * near-dup variants rescale amplitude (`ampScale`), which leaves
+    * every zero crossing in place.
+    */
+  private[graft] def syntheticMelodyWav(id: Long, ampScale: Double = 1.0,
+      segments: Int = 65, segLen: Int = 100): Array[Byte] = {
+    val n = segments * segLen
+    val pcm = new Array[Byte](n * 2)
+    var seg = 0
+    while (seg < segments) {
+      val half = 3 + (mixIdSeg(id, seg) % 10).toInt
+      val amp = (8192 * ampScale).toInt
+      var i = 0
+      while (i < segLen) {
+        val s = (if ((i / half) % 2 == 0) amp else -amp).toShort
+        val o = 2 * (seg * segLen + i)
+        pcm(o) = (s & 0xff).toByte
+        pcm(o + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      seg += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val in = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private[graft] val syntheticMelodyWavUdf =
+    udf((id: Long) => syntheticMelodyWav(id))
+  private[graft] val syntheticMelodyWavNearUdf =
+    udf((id: Long) => syntheticMelodyWav(id, ampScale = 0.6))
+
+  /** 64-bit audio pitch-contour fingerprint over the REAL PCM decode:
+    * the track splits into 65 equal segments, each segment's zero-
+    * crossing count proxies its dominant pitch, and bit i compares
+    * segment i against segment i+1 — the dHash idea applied to the
+    * melody contour (Shazam-style landmark hashing reduced to its
+    * time-domain core). Gain-invariant by construction: scaling
+    * amplitude moves no zero crossing. None when the payload is not
+    * decodable PCM or too short to segment.
+    */
+  private[graft] def audioContourHash(bytes: Array[Byte],
+      segments: Int = 65): Option[Long] =
+    wavTrack(bytes).flatMap { case (_, _, track) =>
+      if (track.length < segments) None
+      else {
+        val segLen = track.length / segments
+        val zc = new Array[Int](segments)
+        var seg = 0
+        while (seg < segments) {
+          var c = 0
+          var i = seg * segLen + 1
+          val end = (seg + 1) * segLen
+          while (i < end) {
+            if ((track(i) >= 0) != (track(i - 1) >= 0)) c += 1
+            i += 1
+          }
+          zc(seg) = c
+          seg += 1
+        }
+        var sig = 0L
+        var i = 0
+        while (i < 64) {
+          sig = (sig << 1) | (if (zc(i) > zc(i + 1)) 1L else 0L)
+          i += 1
+        }
+        Some(sig)
+      }
+    }
+
+  private[graft] val audioContourHashUdf =
+    udf((b: Array[Byte]) => audioContourHash(b))
+
   /** Deterministic animated GIF for an asset id: (id % 8) + 1 frames of
     * w×h two-band grayscale, band levels pure functions of (id, frame),
     * encoded with the JDK's built-in GIF sequence writer. Gray pixels

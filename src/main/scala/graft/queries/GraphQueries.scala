@@ -184,6 +184,41 @@ object GraphQueries {
         .select(col("supp").as("s_suppkey"), col("label"), col("n_votes"))
     }),
 
+    // q161 HITS hubs & authorities (Kleinberg JACM'99) on the directed
+    // customer→supplier order graph: hubs are customers, authorities
+    // suppliers. Two mutual-reinforcement rounds run in EXACT integer
+    // arithmetic — auth₁ = in-degree, hub₁ = Σ auth₁ over a customer's
+    // suppliers, auth₂ = Σ hub₁ — since power iteration is scale-
+    // invariant, normalization happens ONCE at the end (a 1-row sum
+    // broadcast), so every shuffle reduces Longs (order-independent)
+    // and the oracle pins 9 decimals. Each round is one co-partitioned
+    // equi-join + grouped sum over the distinct-pair edge set — the q74
+    // shape without the dangling-node correction (bipartite edges
+    // guarantee both sides).
+    "q161_hits" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .distinct()
+      val auth1 = e.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+      val hub1 = e.join(auth1, "p")
+        .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+      val auth2 = e.join(hub1, "c")
+        .groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+      val hub2 = e.join(auth2, "p")
+        .groupBy(col("c")).agg(sum(col("a2")).as("h2"))
+      val an = auth2.agg(sum(col("a2")).as("asum"))
+      val hn = hub2.agg(sum(col("h2")).as("hsum"))
+      auth2.crossJoin(broadcast(an))
+        .select(lit("authority").as("role"), col("p").as("node"),
+          round(col("a2").cast("double") / col("asum"), 9).as("score"))
+        .unionByName(hub2.crossJoin(broadcast(hn))
+          .select(lit("hub").as("role"), col("c").as("node"),
+            round(col("h2").cast("double") / col("hsum"), 9).as("score")))
+    }),
+
     "q77_triangles" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       // one scalar to the driver (IVF-centroid pattern) — a 1-row
@@ -215,6 +250,23 @@ object GraphQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q161_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a1 AS (SELECT p, COUNT(*) AS a1 FROM e GROUP BY p),
+        |h1 AS (SELECT c, SUM(a1) AS h1 FROM e JOIN a1 USING (p)
+        |  GROUP BY c),
+        |a2 AS (SELECT p, SUM(h1) AS a2 FROM e JOIN h1 USING (c)
+        |  GROUP BY p),
+        |h2 AS (SELECT c, SUM(a2) AS h2 FROM e JOIN a2 USING (p)
+        |  GROUP BY c),
+        |an AS (SELECT SUM(a2) AS asum FROM a2),
+        |hn AS (SELECT SUM(h2) AS hsum FROM h2)
+        |SELECT 'authority' AS role, p AS node,
+        |  round(CAST(a2 AS DOUBLE) / asum, 9) AS score FROM a2, an
+        |UNION ALL
+        |SELECT 'hub', c, round(CAST(h2 AS DOUBLE) / hsum, 9)
+        |FROM h2, hn""".stripMargin,
     "q153_personalized_pr" ->
       """WITH ce AS (SELECT DISTINCT o.o_custkey * 2 AS u,
         |                   l.l_suppkey * 2 + 1 AS v

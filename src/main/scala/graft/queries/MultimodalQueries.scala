@@ -62,6 +62,32 @@ object MultimodalQueries {
           col("hamming"))
     }),
 
+    // Audio near-dup: 64-bit pitch-contour fingerprint (zero-crossing
+    // dHash over the REAL PCM decode — gain-invariant) + the same
+    // hamming-band bucket join the image/SimHash families use. Audio
+    // assets get id-seeded "melody" payloads; every 10th gains an
+    // amplitude-rescaled twin (id + NearDupIdOffset) that must land at
+    // hamming 0 while unrelated melodies sit near 32. One shuffle on
+    // (band, byte) buckets — never all-pairs; decode is narrow.
+    "mm_audio_neardup" -> ((s, d) => {
+      val ids = Multimodal.syntheticAssets(s, d)
+        .filter(col("kind") === "audio")
+        .select(col("asset_id"))
+      val originals = ids
+        .select(col("asset_id"),
+          Multimodal.syntheticMelodyWavUdf(col("asset_id")).as("bytes"))
+      val planted = ids.filter(pmod(col("asset_id"), lit(10)) === 1)
+        .select((col("asset_id") + lit(NearDupIdOffset)).as("asset_id"),
+          Multimodal.syntheticMelodyWavNearUdf(col("asset_id")).as("bytes"))
+      val sigs = originals.unionByName(planted)
+        .select(col("asset_id").as("doc_id"),
+          Multimodal.audioContourHashUdf(col("bytes")).as("sig"))
+        .filter(col("sig").isNotNull)
+      DedupQueries.hammingBandPairs(sigs, maxHamming = 4)
+        .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+          col("hamming"))
+    }),
+
     // Video scene-change detection: per-frame 4×4 grid lumas over the
     // REAL multi-frame decode, cuts where the mean absolute cell delta
     // exceeds the threshold. Narrow per-partition decode, no shuffle;

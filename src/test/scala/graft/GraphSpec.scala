@@ -152,4 +152,26 @@ class GraphSpec extends SparkSpec {
     assert(zero.nonEmpty && zero.forall(_.getString(1) == "customer"))
     assert(byKind("supplier").forall(_.getDouble(2) > 0.0))
   }
+
+  test("q161 HITS matches hand-computed hubs/authorities on a tiny graph") {
+    import spark.implicits._
+    // c1 → {s1, s2}, c2 → {s1}: auth1 = (2,1); hub1 = (3,2);
+    // auth2 = (5,3); hub2 = (8,5) → authority (0.625, 0.375),
+    // hub (8/13, 5/13)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hits").toString
+    Seq((10L, 1L), (20L, 1L), (30L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((10L, 101L), (20L, 102L), (30L, 101L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.queries.GraphQueries.queries("q161_hits")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set(
+      ("authority", 101L, 0.625), ("authority", 102L, 0.375),
+      ("hub", 1L, r9(8.0 / 13)), ("hub", 2L, r9(5.0 / 13))))
+  }
 }

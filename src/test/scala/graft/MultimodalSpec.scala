@@ -382,4 +382,37 @@ class MultimodalSpec extends SparkSpec {
     }
     got.foreach { case (_, _, hm) => assert(hm <= 6) }
   }
+
+  test("audio contour hash is gain-invariant and id-discriminating") {
+    (1L to 8L).foreach { id =>
+      val full = Multimodal.audioContourHash(
+        Multimodal.syntheticMelodyWav(id)).get
+      val quiet = Multimodal.audioContourHash(
+        Multimodal.syntheticMelodyWav(id, ampScale = 0.6)).get
+      assert(full == quiet, s"gain changed the contour for id $id")
+    }
+    // unrelated melodies: far apart in hamming space
+    val sigs = (1L to 8L).map(id =>
+      Multimodal.audioContourHash(Multimodal.syntheticMelodyWav(id)).get)
+    for (i <- sigs.indices; j <- sigs.indices if i < j) {
+      val hm = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+      assert(hm > 10, s"melodies $i/$j too close: hamming $hm")
+    }
+  }
+
+  test("audio near-dup query catches exactly the planted melody twins") {
+    val got = queries.MultimodalQueries.queries("mm_audio_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val off = queries.MultimodalQueries.NearDupIdOffset
+    val planted = assets.filter(col("kind") === "audio")
+      .filter(pmod(col("asset_id"), lit(10)) === 1)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    // amplitude-rescaled twins land at hamming 0; pseudo-random
+    // contours make accidental ≤4-hamming pairs essentially impossible,
+    // so unlike the image case this is an EXACT match
+    assert(got.map(p => (p._1, p._2)).toSet ==
+      planted.map(id => (id, id + off)))
+    got.foreach { case (_, _, hm) => assert(hm == 0) }
+  }
 }
