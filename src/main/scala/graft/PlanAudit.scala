@@ -53,7 +53,10 @@ object PlanAudit {
       "q153_personalized_pr", "q154_also_bought",
       "q155_survival", "q156_interpolate", "q157_attribution",
       "q158_profile", "q159_cusum", "q160_sorted_neighborhood",
-      "q161_hits", "mm_audio_neardup")
+      "q161_hits", "mm_audio_neardup",
+      "q162_debounce", "q164_conversion_lag", "q165_rfm",
+      "q167_period_over_period", "q171_weighted_median",
+      "q172_concentration", "q175_overlap_score")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

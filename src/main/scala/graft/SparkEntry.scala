@@ -31,7 +31,8 @@ object SparkEntry {
       WarehouseOps.queries ++ StatsOps.queries ++ BpeOps.queries ++
       SurfaceCompletions.queries ++ MatrixOps.queries ++
       BehaviorOps.queries ++ MiningOps.queries ++ StringSimOps.queries ++
-      InferenceOps.queries ++ RecommenderOps.queries ++ TemporalOps.queries
+      InferenceOps.queries ++ RecommenderOps.queries ++
+      TemporalOps.queries ++ BusinessOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -47,5 +48,6 @@ object SparkEntry {
       WarehouseOps.oracle ++ StatsOps.oracle ++ BpeOps.oracle ++
       SurfaceCompletions.oracle ++ MatrixOps.oracle ++
       BehaviorOps.oracle ++ MiningOps.oracle ++ StringSimOps.oracle ++
-      InferenceOps.oracle ++ RecommenderOps.oracle ++ TemporalOps.oracle
+      InferenceOps.oracle ++ RecommenderOps.oracle ++
+      TemporalOps.oracle ++ BusinessOps.oracle
 }

@@ -38,7 +38,9 @@ object BehaviorOps {
       "q135_ewma" -> ((s, d) => ewmaDaily(s, d)),
       "q144_streaks" -> ((s, d) => streaks(s, d)),
       "q152_event_paths" -> ((s, d) => eventPaths(s, d)),
-      "q157_attribution" -> ((s, d) => attribution(s, d)))
+      "q157_attribution" -> ((s, d) => attribution(s, d)),
+      "q162_debounce" -> ((s, d) => debounce(s, d)),
+      "q164_conversion_lag" -> ((s, d) => conversionLag(s, d)))
 
   /** q152 path mining: the 10 most common 3-step event-type sequences
     * across user journeys — q133's transition matrix extended to third
@@ -245,7 +247,78 @@ object BehaviorOps {
           .as("revenue"))
   }
 
+  /** q162 event debounce (telemetry throttling): an event is DROPPED
+    * when the same (user, type) fired less than 60 s earlier — the
+    * gap-based form (each event compares to its immediate predecessor,
+    * kept or not), which is one lag() per partition-ordered stream and
+    * needs no iterative chain state. Output is the per-type keep/drop
+    * tally. One window shuffle on (user, type); microsecond timestamps
+    * with an event_id tiebreak keep both engines' lag identical.
+    */
+  private def debounce(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, d, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("kept", col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") >= 60000000L)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  /** q164 click-to-purchase conversion lag: for every purchase, the
+    * time since the user's most recent click, bucketed to 10-minute
+    * bins up to an hour (conversions slower than that fall out of the
+    * attribution window). The probe is one IGNORE-NULLS running last()
+    * per user — q157's window reused with a time payload — and the
+    * bin histogram is a bucket-bounded aggregation.
+    */
+  private def conversionLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, d, "events")
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("last_click_us").isNotNull)
+      .withColumn("lag_us", unix_micros(col("ts")) - col("last_click_us"))
+      .filter(col("lag_us") <= 3600000000L)
+      .select(expr("lag_us div 600000000").as("bucket_10m"))
+      .groupBy(col("bucket_10m"))
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q162_debounce" ->
+      """WITH w AS (SELECT event_type,
+        |  epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |k AS (SELECT event_type,
+        |  (prev_us IS NULL OR us - prev_us >= 60000000) AS kept FROM w)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped
+        |FROM k GROUP BY event_type""".stripMargin,
+    "q164_conversion_lag" ->
+      """WITH w AS (SELECT event_type, epoch_us(ts) AS us,
+        |  last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts)
+        |    END IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS last_click_us
+        | FROM events),
+        |p AS (SELECT us - last_click_us AS lag_us FROM w
+        |  WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+        |    AND us - last_click_us <= 3600000000)
+        |SELECT lag_us // 600000000 AS bucket_10m,
+        |  COUNT(*) AS n_purchases
+        |FROM p GROUP BY 1""".stripMargin,
     "q157_attribution" ->
       """WITH w AS (SELECT user_id, ts, event_id, event_type, value,
         |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type

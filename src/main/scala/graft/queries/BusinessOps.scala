@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Revenue-analytics operators (SURVEY.md §2.11 [EXT]) — the BI layer a
+  * warehouse user runs daily, in the engine's decimal-exact discipline:
+  *
+  *  - q165 RFM segmentation: per-customer recency/frequency/monetary
+  *    quintiles (ntile with a custkey tiebreak, so bucket assignment is
+  *    deterministic in both engines). The ntile windows run over
+  *    PER-CUSTOMER aggregates; at 100 TB the same scores come from
+  *    two-pass quantile boundaries (the q56 histogram-threshold shape)
+  *    or [[graft.operators.GlobalRank]] — documented trade, the
+  *    driver-scale form keeps the exact window as the oracle gate.
+  *  - q167 period-over-period: monthly revenue per region with MoM and
+  *    YoY growth. Dims broadcast; the lag windows run over
+  *    regions×months rows — bounded metadata.
+  *  - q172 market concentration: per-nation Gini coefficient (discrete
+  *    Lorenz form, 2Σi·xᵢ/(nΣx) − (n+1)/n over ascending ranks) and
+  *    Herfindahl-Hirschman index (Σ share²). Rank windows partition by
+  *    nation over customer aggregates; every sum that feeds the final
+  *    IEEE division reduces decimally.
+  */
+object BusinessOps {
+
+  private val dec = DecimalType(18, 4)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_rfm" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val mx = o.agg(max(date_trunc("day", col("o_orderdate"))).as("m"))
+      val m = o.groupBy(col("o_custkey"))
+        .agg(max(date_trunc("day", col("o_orderdate"))).as("last_od"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("mon"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("m"), col("last_od")).as("rec"),
+          col("freq"), col("mon"))
+      m.select(col("o_custkey"), col("rec"), col("freq"),
+        round(col("mon"), 4).as("monetary"),
+        ntile(5).over(Window.orderBy(col("rec").desc, col("o_custkey")))
+          .as("r_score"),
+        ntile(5).over(Window.orderBy(col("freq"), col("o_custkey")))
+          .as("f_score"),
+        ntile(5).over(Window.orderBy(col("mon"), col("o_custkey")))
+          .as("m_score"))
+    }),
+
+    "q167_period_over_period" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val r = Tables(s, d, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val monthly = o
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("revd"))
+      val w = Window.partitionBy(col("r_name")).orderBy(col("month"))
+      monthly
+        .withColumn("prev_m", lag(col("revd"), 1).over(w))
+        .withColumn("prev_y", lag(col("revd"), 12).over(w))
+        .select(col("r_name"), col("month"),
+          round(col("revd"), 4).cast("double").as("revenue"),
+          round((col("revd") - col("prev_m")).cast("double")
+            / col("prev_m"), 6).as("mom_pct"),
+          round((col("revd") - col("prev_y")).cast("double")
+            / col("prev_y"), 6).as("yoy_pct"))
+    }),
+
+    "q172_concentration" -> ((s, d) => {
+      val rev = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("x"))
+      val j = rev.join(broadcast(Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"), col("x"), col("o_custkey"))
+      val ranked = j.withColumn("i", row_number().over(
+        Window.partitionBy(col("nk")).orderBy(col("x"), col("o_custkey"))))
+      ranked.groupBy(col("nk"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("x") * col("i")).cast("double").as("sxi"),
+          sum(col("x") * col("x")).cast("double").as("sxx"))
+        .select(col("nk").as("nationkey"), col("n"),
+          round(lit(2.0) * col("sxi") / (col("n") * col("sx"))
+            - (col("n") + lit(1.0)) / col("n"), 6).as("gini"),
+          round(col("sxx") / (col("sx") * col("sx")), 6).as("hhi"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q165_rfm" ->
+      """WITH mx AS (SELECT max(date_trunc('day', o_orderdate)) AS m
+        |  FROM orders),
+        |m AS (SELECT o_custkey,
+        |   CAST(date_diff('day', max(date_trunc('day', o_orderdate)),
+        |     max(mx.m)) AS INTEGER) AS rec,
+        |   COUNT(*) AS freq,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS mon
+        | FROM orders, mx GROUP BY o_custkey)
+        |SELECT o_custkey, rec, freq, round(mon, 4) AS monetary,
+        |  CAST(ntile(5) OVER (ORDER BY rec DESC, o_custkey) AS INTEGER)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS INTEGER)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY mon, o_custkey) AS INTEGER)
+        |    AS m_score
+        |FROM m""".stripMargin,
+    "q167_period_over_period" ->
+      """WITH monthly AS (SELECT r_name,
+        |    date_trunc('month', o_orderdate) AS month,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revd
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, date_trunc('month', o_orderdate)),
+        |w AS (SELECT r_name, month, revd,
+        |  lag(revd, 1) OVER (PARTITION BY r_name ORDER BY month) AS prev_m,
+        |  lag(revd, 12) OVER (PARTITION BY r_name ORDER BY month) AS prev_y
+        | FROM monthly)
+        |SELECT r_name, month,
+        |  CAST(round(revd, 4) AS DOUBLE) AS revenue,
+        |  round(CAST(revd - prev_m AS DOUBLE) / prev_m, 6) AS mom_pct,
+        |  round(CAST(revd - prev_y AS DOUBLE) / prev_y, 6) AS yoy_pct
+        |FROM w""".stripMargin,
+    "q172_concentration" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT c_nationkey AS nk, x, o_custkey
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT nk, x,
+        |  row_number() OVER (PARTITION BY nk ORDER BY x, o_custkey) AS i
+        | FROM j),
+        |g AS (SELECT nk, COUNT(*) AS n,
+        |   CAST(SUM(x) AS DOUBLE) AS sx,
+        |   CAST(SUM(x * i) AS DOUBLE) AS sxi,
+        |   CAST(SUM(x * x) AS DOUBLE) AS sxx
+        | FROM r GROUP BY nk)
+        |SELECT nk AS nationkey, n,
+        |  round(2.0 * sxi / (n * sx) - (n + 1.0) / n, 6) AS gini,
+        |  round(sxx / (sx * sx), 6) AS hhi
+        |FROM g""".stripMargin
+  )
+}

@@ -83,6 +83,29 @@ object CurationOps {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // q175 contamination SCORE: where q57 makes the binary keep/drop
+    // call, this emits the per-document overlap FRACTION — the share of
+    // a doc's distinct 3-token shingles that appear anywhere in the
+    // probe set (the graded contamination report a curation pipeline
+    // reviews before choosing the q57 threshold). Probe shingles
+    // broadcast (bounded by the benchmark suite); the corpus side is
+    // one explode + left-semi-count + per-doc aggregate. Docs with no
+    // shingles (< 3 tokens) carry no row, same contract as q57.
+    "q175_overlap_score" -> ((s, d) => {
+      val sh = ShingleCache.arrays(s, d)
+      val probeShingles = sh.filter(isProbe(col("doc_id")))
+        .select(explode(col("sh")).as("ps")).distinct()
+      sh.filter(!isProbe(col("doc_id")))
+        .select(col("doc_id"), explode(col("sh")).as("ss"))
+        .join(broadcast(probeShingles), col("ss") === col("ps"),
+          "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("ps").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .withColumn("overlap",
+          round(col("n_hits").cast("double") / col("n_shingles"), 6))
+    }),
+
     // PII scrub: redact emails and 6+-digit runs (patterns chosen to
     // parse identically under Java regex and RE2), count matches, and
     // hash the redacted text — the hash pins byte-identical replacement
@@ -165,6 +188,21 @@ object CurationOps {
       .stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q175_overlap_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |          FOR i IN range(1, len(tk) - 1)])) AS s FROM t),
+        |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+        |SELECT x.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN p.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  round(CAST(SUM(CASE WHEN p.s IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS overlap
+        |FROM sh x LEFT JOIN probe p ON x.s = p.s
+        |WHERE x.doc_id % 97 != 0
+        |GROUP BY x.doc_id""".stripMargin,
     "q84_weighted_sample" ->
       """WITH t AS (SELECT doc_id, lang,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w

@@ -307,6 +307,32 @@ object StatsOps {
       // exact percentile buffer that is a hazard globally (q47 note) is
       // constant-size here — frame-bounded exactness is the one place
       // the exact form IS the 100 TB answer. One shuffle on user_id.
+      // q171 weighted median (robust-estimator family, next to q111's
+      // MAD): smallest value whose cumulative weight reaches half the
+      // group's total — quantity-weighted l_extendedprice per return
+      // flag. The cumulative weights are DECIMAL window sums ordered by
+      // (value, row key), so the 2·cw ≥ tw cut is exact in both
+      // engines. Scale note: the ordered cumsum sorts each group in one
+      // task — the q47 exact-percentile class; at 100 TB the same cut
+      // comes from the q106 two-pass histogram threshold, with this
+      // exact form as the oracle gate.
+      "q171_weighted_median" -> ((s, d) => {
+        val w = Window.partitionBy(col("f"))
+          .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy(col("f"))
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag").as("f"),
+            col("l_extendedprice").as("x"),
+            col("l_quantity").cast(dec).as("w"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("cw", sum(col("w")).over(w))
+          .withColumn("tw", sum(col("w")).over(wt))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy(col("f").as("l_returnflag"))
+          .agg(min(col("x")).as("wmedian"))
+      }),
+
       "q125_moving_median" -> ((s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
@@ -332,6 +358,17 @@ object StatsOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    "q171_weighted_median" ->
+      """WITH t AS (SELECT l_returnflag f, l_extendedprice x,
+        |   CAST(l_quantity AS DECIMAL(18,4)) w, l_orderkey, l_linenumber
+        | FROM lineitem),
+        |c AS (SELECT f, x,
+        |   SUM(w) OVER (PARTITION BY f
+        |     ORDER BY x, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |   SUM(w) OVER (PARTITION BY f) AS tw FROM t)
+        |SELECT f AS l_returnflag, MIN(x) AS wmedian FROM c
+        |WHERE cw * 2 >= tw GROUP BY f""".stripMargin,
     "q151_overlap_exact" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,

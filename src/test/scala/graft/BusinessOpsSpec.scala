@@ -1,0 +1,152 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{BehaviorOps, BusinessOps, CurationOps, StatsOps}
+
+class BusinessOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dirWith(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-biz").toString
+    tables.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    dir
+  }
+
+  private def ts(day: Int, sec: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-${day}%02d 00:${sec / 60}%02d:${sec % 60}%02d")
+
+  test("q162 debounce drops only sub-60s same-key repeats") {
+    // user 1 clicks at 0s, 30s (dropped), 100s (kept); user 2's view at
+    // 10s is its own (user, type) stream — kept
+    val ev = Seq(
+      (1L, ts(1, 0), 1L, "click", 1.0, "{}"),
+      (2L, ts(1, 30), 1L, "click", 1.0, "{}"),
+      (3L, ts(1, 100), 1L, "click", 1.0, "{}"),
+      (4L, ts(1, 10), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = dirWith("events" -> ev)
+    val got = BehaviorOps.queries("q162_debounce")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("click", 2L, 1L), ("view", 1L, 0L)))
+  }
+
+  test("q164 conversion lag buckets purchases by minutes-since-click") {
+    // click at 0s → purchase at 120s (bucket 0); click at 200s →
+    // purchase at 1500s (lag 1300s, bucket 2); purchase with no click
+    // and one 2h after a click are both excluded
+    val ev = Seq(
+      (1L, ts(1, 0), 1L, "click", 1.0, "{}"),
+      (2L, ts(1, 120), 1L, "purchase", 5.0, "{}"),
+      (3L, ts(1, 200), 1L, "click", 1.0, "{}"),
+      (4L, ts(1, 1500), 1L, "purchase", 5.0, "{}"),
+      (5L, ts(1, 10), 2L, "purchase", 5.0, "{}"),
+      (6L, ts(2, 0), 3L, "click", 1.0, "{}"),
+      (7L, ts(2, 3599 * 2), 3L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = dirWith("events" -> ev)
+    val got = BehaviorOps.queries("q164_conversion_lag")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (2L, 1L)))
+  }
+
+  test("q165 rfm assigns balanced deterministic quintiles") {
+    val r = BusinessOps.queries("q165_rfm")(spark, sf).collect()
+    assert(r.nonEmpty)
+    // every score is a quintile, and ntile balance holds (sizes differ
+    // by at most one per score column)
+    Seq(4, 5, 6).foreach { i =>
+      val counts = r.groupBy(_.getInt(i)).map { case (k, v) =>
+        assert(k >= 1 && k <= 5); v.size
+      }
+      assert(counts.max - counts.min <= 1)
+    }
+    // the most recent customer must hold r_score 5, the stalest r_score 1
+    val byRec = r.sortBy(_.getInt(1))
+    assert(byRec.head.getInt(4) == 5 && byRec.last.getInt(4) == 1)
+  }
+
+  test("q167 period-over-period matches a hand-computed growth series") {
+    val o = Seq(
+      (1L, 1L, Timestamp.valueOf("1995-01-15 00:00:00"), 100.0),
+      (2L, 1L, Timestamp.valueOf("1995-02-15 00:00:00"), 150.0),
+      (3L, 1L, Timestamp.valueOf("1995-03-15 00:00:00"), 120.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Seq((1L, "c", 0, 0.0, "S")).toDF("c_custkey", "c_name",
+      "c_nationkey", "c_acctbal", "c_mktsegment")
+    val n = Seq((0, "N", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val rg = Seq((0, "R")).toDF("r_regionkey", "r_name")
+    val d = dirWith("orders" -> o, "customer" -> c, "nation" -> n,
+      "region" -> rg)
+    val got = BusinessOps.queries("q167_period_over_period")(spark, d)
+      .orderBy("month").collect()
+    assert(got.length == 3)
+    assert(got(0).isNullAt(3))                      // first month: no MoM
+    assert(got(1).getDouble(3) == 0.5)              // 100 → 150
+    assert(got(2).getDouble(3) == -0.2)             // 150 → 120
+    assert(got.forall(_.isNullAt(4)))               // < 12 months: no YoY
+  }
+
+  test("q171 weighted median picks the half-weight value exactly") {
+    // flag A: values 10(w1), 20(w1), 30(w10) → total 12, half 6 → 30
+    // flag B: values 5(w2), 7(w2) → cw(5)=2, 2*2<4 fails; 7 wins? no:
+    //   2*2 >= 4 holds at 5 → min is 5
+    val li = Seq(
+      (1L, 1L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "A", "F", ts(1, 0)),
+      (1L, 1L, 1L, 2, 1.0, 20.0, 0.0, 0.0, "A", "F", ts(1, 0)),
+      (1L, 1L, 1L, 3, 10.0, 30.0, 0.0, 0.0, "A", "F", ts(1, 0)),
+      (2L, 1L, 1L, 1, 2.0, 5.0, 0.0, 0.0, "B", "F", ts(1, 0)),
+      (2L, 1L, 1L, 2, 2.0, 7.0, 0.0, 0.0, "B", "F", ts(1, 0)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val d = dirWith("lineitem" -> li)
+    val got = StatsOps.queries("q171_weighted_median")(spark, d)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("A", 30.0), ("B", 5.0)))
+  }
+
+  test("q172 gini/hhi match the closed form on a 2-customer market") {
+    // nation 0: revenues 1 and 3 → gini = 2(1·1+3·2)/(2·4) − 3/2 = 0.25,
+    // hhi = (1+9)/16 = 0.625
+    val o = Seq(
+      (1L, 1L, Timestamp.valueOf("1995-01-01 00:00:00"), 1.0),
+      (2L, 2L, Timestamp.valueOf("1995-01-01 00:00:00"), 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Seq((1L, "a", 0, 0.0, "S"), (2L, "b", 0, 0.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val d = dirWith("orders" -> o, "customer" -> c)
+    val got = BusinessOps.queries("q172_concentration")(spark, d).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 2 && got.head.getDouble(2) == 0.25 &&
+      got.head.getDouble(3) == 0.625)
+  }
+
+  test("q175 overlap score grades contamination fractionally") {
+    // probe doc 0 (id % 97 == 0) holds "a b c d"; doc 1 repeats it
+    // exactly (overlap 1.0); doc 2 shares only the "a b c" shingle of
+    // its three (overlap 1/3); doc 3 shares none
+    val docs = Seq(
+      (0L, "a b c d", "en", "s", 7L),
+      (1L, "a b c d", "en", "s", 7L),
+      (2L, "a b c x y z", "en", "s", 11L),
+      (3L, "p q r s t", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = dirWith("documents" -> docs)
+    try {
+      val got = CurationOps.queries("q175_overlap_score")(spark, d)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+      assert(got(1L) == ((2L, 2L, 1.0)))
+      assert(got(2L)._1 == 4L && got(2L)._2 == 1L)
+      assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
+    } finally graft.queries.ShingleCache.evict(spark, d)
+  }
+}
