@@ -14,10 +14,13 @@ import graft.functions.{BloomAgg, BloomContains, DamerauLevenshtein, DeflateLen,
   * For an already-running session use `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // conf-gated logical rewrites (inert until their conf key is set)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -22,6 +22,18 @@ object ColumnBridge {
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 
+  /** Materialize the optimizer rules a SparkSessionExtensions instance
+    * would inject at session build (`buildOptimizerRules` is
+    * `private[sql]`; bridged for the extensions-injection specs — a
+    * second fully-built session can't coexist with the shared test
+    * fixture).
+    */
+  def optimizerRulesOf(ext: org.apache.spark.sql.SparkSessionExtensions,
+      session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
+
   /** Release the storage blocks behind a `Dataset.localCheckpoint` result:
     * the checkpointed data lives in the RDD wrapped by the plan's
     * `LogicalRDD` leaf (`private[sql]` in Spark 4.1, hence bridged here).
