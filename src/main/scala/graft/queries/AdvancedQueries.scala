@@ -45,6 +45,26 @@ object AdvancedQueries {
     // preceding frame): ONE shuffle on user_id, no range cross-join —
     // the shape that scales to per-key sorted merges at 100 TB. Oracle is
     // DuckDB's native ASOF JOIN.
+    // §2.4: the SAME as-of semantics through the NATIVE custom operator
+    // (graft.plans.AsOfJoinExec — logical node + strategy + sort-merge
+    // physical exec): one co-partitioned exchange per side, per-
+    // partition O(|L|+|R|) merge, no union/window rematerialization.
+    // Shares q34's DuckDB ASOF JOIN oracle; AsOfJoinSpec additionally
+    // pins native == composed on this exact query.
+    "q176_asof_native" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      graft.plans.AsOfJoin
+        .asof(clicks, purchases, Seq("user_id"), "ts", "purchase_ts")
+        .filter(col("purchase_ts").isNotNull)
+        .select(col("event_id"), clicks("user_id"), col("ts"),
+          col("purchase_ts"), col("purchase_value"))
+    }),
+
     "q34_asof_join" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -472,6 +492,14 @@ object AdvancedQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
         .stripMargin,
     "q34_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        | p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q176_asof_native" ->
       """SELECT c.event_id, c.user_id, c.ts,
         | p.ts AS purchase_ts, p.value AS purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events

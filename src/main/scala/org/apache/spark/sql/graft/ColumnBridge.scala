@@ -22,6 +22,16 @@ object ColumnBridge {
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 
+  /** Build a DataFrame over a hand-constructed logical plan
+    * (`Dataset.ofRows` is `private[sql]`; bridged for graft's custom
+    * logical operators, e.g. the native as-of join).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Materialize the optimizer rules a SparkSessionExtensions instance
     * would inject at session build (`buildOptimizerRules` is
     * `private[sql]`; bridged for the extensions-injection specs — a
