@@ -56,7 +56,8 @@ object PlanAudit {
       "q161_hits", "mm_audio_neardup",
       "q162_debounce", "q164_conversion_lag", "q165_rfm",
       "q167_period_over_period", "q171_weighted_median",
-      "q172_concentration", "q175_overlap_score", "q176_asof_native")
+      "q172_concentration", "q175_overlap_score", "q176_asof_native",
+      "q177_benford", "q178_fk_orphans")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

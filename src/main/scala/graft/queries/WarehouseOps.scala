@@ -256,6 +256,63 @@ object WarehouseOps {
         rows.reduce(_ unionByName _)
       }),
 
+      // q177 Benford first-digit audit (the classic fabricated-numbers
+      // screen): observed leading-digit distribution of o_totalprice vs
+      // Benford's log10(1 + 1/d) expectation, with per-digit chi-square
+      // contributions. One grouped count over a narrow scan; the
+      // 9-digit expectation table is a literal CASE. log10 is the only
+      // transcendental and it runs on the 9-row aggregate, rounded.
+      "q177_benford" -> ((s, d) => {
+        val digit = substring(col("o_totalprice").cast("string"), 1, 1)
+          .cast("int")
+        val g = Tables(s, d, "orders")
+          .select(digit.as("d"))
+          .filter(col("d") >= 1)
+          .groupBy(col("d")).agg(count(lit(1)).as("n"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        g.withColumn("tot", sum(col("n")).over(wAll))
+          .select(col("d"), col("n"),
+            round(col("n").cast("double") / col("tot"), 6).as("observed"),
+            round(log10(lit(1.0) + lit(1.0) / col("d")), 6).as("expected"),
+            round(pow(col("n").cast("double") / col("tot")
+                - log10(lit(1.0) + lit(1.0) / col("d")), 2)
+              / log10(lit(1.0) + lit(1.0) / col("d")) * col("tot"), 6)
+              .as("chi2"))
+      }),
+
+      // q178 referential-integrity audit: every foreign-key edge of the
+      // star schema checked in ONE report — child rows whose key has no
+      // parent (orphans). Each edge is a left-anti join on its key
+      // (broadcast for the bounded parents, shuffle for the big ones —
+      // AQE's call), then a 7-row union. The q100 quality-audit shape
+      // applied to the schema graph instead of one table.
+      "q178_fk_orphans" -> ((s, d) => {
+        def edge(name: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String) = {
+          val orphans = child.select(col(key))
+            .join(parent.select(col(pkey)), col(key) === col(pkey),
+              "left_anti")
+          orphans.agg(count(lit(1)).as("n_orphans"))
+            .select(lit(name).as("fk_edge"), col("n_orphans"))
+        }
+        val li = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        val p = Tables(s, d, "part")
+        val su = Tables(s, d, "supplier")
+        val n = Tables(s, d, "nation")
+        val r = Tables(s, d, "region")
+        Seq(
+          edge("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey"),
+          edge("lineitem.partkey", li, "l_partkey", p, "p_partkey"),
+          edge("lineitem.suppkey", li, "l_suppkey", su, "s_suppkey"),
+          edge("orders.custkey", o, "o_custkey", c, "c_custkey"),
+          edge("customer.nationkey", c, "c_nationkey", n, "n_nationkey"),
+          edge("supplier.nationkey", su, "s_nationkey", n, "n_nationkey"),
+          edge("nation.regionkey", n, "n_regionkey", r, "r_regionkey"))
+          .reduce(_ unionByName _)
+      }),
+
       "layout_compact" -> ((s, d) => {
         val base = Files.createTempDirectory("graft_compact").toString
         Tables(s, d, "documents").repartition(64)
@@ -265,6 +322,40 @@ object WarehouseOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    "q177_benford" ->
+      """WITH g AS (SELECT CAST(substring(CAST(o_totalprice AS VARCHAR),
+        |    1, 1) AS INTEGER) AS d, COUNT(*) AS n
+        |  FROM orders
+        |  WHERE CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1)
+        |    AS INTEGER) >= 1
+        |  GROUP BY 1),
+        |t AS (SELECT d, n, SUM(n) OVER () AS tot FROM g)
+        |SELECT d, n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS observed,
+        |  round(log10(1.0 + 1.0 / d), 6) AS expected,
+        |  round(power(CAST(n AS DOUBLE) / tot - log10(1.0 + 1.0 / d), 2)
+        |    / log10(1.0 + 1.0 / d) * tot, 6) AS chi2
+        |FROM t""".stripMargin,
+    "q178_fk_orphans" -> {
+      val edges = Seq(
+        ("lineitem.orderkey", "lineitem", "l_orderkey", "orders",
+          "o_orderkey"),
+        ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier",
+          "s_suppkey"),
+        ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.nationkey", "customer", "c_nationkey", "nation",
+          "n_nationkey"),
+        ("supplier.nationkey", "supplier", "s_nationkey", "nation",
+          "n_nationkey"),
+        ("nation.regionkey", "nation", "n_regionkey", "region",
+          "r_regionkey"))
+      edges.map { case (nm, ch, k, pa, pk) =>
+        s"""SELECT '$nm' AS fk_edge, CAST(COUNT(*) AS BIGINT) AS n_orphans
+           |FROM $ch WHERE NOT EXISTS
+           |  (SELECT 1 FROM $pa WHERE $pa.$pk = $ch.$k)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
     "q158_profile" -> {
       val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",

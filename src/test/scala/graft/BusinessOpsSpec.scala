@@ -128,6 +128,50 @@ class BusinessOpsSpec extends SparkSpec {
       got.head.getDouble(3) == 0.625)
   }
 
+  test("q177 benford observes a crafted digit distribution exactly") {
+    // 4 orders with leading digit 1, 2 with digit 5
+    val o = Seq(100.0, 150.0, 1200.0, 19.5, 500.0, 55.0).zipWithIndex
+      .map { case (p, i) =>
+        (i.toLong, 1L, Timestamp.valueOf("1995-01-01 00:00:00"), p)
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val d = dirWith("orders" -> o)
+    val got = graft.queries.WarehouseOps.queries("q177_benford")(spark, d)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == Set(1, 5))
+    assert(got(1) == ((4L, BigDecimal(4.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(5) == ((2L, BigDecimal(2.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("q178 fk audit counts planted orphans and passes clean edges") {
+    val got = graft.queries.WarehouseOps.queries("q178_fk_orphans")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 7)
+    // driver data is referentially clean on the dimension edges
+    assert(got("customer.nationkey") == 0L)
+    assert(got("nation.regionkey") == 0L)
+    // planted orphan: a lineitem pointing at a missing order
+    val li = Seq((999999L, 1L, 1L)).toDF("l_orderkey", "l_partkey",
+      "l_suppkey")
+    val o = Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+    val keep = Seq("part" -> Seq((1L, "p")).toDF("p_partkey", "p_name"),
+      "supplier" -> Seq((1L, "s", 0)).toDF("s_suppkey", "s_name",
+        "s_nationkey"),
+      "customer" -> Seq((1L, "c", 0)).toDF("c_custkey", "c_name",
+        "c_nationkey"),
+      "nation" -> Seq((0, "n", 0)).toDF("n_nationkey", "n_name",
+        "n_regionkey"),
+      "region" -> Seq((0, "r")).toDF("r_regionkey", "r_name"))
+    val d = dirWith(Seq("lineitem" -> li, "orders" -> o) ++ keep: _*)
+    val planted = graft.queries.WarehouseOps.queries("q178_fk_orphans")(
+      spark, d).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(planted("lineitem.orderkey") == 1L)
+    assert(planted("lineitem.partkey") == 0L)
+  }
+
   test("q175 overlap score grades contamination fractionally") {
     // probe doc 0 (id % 97 == 0) holds "a b c d"; doc 1 repeats it
     // exactly (overlap 1.0); doc 2 shares only the "a b c" shingle of
