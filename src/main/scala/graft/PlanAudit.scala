@@ -94,5 +94,12 @@ object PlanAudit {
     // the `<` pair join runs over the |event-types|-row SKETCH table —
     // bounded metadata (5x5 here); the corpus contributed one sketch
     // aggregation upstream
-    "stats_hll_overlap" -> "type-pair join over the |types|-row sketch table")
+    "stats_hll_overlap" -> "type-pair join over the |types|-row sketch table",
+    // 1-ROW scalar broadcasts (global horizon / calendar span / norm
+    // constants): a cross join against a single-row aggregate IS the
+    // plan — the nested loop degenerates to attaching one constant row
+    "q155_survival" -> "1-row dataset-horizon broadcast",
+    "q156_interpolate" -> "1-row calendar-span broadcast",
+    "q161_hits" -> "1-row score-normalizer broadcasts",
+    "q165_rfm" -> "1-row recency-horizon broadcast")
 }

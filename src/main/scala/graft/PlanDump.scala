@@ -60,7 +60,14 @@ object PlanDump {
       "q141_shortest_path" -> "3 unrolled min-plus rounds: one frontier equi-join + map-side-combined grouped min each; state is one row per reached node",
       "q143_recursive_reach" -> "native recursive CTE (UnionLoop); DISTINCT recursive term bounds per-level state by the node set, depth guard caps the loop",
       "q145_split_leakage" -> "content-hash aggregation + co-partitioned join back on the hash — the q20 exact-dedup shuffle shape with a split-spread count",
-      "q148_seasonal_anomaly" -> "daily decimal aggregation + lag-7 window; per-type residual moments broadcast back over the series (the q102 outlier shape on time series)")
+      "q148_seasonal_anomaly" -> "daily decimal aggregation + lag-7 window; per-type residual moments broadcast back over the series (the q102 outlier shape on time series)",
+      "q155_survival" -> "per-customer gap window (one shuffle) collapses to DISTINCT-DURATION rows; KM risk-set/product windows run over that calendar-bounded set, 1-row horizon broadcast",
+      "q158_profile" -> "ONE single-distinct aggregation per column, unioned — each branch's scan prunes to its column; the 11-distinct Expand alternative measured 26s vs 1.4s",
+      "q160_sorted_neighborhood" -> "GlobalRank: range exchange + per-partition rank + broadcast prefix offsets (NO single-partition window on data); neighbor pairing is an equi-join on rank",
+      "q161_hits" -> "two mutual-reinforcement rounds as co-partitioned equi-join + grouped LONG sums (exact, order-independent); 1-row normalizer broadcasts at the end",
+      "q171_weighted_median" -> "DECIMAL cumulative-weight window ordered by (value, row key); the 2·cw ≥ tw cut replaces any global sort-and-pick",
+      "q176_asof_native" -> "custom AsOfJoinExec: ClusteredDistribution + (keys, time) sort on both children, one O(|L|+|R|) merge per co-partition pair — the plan SortMergeJoin gets, with as-of semantics",
+      "q175_overlap_score" -> "probe shingles broadcast (benchmark-suite-bounded); corpus side is one explode + left-outer count — the q57 shape emitting a fraction instead of a verdict")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -175,7 +182,17 @@ object PlanDump {
       "q153_personalized_pr" ->
         "no hint (the q74 rule): links and the rank vector co-partition on the source key per round; the rank vector is SPARSE — reached nodes only — so early rounds join a frontier, not the graph; the seed teleport table rides as a bounded union branch",
       "q154_also_bought" ->
-        "no hint on the basket self-join: both sides are the same (customer, part) relation keyed on the customer — pair volume is bounded by basket size squared per customer, the item-CF bound; item popularity rides each row as a window count computed BEFORE the join (no popularity join revisits the relation), and the pair aggregation carries n1/n2 through functionally dependent grouping keys")
+        "no hint on the basket self-join: both sides are the same (customer, part) relation keyed on the customer — pair volume is bounded by basket size squared per customer, the item-CF bound; item popularity rides each row as a window count computed BEFORE the join (no popularity join revisits the relation), and the pair aggregation carries n1/n2 through functionally dependent grouping keys",
+      "q155_survival / q156_interpolate / q161_hits / q165_rfm" ->
+        "explicit 1-ROW broadcasts only (dataset horizon, calendar span, score normalizers): the cross join against a single aggregate row is the intended plan; every corpus-scale reduction upstream is a grouped LONG/DECIMAL sum with map-side combine",
+      "q160_sorted_neighborhood" ->
+        "GlobalRank's offsets join is an explicit broadcast of the partition-count-sized size table (bounded by spark.sql.shuffle.partitions); the rank equi-join shuffles both sides on rn — corpus-scale, never broadcast",
+      "q167_period_over_period / q172_concentration" ->
+        "explicit broadcast of the dimension chain (customer/nation/region — bounded catalogs); revenue aggregates reduce decimally before the window/rank stage which runs per-nation or per-region over customer-bounded rows",
+      "q176_asof_native" ->
+        "no broadcast by design: the custom exec REQUIRES ClusteredDistribution on both children, so EnsureRequirements co-partitions exactly like a sort-merge join; per-partition merge state is one buffered right row",
+      "q178_fk_orphans" ->
+        "left-anti per FK edge, un-hinted: parent sides range from 5-row region (AQE broadcasts) to corpus-scale orders (shuffles) — exactly the split AQE should own")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"

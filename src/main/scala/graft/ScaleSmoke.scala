@@ -21,7 +21,13 @@ object ScaleSmoke {
       // is the scale question — smoke them off-gate like the dedup family
       "q74_pagerank", "q85_kmeans", "q92_incremental_dedup",
       // round-4 additions with corpus-scale joins or unrolled rounds
-      "q141_shortest_path", "q145_split_leakage", "q139_fuzzy_pairs")
+      "q141_shortest_path", "q145_split_leakage", "q139_fuzzy_pairs",
+      // session-3 additions whose scale story warrants an off-gate
+      // number: distributed global rank (SNM), the native as-of exec,
+      // two-round HITS over the replicated trade graph, and the
+      // vocabulary-sized recommender pair aggregation
+      "q160_sorted_neighborhood", "q176_asof_native", "q161_hits",
+      "q154_also_bought")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

@@ -79,6 +79,13 @@ for name, sql in {
     "part": """SELECT * REPLACE (p_partkey * 10 + r AS p_partkey)
                FROM '{src}/part.parquet',
                     unnest(range(0, 10)) AS t(r)""",
+    # events fan out in users (10x distinct user_ids) with event_ids kept
+    # unique — grows the per-user window/as-of key space, not the events
+    # per user, which is the dimension the q176/q31 shapes shard on
+    "events": """SELECT * REPLACE (event_id * 10 + r AS event_id,
+                                    user_id * 10 + r AS user_id)
+                 FROM '{src}/events.parquet',
+                      unnest(range(0, 10)) AS t(r)""",
 }.items():
     con.sql(f"COPY ({sql.format(src=src)}) TO '{out}/{name}.parquet'"
             " (FORMAT PARQUET)")
