@@ -57,7 +57,9 @@ object PlanAudit {
       "q162_debounce", "q164_conversion_lag", "q165_rfm",
       "q167_period_over_period", "q171_weighted_median",
       "q172_concentration", "q175_overlap_score", "q176_asof_native",
-      "q177_benford", "q178_fk_orphans")
+      "q177_benford", "q178_fk_orphans",
+      "q179_seasonal_decompose", "q180_weighted_reservoir",
+      "q181_feature_matrix", "q182_negative_sample")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

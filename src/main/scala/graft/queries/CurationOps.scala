@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -106,6 +107,32 @@ object CurationOps {
           round(col("n_hits").cast("double") / col("n_shingles"), 6))
     }),
 
+    // q180 weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    // A-ES): each doc draws u from its md5 (60 bits → uniform [0,1)),
+    // ranks by u^(1/w) with w = token count, and the top-k per language
+    // win — exact weighted reservoir semantics, fully reproducible
+    // across engines/runs/cluster sizes like the q50/q60/q84 md5
+    // family (q84 is Bernoulli-by-weight; this is the fixed-size
+    // no-replacement twin). Keys stay internal (floats never output),
+    // so the oracle hash-compares the SELECTED SET. The per-language
+    // rank window runs over the corpus: at 100 TB the same top-k comes
+    // from the q6→q44 TopKAgg single-aggregation form.
+    "q180_weighted_reservoir" -> ((s, d) => {
+      val k = 3
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("w"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long").cast("double")
+            / lit(1152921504606846976.0)).as("u"))
+      val keyed = t.withColumn("es_key", pow(col("u"), lit(1.0) / col("w")))
+      keyed.withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("es_key").desc, col("doc_id"))))
+        .filter(col("rn") <= k)
+        .select(col("lang"), col("doc_id"), col("w"))
+    }),
+
     // PII scrub: redact emails and 6+-digit runs (patterns chosen to
     // parse identically under Java regex and RE2), count matches, and
     // hash the redacted text — the hash pins byte-identical replacement
@@ -188,6 +215,19 @@ object CurationOps {
       .stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q180_weighted_reservoir" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS w,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 15) AS UBIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, w, pow(u, 1.0 / w) AS es_key FROM t),
+        |r AS (SELECT doc_id, lang, w,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY es_key DESC, doc_id) AS rn FROM k)
+        |SELECT lang, doc_id, CAST(w AS INTEGER) AS w
+        |FROM r WHERE rn <= 3""".stripMargin,
     "q175_overlap_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |           FROM documents WHERE len(string_split(text, ' ')) >= 3),

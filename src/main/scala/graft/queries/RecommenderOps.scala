@@ -31,6 +31,14 @@ object RecommenderOps {
   /** Neighbors kept per item. */
   private val TopK = 5
 
+  /** q182 candidate pool: the most-popular parts considered as
+    * negatives (bounded by construction, broadcast).
+    */
+  private val PopPool = 50
+
+  /** q182 negatives kept per customer. */
+  private val NegK = 5
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_also_bought" -> ((s, d) => {
       val bought = Tables(s, d, "lineitem")
@@ -64,10 +72,60 @@ object RecommenderOps {
         // DuckDB's ROW_NUMBER is BIGINT, Spark's INT — align dtypes
         .select(col("item"), col("neighbor"), col("n12"), col("sim"),
           col("rk").cast("long").as("rk"))
+    }),
+
+    // q182 negative sampling (contrastive training data for a
+    // recommender): per customer, NegK deterministic non-purchased
+    // items from the PopPool most-popular parts. The candidate pool is
+    // bounded by construction (PopPool rows, broadcast), so the
+    // customers × pool expansion is linear in customers — never
+    // customers × catalog; membership removal is one anti-join against
+    // the purchase relation, and the per-customer pick is the md5-rank
+    // primitive (reproducible, no RNG state — the q50/q180 family).
+    "q182_negative_sample" -> ((s, d) => {
+      val bought = Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val pool = bought.groupBy(col("part"))
+        .agg(count(lit(1)).as("np"))
+        .orderBy(col("np").desc, col("part")).limit(PopPool)
+        .select(col("part").as("cand"))
+      val custs = Tables(s, d, "customer").select(col("c_custkey"))
+      val negatives = custs.crossJoin(broadcast(pool))
+        .join(bought, col("c_custkey") === col("cust")
+          && col("cand") === col("part"), "left_anti")
+      negatives.withColumn("rn", row_number().over(
+          Window.partitionBy(col("c_custkey")).orderBy(
+            md5(concat_ws("_", col("c_custkey"), col("cand"))),
+            col("cand"))))
+        .filter(col("rn") <= NegK)
+        .select(col("c_custkey"), col("cand").as("neg_part"),
+          col("rn").cast("long").as("rn"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q182_negative_sample" ->
+      s"""WITH bought AS (SELECT DISTINCT o_custkey AS cust,
+         |    l_partkey AS part
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |pool AS (SELECT part AS cand FROM (
+         |  SELECT part, COUNT(*) AS np FROM bought GROUP BY part
+         |  ORDER BY np DESC, part LIMIT $PopPool) z),
+         |neg AS (SELECT c_custkey, cand
+         |  FROM customer CROSS JOIN pool
+         |  WHERE NOT EXISTS (SELECT 1 FROM bought
+         |    WHERE bought.cust = customer.c_custkey
+         |      AND bought.part = pool.cand)),
+         |r AS (SELECT c_custkey, cand,
+         |  row_number() OVER (PARTITION BY c_custkey
+         |    ORDER BY md5(CAST(c_custkey AS VARCHAR) || '_'
+         |      || CAST(cand AS VARCHAR)), cand) AS rn
+         | FROM neg)
+         |SELECT c_custkey, cand AS neg_part, rn FROM r
+         |WHERE rn <= $NegK""".stripMargin,
     "q154_also_bought" ->
       s"""WITH bought AS (SELECT DISTINCT o.o_custkey AS cust,
          |                  l.l_partkey AS part

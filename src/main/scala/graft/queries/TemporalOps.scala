@@ -120,6 +120,36 @@ object TemporalOps {
             .as("filled"))
     }),
 
+    // q179 seasonal decomposition (STL-lite): daily series = trend
+    // (centered 7-day moving average, complete windows only) + weekday
+    // seasonal (mean detrended value per weekday class) + residual.
+    // Every mean that crosses rows reduces DECIMALLY (the sliding sum
+    // is an ordered frame, the seasonal sum an unordered decimal sum —
+    // both order-independent), so the decomposition hash-compares.
+    // Weekday classing stays internal: Spark numbers Sunday=1, DuckDB
+    // Sunday=0, but group MEMBERSHIP is identical. One corpus shuffle
+    // (the daily aggregation); all windows run on type×day rows.
+    "q179_seasonal_decompose" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(sum(col("value").cast(dec)).as("xd"))
+        .withColumn("x", col("xd").cast("double"))
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("trend",
+          when(count(lit(1)).over(w7) === 7,
+            round(sum(col("xd")).over(w7).cast("double") / 7, 6)))
+      val wSe = Window.partitionBy(col("event_type"), dayofweek(col("day")))
+      tr.withColumn("seasonal",
+          round(sum((col("x") - col("trend")).cast(DecimalType(18, 6)))
+            .over(wSe).cast("double") / count(col("trend")).over(wSe), 6))
+        .select(col("event_type"), col("day"), col("x"), col("trend"),
+          col("seasonal"),
+          round(col("x") - col("trend") - col("seasonal"), 6).as("residual"))
+    }),
+
     "q159_cusum" -> ((s, d) => {
       val daily = Tables(s, d, "events")
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -212,6 +242,27 @@ object TemporalOps {
          |    ELSE NULL END AS y,
          |  (x IS NULL AND px IS NOT NULL AND nx IS NOT NULL) AS filled
          |FROM w""".stripMargin,
+    "q179_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS xd
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, xd, CAST(xd AS DOUBLE) AS x
+        |  FROM daily),
+        |tr AS (SELECT event_type, day, x,
+        |  CASE WHEN COUNT(*) OVER w7 = 7 THEN
+        |    round(CAST(SUM(xd) OVER w7 AS DOUBLE) / 7, 6) END AS trend
+        | FROM d2
+        | WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT event_type, day, x, trend,
+        |  round(CAST(SUM(CAST(x - trend AS DECIMAL(18,6))) OVER wd
+        |      AS DOUBLE) / COUNT(trend) OVER wd, 6) AS seasonal
+        | FROM tr
+        | WINDOW wd AS (PARTITION BY event_type, dayofweek(day)))
+        |SELECT event_type, day, x, trend, seasonal,
+        |  round(x - trend - seasonal, 6) AS residual
+        |FROM se""".stripMargin,
     "q159_cusum" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |    SUM(CAST(value AS DECIMAL(18,4))) AS xd

@@ -92,6 +92,33 @@ object TrainingOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q181 per-user ML feature assembly (the feature-store build pass):
+    // event counts, active days, decimal-exact value moments, per-type
+    // pivot counts, and recency against the dataset horizon — ONE
+    // grouped pass over the corpus plus a 1-row horizon broadcast.
+    // Wide-row output, one row per user; every derived double divides
+    // decimal sums.
+    "q181_feature_matrix" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val mx = ev.agg(max(date_trunc("day", col("ts"))).as("horizon"))
+      def typeCount(t: String) =
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(date_trunc("day", col("ts"))).as("n_active_days"),
+          sum(col("value").cast("decimal(18,4)")).as("sv"),
+          max(date_trunc("day", col("ts"))).as("last_day"),
+          typeCount("click"), typeCount("view"), typeCount("purchase"),
+          typeCount("error"), typeCount("signup"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"), col("n_events"), col("n_active_days"),
+          round(col("sv").cast("double") / col("n_events"), 6)
+            .as("mean_value"),
+          datediff(col("horizon"), col("last_day")).as("recency_days"),
+          col("n_click"), col("n_view"), col("n_purchase"),
+          col("n_error"), col("n_signup"))
+    }),
+
     // Key-skew profile over lineitem's supplier key: the shuffle-safety
     // diagnostic. One corpus-sized aggregation; everything after runs on
     // TopKeys rows.
@@ -173,6 +200,30 @@ object TrainingOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q181_feature_matrix" ->
+      """WITH mx AS (SELECT max(date_trunc('day', ts)) AS horizon
+        |  FROM events),
+        |g AS (SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT date_trunc('day', ts)) AS n_active_days,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS sv,
+        |  max(date_trunc('day', ts)) AS last_day,
+        |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (event_type = 'view') AS n_view,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (event_type = 'error') AS n_error,
+        |  COUNT(*) FILTER (event_type = 'signup') AS n_signup
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, CAST(n_active_days AS BIGINT)
+        |    AS n_active_days,
+        |  round(CAST(sv AS DOUBLE) / n_events, 6) AS mean_value,
+        |  CAST(date_diff('day', last_day, horizon) AS INTEGER)
+        |    AS recency_days,
+        |  CAST(n_click AS BIGINT) AS n_click,
+        |  CAST(n_view AS BIGINT) AS n_view,
+        |  CAST(n_purchase AS BIGINT) AS n_purchase,
+        |  CAST(n_error AS BIGINT) AS n_error,
+        |  CAST(n_signup AS BIGINT) AS n_signup
+        |FROM g, mx""".stripMargin,
     "q145_split_leakage" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'

@@ -172,6 +172,61 @@ class BusinessOpsSpec extends SparkSpec {
     assert(planted("lineitem.partkey") == 0L)
   }
 
+  test("q180 weighted reservoir reproduces the Efraimidis-Spirakis pick") {
+    // replicate key = u^(1/w) with u from the doc's md5 exactly
+    val docs = (1L to 8L).map(i =>
+      (i, ("tok " * i.toInt).trim, "en", "s", 4 * i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = dirWith("documents" -> docs)
+    val got = graft.queries.CurationOps.queries("q180_weighted_reservoir")(
+      spark, d).collect().map(_.getLong(1)).toSet
+    def key(id: Long, w: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      math.pow(java.lang.Long.parseLong(hex, 16).toDouble / (1L << 60), 1.0 / w)
+    }
+    val want = (1L to 8L).map(i => i -> key(i, i.toInt))
+      .sortBy { case (id, k) => (-k, id) }.take(3).map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("q181 feature matrix matches a hand-computed user row") {
+    val ev = Seq(
+      (1L, ts(1, 0), 1L, "click", 2.0, "{}"),
+      (2L, ts(1, 30), 1L, "view", 4.0, "{}"),
+      (3L, ts(3, 0), 1L, "purchase", 6.0, "{}"),
+      (4L, ts(5, 0), 2L, "error", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = dirWith("events" -> ev)
+    val r = graft.queries.TrainingOps.queries("q181_feature_matrix")(
+      spark, d).collect().map(x => x.getLong(0) -> x).toMap
+    val u1 = r(1L)
+    assert(u1.getLong(1) == 3 && u1.getLong(2) == 2)   // events, days
+    assert(u1.getDouble(3) == 4.0)                     // mean value
+    assert(u1.getInt(4) == 2)                          // recency vs day 5
+    assert(u1.getLong(5) == 1 && u1.getLong(6) == 1 && u1.getLong(7) == 1)
+    assert(r(2L).getInt(4) == 0 && r(2L).getLong(8) == 1)
+  }
+
+  test("q182 negatives are unpurchased, capped, and deterministic") {
+    val q = graft.queries.RecommenderOps.queries("q182_negative_sample")
+    val a = q(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val b = q(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(a.toSet == b.toSet && a.nonEmpty)
+    val perCust = a.groupBy(_._1).values.map(_.size)
+    assert(perCust.max <= 5)
+    // no sampled pair may exist in the purchase relation
+    val bought = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    a.foreach { case (c, p, _) => assert(!bought((c, p))) }
+  }
+
   test("q175 overlap score grades contamination fractionally") {
     // probe doc 0 (id % 97 == 0) holds "a b c d"; doc 1 repeats it
     // exactly (overlap 1.0); doc 2 shares only the "a b c" shingle of

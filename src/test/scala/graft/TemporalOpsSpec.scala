@@ -81,6 +81,25 @@ class TemporalOpsSpec extends SparkSpec {
     assert(y(4) == null && !r(4).getBoolean(3))
   }
 
+  test("q179 decomposition: constant series has zero seasonal/residual") {
+    // one event of value 10 every day for 21 days: interior days get
+    // trend 10, seasonal 0, residual 0; the 3-day edges have no trend
+    val ev = (1 to 21).map(day => (day.toLong, ts(day), 1L, "t", 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = dirWith("events", ev)
+    val r = TemporalOps.queries("q179_seasonal_decompose")(spark, d)
+      .orderBy("day").collect()
+    assert(r.length == 21)
+    (0 until 21).foreach { i =>
+      if (i < 3 || i >= 18) assert(r(i).isNullAt(3))
+      else {
+        assert(r(i).getDouble(3) == 10.0)
+        assert(r(i).getDouble(4) == 0.0)
+        assert(r(i).getDouble(5) == 0.0)
+      }
+    }
+  }
+
   test("q159 cusum finds a planted mean shift at its boundary day") {
     // value 10/day for days 1-5, 20/day for days 6-10: |S| peaks at day5
     val ev = (1 to 10).map(day => (day.toLong, ts(day), 1L, "t",
