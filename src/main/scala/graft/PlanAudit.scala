@@ -59,7 +59,8 @@ object PlanAudit {
       "q172_concentration", "q175_overlap_score", "q176_asof_native",
       "q177_benford", "q178_fk_orphans",
       "q179_seasonal_decompose", "q180_weighted_reservoir",
-      "q181_feature_matrix", "q182_negative_sample")
+      "q181_feature_matrix", "q182_negative_sample",
+      "q183_variant_extract", "q184_readability", "q185_zipf_fit")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -23,6 +23,22 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           max(col("k")).as("max_k"))),
 
+    // q183 semi-structured columns via Spark 4's VARIANT type: props
+    // parses ONCE into the binary variant encoding (parse_json), typed
+    // paths extract with variant_get — the shredded-JSON path a 100 TB
+    // semi-structured pipeline takes instead of per-path string
+    // re-parsing (q15's shape). Oracle runs DuckDB's native JSON type
+    // over the same paths; the typed values agree exactly.
+    "q183_variant_extract" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "long").as("k"))
+        .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("decimal(18,0)")).cast("long").as("sum_k"))),
+
     // §2.10 batch form: tumbling 10-minute window counts per event type.
     // window() buckets align to the epoch, same as DuckDB's time_bucket
     // (whose origin 2000-01-03 00:00 is itself epoch-aligned for
@@ -157,6 +173,13 @@ object EventQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q183_variant_extract" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(json_extract(CAST(props AS JSON), '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, k % 10 AS k_mod, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM v GROUP BY event_type, k % 10""".stripMargin,
     "q150_time_weighted_avg" ->
       """WITH x AS (SELECT event_type, value,
         |  CAST(LEAD(epoch_us(ts), 1) OVER (PARTITION BY event_type

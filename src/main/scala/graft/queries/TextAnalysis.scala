@@ -52,6 +52,65 @@ object TextAnalysis {
           col("deflate_bytes").cast("double") / col("orig_bytes"), 6))
     }),
 
+    // q184 readability scoring (Flesch-reading-ease form): words from
+    // whitespace tokens, sentences from [.!?] runs (min 1), syllables
+    // approximated as vowel-group runs — all regexp counts that parse
+    // identically under Java regex and RE2. The score evaluates as ONE
+    // exact integer numerator (the Flesch constants ×1000) over one
+    // double division — float-chained subtraction landed on a
+    // round-half knife edge at sf0.1, integer-exact arithmetic cannot.
+    // Narrow map pass, zero corpus shuffles — the quality-scoring
+    // family (q28) extended with the classic readability screen.
+    "q184_readability" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("sentences"),
+          greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")),
+            lit(1)).cast("long").as("syllables"))
+        .select(col("doc_id"), col("words"), col("sentences"),
+          col("syllables"),
+          round((lit(206835L) * col("sentences") * col("words")
+            - lit(1015L) * col("words") * col("words")
+            - lit(84600L) * col("syllables") * col("sentences"))
+            .cast("double")
+            / (lit(1000.0) * col("sentences") * col("words")), 6)
+            .as("flesch"))),
+
+    // q185 Zipf's-law fit: log-log OLS of count against frequency rank
+    // over the top-100 words — the corpus-statistics sanity check (a
+    // natural corpus slopes near -1; synthetic/templated text drifts).
+    // The word count is q0's shuffle; the rank window runs over the
+    // TOP-100 rows (bounded), and every OLS moment reduces decimally
+    // before the closed-form doubles, so the fit hash-compares.
+    "q185_zipf_fit" -> ((s, d) => {
+      val counts = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val top = counts.orderBy(col("n").desc, col("word")).limit(100)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("word"))))
+      val m = top.select(log(col("rank").cast("double")).as("lx"),
+          log(col("n").cast("double")).as("ly"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("lx").cast("decimal(28,10)")).cast("double").as("sx"),
+          sum(col("ly").cast("decimal(28,10)")).cast("double").as("sy"),
+          sum((col("lx") * col("lx")).cast("decimal(28,10)"))
+            .cast("double").as("sxx"),
+          sum((col("lx") * col("ly")).cast("decimal(28,10)"))
+            .cast("double").as("sxy"))
+      m.select(col("k").as("n_words"),
+        round((col("sxy") - col("sx") * col("sy") / col("k"))
+          / (col("sxx") - col("sx") * col("sx") / col("k")), 6)
+          .as("slope"),
+        round((col("sy") - (col("sxy") - col("sx") * col("sy") / col("k"))
+          / (col("sxx") - col("sx") * col("sx") / col("k")) * col("sx"))
+          / col("k"), 6).as("intercept"))
+    }),
+
     // Language-ID by stopword-marker frequency (n-gram-free heuristic):
     // score each candidate language by marker-token occurrences, pick the
     // argmax with a fixed precedence; confusion matrix vs the labeled
@@ -332,6 +391,40 @@ object TextAnalysis {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    "q184_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS sentences,
+        |    CAST(greatest(len(regexp_extract_all(lower(text),
+        |      '[aeiouy]+')), 1) AS BIGINT) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, words, sentences, syllables,
+        |  round(CAST(206835 * sentences * words - 1015 * words * words
+        |      - 84600 * syllables * sentences AS DOUBLE)
+        |    / (1000.0 * sentences * words), 6) AS flesch
+        |FROM c""".stripMargin,
+    "q185_zipf_fit" ->
+      """WITH counts AS (SELECT word, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, word)
+        |    AS rank
+        |  FROM counts ORDER BY n DESC, word LIMIT 100),
+        |l AS (SELECT ln(CAST(rank AS DOUBLE)) AS lx,
+        |    ln(CAST(n AS DOUBLE)) AS ly FROM top),
+        |m AS (SELECT COUNT(*) AS k,
+        |  CAST(SUM(CAST(lx AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(ly AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(lx * lx AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(lx * ly AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        | FROM l)
+        |SELECT k AS n_words,
+        |  round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS slope,
+        |  round((sy - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx)
+        |    / k, 6) AS intercept
+        |FROM m""".stripMargin,
     "q27_lang_id" ->
       s"""WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
          |sc AS (SELECT lang,

@@ -227,6 +227,58 @@ class BusinessOpsSpec extends SparkSpec {
     a.foreach { case (c, p, _) => assert(!bought((c, p))) }
   }
 
+  test("q183 variant extraction types the JSON path exactly") {
+    val ev = Seq(
+      (1L, ts(1, 0), 1L, "click", 1.0, """{"k": 7}"""),
+      (2L, ts(1, 1), 1L, "click", 1.0, """{"k": 17}"""),
+      (3L, ts(1, 2), 1L, "view", 1.0, """{"k": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = dirWith("events" -> ev)
+    val got = graft.queries.EventQueries.queries("q183_variant_extract")(
+      spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("click", 7L, 2L, 24L), ("view", 3L, 1L, 3L)))
+  }
+
+  test("q184 flesch matches the integer-exact hand computation") {
+    // "one two three. four five!" → words 5, sentences 2, syllables:
+    // o|e, o, ee, ou, i|e → 7 vowel groups
+    val docs = Seq((1L, "one two three. four five!", "en", "s", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = dirWith("documents" -> docs)
+    val r = graft.queries.TextAnalysis.queries("q184_readability")(
+      spark, d).collect().head
+    assert(r.getLong(1) == 5 && r.getLong(2) == 2 && r.getLong(3) == 7)
+    val expect = BigDecimal(
+      (206835L * 2 * 5 - 1015L * 5 * 5 - 84600L * 7 * 2).toDouble
+        / (1000.0 * 2 * 5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == expect)
+  }
+
+  test("q185 zipf fit recovers the slope of an exact power law") {
+    // counts 8,4,2,1 at ranks 1..4: ln n = ln 8 - (ln 2 / ?) ... compute
+    // the OLS closed form directly and compare
+    val words = Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++
+      Seq.fill(2)("cc") ++ Seq.fill(1)("dd")
+    val docs = Seq((1L, words.mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = dirWith("documents" -> docs)
+    val r = graft.queries.TextAnalysis.queries("q185_zipf_fit")(
+      spark, d).collect().head
+    assert(r.getLong(0) == 4)
+    val xs = (1 to 4).map(i => math.log(i.toDouble))
+    val ys = Seq(8, 4, 2, 1).map(n => math.log(n.toDouble))
+    val k = 4.0
+    val sx = xs.sum; val sy = ys.sum
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-5)
+    assert(r.getDouble(1) < -0.8) // steeper than -0.8: power-law-ish
+  }
+
   test("q175 overlap score grades contamination fractionally") {
     // probe doc 0 (id % 97 == 0) holds "a b c d"; doc 1 repeats it
     // exactly (overlap 1.0); doc 2 shares only the "a b c" shingle of
