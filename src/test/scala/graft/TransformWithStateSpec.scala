@@ -45,6 +45,47 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close sessions exactly once at the watermark") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      val stream = MemoryStream[(Long, Timestamp)]
+      val withWm = stream.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp)]
+      val out = graft.streaming.SessionTimers
+        .closedSessions(withWm, gapMs = 60000L)
+      val q = out.toDF("user_id", "n_events", "session_end")
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // user 1: two events 10s apart; user 2: one event
+        stream.addData(Seq((1L, ts(0)), (2L, ts(5)), (1L, ts(10))))
+        q.processAllAvailable()
+        assert(spark.table("tws_sessions").count() == 0) // nothing closed
+        // an unrelated late-window event pushes the watermark past both
+        // deadlines (10s + 60s and 5s + 60s)
+        stream.addData(Seq((9L, ts(300))))
+        q.processAllAvailable()
+        // one more batch so the timer firing is fully drained
+        stream.addData(Seq((9L, ts(301))))
+        q.processAllAvailable()
+        val got = spark.table("tws_sessions").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+        assert(got == Set((1L, 2L, ts(10)), (2L, 1L, ts(5))))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
   test("final emissions equal the batch groupBy twin on driver data") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption(ProviderKey)
