@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned-table layout: snapshot isolation + time travel on
+  * plain parquet, the transaction-log idea (Delta/Iceberg's core) cut to
+  * its essentials:
+  *
+  * ```
+  * root/
+  *   data/v=N/part-*.parquet   one immutable directory per version
+  *   _commits/N                commit marker — a version EXISTS only
+  *                             once its marker does
+  * ```
+  *
+  * `write` stages the new snapshot directory FIRST and creates the
+  * commit marker LAST with `create(overwrite = false)` — the atomic
+  * claim. A crashed writer leaves an orphan data directory that no
+  * reader ever sees (readers resolve versions from markers only), and
+  * two racing writers targeting the same version cannot both win the
+  * marker. `read` with no version resolves the newest committed one;
+  * `read(v)` is time travel. The same recipe IdempotentSink uses for
+  * streaming batches, lifted to table snapshots — and on a real
+  * cluster the Path API targets HDFS/S3A unchanged.
+  *
+  * This intentionally stops short of a full log (no schema evolution
+  * journal, no compaction of manifests): VersionedTableSpec pins the
+  * contract that matters — isolation, time travel, atomicity.
+  */
+object VersionedTable {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed version numbers, ascending (empty for a fresh root). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(root, "_commits")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName.toLong).sorted.toSeq
+  }
+
+  /** Write `df` as the next version; returns the committed version. */
+  def write(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
+    val dataDir = new Path(root, s"data/v=$next")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val marker = new Path(root, s"_commits/$next")
+    val f = fs(spark, root)
+    f.mkdirs(marker.getParent)
+    // atomic claim: create(overwrite = false) throws if the version was
+    // committed concurrently — the staged directory is then abandoned
+    val out = f.create(marker, false)
+    out.close()
+    next
+  }
+
+  /** Read a committed version (default: the newest). */
+  def read(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val committed = versions(spark, root)
+    require(committed.nonEmpty, s"no committed versions under $root")
+    val v = version match {
+      case Some(x) =>
+        require(committed.contains(x),
+          s"version $x not committed (have ${committed.mkString(",")})")
+        x
+      case None => committed.last
+    }
+    spark.read.parquet(new Path(root, s"data/v=$v").toString)
+  }
+}

@@ -313,6 +313,24 @@ object WarehouseOps {
           .reduce(_ unionByName _)
       }),
 
+      // rows-only: snapshot-isolation layout (operators.VersionedTable)
+      // — v1 holds the even docs, v2 the full corpus; the report reads
+      // BOTH versions back (time travel) and the crashed-writer
+      // invisibility contract is pinned in VersionedTableSpec.
+      "layout_timetravel" -> ((s, d) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_vt").toString
+        val docs = Tables(s, d, "documents")
+        graft.operators.VersionedTable.write(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), root)
+        graft.operators.VersionedTable.write(docs, root)
+        Seq(
+          ("v1", graft.operators.VersionedTable
+            .read(s, root, Some(1L)).count()),
+          ("latest", graft.operators.VersionedTable.read(s, root).count()))
+          .toDF("snapshot", "n_docs")
+      }),
+
       "layout_compact" -> ((s, d) => {
         val base = Files.createTempDirectory("graft_compact").toString
         Tables(s, d, "documents").repartition(64)

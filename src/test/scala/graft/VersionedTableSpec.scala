@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.operators.VersionedTable
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-vt").toString
+
+  test("snapshots commit in order and time travel reads any of them") {
+    val root = freshRoot()
+    val v1 = VersionedTable.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    val v2 = VersionedTable.write(Seq((1, "a2"), (3, "c")).toDF("k", "v"), root)
+    assert(v1 == 1L && v2 == 2L)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    val latest = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(latest == Set((1, "a2"), (3, "c")))
+    val old = VersionedTable.read(spark, root, Some(1L)).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(old == Set((1, "a"), (2, "b")))
+  }
+
+  test("an uncommitted (crashed) snapshot is invisible to readers") {
+    val root = freshRoot()
+    VersionedTable.write(Seq((1, "a")).toDF("k", "v"), root)
+    // simulate a writer that crashed after staging data, before commit
+    Seq((9, "ghost")).toDF("k", "v")
+      .write.parquet(new Path(root, "data/v=2").toString)
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    val latest = VersionedTable.read(spark, root).collect()
+      .map(_.getInt(0)).toSet
+    assert(latest == Set(1))
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(2L))
+    }
+  }
+
+  test("the commit-marker claim is exclusive (the atomicity primitive)") {
+    val root = freshRoot()
+    VersionedTable.write(Seq((1, "a")).toDF("k", "v"), root)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a second create(overwrite = false) on the same marker must throw —
+    // this is exactly the call a racing writer loses on
+    intercept[Exception] {
+      fs.create(new Path(root, "_commits/1"), false).close()
+    }
+  }
+
+  test("read on an empty root fails loudly, not with empty data") {
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, freshRoot())
+    }
+  }
+}
