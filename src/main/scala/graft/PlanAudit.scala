@@ -60,7 +60,8 @@ object PlanAudit {
       "q177_benford", "q178_fk_orphans",
       "q179_seasonal_decompose", "q180_weighted_reservoir",
       "q181_feature_matrix", "q182_negative_sample",
-      "q183_variant_extract", "q184_readability", "q185_zipf_fit")
+      "q183_variant_extract", "q184_readability", "q185_zipf_fit",
+      "mm_video_neardup", "layout_timetravel")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

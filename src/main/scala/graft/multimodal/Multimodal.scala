@@ -348,7 +348,14 @@ object Multimodal {
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }
     if (img == null) None
-    else {
+    else Some(dHashOf(img))
+  }
+
+  /** dHash of an already-decoded frame — shared by the image hash above
+    * and the per-frame video fold below.
+    */
+  private[graft] def dHashOf(img: BufferedImage): Long = {
+    {
       val gw = 9; val gh = 8
       val w = img.getWidth; val h = img.getHeight
       val cellSum = new Array[Double](gw * gh)
@@ -381,12 +388,79 @@ object Multimodal {
         }
         cy += 1
       }
-      Some(sig)
+      sig
     }
   }
 
   private[graft] val imageDHashUdf =
     udf((b: Array[Byte]) => imageDHash(b))
+
+  /** 64-bit video content hash: dHash every frame of the REAL
+    * multi-frame decode, then fold per bit by MAJORITY across frames
+    * (ties → 0) — a one-frame edit moves at most the few bits whose
+    * frame votes were balanced, while unrelated clips land ~32 apart.
+    * None for undecodable or zero-frame payloads.
+    */
+  private[graft] def videoContentHash(bytes: Array[Byte]): Option[Long] =
+    readVideoFrames(bytes).map { frames =>
+      val hashes = frames.map(dHashOf)
+      val n = hashes.length
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        var c = 0
+        hashes.foreach { h => if (((h >>> b) & 1L) == 1L) c += 1 }
+        if (c * 2 > n) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+  private[graft] val videoContentHashUdf =
+    udf((b: Array[Byte]) => videoContentHash(b))
+
+  /** Deterministic TEXTURED animated GIF: every pixel of every frame is
+    * id-and-position-seeded pseudo-noise, so frame dHash bits are iid
+    * and unrelated clips hash far apart (the two-band [[syntheticGif]]
+    * frames carry too little gradient entropy to fingerprint). The
+    * near-dup variant whitens one corner pixel of frame 0 — "same clip,
+    * one-frame edit".
+    */
+  private[graft] def syntheticTexturedGif(id: Long, edit: Boolean = false,
+      frames: Int = 4, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = (mixIdSeg(id, f * 65536 + y * 256 + x) & 0xff).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      if (edit && f == 0) img.setRGB(0, 0, 0xFFFFFF)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  private[graft] val syntheticTexturedGifUdf =
+    udf((id: Long) => syntheticTexturedGif(id))
+  private[graft] val syntheticTexturedGifNearUdf =
+    udf((id: Long) => syntheticTexturedGif(id, edit = true))
 
   /** A NEAR-duplicate of [[syntheticPng]]: identical except one corner
     * pixel forced to a fixed color — the "same image, one-pixel edit"

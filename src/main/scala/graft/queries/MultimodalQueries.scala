@@ -88,6 +88,34 @@ object MultimodalQueries {
           col("hamming"))
     }),
 
+    // Video near-dup: per-frame dHash over the REAL multi-frame decode,
+    // majority-folded into one 64-bit clip signature, then the shared
+    // hamming-band bucket join — completing the image/audio/video
+    // near-dup triad. Clip payloads are id-seeded TEXTURED GIFs (the
+    // flat two-band frames of the decode-stats fixtures carry too
+    // little gradient entropy to fingerprint); every 10th clip gains a
+    // one-frame-edited twin that must land within hamming 4 while
+    // unrelated clips sit near 32.
+    "mm_video_neardup" -> ((s, d) => {
+      val ids = Multimodal.syntheticAssets(s, d)
+        .filter(col("kind") === "video")
+        .select(col("asset_id"))
+      val originals = ids
+        .select(col("asset_id"),
+          Multimodal.syntheticTexturedGifUdf(col("asset_id")).as("bytes"))
+      val planted = ids.filter(pmod(col("asset_id"), lit(10)) === 2)
+        .select((col("asset_id") + lit(NearDupIdOffset)).as("asset_id"),
+          Multimodal.syntheticTexturedGifNearUdf(col("asset_id"))
+            .as("bytes"))
+      val sigs = originals.unionByName(planted)
+        .select(col("asset_id").as("doc_id"),
+          Multimodal.videoContentHashUdf(col("bytes")).as("sig"))
+        .filter(col("sig").isNotNull)
+      DedupQueries.hammingBandPairs(sigs, maxHamming = 4)
+        .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+          col("hamming"))
+    }),
+
     // Video scene-change detection: per-frame 4×4 grid lumas over the
     // REAL multi-frame decode, cuts where the mean absolute cell delta
     // exceeds the threshold. Narrow per-partition decode, no shuffle;

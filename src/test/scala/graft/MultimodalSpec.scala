@@ -400,6 +400,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video content hash separates edits from unrelated clips") {
+    (1L to 6L).foreach { id =>
+      val full = Multimodal.videoContentHash(
+        Multimodal.syntheticTexturedGif(id)).get
+      val edited = Multimodal.videoContentHash(
+        Multimodal.syntheticTexturedGif(id, edit = true)).get
+      assert(java.lang.Long.bitCount(full ^ edited) <= 4,
+        s"one-frame edit moved id $id too far")
+    }
+    val sigs = (1L to 6L).map(id =>
+      Multimodal.videoContentHash(Multimodal.syntheticTexturedGif(id)).get)
+    for (i <- sigs.indices; j <- sigs.indices if i < j) {
+      val hm = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+      assert(hm > 10, s"clips $i/$j too close: hamming $hm")
+    }
+  }
+
+  test("video near-dup query catches exactly the planted clip twins") {
+    val got = queries.MultimodalQueries.queries("mm_video_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val off = queries.MultimodalQueries.NearDupIdOffset
+    val planted = assets.filter(col("kind") === "video")
+      .filter(pmod(col("asset_id"), lit(10)) === 2)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    assert(got.map(p => (p._1, p._2)).toSet ==
+      planted.map(id => (id, id + off)))
+    got.foreach { case (_, _, hm) => assert(hm <= 4) }
+  }
+
   test("audio near-dup query catches exactly the planted melody twins") {
     val got = queries.MultimodalQueries.queries("mm_audio_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
