@@ -61,7 +61,8 @@ object PlanAudit {
       "q179_seasonal_decompose", "q180_weighted_reservoir",
       "q181_feature_matrix", "q182_negative_sample",
       "q183_variant_extract", "q184_readability", "q185_zipf_fit",
-      "mm_video_neardup", "layout_timetravel")
+      "mm_video_neardup", "layout_timetravel",
+      "q186_mann_whitney", "q187_spearman")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

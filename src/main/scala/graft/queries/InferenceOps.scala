@@ -37,6 +37,73 @@ object InferenceOps {
   private val Lags = Seq(1, 2, 3)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q186 Mann-Whitney U (the nonparametric twin of q136's t-test):
+    // ranks come from a per-type row_number with unique tiebreaks, tied
+    // VALUES then share their mean rank — which is always .0 or .5
+    // (consecutive integers), so the DECIMAL(18,2) rank sums are exact
+    // and the U statistic hash-compares. One rank window + one grouped
+    // pass; the normal approximation's z is one rounded division.
+    "q186_mann_whitney" -> ((s, d) => {
+      val armA = col("user_id") % 2 === 0
+      val rn = Tables(s, d, "events")
+        .select(col("event_type"), col("value"), armA.as("arm_a"),
+          col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("value"), col("event_id"))))
+      val mr = rn.withColumn("mean_rank",
+        avg(col("rn").cast(DecimalType(18, 2))).over(
+          Window.partitionBy(col("event_type"), col("value")))
+          .cast(DecimalType(18, 2)))
+      mr.groupBy(col("event_type"))
+        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm_a"), 0L).otherwise(1L)).as("nb"),
+          sum(when(col("arm_a"), col("mean_rank"))).cast("double").as("ra"))
+        .select(col("event_type"), col("na"), col("nb"),
+          round(col("ra") - col("na") * (col("na") + lit(1.0)) / 2, 2)
+            .as("u_stat"),
+          round((col("ra") - col("na") * (col("na") + lit(1.0)) / 2
+            - col("na") * col("nb") / lit(2.0))
+            / sqrt(col("na") * col("nb")
+              * (col("na") + col("nb") + lit(1.0)) / 12), 6).as("z"))
+    }),
+
+    // q187 Spearman rank correlation per return flag: Pearson over the
+    // two columns' mean ranks (same .0/.5-exact rank discipline as
+    // q186), moments reduced decimally — the monotone-association
+    // screen next to q126's linear correlations.
+    "q187_spearman" -> ((s, d) => {
+      val rn = Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("f"), col("l_quantity").as("q"),
+          col("l_extendedprice").as("p"), col("l_orderkey"),
+          col("l_linenumber"))
+        .withColumn("rnq", row_number().over(
+          Window.partitionBy(col("f"))
+            .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("rnp", row_number().over(
+          Window.partitionBy(col("f"))
+            .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))))
+      val r = rn.select(col("f"),
+        avg(col("rnq").cast(DecimalType(18, 2))).over(
+          Window.partitionBy(col("f"), col("q")))
+          .cast(DecimalType(18, 2)).as("rq"),
+        avg(col("rnp").cast(DecimalType(18, 2))).over(
+          Window.partitionBy(col("f"), col("p")))
+          .cast(DecimalType(18, 2)).as("rp"))
+      r.groupBy(col("f"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rq")).cast("double").as("sx"),
+          sum(col("rp")).cast("double").as("sy"),
+          sum(col("rq") * col("rq")).cast("double").as("sxx"),
+          sum(col("rp") * col("rp")).cast("double").as("syy"),
+          sum(col("rq") * col("rp")).cast("double").as("sxy"))
+        .select(col("f").as("l_returnflag"), col("n"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              * (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+            .as("spearman"))
+    }),
+
     "q136_welch_ttest" -> ((s, d) => {
       val a = col("user_id") % 2 === 0
       def csum(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
@@ -151,6 +218,54 @@ object InferenceOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q186_mann_whitney" ->
+      """WITH e AS (SELECT event_type, value, user_id % 2 = 0 AS arm_a,
+        |    event_id FROM events),
+        |rn AS (SELECT event_type, value, arm_a,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS rn FROM e),
+        |mr AS (SELECT event_type, arm_a,
+        |  CAST(AVG(CAST(rn AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY event_type, value) AS DECIMAL(18,2))
+        |    AS mean_rank
+        | FROM rn),
+        |g AS (SELECT event_type,
+        |  COUNT(*) FILTER (arm_a) AS na,
+        |  COUNT(*) FILTER (NOT arm_a) AS nb,
+        |  CAST(SUM(mean_rank) FILTER (arm_a) AS DOUBLE) AS ra
+        | FROM mr GROUP BY event_type)
+        |SELECT event_type, CAST(na AS BIGINT) AS na,
+        |  CAST(nb AS BIGINT) AS nb,
+        |  round(ra - na * (na + 1.0) / 2, 2) AS u_stat,
+        |  round((ra - na * (na + 1.0) / 2 - na * nb / 2.0)
+        |    / sqrt(na * nb * (na + nb + 1.0) / 12), 6) AS z
+        |FROM g""".stripMargin,
+    "q187_spearman" ->
+      """WITH t AS (SELECT l_returnflag AS f, l_quantity AS q,
+        |    l_extendedprice AS p, l_orderkey, l_linenumber FROM lineitem),
+        |rn AS (SELECT f, q, p,
+        |  row_number() OVER (PARTITION BY f
+        |    ORDER BY q, l_orderkey, l_linenumber) AS rnq,
+        |  row_number() OVER (PARTITION BY f
+        |    ORDER BY p, l_orderkey, l_linenumber) AS rnp
+        | FROM t),
+        |r AS (SELECT f,
+        |  CAST(AVG(CAST(rnq AS DECIMAL(18,2))) OVER (PARTITION BY f, q)
+        |    AS DECIMAL(18,2)) AS rq,
+        |  CAST(AVG(CAST(rnp AS DECIMAL(18,2))) OVER (PARTITION BY f, p)
+        |    AS DECIMAL(18,2)) AS rp
+        | FROM rn),
+        |m AS (SELECT f, COUNT(*) AS n,
+        |  CAST(SUM(rq) AS DOUBLE) AS sx, CAST(SUM(rp) AS DOUBLE) AS sy,
+        |  CAST(SUM(rq * rq) AS DOUBLE) AS sxx,
+        |  CAST(SUM(rp * rp) AS DOUBLE) AS syy,
+        |  CAST(SUM(rq * rp) AS DOUBLE) AS sxy
+        | FROM r GROUP BY f)
+        |SELECT f AS l_returnflag, n,
+        |  round((sxy - sx * sy / n)
+        |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+        |    AS spearman
+        |FROM m""".stripMargin,
     "q136_welch_ttest" ->
       """WITH g AS (SELECT event_type,
         |  COUNT(*) FILTER (user_id % 2 = 0) AS n1,

@@ -133,6 +133,38 @@ class InferenceSpec extends SparkSpec {
     assert(r.head.getDouble(3) == 15.0)
   }
 
+  test("mann-whitney U matches the hand computation with tied ranks") {
+    // arm A (even users): values 1, 3; arm B (odd): 2, 3
+    // ranks by value: 1→1, 2→2, 3 and 3 tie at ranks 3,4 → mean 3.5
+    // ra = 1 + 3.5 = 4.5; U = 4.5 - 2·3/2 = 1.5
+    val ev = Seq((2L, "a", 1.0, 1L), (4L, "a", 3.0, 2L),
+      (1L, "a", 2.0, 3L), (3L, "a", 3.0, 4L))
+      .toDF("user_id", "event_type", "value", "event_id")
+    val d = eventsDir(ev)
+    val r = InferenceOps.queries("q186_mann_whitney")(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 2 && r.head.getLong(2) == 2)
+    assert(r.head.getDouble(3) == 1.5)
+    val z = (4.5 - 3.0 - 2.0) / math.sqrt(2.0 * 2 * 5 / 12)
+    assert(r.head.getDouble(4) == BigDecimal(z)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("spearman is exactly 1 on a perfectly monotone relation") {
+    val li = Seq((1L, 1, 1.0, 10.0), (1L, 2, 2.0, 20.0),
+      (1L, 3, 3.0, 30.0), (1L, 4, 4.0, 40.0))
+      .map { case (ok, ln, q, p) => (ok, 1L, 1L, ln, q, p, 0.0, 0.0,
+        "A", "F", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sp").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = InferenceOps.queries("q187_spearman")(spark, dir).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 4)
+    assert(r.head.getDouble(2) == 1.0)
+  }
+
   test("autocorrelation on real data stays in [-1, 1] with per-lag pair counts") {
     val daily = Tables(spark, sf, "events")
       .groupBy(col("event_type"), date_trunc("day", col("ts"))).count()
