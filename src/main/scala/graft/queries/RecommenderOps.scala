@@ -46,19 +46,25 @@ object RecommenderOps {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .distinct()
-      // item popularity rides each row as a window count BEFORE the
-      // self-join, so no popularity join revisits the purchase relation
-      // afterwards — the pair aggregation carries n1/n2 through its own
-      // (functionally dependent) grouping keys
-      val withN = bought.withColumn("n",
-        count(lit(1)).over(Window.partitionBy(col("part"))))
-      val scored = withN.as("a").join(withN.as("b"),
+      // item popularity is a map-side-combined one-row-per-item count,
+      // BROADCAST onto the support-filtered pair table. Measured EQUAL
+      // to the previous window-count form at sf0.1 (5.9 vs 6.0 s — the
+      // pair shuffle dominates both); chosen for the 100× shape: the
+      // window form full-sorts the purchase relation by part, making a
+      // hub item one giant sort group, while this count stays partial-
+      // aggregated and the pair shuffle carries two fewer columns
+      val popularity = bought.groupBy(col("part")).agg(count(lit(1)).as("n"))
+      val pairs = bought.as("a").join(bought.as("b"),
           col("a.cust") === col("b.cust")
             && col("a.part") < col("b.part"))
-        .groupBy(col("a.part").as("p1"), col("b.part").as("p2"),
-          col("a.n").as("n1"), col("b.n").as("n2"))
+        .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
         .agg(count(lit(1)).as("n12"))
         .filter(col("n12") >= MinSupport)
+      val scored = pairs
+        .join(broadcast(popularity.select(col("part").as("p1"),
+          col("n").as("n1"))), "p1")
+        .join(broadcast(popularity.select(col("part").as("p2"),
+          col("n").as("n2"))), "p2")
         .select(col("p1"), col("p2"), col("n12"),
           round(col("n12") / sqrt(col("n1") * col("n2")), 6).as("sim"))
       // both orientations so every item ranks its own neighbors
