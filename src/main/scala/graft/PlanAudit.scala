@@ -62,7 +62,10 @@ object PlanAudit {
       "q181_feature_matrix", "q182_negative_sample",
       "q183_variant_extract", "q184_readability", "q185_zipf_fit",
       "mm_video_neardup", "layout_timetravel",
-      "q186_mann_whitney", "q187_spearman")
+      "q186_mann_whitney", "q187_spearman",
+      "q188_ks_test", "q189_naive_bayes", "q190_pmi_collocations",
+      "q191_clustering_coeff", "q192_kcore", "q193_mv_join_maintain",
+      "q194_pattern_match")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
@@ -106,5 +109,8 @@ object PlanAudit {
     "q155_survival" -> "1-row dataset-horizon broadcast",
     "q156_interpolate" -> "1-row calendar-span broadcast",
     "q161_hits" -> "1-row score-normalizer broadcasts",
-    "q165_rfm" -> "1-row recency-horizon broadcast")
+    "q165_rfm" -> "1-row recency-horizon broadcast",
+    // the |classes|-row (≤5) model-constants grid attached to each test
+    // doc — bounded metadata, the q161 normalizer pattern one row wider
+    "q189_naive_bayes" -> "|classes|-row model-constant grid broadcast")
 }

@@ -32,7 +32,7 @@ object SparkEntry {
       SurfaceCompletions.queries ++ MatrixOps.queries ++
       BehaviorOps.queries ++ MiningOps.queries ++ StringSimOps.queries ++
       InferenceOps.queries ++ RecommenderOps.queries ++
-      TemporalOps.queries ++ BusinessOps.queries
+      TemporalOps.queries ++ BusinessOps.queries ++ ClassifyOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -49,5 +49,5 @@ object SparkEntry {
       SurfaceCompletions.oracle ++ MatrixOps.oracle ++
       BehaviorOps.oracle ++ MiningOps.oracle ++ StringSimOps.oracle ++
       InferenceOps.oracle ++ RecommenderOps.oracle ++
-      TemporalOps.oracle ++ BusinessOps.oracle
+      TemporalOps.oracle ++ BusinessOps.oracle ++ ClassifyOps.oracle
 }

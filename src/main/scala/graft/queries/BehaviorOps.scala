@@ -40,7 +40,36 @@ object BehaviorOps {
       "q152_event_paths" -> ((s, d) => eventPaths(s, d)),
       "q157_attribution" -> ((s, d) => attribution(s, d)),
       "q162_debounce" -> ((s, d) => debounce(s, d)),
-      "q164_conversion_lag" -> ((s, d) => conversionLag(s, d)))
+      "q164_conversion_lag" -> ((s, d) => conversionLag(s, d)),
+      "q194_pattern_match" -> ((s, d) => patternMatch(s, d)))
+
+  /** q194 MATCH_RECOGNIZE-lite sequence pattern matching: count, per
+    * user, non-overlapping occurrences of the journey pattern
+    * view → (click|error)* → purchase over the time-ordered event
+    * stream. The per-user event-type string is built SHUFFLE-SAFELY —
+    * collect_list is order-nondeterministic across merges, so the list
+    * carries (ts, event_id, code) structs and array_sort fixes the
+    * order after collection — then one regexp_extract_all pass scans
+    * it (leftmost, non-overlapping in both engines' regex semantics).
+    * One shuffle on user_id; per-user state is that user's event
+    * count (the sessionization boundedness argument). The regex-over-
+    * codes trick is how sequence patterns compile onto engines without
+    * native MATCH_RECOGNIZE; q131's funnel is the fixed-3-stage
+    * special case.
+    */
+  def patternMatch(s: SparkSession, d: String): DataFrame = {
+    val code = expr("substring(event_type, 1, 1)") // c/s/e/v/p — unique
+    Tables(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), code.as("c"))
+      .groupBy(col("user_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, c)))," +
+          " x -> x.c)"), "").as("seq"))
+      .select(col("user_id"), length(col("seq")).as("n_events"),
+        size(regexp_extract_all(col("seq"), lit("v[ce]*p"), lit(0)))
+          .as("n_conversions"))
+      .filter(col("n_conversions") > 0)
+  }
 
   /** q152 path mining: the 10 most common 3-step event-type sequences
     * across user journeys — q133's transition matrix extended to third
@@ -292,6 +321,16 @@ object BehaviorOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q194_pattern_match" ->
+      """WITH seqs AS (SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(seq) AS INTEGER) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[ce]*p'))
+        |    AS INTEGER) AS n_conversions
+        |FROM seqs
+        |WHERE len(regexp_extract_all(seq, 'v[ce]*p')) > 0""".stripMargin,
     "q162_debounce" ->
       """WITH w AS (SELECT event_type,
         |  epoch_us(ts) AS us,

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed supervised classification (SURVEY.md §2.11 [EXT]) — the
+  * label-model layer of a curation pipeline (reference scope: the
+  * MapReduce contract makes count-based training expressible as grouped
+  * aggregation, `Worker/worker_v1.py:133` keys; model scoring is a
+  * broadcast-join map — see SURVEY §2.11):
+  *
+  *  - q189 multinomial Naive Bayes language ID: TRAIN on 4/5 of the
+  *    corpus (doc_id % 5 != 0) by pure counting — class priors, per-class
+  *    token totals, per-(class, word) counts, all ONE grouped pass each,
+  *    map-side combinable, model size = vocabulary × classes (bounded
+  *    metadata, broadcastable). CLASSIFY the held-out fifth with add-one
+  *    smoothing via the decomposition
+  *      score(d, c) = ln docs_c + Σ_w tf_w·ln(cwc+1) − len_d·ln(tok_c+V)
+  *    so unseen-in-class words never need a row: the Σ term inner-joins
+  *    test term frequencies with the model on `w`, and the len·ln() term
+  *    rides the 5-row class grid. All log terms are rounded to integer
+  *    MICROS and summed as Longs — order-independent exact arithmetic, so
+  *    the DuckDB oracle hash-compares the confusion matrix (the q85
+  *    decimal-discipline idea applied to log-likelihoods). The learned
+  *    model complements q27's fixed n-gram heuristic.
+  *
+  * Scale: training is two grouped counts over the corpus (the word-count
+  * shape); the model is vocabulary-bounded and the scoring join is
+  * test-corpus × matched-vocab — no all-pairs anywhere. The 5-row class
+  * grid is an intentional broadcast nested loop over bounded metadata
+  * (PlanAudit-justified, the q161 normalizer pattern).
+  */
+object ClassifyOps {
+
+  /** ln(x) → integer micros: round(ln(x)·1e6) as a Long. Exact integer
+    * arithmetic downstream; both engines round the same double ln.
+    */
+  private def lnMicros(x: Column): Column =
+    round(log(x) * lit(1e6), 0).cast("long")
+
+  /** Naive Bayes over `documents`: returns the held-out confusion
+    * matrix (actual lang, predicted lang, n docs).
+    */
+  def naiveBayes(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    val test = toks.filter(col("doc_id") % 5 === 0)
+    // vocabulary size: one scalar to the driver (q77's nd pattern) —
+    // a 1-row cross-join would plan a BroadcastNestedLoop for no benefit
+    val vocab = train.select(col("w")).distinct().count()
+    val cls = train.groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).as("tok_c"), count_distinct(col("doc_id")).as("docs_c"))
+    val wc = train.groupBy(col("lang").as("c"), col("w"))
+      .agg(count(lit(1)).as("cwc"))
+    val tf = test.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("len"))
+    val seen = tf.join(wc, "w")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(col("tf") * lnMicros(col("cwc") + lit(1.0))).as("seen"))
+    val grid = dlen.crossJoin(broadcast(cls)) // |classes| rows — metadata
+    val scored = grid.join(seen, Seq("doc_id", "c"), "left")
+      .select(col("doc_id"), col("lang"), col("c"),
+        (lnMicros(col("docs_c")) + coalesce(col("seen"), lit(0L))
+          - col("len") * lnMicros(col("tok_c").cast("double") + lit(vocab.toDouble)))
+          .as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("c"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("c").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_naive_bayes" -> ((s, d) => naiveBayes(s, d)))
+
+  def oracle: Map[String, String] = Map(
+    "q189_naive_bayes" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE len(w) > 0),
+        |train AS (SELECT * FROM t2 WHERE doc_id % 5 <> 0),
+        |test AS (SELECT * FROM t2 WHERE doc_id % 5 = 0),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM train),
+        |cls AS (SELECT lang AS c, COUNT(*) AS tok_c,
+        |    COUNT(DISTINCT doc_id) AS docs_c FROM train GROUP BY lang),
+        |wc AS (SELECT lang AS c, w, COUNT(*) AS cwc
+        |  FROM train GROUP BY lang, w),
+        |tf AS (SELECT doc_id, lang, w, COUNT(*) AS tf
+        |  FROM test GROUP BY doc_id, lang, w),
+        |dlen AS (SELECT doc_id, lang, SUM(tf) AS len
+        |  FROM tf GROUP BY doc_id, lang),
+        |part AS (SELECT tf.doc_id, wc.c,
+        |    SUM(tf.tf * CAST(round(ln(wc.cwc + 1.0) * 1000000, 0)
+        |      AS BIGINT)) AS seen
+        |  FROM tf JOIN wc ON tf.w = wc.w GROUP BY tf.doc_id, wc.c),
+        |score AS (SELECT dlen.doc_id, dlen.lang, cls.c,
+        |    CAST(round(ln(cls.docs_c) * 1000000, 0) AS BIGINT)
+        |      + COALESCE(part.seen, 0)
+        |      - dlen.len * CAST(round(ln(CAST(cls.tok_c AS DOUBLE) + v.v)
+        |          * 1000000, 0) AS BIGINT) AS score
+        |  FROM dlen CROSS JOIN cls CROSS JOIN v
+        |  LEFT JOIN part ON part.doc_id = dlen.doc_id AND part.c = cls.c),
+        |pred AS (SELECT doc_id, lang, c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, c) AS rn FROM score)
+        |SELECT lang, c AS pred, COUNT(*) AS n FROM pred
+        |WHERE rn = 1 GROUP BY lang, c""".stripMargin)
+}

@@ -55,6 +55,52 @@ object GraphQueries {
         .agg(min(col("dist")).as("dist"))
     }
 
+  /** Word co-occurrence edge set (w1 < w2): per-document sorted distinct
+    * tokens expand to ordered pairs with ARRAY expressions (narrow — no
+    * exploded-token self-join), then pairs co-occurring in ≥ CoocFrac of
+    * documents survive. Shared by q77 (triangles) and q191 (clustering
+    * coefficient); `nd` arrives as a driver scalar (IVF-centroid
+    * pattern) because a 1-row cross-join would plan a BNLJ.
+    */
+  private def coocEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val nd = docs.count().toDouble
+    val pairs = docs
+      .withColumn("ws", array_sort(array_distinct(split(col("text"), " "))))
+      .select(explode(expr(
+        "flatten(transform(ws, (x, i) ->" +
+          " transform(slice(ws, i + 2, size(ws))," +
+          " y -> struct(x AS w1, y AS w2))))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= lit(CoocFrac * nd))
+      .select(col("w1"), col("w2"))
+  }
+
+  /** Triangle enumeration e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a < b < c
+    * over an ordered edge set — each triangle exactly once [CiSE'09].
+    */
+  private def triangleCorners(ef: DataFrame): DataFrame =
+    ef.as("e1")
+      .join(ef.as("e2"), col("e1.w2") === col("e2.w1"))
+      .join(ef.as("e3"), col("e3.w1") === col("e1.w1")
+        && col("e3.w2") === col("e2.w2"))
+      .select(col("e1.w1").as("a"), col("e1.w2").as("b"),
+        col("e2.w2").as("c"))
+
+  /** One k-core peeling round: degrees within the subgraph induced by
+    * `nodes`, keeping nodes with degree ≥ k. Each round is two
+    * frontier-keyed semi-joins + one map-side-combinable grouped count —
+    * work proportional to edges incident to surviving nodes.
+    */
+  private def peel(edges: DataFrame, nodes: DataFrame, k: Int): DataFrame =
+    edges.join(nodes.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(nodes.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_pagerank" -> ((s, d) => {
       val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -220,36 +266,108 @@ object GraphQueries {
     }),
 
     "q77_triangles" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      // one scalar to the driver (IVF-centroid pattern) — a 1-row
-      // cross-join here would plan as a BroadcastNestedLoop
-      val nd = docs.count().toDouble
-      // narrow ordered-pair expansion: sorted distinct tokens → all
-      // (x, y) with x < y, one explode — no exploded-token self-join
-      val pairs = docs
-        .withColumn("ws", array_sort(array_distinct(split(col("text"), " "))))
-        .select(explode(expr(
-          "flatten(transform(ws, (x, i) ->" +
-            " transform(slice(ws, i + 2, size(ws))," +
-            " y -> struct(x AS w1, y AS w2))))")).as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val ef = pairs.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("co"))
-        .filter(col("co") >= lit(CoocFrac * nd))
-        .select(col("w1"), col("w2"))
       // vocabulary-bounded edge set: AQE broadcasts the join sides
-      val tri = ef.as("e1")
-        .join(ef.as("e2"), col("e1.w2") === col("e2.w1"))
-        .join(ef.as("e3"), col("e3.w1") === col("e1.w1")
-          && col("e3.w2") === col("e2.w2"))
-        .select(col("e1.w1").as("a"), col("e1.w2").as("b"),
-          col("e2.w2").as("c"))
+      val tri = triangleCorners(coocEdges(s, d))
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // q191 local clustering coefficient — per node, how close its
+    // neighborhood is to a clique: C(v) = 2·t(v) / (k(v)·(k(v)−1)) over
+    // the q77 word co-occurrence graph. Degree comes from exploding both
+    // endpoints of the (w1 < w2) edge set; t(v) reuses the CiSE'09
+    // triangle enumeration; a left join keeps triangle-free nodes at
+    // C = 0 (only deg ≥ 2 nodes can close a triangle). Every join/agg
+    // runs over the vocabulary-bounded edge table — metadata scale, AQE
+    // broadcasts the sides. The coefficient is one exact integer ratio
+    // rounded once, so the oracle hash-compares.
+    "q191_clustering_coeff" -> ((s, d) => {
+      val ef = coocEdges(s, d)
+      val deg = ef.select(explode(array(col("w1"), col("w2"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("deg"))
+      val tri = triangleCorners(ef)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(tri, Seq("w"), "left")
+        .select(col("w"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(coalesce(col("n_tri"), lit(0L)) * lit(2.0)
+            / (col("deg") * (col("deg") - 1)), 6).as("coeff"))
+    }),
+
+    // q192 k-core decomposition (3-core, 3 peeling rounds unrolled) on
+    // the customer↔supplier trade graph — the degeneracy-based "dense
+    // kernel" extraction of community mining. Each peel recomputes
+    // degrees within the induced subgraph (two semi-joins + one grouped
+    // count, frontier-proportional — never the whole graph after round
+    // 1) and drops nodes below k; both engines unroll the identical 3
+    // rounds, so the oracle hash-compares the surviving nodes with
+    // their round-3 degrees. At 100×: rounds-to-fixpoint is graph-
+    // diameter-ish; the unrolled form is the bounded gate, the loop
+    // form is `peel` iterated with the Components/PageRank snapshot
+    // discipline.
+    "q192_kcore" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val edges = ce.union(ce.select(col("v").as("u"), col("u").as("v")))
+      val n0 = edges.select(col("u").as("node")).distinct()
+      val core = (1 to 3).foldLeft(n0) { (n, _) => peel(edges, n, 3) }
+      core.select(col("node"),
+        when(pmod(col("node"), lit(2)) === 0, "customer")
+          .otherwise("supplier").as("kind"), col("deg"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q191_clustering_coeff" ->
+      """WITH nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |dw AS (SELECT DISTINCT doc_id,
+        |         unnest(list_distinct(string_split(text, ' '))) AS w
+        |       FROM documents),
+        |e AS (SELECT a.w AS w1, b.w AS w2, count(*) AS co
+        |      FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        |      GROUP BY a.w, b.w),
+        |ef AS (SELECT w1, w2 FROM e, nd WHERE co >= 0.62 * nd.nd),
+        |deg AS (SELECT w, count(*) AS deg FROM (
+        |        SELECT w1 AS w FROM ef UNION ALL SELECT w2 FROM ef)
+        |      GROUP BY w),
+        |tri AS (SELECT e1.w1 AS a, e1.w2 AS b, e2.w2 AS c
+        |        FROM ef e1 JOIN ef e2 ON e1.w2 = e2.w1
+        |        JOIN ef e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2),
+        |tn AS (SELECT w, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |        SELECT a AS w FROM tri UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri) GROUP BY w)
+        |SELECT deg.w, deg.deg, COALESCE(tn.n_tri, 0) AS n_tri,
+        |  round(COALESCE(tn.n_tri, 0) * 2.0
+        |    / (deg.deg * (deg.deg - 1)), 6) AS coeff
+        |FROM deg LEFT JOIN tn ON deg.w = tn.w
+        |WHERE deg.deg >= 2""".stripMargin,
+    "q192_kcore" ->
+      """WITH ce AS (SELECT DISTINCT o.o_custkey * 2 AS u,
+        |                   l.l_suppkey * 2 + 1 AS v
+        |            FROM lineitem l
+        |            JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce),
+        |n0 AS (SELECT DISTINCT u AS node FROM edges),
+        |p1 AS (SELECT e.u AS node, count(*) AS deg FROM edges e
+        |       JOIN n0 a ON e.u = a.node JOIN n0 b ON e.v = b.node
+        |       GROUP BY e.u HAVING count(*) >= 3),
+        |p2 AS (SELECT e.u AS node, count(*) AS deg FROM edges e
+        |       JOIN p1 a ON e.u = a.node JOIN p1 b ON e.v = b.node
+        |       GROUP BY e.u HAVING count(*) >= 3),
+        |p3 AS (SELECT e.u AS node, count(*) AS deg FROM edges e
+        |       JOIN p2 a ON e.u = a.node JOIN p2 b ON e.v = b.node
+        |       GROUP BY e.u HAVING count(*) >= 3)
+        |SELECT node,
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  deg
+        |FROM p3""".stripMargin,
     "q161_hits" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

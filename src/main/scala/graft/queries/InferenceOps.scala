@@ -37,6 +37,38 @@ object InferenceOps {
   private val Lags = Seq(1, 2, 3)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q188 Kolmogorov-Smirnov two-sample test per event_type (A/B arms
+    // on user_id parity) — the distribution-level complement to q136's
+    // mean test and q186's rank test: D = sup |F_A(v) - F_B(v)|. The
+    // corpus reduces to per-(type, value) arm counts in ONE grouped
+    // pass; the CDF walk then runs over the value-cardinality table
+    // and the supremum is computed in INTEGER cross-products
+    // (|cumA·nB − cumB·nA|, exact — the division to a double happens
+    // once, after the max), so the oracle hash-compares without any
+    // float-accumulation discipline. Scale: the window sorts each
+    // type's distinct values in one task — at 100 TB on continuous
+    // values, pre-bucket to the q106 histogram grid (D error bounded
+    // by one bucket's mass); the exact form stays the gate.
+    "q188_ks_test" -> ((s, d) => {
+      val vc = Tables(s, d, "events")
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("cb"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val tw = Window.partitionBy(col("event_type"))
+      vc.withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .withColumn("na", sum(col("ca")).over(tw))
+        .withColumn("nb", sum(col("cb")).over(tw))
+        .groupBy(col("event_type"))
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+            .as("dnum"))
+        .select(col("event_type"), col("na"), col("nb"),
+          round(col("dnum").cast("double") / (col("na") * col("nb")), 6)
+            .as("ks_d"))
+    }),
+
     // q186 Mann-Whitney U (the nonparametric twin of q136's t-test):
     // ranks come from a per-type row_number with unique tiebreaks, tied
     // VALUES then share their mean rank — which is always .0 or .5
@@ -218,6 +250,22 @@ object InferenceOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q188_ks_test" ->
+      """WITH vc AS (SELECT event_type, value,
+        |    COUNT(*) FILTER (user_id % 2 = 0) AS ca,
+        |    COUNT(*) FILTER (user_id % 2 <> 0) AS cb
+        |  FROM events GROUP BY event_type, value),
+        |c AS (SELECT event_type,
+        |    SUM(ca) OVER (PARTITION BY event_type ORDER BY value) AS cuma,
+        |    SUM(cb) OVER (PARTITION BY event_type ORDER BY value) AS cumb,
+        |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+        |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM vc)
+        |SELECT event_type, CAST(MAX(na) AS BIGINT) AS na,
+        |  CAST(MAX(nb) AS BIGINT) AS nb,
+        |  round(CAST(MAX(ABS(cuma * nb - cumb * na)) AS DOUBLE)
+        |    / (MAX(na) * MAX(nb)), 6) AS ks_d
+        |FROM c GROUP BY event_type""".stripMargin,
     "q186_mann_whitney" ->
       """WITH e AS (SELECT event_type, value, user_id % 2 = 0 AS arm_a,
         |    event_id FROM events),

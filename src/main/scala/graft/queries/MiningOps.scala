@@ -38,7 +38,8 @@ object MiningOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "q134_assoc_rules" -> ((s, d) => assocRules(s, d)),
-      "q138_skyline" -> ((s, d) => supplierSkyline(s, d)))
+      "q138_skyline" -> ((s, d) => supplierSkyline(s, d)),
+      "q190_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)))
 
   /** Distinct (doc_id, token) baskets — whitespace tokenization, the
     * corpus-wide convention (TextAnalysis oracle parity).
@@ -156,7 +157,66 @@ object MiningOps {
         col("n").as("n_items"))
   }
 
+  /** q190 PMI collocations — the information-theoretic twin of q134's
+    * lift, over ADJACENT token pairs (collocations "stick together"
+    * when p(xy) >> p(x)p(y) [Church & Hanks, CL 1990]): the standard
+    * multiword-expression miner of an LLM tokenizer/phrase pipeline.
+    *
+    * Counts are exact longs from two grouped passes (bigrams; unigram
+    * table, vocab-sized). The corpus totals arrive as driver scalars
+    * (q77's nd pattern — a 1-row cross-join would plan a BNLJ), with
+    * N_bigrams derived as N_tokens − N_docs (each doc emits len−1
+    * bigrams) so no third corpus scan is needed. The PMI itself is a
+    * FIXED-ORDER sum of logs of exact integers —
+    * ln(c_xy) − ln(c_x) − ln(c_y) + 2·ln(N_u) − ln(N_b) — identical
+    * IEEE evaluation in both engines, rounded once. Min-count 5 prunes
+    * the unstable low-frequency tail before the unigram joins; output
+    * is the deterministic top-25 (pmi, w1, w2) — TakeOrderedAndProject,
+    * no global sort.
+    */
+  private def pmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables(s, d, "documents")
+      .select(split(col("text"), " ").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nu = uni.agg(sum(col("cu"))).head().getLong(0)
+    val nb = nu - Tables(s, d, "documents").count()
+    val bi = toks.select(explode(expr(
+      """transform(sequence(1, size(tk) - 1),
+        |  i -> struct(element_at(tk, i) AS w1,
+        |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    bi.join(uni.select(col("w").as("w1"), col("cu").as("cu1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), "w2")
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(col("n_pair")) - log(col("cu1")) - log(col("cu2"))
+          + lit(2.0) * log(lit(nu.toDouble)) - log(lit(nb.toDouble)), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
   def oracle: Map[String, String] = Map(
+    "q190_pmi_collocations" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT w, count(*) AS cu FROM (
+        |    SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+        |nu AS (SELECT SUM(cu) AS nu FROM uni),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |bi AS (SELECT w1, w2, count(*) AS n_pair FROM (
+        |    SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+        |                   FOR i IN range(1, len(tk))], recursive := true)
+        |    FROM tk)
+        |  GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT w1, w2, n_pair,
+        |  round(ln(n_pair) - ln(u1.cu) - ln(u2.cu)
+        |    + 2.0 * ln(CAST(nu.nu AS DOUBLE))
+        |    - ln(CAST(nu.nu - nd.nd AS DOUBLE)), 6) AS pmi
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w
+        |        JOIN uni u2 ON bi.w2 = u2.w, nu, nd
+        |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin,
     "q134_assoc_rules" ->
       """WITH b AS (
         |  SELECT DISTINCT doc_id, w FROM (

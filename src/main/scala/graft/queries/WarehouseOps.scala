@@ -137,6 +137,38 @@ object WarehouseOps {
           o.filter(col("o_orderdate") >= cut))
       }),
 
+      // q193 incremental JOIN-view maintenance — the multi-table
+      // complement of q101's single-table state merge: the materialized
+      // view revenue-by-nation over customer⋈orders⋈lineitem is
+      // maintained under an orders delta by the classic delta rule
+      // ΔMV = ΔO ⋈ L ⋈ C [Gupta & Mumick, IEEE DE Bull. 1995] — only
+      // the DELTA rides the join pipeline (delta-proportional work; at
+      // 100 TB the base MV is nation-cardinality metadata and never
+      // recomputed), then base + delta merge by summing the aggregate
+      // state. The oracle recomputes the view FROM SCRATCH over all
+      // orders, so the hash match proves the incremental path lands on
+      // exactly the full-recompute answer (decimal-exact sums).
+      "q193_mv_join_maintain" -> ((s, d) => {
+        val c = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val l = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        def mv(ord: DataFrame) = ord
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(sum(col("l_extendedprice").cast(dec)).as("rev"),
+            count(lit(1)).as("n_lines"))
+        val o = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val base = mv(o.filter(col("o_orderkey") % 10 =!= 0))
+        val delta = mv(o.filter(col("o_orderkey") % 10 === 0))
+        base.unionByName(delta)
+          .groupBy(col("c_nationkey"))
+          .agg(round(sum(col("rev")), 4).cast("double").as("rev"),
+            sum(col("n_lines")).as("n_lines"))
+      }),
+
       // MERGE/upsert over documents with a deterministic change set
       // derived from the table itself: every 10th doc gets a '[v2] '
       // revision, every 97th spawns a new doc at doc_id + 1e6.
@@ -468,6 +500,15 @@ object WarehouseOps {
         |FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.doc_id = d.doc_id)"""
         .stripMargin,
+    "q193_mv_join_maintain" ->
+      """SELECT c_nationkey,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+        |    AS DOUBLE) AS rev,
+        |  COUNT(*) AS n_lines
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
     "q101_state_merge" ->
       """WITH hist AS (SELECT o_custkey, COUNT(*) AS n_orders,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total

@@ -127,6 +127,42 @@ class BehaviorSpec extends SparkSpec {
       ("C", "A", "B", 1L)))
   }
 
+  test("q194 pattern match counts non-overlapping v[ce]*p journeys") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 1704067200000L
+    // user 1: view click click purchase view purchase -> "vccpvp"
+    //   -> matches "vccp" then "vp": 2 conversions
+    // user 2: purchase view click -> "pvc": no completed journey
+    val ev = (Seq("view", "click", "click", "purchase", "view", "purchase")
+      .zipWithIndex.map { case (e, i) =>
+        (1L, (i + 1).toLong, new Timestamp(t0 + i * 1000L), e) } ++
+      Seq("purchase", "view", "click").zipWithIndex.map { case (e, i) =>
+        (2L, (i + 10).toLong, new Timestamp(t0 + i * 1000L), e) })
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pat").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.BehaviorOps.patternMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 6, 2)))
+  }
+
+  test("q194 ordering is shuffle-safe: scrambled input, same sequences") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 1704067200000L
+    // events arrive in reverse and land in many partitions; the sorted
+    // struct list must still rebuild v..p in event-time order
+    val ev = Seq("view", "error", "purchase").zipWithIndex.map {
+      case (e, i) => (7L, (i + 1).toLong, new Timestamp(t0 + i * 1000L), e)
+    }.reverse.toDF("user_id", "event_id", "ts", "event_type")
+      .repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pat2").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.BehaviorOps.patternMatch(spark, dir).collect()
+    assert(got.length == 1 && got.head.getInt(2) == 1)
+  }
+
   test("q131/q133 shuffle only on user-bounded keys (no cartesian)") {
     Seq("q131_funnel", "q133_transitions").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)

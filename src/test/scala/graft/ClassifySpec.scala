@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.ClassifyOps
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q189 naive bayes separates a crafted two-language corpus") {
+    // train = doc_id % 5 != 0 (6 docs), test = % 5 == 0 (2 docs); the
+    // vocabularies are disjoint, so each held-out doc must score its
+    // own class (the seen-word sum dominates the smoothing penalty)
+    val docs = Seq(
+      (1L, "aa aa bb", "en"), (2L, "aa bb aa", "en"), (3L, "bb aa", "en"),
+      (4L, "zz yy zz", "de"), (6L, "yy zz zz", "de"), (7L, "zz yy", "de"),
+      (5L, "aa bb bb", "en"),
+      (10L, "zz zz yy", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = ClassifyOps.naiveBayes(spark, docsDir(docs)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("en", "en") -> 1L, ("de", "de") -> 1L))
+  }
+
+  test("q189 smoothing: a test doc of unseen words falls back to the prior") {
+    // 3 'en' train docs vs 1 'de'; held-out text shares no vocabulary
+    // with training, so every class scores only prior + len·penalty and
+    // the majority class (larger docs_c, larger tok_c) must win via the
+    // prior term with equal-length penalties... penalties differ by
+    // tok_c, so craft equal per-class token totals: 3 en docs of 2
+    // tokens vs 1 de doc of 6 tokens (tok_c = 6 both) — only the
+    // docs_c prior differs and 'en' wins
+    val docs = Seq(
+      (1L, "aa bb", "en"), (2L, "bb aa", "en"), (3L, "aa aa", "en"),
+      (4L, "zz yy zz yy zz yy", "de"),
+      (5L, "qq rr ss", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = ClassifyOps.naiveBayes(spark, docsDir(docs)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("en", "en") -> 1L))
+  }
+
+  test("q189 confusion matrix covers every held-out doc on driver data") {
+    val got = ClassifyOps.naiveBayes(spark, sf).collect()
+    val nTest = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(got.map(_.getLong(2)).sum == nTest,
+      "every held-out doc receives exactly one prediction")
+    val langs = Tables(spark, sf, "documents")
+      .select("lang").distinct().as[String].collect().toSet
+    got.foreach { r =>
+      assert(langs.contains(r.getString(0)) && langs.contains(r.getString(1)))
+    }
+  }
+}

@@ -174,4 +174,43 @@ class GraphSpec extends SparkSpec {
       ("authority", 101L, 0.625), ("authority", 102L, 0.375),
       ("hub", 1L, r9(8.0 / 13)), ("hub", 2L, r9(5.0 / 13))))
   }
+
+  test("q191 clustering coefficient: a crafted triangle is a clique") {
+    import spark.implicits._
+    // tokens a,b,c co-occur in both docs (co=2 >= 0.62*2 keeps the
+    // edge); d co-occurs once with each -> below threshold, no edges.
+    // The graph is exactly the triangle a-b-c: deg 2, one triangle,
+    // coefficient 2*1/(2*1) = 1 at every node.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.GraphQueries
+      .queries("q191_clustering_coeff")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(("a", 2L, 1L, 1.0), ("b", 2L, 1L, 1.0),
+      ("c", 2L, 1L, 1.0)))
+  }
+
+  test("q192 k-core: the pendant customer peels, K3,3 survives at deg 3") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore").toString
+    // complete bipartite customers {1,2,3} x suppliers {10,11,12}, plus
+    // pendant customer 4 on supplier 10: round 1 peels customer 4
+    // (deg 1 < 3) which drops supplier 10 from deg 4 to 3; rounds 2-3
+    // are stable — all six core nodes survive at exactly degree 3
+    val orders = (for {c <- 1 to 3; p <- 10 to 12}
+      yield ((c * 10 + p).toLong, c.toLong)) :+ ((99L, 4L))
+    orders.toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    val lines = (for {c <- 1 to 3; p <- 10 to 12}
+      yield ((c * 10 + p).toLong, p.toLong)) :+ ((99L, 10L))
+    lines.toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.queries.GraphQueries.queries("q192_kcore")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (2L, "customer", 3L), (4L, "customer", 3L), (6L, "customer", 3L),
+      (21L, "supplier", 3L), (23L, "supplier", 3L), (25L, "supplier", 3L)))
+  }
 }

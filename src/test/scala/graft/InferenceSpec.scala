@@ -37,6 +37,29 @@ class InferenceSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("q188 KS: D matches the hand-computed supremum") {
+    // arm A (even users) {1,2,3}; arm B (odd users) {2,4}
+    // CDF gaps at v=1,2,3,4: 1/3, 1/6, 1/2, 0 -> D = 0.5
+    val ev = Seq((2L, "a", 1.0), (4L, "a", 2.0), (6L, "a", 3.0),
+      (1L, "a", 2.0), (3L, "a", 4.0))
+      .toDF("user_id", "event_type", "value")
+    val d = eventsDir(ev)
+    val r = InferenceOps.queries("q188_ks_test")(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 3 && r.head.getLong(2) == 2)
+    assert(r.head.getDouble(3) == 0.5)
+  }
+
+  test("q188 KS: identical samples give D = 0") {
+    // mirror the arms exactly: every value appears once per arm
+    val ev = Seq(1.0, 2.0, 3.0).flatMap(v =>
+      Seq((2L, "a", v), (1L, "a", v)))
+      .toDF("user_id", "event_type", "value")
+    val d = eventsDir(ev)
+    val r = InferenceOps.queries("q188_ks_test")(spark, d).collect()
+    assert(r.length == 1 && r.head.getDouble(3) == 0.0)
+  }
+
   test("chi-square cells vanish under exact independence") {
     // type a: 2 users per bucket; type b: 1 user per bucket — the
     // contingency table is exactly independent, so every cell's

@@ -80,6 +80,36 @@ class MiningSpec extends SparkSpec {
     assert(got == unpruned)
   }
 
+  test("q190 PMI: hand-computed ln 8 on a balanced crafted corpus") {
+    import spark.implicits._
+    // 5 docs "a b" + 5 docs "c d": Nu=20, Nb=10, every unigram 5, both
+    // pairs 5 -> PMI = ln(5·20²/(10·5·5)) = ln 8 for both collocations
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    ((1 to 5).map(i => (i.toLong, "a b")) ++
+      (6 to 10).map(i => (i.toLong, "c d")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q190_pmi_collocations")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val ln8 = BigDecimal(math.log(8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set(("a", "b", 5L, ln8), ("c", "d", 5L, ln8)))
+  }
+
+  test("q190 PMI: independent pair scores ~0, sticky pair scores high") {
+    import spark.implicits._
+    // "x y" always adjacent (sticky); "p q" and "p r" split contexts
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi2").toString
+    ((1 to 5).map(i => (i.toLong, "x y")) ++
+      (6 to 10).map(i => (i.toLong, "p q p r")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q190_pmi_collocations")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+      .toMap
+    assert(got(("x", "y")) > got(("p", "q")),
+      "always-adjacent pair must out-score the split-context pair")
+  }
+
   test("q134/q138 plans stay on equi-joins (no cartesian/BNLJ)") {
     Seq("q134_assoc_rules", "q138_skyline").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)

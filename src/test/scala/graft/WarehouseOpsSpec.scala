@@ -58,6 +58,28 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
   }
 
+  test("q193 join-MV maintenance lands exactly on the full recompute") {
+    val inc = SparkEntry.queries("q193_mv_join_maintain")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    val full = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(round(sum(col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4))), 4)
+        .cast("double").as("rev"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    assert(inc == full, "base + delta must equal the from-scratch view")
+  }
+
   test("state merge with an empty delta is identity") {
     val o = Tables(spark, sf, "orders")
     val base = WarehouseOps.stateMerge(o, o.limit(0))
