@@ -65,7 +65,8 @@ object PlanAudit {
       "q186_mann_whitney", "q187_spearman",
       "q188_ks_test", "q189_naive_bayes", "q190_pmi_collocations",
       "q191_clustering_coeff", "q192_kcore", "q193_mv_join_maintain",
-      "q194_pattern_match")
+      "q194_pattern_match", "q195_entropy_mix", "q197_near_search",
+      "ml_logreg")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

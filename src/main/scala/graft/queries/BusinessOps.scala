@@ -79,6 +79,35 @@ object BusinessOps {
             / col("prev_y"), 6).as("yoy_pct"))
     }),
 
+    // q195 Shannon-entropy mix audit — the information-theoretic sibling
+    // of q172's HHI, applied to the training-data question "how diverse
+    // is each language's source mix?": per lang, H = −Σ p·ln p over its
+    // source distribution, plus the evenness ratio H/ln k. Uses the
+    // exact decomposition H = ln T − (Σ c·ln c)/T so the corpus-side
+    // work is ONE grouped count to (lang, source) cells — bounded
+    // metadata — and the per-term ln c is rounded to integer MICROS and
+    // summed as Longs (the q189 discipline): both engines do identical
+    // IEEE work and the oracle hash-compares. Single-source groups are
+    // reported with entropy 0 and NULL evenness (ln 1 divides) in both
+    // engines via the same CASE.
+    "q195_entropy_mix" -> ((s, d) => {
+      val cells = Tables(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("c")).as("t"),
+          sum(col("c") * round(log(col("c")) * lit(1e6), 0).cast("long"))
+            .as("hsum"))
+        .select(col("lang"), col("n_sources"), col("t").as("n_docs"),
+          round(log(col("t"))
+            - col("hsum").cast("double") / col("t") / lit(1e6), 6)
+            .as("entropy"),
+          when(col("n_sources") > 1,
+            round((log(col("t"))
+              - col("hsum").cast("double") / col("t") / lit(1e6))
+              / log(col("n_sources")), 6)).as("evenness"))
+    }),
+
     "q172_concentration" -> ((s, d) => {
       val rev = Tables(s, d, "orders")
         .groupBy(col("o_custkey"))
@@ -102,6 +131,19 @@ object BusinessOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q195_entropy_mix" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS c
+        |  FROM documents GROUP BY lang, source),
+        |g AS (SELECT lang, COUNT(*) AS n_sources, SUM(c) AS t,
+        |    SUM(c * CAST(round(ln(c) * 1000000, 0) AS BIGINT)) AS hsum
+        |  FROM cells GROUP BY lang)
+        |SELECT lang, CAST(n_sources AS BIGINT) AS n_sources,
+        |  CAST(t AS BIGINT) AS n_docs,
+        |  round(ln(t) - CAST(hsum AS DOUBLE) / t / 1000000, 6) AS entropy,
+        |  CASE WHEN n_sources > 1 THEN
+        |    round((ln(t) - CAST(hsum AS DOUBLE) / t / 1000000)
+        |      / ln(n_sources), 6) END AS evenness
+        |FROM g""".stripMargin,
     "q165_rfm" ->
       """WITH mx AS (SELECT max(date_trunc('day', o_orderdate)) AS m
         |  FROM orders),

@@ -79,8 +79,70 @@ object ClassifyOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Distributed batch-gradient-descent logistic regression — the
+    * fasttext-style quality-classifier primitive of a curation pipeline
+    * (train a small linear model on labels, score the whole corpus).
+    *
+    * Each round is ONE corpus pass: the per-row margin uses the
+    * codegen'd [[graft.functions.VectorDot]] against the current weight
+    * LITERAL (weights are driver metadata — `dims` doubles, the k-means
+    * centroid precedent), the residual y − σ(w·x) is a narrow column,
+    * and the per-dimension gradient reduces through the q51
+    * (dim)-keyed posexplode — map-side combined to `dims` rows per
+    * partition before the shuffle, so the exchange volume is
+    * dims × partitions regardless of corpus size. Mean-gradient update
+    * keeps the step size scale-free. Iterative + float accumulation →
+    * rows-only for the driver; ClassifySpec pins the gradient against
+    * a local reference and full separation on a crafted dataset.
+    *
+    * `x` must be `array<float>`, `y` ∈ {0, 1}.
+    */
+  def trainLogReg(data: DataFrame, rounds: Int, lr: Double): Array[Double] = {
+    val dims = data.select(size(col("x"))).head().getInt(0)
+    val n = data.count().toDouble
+    var w = Array.fill(dims)(0.0)
+    for (_ <- 1 to rounds) {
+      val wl = typedlit(w.map(_.toFloat).toSeq)
+      val g = data
+        .withColumn("resid", col("y").cast("double")
+          - lit(1.0) / (lit(1.0)
+            + exp(-graft.functions.vectors.vec_dot(col("x"), wl))))
+        .select(col("resid"), posexplode(col("x")))
+        .groupBy(col("pos"))
+        .agg(sum(col("resid") * col("col")).as("g"))
+        .collect()
+      val grad = Array.fill(dims)(0.0)
+      g.foreach(r => grad(r.getInt(0)) = r.getDouble(1))
+      w = w.indices.map(i => w(i) + lr * grad(i) / n).toArray
+    }
+    w
+  }
+
+  /** Embeddings corpus as (y = label parity, x = embedding). */
+  private def labeledEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select((col("label") % 2).cast("int").as("y"),
+        col("embedding").as("x"), col("vec_id"))
+
+  /** ml_logreg: 3 GD rounds on the embeddings corpus, then one scoring
+    * pass — output is the train-set confusion matrix plus the learned
+    * weight norm, the "did the classifier separate anything" audit.
+    */
+  def logRegConfusion(s: SparkSession, d: String): DataFrame = {
+    val data = labeledEmbeddings(s, d)
+    val w = trainLogReg(data, rounds = 3, lr = 4.0)
+    val wl = typedlit(w.map(_.toFloat).toSeq)
+    data
+      .withColumn("pred",
+        (graft.functions.vectors.vec_dot(col("x"), wl) > 0).cast("int"))
+      .groupBy(col("y"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q189_naive_bayes" -> ((s, d) => naiveBayes(s, d)))
+    "q189_naive_bayes" -> ((s, d) => naiveBayes(s, d)),
+    // iterative float training — rows-only; ClassifySpec pins behavior
+    "ml_logreg" -> ((s, d) => logRegConfusion(s, d)))
 
   def oracle: Map[String, String] = Map(
     "q189_naive_bayes" ->

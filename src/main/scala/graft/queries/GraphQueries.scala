@@ -94,12 +94,42 @@ object GraphQueries {
     * frontier-keyed semi-joins + one map-side-combinable grouped count —
     * work proportional to edges incident to surviving nodes.
     */
-  private def peel(edges: DataFrame, nodes: DataFrame, k: Int): DataFrame =
+  private[graft] def peel(edges: DataFrame, nodes: DataFrame, k: Int)
+    : DataFrame =
     edges.join(nodes.select(col("node").as("u")), Seq("u"), "left_semi")
       .join(nodes.select(col("node").as("v")), Seq("v"), "left_semi")
       .groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k)
+
+  /** k-core to FIXPOINT — iterate [[peel]] until the surviving node set
+    * stops shrinking (a count compare per round; set equality follows
+    * because peeling is monotone). q192's 3-round unroll is the bounded
+    * oracle gate; this is the production loop, with the Components/
+    * PageRank snapshot discipline: ≤ 2 node snapshots (plus the edge
+    * set) persisted at any time, everything unpersisted on exit.
+    * Returns (node, deg) of the k-core with in-core degrees.
+    */
+  def kCoreFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 50)
+    : DataFrame = {
+    val e = edges.persist()
+    var cur = peel(e, e.select(col("u").as("node")).distinct(), k)
+      .localCheckpoint(true)
+    var n = cur.count()
+    var rounds = 1
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val nxt = peel(e, cur, k).localCheckpoint(true)
+      val m = nxt.count()
+      done = m == n
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cur)
+      cur = nxt
+      n = m
+      rounds += 1
+    }
+    e.unpersist()
+    cur // eagerly checkpointed — blocks bounded by the core's size
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_pagerank" -> ((s, d) => {

@@ -56,6 +56,9 @@ object SearchQueries {
   private val PhraseW1 = "table"
   private val PhraseW2 = "scan"
 
+  /** q197 NEAR window: w2 at most this many positions after w1. */
+  private val ProximitySlop = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Distributed grep: the OSDI'04 §2.1 example workload. rlike pushes
     // into the scan filter; match count + first match are computed only
@@ -162,6 +165,31 @@ object SearchQueries {
         .agg(count(lit(1)).as("n_occ"))
     }),
 
+    // q197 proximity (slop) search — q90's adjacency join relaxed to
+    // "w1 BEFORE w2 within `ProximitySlop` positions", the NEAR operator
+    // of a retrieval engine. The non-equi position window becomes a pure
+    // EQUI-join by exploding each w1 posting to its `slop` candidate
+    // positions (a bounded 3× expansion of the RARE term's postings —
+    // never the corpus), so the plan stays a shuffled-hash/broadcast
+    // hash join with no BNLJ. Per-term pruning happens before the
+    // shuffle, the q90 intersection cost model. Output counts matched
+    // (w1, w2) position pairs per doc plus the tightest gap seen.
+    "q197_near_search" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val t1 = tok.filter(col("w") === PhraseW1)
+        .select(col("doc_id"), col("pos"),
+          explode(expr(s"sequence(pos + 1, pos + $ProximitySlop)"))
+            .as("pp"))
+      val t2 = tok.filter(col("w") === PhraseW2)
+        .select(col("doc_id").as("d2"), col("pos").as("p2"))
+      t1.join(t2, col("doc_id") === col("d2") && col("pp") === col("p2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("p2") - col("pos")).as("min_gap"))
+    }),
+
     // Word entropy, shuffle-free: array_sort → run boundaries → run
     // lengths → -Σ p ln p fold. Higher-order functions evaluate per-row
     // on the executor (no codegen, but no exchange either) — at 100 TB
@@ -248,6 +276,18 @@ object SearchQueries {
          |w AS (SELECT doc_id, i, sp[i] AS w FROM pos)
          |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
          |FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |WHERE a.w = '$PhraseW1' AND b.w = '$PhraseW2'
+         |GROUP BY a.doc_id""".stripMargin,
+    "q197_near_search" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS sp
+         |            FROM documents),
+         |pos AS (SELECT doc_id, unnest(generate_series(1, len(sp))) AS i, sp
+         |        FROM tk),
+         |w AS (SELECT doc_id, i, sp[i] AS w FROM pos)
+         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(MIN(b.i - a.i) AS INTEGER) AS min_gap
+         |FROM w a JOIN w b ON a.doc_id = b.doc_id
+         |  AND b.i > a.i AND b.i <= a.i + $ProximitySlop
          |WHERE a.w = '$PhraseW1' AND b.w = '$PhraseW2'
          |GROUP BY a.doc_id""".stripMargin,
     "q76_word_entropy" ->

@@ -128,6 +128,29 @@ class BusinessOpsSpec extends SparkSpec {
       got.head.getDouble(3) == 0.625)
   }
 
+  test("q195 entropy: uniform mix is perfectly even, single source is zero") {
+    import spark.implicits._
+    // en: 8 docs over 4 equal sources; de: 4 docs from one source
+    val docs = ((1 to 8).map(i => (i.toLong, "en", s"src${i % 4}")) ++
+      (9 to 12).map(i => (i.toLong, "de", "src0")))
+      .toDF("doc_id", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q195_entropy_mix")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    def micros(x: Double) = math.round(math.log(x) * 1e6)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hEn = math.log(8) - 8.0 * micros(2.0) / 8 / 1e6
+    assert(got("en") == ((4L, 8L, r6(hEn), Some(r6(hEn / math.log(4))))))
+    assert(got("en")._4.contains(1.0), "uniform mix must score evenness 1")
+    val hDe = math.log(4) - 4.0 * micros(4.0) / 4 / 1e6
+    assert(got("de") == ((1L, 4L, r6(hDe), None)))
+    assert(got("de")._3 == 0.0, "one source carries zero entropy")
+  }
+
   test("q177 benford observes a crafted digit distribution exactly") {
     // 4 orders with leading digit 1, 2 with digit 5
     val o = Seq(100.0, 150.0, 1200.0, 19.5, 500.0, 55.0).zipWithIndex

@@ -46,6 +46,46 @@ class ClassifySpec extends SparkSpec {
     assert(got == Map(("en", "en") -> 1L))
   }
 
+  test("logreg first-round gradient matches the local reference") {
+    // w = 0 -> sigma(0) = 1/2 exactly, so after one round
+    // w_j = lr/n * sum((y - 0.5) * x_j)
+    val rows = Seq((1, Array(1.0f, 0.5f)), (0, Array(-0.5f, 0.25f)),
+      (1, Array(0.25f, -1.0f)))
+    val data = rows.toDF("y", "x")
+    val w = graft.queries.ClassifyOps.trainLogReg(data, rounds = 1, lr = 4.0)
+    val expect = (0 to 1).map { j =>
+      4.0 / rows.length * rows.map { case (y, x) =>
+        (y - 0.5) * x(j).toDouble }.sum
+    }
+    w.zip(expect).foreach { case (got, e) =>
+      assert(math.abs(got - e) < 1e-6, s"gradient mismatch: $got vs $e")
+    }
+  }
+
+  test("logreg fully separates a crafted linearly separable set") {
+    val rows = Seq(
+      (1, Array(1.0f, 0.2f)), (1, Array(0.8f, -0.1f)), (1, Array(1.2f, 0.1f)),
+      (0, Array(-1.0f, 0.1f)), (0, Array(-0.9f, -0.2f)),
+      (0, Array(-1.1f, 0.0f)))
+    val data = rows.toDF("y", "x")
+    val w = graft.queries.ClassifyOps.trainLogReg(data, rounds = 10, lr = 4.0)
+    assert(w(0) > 0, "weight must point along the separating axis")
+    rows.foreach { case (y, x) =>
+      val z = w(0) * x(0) + w(1) * x(1)
+      assert((z > 0) == (y == 1), s"row ($y, ${x.toSeq}) misclassified")
+    }
+  }
+
+  test("ml_logreg confusion matrix covers the whole embeddings corpus") {
+    val got = SparkEntry.queries("ml_logreg")(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(got.map(_.getLong(2)).sum == n)
+    got.foreach { r =>
+      assert(Set(0, 1).contains(r.getInt(0))
+        && Set(0, 1).contains(r.getInt(1)))
+    }
+  }
+
   test("q189 confusion matrix covers every held-out doc on driver data") {
     val got = ClassifyOps.naiveBayes(spark, sf).collect()
     val nTest = Tables(spark, sf, "documents")

@@ -213,4 +213,28 @@ class GraphSpec extends SparkSpec {
       (2L, "customer", 3L), (4L, "customer", 3L), (6L, "customer", 3L),
       (21L, "supplier", 3L), (23L, "supplier", 3L), (25L, "supplier", 3L)))
   }
+
+  test("k-core fixpoint: a path peels to nothing where the unroll stalls") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 under k=2: each round peels both endpoints, so
+    // convergence takes 3 rounds to empty — a fixed 2-round unroll
+    // would still report survivors
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val n0 = edges.select(org.apache.spark.sql.functions.col("u")
+      .as("node")).distinct()
+    val twoRounds = graft.queries.GraphQueries.peel(edges,
+      graft.queries.GraphQueries.peel(edges, n0, 2), 2)
+    assert(twoRounds.count() > 0, "the bounded unroll has not converged")
+    assert(graft.queries.GraphQueries.kCoreFixpoint(edges, 2).count() == 0)
+  }
+
+  test("k-core fixpoint keeps exactly the cycle, pendant gone") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = graft.queries.GraphQueries.kCoreFixpoint(edges, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)))
+  }
 }

@@ -47,6 +47,21 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("q197 proximity search: directional slop window, tightest gap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "table a b scan"),               // gap 3 -> one pair
+      (2L, "table scan x table y z scan"),  // gaps 1 and 3 -> two pairs
+      (3L, "scan table"),                   // wrong direction: no hit
+      (4L, "table x y z scan"))             // gap 4 > slop: no hit
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-near").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q197_near_search")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got == Map(1L -> ((1L, 3)), 2L -> ((2L, 1))))
+  }
+
   test("q72 inverted-index dictionary: df/cf on a crafted corpus") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c"))
