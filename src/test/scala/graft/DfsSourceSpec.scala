@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.mr.MapReduce
+
+/** The `graft-dfs` DataSourceV2 connector over the MR chunk store:
+  * chunk-per-partition placement, manifest order as data, column
+  * pruning, and size statistics.
+  */
+class DfsSourceSpec extends SparkSpec {
+
+  /** Write `lines` as a source file, ingest via the MR WRITE verb. */
+  private def store(lines: Seq[String], parts: Int): String = {
+    val base = Files.createTempDirectory("graft-dfs-spec").toString
+    val src = s"$base/src.txt"
+    Files.writeString(java.nio.file.Paths.get(src),
+      lines.mkString("", "\n", "\n"))
+    val dfs = s"$base/store"
+    MapReduce.write(spark, src, dfs, parts)
+    dfs
+  }
+
+  test("round-trip: manifest order reassembles the original lines") {
+    val lines = (1 to 97).map(i => s"line-$i")
+    val dfs = store(lines, 4)
+    val df = spark.read.format("graft-dfs").load(dfs)
+    val got = df.orderBy(col("chunk_id"), col("line_no"))
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(got == lines)
+  }
+
+  test("one input partition per chunk, rows land in their chunk") {
+    val dfs = store((1 to 40).map(_.toString), 4)
+    val df = spark.read.format("graft-dfs").load(dfs)
+    assert(df.rdd.getNumPartitions == 4, "chunk-per-partition placement")
+    assert(df.select("chunk_id").distinct().count() == 4)
+    // contiguous ranges: every chunk's lines sort before the next chunk's
+    val perChunk = df.groupBy("chunk_id")
+      .agg(min(col("value").cast("int")).as("mn"),
+        max(col("value").cast("int")).as("mx"))
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    perChunk.sliding(2).foreach {
+      case Array((_, mx1), (mn2, _)) => assert(mx1 < mn2,
+        "manifest order must follow the original line ranges")
+      case _ =>
+    }
+  }
+
+  test("column pruning reaches the reader: a count scans no text") {
+    val dfs = store((1 to 10).map(_.toString), 2)
+    val df = spark.read.format("graft-dfs").load(dfs)
+    assert(df.count() == 10)
+    val counted = df.groupBy().count()
+    counted.collect()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(!plan.contains("value:string") || plan.contains("ReadSchema: struct<>"),
+      s"count must prune the value column:\n$plan")
+  }
+
+  test("the optimizer sees true byte-size statistics (broadcast-able)") {
+    val dfs = store((1 to 50).map(i => s"row-$i"), 2)
+    val df = spark.read.format("graft-dfs").load(dfs)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val actual = DfsTable_sizeOf(dfs)
+    assert(size > 0 && size <= actual * 8,
+      s"stats $size should track the store's $actual bytes, not default to huge")
+  }
+
+  private def DfsTable_sizeOf(dir: String): Long =
+    graft.sources.DfsTable.chunks(dir,
+      spark.sparkContext.hadoopConfiguration).map(_._3).sum
+
+  test("a filtered projection keeps the pruned schema and right rows") {
+    val dfs = store(Seq("alpha", "beta", "gamma", "delta"), 2)
+    val df = spark.read.format("graft-dfs").load(dfs)
+      .filter(col("value").startsWith("g")).select("value")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("gamma"))
+  }
+}
