@@ -66,7 +66,7 @@ object PlanAudit {
       "q188_ks_test", "q189_naive_bayes", "q190_pmi_collocations",
       "q191_clustering_coeff", "q192_kcore", "q193_mv_join_maintain",
       "q194_pattern_match", "q195_entropy_mix", "q197_near_search",
-      "ml_logreg")
+      "ml_logreg", "q198_source_similarity", "q199_stream_semi_join")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

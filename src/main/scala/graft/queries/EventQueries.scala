@@ -114,6 +114,11 @@ object EventQueries {
     "q122_stream_full_join" -> ((s, d) =>
       graft.streaming.EventStream.clickPurchaseFullJoin(Tables(s, d, "events"))),
 
+    // §2.10: stream-stream LEFT SEMI interval join's batch twin —
+    // converted clicks exactly once, however many purchases matched.
+    "q199_stream_semi_join" -> ((s, d) =>
+      graft.streaming.EventStream.clickPurchaseSemiJoin(Tables(s, d, "events"))),
+
     // §2.10: streaming dedup's batch twin. event_id is unique in the
     // data, so the input is doubled with a self-union to make the dedup
     // real; duplicates are byte-identical rows, keeping the kept-row
@@ -220,6 +225,14 @@ object EventQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | MAX(ts) AS last_ts
         |FROM events GROUP BY user_id""".stripMargin,
+    "q199_stream_semi_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+        |FROM events c
+        |WHERE c.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes')"""
+        .stripMargin,
     "q45_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         | c.ts AS click_ts, p.ts AS purchase_ts

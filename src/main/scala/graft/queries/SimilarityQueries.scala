@@ -479,6 +479,38 @@ object SimilarityQueries {
     * reduction order-independent, so the result is hash-comparable.
     */
   def centroidQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q198 source-profile similarity — the distribution-level dedup
+    // audit: pairwise COSINE between each source's unigram count vector
+    // ("are two feeds near-duplicates of each other wholesale?", the
+    // corpus-governance question upstream of per-document dedup). The
+    // corpus contributes ONE grouped count to (source, word) cells;
+    // dots come from a vocab-keyed self-join of that bounded profile
+    // table (never the corpus), norms from a per-source Σc² — all exact
+    // longs until one final double division per pair, so the oracle
+    // hash-compares all |sources|²/2 rows.
+    "q198_source_similarity" -> ((s, d) => {
+      val cells = graft.Tables(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val norms = cells.groupBy(col("source"))
+        .agg(sum(col("c") * col("c")).as("nn"))
+      cells.as("a")
+        .join(cells.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(sum(col("a.c") * col("b.c")).as("dot"))
+        .join(broadcast(norms.select(col("source").as("source_a"),
+          col("nn").as("na"))), "source_a")
+        .join(broadcast(norms.select(col("source").as("source_b"),
+          col("nn").as("nb"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("dot"),
+          round(col("dot").cast("double")
+            / sqrt(col("na").cast("double") * col("nb")), 6).as("cosine"))
+    }),
+
     "q51_centroids" -> ((s, d) =>
       graft.Tables(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
@@ -489,6 +521,23 @@ object SimilarityQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q198_source_similarity" ->
+      """WITH cells AS (SELECT source, w, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE len(w) > 0 GROUP BY source, w),
+        |norms AS (SELECT source, SUM(c * c) AS nn FROM cells
+        |  GROUP BY source),
+        |dots AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    SUM(a.c * b.c) AS dot
+        |  FROM cells a JOIN cells b
+        |    ON a.w = b.w AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT source_a, source_b, CAST(dot AS BIGINT) AS dot,
+        |  round(CAST(dot AS DOUBLE)
+        |    / sqrt(CAST(na.nn AS DOUBLE) * nb.nn), 6) AS cosine
+        |FROM dots
+        |JOIN norms na ON dots.source_a = na.source
+        |JOIN norms nb ON dots.source_b = nb.source""".stripMargin,
     "q94_hash_embed" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |             FROM documents),

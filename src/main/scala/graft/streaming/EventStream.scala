@@ -126,6 +126,32 @@ object EventStream {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT SEMI interval join — "clicks that converted",
+    * each click emitted AT MOST ONCE however many purchases match (the
+    * inner join q45 fans out per purchase; dropDuplicates after it
+    * would need its own keyed state — semi is the native one-state-pass
+    * form). Same watermark/state eviction bounds as [[clickPurchaseJoin]];
+    * a matched click emits immediately, and state evicts below the
+    * watermark. Batch twin = a plain EXISTS range predicate, which the
+    * q199 oracle hash-checks; EventStreamSpec pins streaming == batch.
+    */
+  def clickPurchaseSemiJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_semi")
+      .select(col("user_id"), col("click_id"), col("click_ts"))
+  }
+
   /** Stream-stream FULL OUTER interval join — completes the streaming
     * join matrix (inner q45, left q104): unmatched CLICKS null-pad on
     * the purchase side (non-conversions) AND unmatched PURCHASES

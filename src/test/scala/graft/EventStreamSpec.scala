@@ -148,6 +148,28 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("stream-stream LEFT SEMI join emits each converted click once (q199)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val rows = batch.as[(Long, Long, Timestamp, String)].collect().toSeq
+    val stream = MemoryStream[(Long, Long, Timestamp, String)]
+    val (first, second) = rows.splitAt(rows.size / 2)
+    stream.addData(first)
+    stream.addData(second)
+    val streamed = EventStream.clickPurchaseSemiJoin(
+      stream.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+    EventStream.runToMemory(streamed, "ss_semi", OutputMode.Append())
+    val got = spark.table("ss_semi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    val want = EventStream.clickPurchaseSemiJoin(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got.sorted == want.sorted && want.nonEmpty,
+      "same converted clicks, each exactly once (no per-purchase fanout)")
+    assert(got.distinct.size == got.size, "semi join must not duplicate")
+  }
+
   test("stream-stream LEFT OUTER join emits null rows once the watermark proves no match (q104)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

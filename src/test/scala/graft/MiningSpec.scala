@@ -110,6 +110,20 @@ class MiningSpec extends SparkSpec {
       "always-adjacent pair must out-score the split-context pair")
   }
 
+  test("q198 identical source profiles score cosine 1, disjoint ones vanish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-srcsim").toString
+    Seq((1L, "a b", "s1"), (2L, "a b", "s2"), (3L, "z", "s3"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q198_source_similarity")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // s3 shares no vocabulary -> zero-overlap pairs carry no row
+    assert(got == Set(("s1", "s2", 2L, 1.0)))
+  }
+
   test("q134/q138 plans stay on equi-joins (no cartesian/BNLJ)") {
     Seq("q134_assoc_rules", "q138_skyline").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
