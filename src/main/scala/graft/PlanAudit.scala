@@ -66,7 +66,8 @@ object PlanAudit {
       "q188_ks_test", "q189_naive_bayes", "q190_pmi_collocations",
       "q191_clustering_coeff", "q192_kcore", "q193_mv_join_maintain",
       "q194_pattern_match", "q195_entropy_mix", "q197_near_search",
-      "ml_logreg", "q198_source_similarity", "q199_stream_semi_join")
+      "ml_logreg", "q198_source_similarity", "q199_stream_semi_join",
+      "q200_linkage_weights")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
@@ -113,5 +114,9 @@ object PlanAudit {
     "q165_rfm" -> "1-row recency-horizon broadcast",
     // the |classes|-row (≤5) model-constants grid attached to each test
     // doc — bounded metadata, the q161 normalizer pattern one row wider
-    "q189_naive_bayes" -> "|classes|-row model-constant grid broadcast")
+    "q189_naive_bayes" -> "|classes|-row model-constant grid broadcast",
+    "q181_feature_matrix" -> "1-row dataset-horizon broadcast",
+    // the candidate universe IS the operator's defined work: every
+    // customer × the PopPool(=50)-row popular-item pool, then anti-join
+    "q182_negative_sample" -> "bounded candidate-pool (50-row) broadcast")
 }

@@ -126,10 +126,71 @@ object StringSimOps {
         .select(col("key_a"), col("b.c_custkey").as("key_b"),
           dam_lev(col("name_a"), col("b.c_name")).as("dl_dist"))
         .filter(col("dl_dist") <= 1)
+    }),
+
+    // q200 Fellegi-Sunter weight estimation [JASA'69] — the scoring
+    // model BEHIND q139/q160's candidate pairs: per comparison field,
+    // the u-probability (chance agreement between NON-matching records)
+    // is estimated exactly from the value distribution,
+    //   u_f = Σ_v c_v·(c_v−1) / (n·(n−1)),
+    // and the match/non-match log-odds weights follow with a fixed
+    // m = 0.95. One grouped count per stacked field (bounded by value
+    // cardinality), one n scalar — no pair enumeration at all: the
+    // estimator needs only marginals, which is why FS linkage scales
+    // where naive supervised scoring needs labeled pairs. Output is the
+    // per-field weight table a linkage run sums over agreeing fields.
+    "q200_linkage_weights" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val n = c.count() // driver scalar (q77's nd pattern)
+      val fields = Seq(
+        ("nation", col("c_nationkey").cast("string")),
+        ("segment", col("c_mktsegment")),
+        ("name_suffix", substring(col("c_name"), -3, 3)))
+      val stacked = c.select(explode(array(fields.map { case (f, e) =>
+          struct(lit(f).as("field"), e.as("v")) }: _*)).as("x"))
+        .select(col("x.field").as("field"), col("x.v").as("v"))
+      val u = stacked.groupBy(col("field"), col("v"))
+        .agg(count(lit(1)).as("cv"))
+        .groupBy(col("field"))
+        .agg(count(lit(1)).as("n_values"),
+          sum(col("cv") * (col("cv") - 1)).as("ap"))
+        .select(col("field"), col("n_values"),
+          (col("ap").cast("double")
+            / (lit(n.toDouble) * lit((n - 1).toDouble))).as("u"))
+      // degenerate fields: u = 0 (all values unique) or u = 1 (one
+      // value) hit ln(x/0) — Spark's double Divide yields NULL where
+      // DuckDB yields ±inf (the q102 cross-engine hazard), so both
+      // engines CASE the weight to NULL identically
+      u.select(col("field"), col("n_values"), round(col("u"), 6).as("u_prob"),
+        when(col("u") > 0,
+          round(log(lit(0.95) / col("u")), 6)).as("agree_weight"),
+        when(col("u") < 1,
+          round(log(lit(0.05) / (lit(1.0) - col("u"))), 6))
+          .as("disagree_weight"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q200_linkage_weights" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM customer),
+        |f AS (
+        |  SELECT 'nation' AS field, CAST(c_nationkey AS VARCHAR) AS v
+        |  FROM customer
+        |  UNION ALL SELECT 'segment', c_mktsegment FROM customer
+        |  UNION ALL SELECT 'name_suffix', right(c_name, 3)
+        |  FROM customer),
+        |cv AS (SELECT field, v, COUNT(*) AS cv FROM f GROUP BY field, v),
+        |g AS (SELECT field, COUNT(*) AS n_values,
+        |    SUM(cv * (cv - 1)) AS ap FROM cv GROUP BY field),
+        |u AS (SELECT field, n_values,
+        |    CAST(ap AS DOUBLE) / (CAST(n.n AS DOUBLE) * (n.n - 1)) AS u
+        |  FROM g, n)
+        |SELECT field, CAST(n_values AS BIGINT) AS n_values,
+        |  round(u, 6) AS u_prob,
+        |  CASE WHEN u > 0 THEN round(ln(0.95 / u), 6) END AS agree_weight,
+        |  CASE WHEN u < 1 THEN round(ln(0.05 / (1.0 - u)), 6) END
+        |    AS disagree_weight
+        |FROM u""".stripMargin,
     "q139_fuzzy_pairs" ->
       s"""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
          |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER)

@@ -118,4 +118,30 @@ class StringSimSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"per-row kernels must not shuffle:\n$p")
   }
+
+  test("q200 FS weights: u matches the exact chance-agreement formula") {
+    import spark.implicits._
+    // nations [1,1,2,3] -> u = 2/(4*3); segments all equal -> u = 1;
+    // name suffixes [aaa,aaa,bbb,ccc] -> u = 2/12 like nation
+    val dir = java.nio.file.Files.createTempDirectory("graft-fs").toString
+    Seq((1L, 1L, "SEG", "x-aaa"), (2L, 1L, "SEG", "y-aaa"),
+      (3L, 2L, "SEG", "z-bbb"), (4L, 3L, "SEG", "w-ccc"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = StringSimOps.queries("q200_linkage_weights")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val uN = 2.0 / 12
+    assert(got("nation") == ((3L, r6(uN), Some(r6(math.log(0.95 / uN))),
+      Some(r6(math.log(0.05 / (1 - uN)))))))
+    // a field where every record agrees carries NO discriminating
+    // power: u = 1 -> agree weight ln(0.95) < 0 and the disagree
+    // weight is undefined (NULLed identically in both engines)
+    assert(got("segment") == ((1L, 1.0, Some(r6(math.log(0.95))), None)))
+    assert(got("name_suffix")._2 == r6(2.0 / 12))
+  }
 }
