@@ -67,7 +67,8 @@ object PlanAudit {
       "q191_clustering_coeff", "q192_kcore", "q193_mv_join_maintain",
       "q194_pattern_match", "q195_entropy_mix", "q197_near_search",
       "ml_logreg", "q198_source_similarity", "q199_stream_semi_join",
-      "q200_linkage_weights")
+      "q200_linkage_weights", "q201_ctfidf", "q202_winsorize",
+      "q203_impute", "q204_quantize")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -138,6 +138,34 @@ object CurationOps {
     // hash the redacted text — the hash pins byte-identical replacement
     // behavior cross-engine even on a corpus with no PII. Narrow
     // (per-row), codegen'd, no shuffle but the final small agg.
+    // q203 group-mean imputation — the fill-don't-drop missing-value
+    // treatment (q178 audits nulls; this REPAIRS them): values flagged
+    // missing by a deterministic rule (event_id % 7 == 0, identical in
+    // both engines) are replaced with their event-type's mean over the
+    // PRESENT values. Two bounded passes: per-type decimal moments over
+    // present rows (the q102 broadcast-scalar shape — means rounded to
+    // 6 dp so both engines substitute identical constants), then one
+    // narrow fill + per-type audit aggregation. Zero corpus shuffles
+    // beyond the two grouped reductions.
+    "q203_impute" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          (col("event_id") % 7 === 0).as("missing"))
+      val means = ev.filter(!col("missing"))
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 6).as("fill"))
+      ev.join(broadcast(means), "event_type")
+        .withColumn("v2", when(col("missing"), col("fill"))
+          .otherwise(col("value")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("missing"), 1L).otherwise(0L)).as("n_imputed"),
+          max(col("fill")).as("fill_value"),
+          round(sum(col("v2").cast("decimal(18,4)")).cast("double"), 4)
+            .as("sum_filled"))
+    }),
+
     "q58_pii_scrub" -> ((s, d) => {
       val email = "[a-z0-9.]+@[a-z0-9.]+"
       val longNum = "[0-9]{6,}"
@@ -215,6 +243,20 @@ object CurationOps {
       .stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q203_impute" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    event_id % 7 = 0 AS missing FROM events),
+        |m AS (SELECT event_type,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / COUNT(*), 6) AS fill
+        |  FROM e WHERE NOT missing GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(COUNT(*) FILTER (missing) AS BIGINT) AS n_imputed,
+        |  MAX(m.fill) AS fill_value,
+        |  round(CAST(SUM(CAST(CASE WHEN missing THEN m.fill ELSE value END
+        |    AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_filled
+        |FROM e JOIN m ON e.event_type = m.event_type
+        |GROUP BY e.event_type""".stripMargin,
     "q180_weighted_reservoir" ->
       """WITH t AS (SELECT doc_id, lang,
         |    len(string_split(text, ' ')) AS w,

@@ -479,6 +479,30 @@ object SimilarityQueries {
     * reduction order-independent, so the result is hash-comparable.
     */
   def centroidQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q204 int8 embedding quantization audit — the storage/serving
+    // compression pass of a vector pipeline: per-vector symmetric scale
+    // s = max|x|/127, quantize q = clip(round(x/s)), report the
+    // reconstruction error Σ(x − q·s)² and clip count. Entirely NARROW
+    // (zero shuffles): per-row array fold in fixed left-to-right order,
+    // double arithmetic over identical float inputs, scale rounded to
+    // 9 dp so both engines quantize against the same constant — the
+    // oracle hash-compares every row. At 100 TB this is map-only work
+    // fused behind the scan (the q28/q76 shape).
+    "q204_quantize" -> ((s, d) =>
+      graft.Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("scale", expr("round(array_max(transform(embedding," +
+          " x -> abs(cast(x as double)))) / 127, 9)"))
+        .filter(col("scale") > 0)
+        .select(col("vec_id"), col("scale"),
+          expr("round(aggregate(embedding, cast(0 as double), (a, x) ->" +
+            " a + pow(cast(x as double) - least(greatest(" +
+            "round(cast(x as double) / scale, 0), -127), 127) * scale, 2))" +
+            ", 6)").as("sq_err"),
+          expr("cast(aggregate(embedding, 0, (a, x) -> a + " +
+            "IF(abs(cast(x as double) / scale) > 127, 1, 0)) as int)")
+            .as("n_clipped"))),
+
     // q198 source-profile similarity — the distribution-level dedup
     // audit: pairwise COSINE between each source's unigram count vector
     // ("are two feeds near-duplicates of each other wholesale?", the
@@ -521,6 +545,20 @@ object SimilarityQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q204_quantize" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |    round(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127, 9) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding, x -> pow(CAST(x AS DOUBLE)
+        |      - least(greatest(round(CAST(x AS DOUBLE) / scale, 0), -127),
+        |        127) * scale, 2))), (a, b) -> a + b), 6) AS sq_err,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CASE WHEN abs(CAST(x AS DOUBLE) / scale) > 127
+        |      THEN 1 ELSE 0 END)) AS INTEGER) AS n_clipped
+        |FROM q WHERE scale > 0""".stripMargin,
     "q198_source_similarity" ->
       """WITH cells AS (SELECT source, w, COUNT(*) AS c FROM (
         |    SELECT source, unnest(string_split(text, ' ')) AS w

@@ -158,6 +158,35 @@ object StatsOps {
       "q106_eqdepth_hist" -> ((s, d) =>
         eqDepthHistogram(Tables(s, d, "lineitem"), "l_extendedprice")),
 
+      // q202 winsorization — the clip-don't-drop outlier treatment
+      // (q102/q111 FLAG outliers; training pipelines usually CLIP): cap
+      // values at the exact global [p05, p95], report per-flag clip
+      // counts and the mean before/after. Boundaries follow the q106
+      // pattern (one shared percentile buffer → two rounded doubles →
+      // scoring-plan literals); the clip pass is narrow and the means
+      // reduce decimally, so the oracle hash-compares. The
+      // approx_percentile swap documented at q106 applies unchanged at
+      // corpus scale.
+      "q202_winsorize" -> ((s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val bnds = li.agg(expr(
+          "transform(percentile(l_extendedprice, array(0.05, 0.95))," +
+            " x -> round(x, 4))").as("b"))
+          .head().getSeq[Double](0)
+        val (lo, hi) = (bnds(0), bnds(1))
+        li.select(col("l_returnflag"), col("l_extendedprice").as("x"))
+          .withColumn("clipped",
+            least(greatest(col("x"), lit(lo)), lit(hi)))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("x") < lo, 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when(col("x") > hi, 1L).otherwise(0L)).as("n_clip_hi"),
+            round(sum(col("x").cast(dec)).cast("double")
+              / count(lit(1)), 6).as("mean_raw"),
+            round(sum(col("clipped").cast(dec)).cast("double")
+              / count(lit(1)), 6).as("mean_wins"))
+      }),
+
       // The 100 TB form of q106: identical consumer (boundaries →
       // narrow bucket assignment → bounded-key agg), boundaries from the
       // mergeable approx_percentile sketch instead of the exact
@@ -358,6 +387,21 @@ object StatsOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    "q202_winsorize" ->
+      """WITH b AS (SELECT
+        |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(COUNT(*) FILTER (l_extendedprice < lo) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(COUNT(*) FILTER (l_extendedprice > hi) AS BIGINT)
+        |    AS n_clip_hi,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+        |  round(CAST(SUM(CAST(least(greatest(l_extendedprice, lo), hi)
+        |    AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS mean_wins
+        |FROM lineitem, b GROUP BY l_returnflag""".stripMargin,
     "q171_weighted_median" ->
       """WITH t AS (SELECT l_returnflag f, l_extendedprice x,
         |   CAST(l_quantity AS DECIMAL(18,4)) w, l_orderkey, l_linenumber

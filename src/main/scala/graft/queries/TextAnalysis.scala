@@ -35,6 +35,37 @@ object TextAnalysis {
       i => md5(c.substr(i, lit(8)).cast("binary")))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q201 class-distinctive terms (c-TF-IDF, the BERTopic labeling
+    // scheme applied to the lang classes): per class, the terms with
+    // the highest tf_class · ln(K / class_df), where class_df counts in
+    // how many CLASSES the term appears — vocabulary-level idf over a
+    // 5-row class axis, so every aggregate after the one corpus
+    // tokenize pass is vocab-bounded. The score stays an exact BIGINT
+    // (tf × ln-micros, the q189 discipline); the per-class top-10
+    // window runs over vocab-sized input with a full (score, term)
+    // ordering, so both engines rank identically.
+    "q201_ctfidf" -> ((s, d) => {
+      val tf = Tables(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val k = 5 // class cardinality (langs) — fixed corpus property
+      val cdf = tf.groupBy(col("w")).agg(count(lit(1)).as("cdf"))
+      val scored = tf.join(cdf, "w")
+        .withColumn("score_u", col("tf")
+          * round(log(lit(k.toDouble) / col("cdf")) * lit(1e6), 0)
+            .cast("long"))
+        .filter(col("score_u") > 0)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("score_u").desc, col("w"))
+      scored.withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("rank"), col("w").as("term"),
+          col("tf"), col("cdf"), col("score_u"))
+    }),
+
     // Compression-ratio quality signal (the Gopher/RefinedWeb filter):
     // deflate each document's UTF-8 bytes with the custom codegen kernel
     // (functions.DeflateLen); boilerplate compresses too well (low
@@ -391,6 +422,23 @@ object TextAnalysis {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    "q201_ctfidf" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT lang, w, COUNT(*) AS tf FROM tok
+        |  WHERE len(w) > 0 GROUP BY lang, w),
+        |cdf AS (SELECT w, COUNT(*) AS cdf FROM tf GROUP BY w),
+        |scored AS (SELECT tf.lang, tf.w, tf.tf, cdf.cdf,
+        |    tf.tf * CAST(round(ln(5.0 / cdf.cdf) * 1000000, 0) AS BIGINT)
+        |      AS score_u
+        |  FROM tf JOIN cdf ON tf.w = cdf.w),
+        |r AS (SELECT lang, w, tf, cdf, score_u,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score_u DESC, w) AS rank
+        |  FROM scored WHERE score_u > 0)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, w AS term, tf,
+        |  CAST(cdf AS BIGINT) AS cdf, score_u
+        |FROM r WHERE rank <= 10""".stripMargin,
     "q184_readability" ->
       """WITH c AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,

@@ -35,6 +35,35 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("q204 quantization: exact on representable vectors, error matches a local replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    Seq((1L, Array(127.0f, 0.0f)), (2L, Array(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q204_quantize")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getInt(3)))).toMap
+    // [127, 0]: scale 1.0, every element representable -> zero error
+    assert(got(1L) == ((1.0, 0.0, 0)))
+    // [1, 0.5]: replay the same double arithmetic locally
+    def replay(xs: Seq[Float]): (Double, Double) = {
+      val amax = xs.map(x => math.abs(x.toDouble)).max
+      val scale = BigDecimal(amax / 127)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val err = xs.foldLeft(0.0) { (a, x) =>
+        val r = BigDecimal(x.toDouble / scale)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val q = math.min(math.max(r, -127), 127)
+        a + math.pow(x.toDouble - q * scale, 2)
+      }
+      (scale, BigDecimal(err)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val (s2, e2) = replay(Seq(1.0f, 0.5f))
+    assert(got(2L)._1 == s2 && got(2L)._2 == e2 && got(2L)._3 == 0)
+  }
+
   test("brute-force ANN: k neighbors per query, ranks contiguous") {
     val rows = SparkEntry.queries("q25_ann_topk")(spark, sf)
       .groupBy("q_id").agg(count(lit(1)).as("n"), max("rk").as("maxrk"))

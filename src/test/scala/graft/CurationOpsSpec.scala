@@ -28,6 +28,21 @@ class CurationOpsSpec extends SparkSpec {
       assert(!cleanIds.contains(id), s"doc $id copies a probe text"))
   }
 
+  test("q203 imputes the missing seventh with the present-value mean") {
+    import spark.implicits._
+    // ids 1..6 present (values 1..6, mean 3.5); id 7 missing (raw 100
+    // must be ignored): sum_filled = 21 + 3.5
+    val dir = java.nio.file.Files.createTempDirectory("graft-imp").toString
+    ((1 to 6).map(i => (i.toLong, "a", i.toDouble)) :+ ((7L, "a", 100.0)))
+      .toDF("event_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.queries.CurationOps.queries("q203_impute")(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getDouble(3),
+      r.head.getDouble(4)) == ((7L, 1L, 3.5, 24.5)))
+  }
+
   test("PII scrub redacts planted emails and long digit runs") {
     import spark.implicits._
     val planted = Seq(

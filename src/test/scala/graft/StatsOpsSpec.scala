@@ -51,6 +51,23 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q202 winsorize: symmetric clip leaves the mean fixed on 1..20") {
+    import spark.implicits._
+    // p05 of 1..20 = 1.95, p95 = 19.05 (linear interpolation); exactly
+    // one value clips on each side, and the symmetric clip keeps the
+    // mean at 10.5 while both tails report 1 clipped row
+    val dir = java.nio.file.Files.createTempDirectory("graft-wins").toString
+    (1 to 20).map(i => ("A", i.toDouble))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.StatsOps.queries("q202_winsorize")(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3))
+      == ((20L, 1L, 1L)))
+    assert(r.head.getDouble(4) == 10.5 && r.head.getDouble(5) == 10.5)
+  }
+
   test("MAD stays anchored where one extreme value inflates the std") {
     // nine 10.0s and one 1000.0: the spike drags std to ~313 (z of the
     // spike ≈ 2.85, z of the 10s ≈ -0.3 — everything looks "normal-ish")

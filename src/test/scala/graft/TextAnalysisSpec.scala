@@ -19,6 +19,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2).nonEmpty)
   }
 
+  test("q201 c-TF-IDF: exclusive terms outrank shared ones") {
+    import spark.implicits._
+    // "only" appears in en alone (cdf 1 -> ln 5 idf); "both" appears in
+    // en and de (cdf 2 -> ln 2.5); en tf equal -> exclusive must rank 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctfidf").toString
+    Seq((1L, "only both", "en"), (2L, "only both", "en"),
+      (3L, "both anders", "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q201_ctfidf")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def m(x: Double) = math.round(x * 1e6)
+    assert(got(("en", 1)) == (("only", 2L, 1L, 2 * m(math.log(5.0)))))
+    assert(got(("en", 2)) == (("both", 2L, 2L, 2 * m(math.log(2.5)))))
+    assert(got(("de", 1)) == (("anders", 1L, 1L, m(math.log(5.0)))))
+  }
+
   test("quantile token budget == full-sort budget (q56 == q40 semantics)") {
     val got = SparkEntry.queries("q56_quantile_budget")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
