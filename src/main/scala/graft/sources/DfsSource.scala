@@ -5,9 +5,10 @@ import java.util
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,13 +51,29 @@ class DfsDataSource extends TableProvider with DataSourceRegister {
     require(path != null, "graft-dfs requires a store directory: .load(dir)")
     new DfsTable(path)
   }
+
+  // the WRITE path hands the incoming frame's (value)-only schema to
+  // getTable; reads always infer the full 3-column schema
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object DfsTable {
+  /** Data schema: the line text. Placement (`chunk_id`, `line_no`) is
+    * exposed as METADATA columns — Spark's own `_metadata` idiom — so
+    * writes validate against `value` alone while reads can still
+    * reconstruct manifest order by selecting the metadata by name.
+    */
   val Schema: StructType = StructType(Seq(
-    StructField("chunk_id", IntegerType, nullable = false),
-    StructField("line_no", LongType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  private[sources] def metaCol(colName: String, dt: org.apache.spark.sql.types.DataType)
+    : MetadataColumn = new MetadataColumn {
+    override def name(): String = colName
+    override def dataType(): org.apache.spark.sql.types.DataType = dt
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "graft-dfs placement: manifest order = (chunk_id, line_no)"
+  }
 
   /** Visible files of the store dir in NAME order (= manifest order; the
     * `_`/`.`-prefixed markers the MR writer leaves are metadata, exactly
@@ -74,13 +91,20 @@ object DfsTable {
   }
 }
 
-class DfsTable(path: String) extends Table with SupportsRead {
+class DfsTable(path: String) extends Table with SupportsRead
+    with SupportsWrite with SupportsMetadataColumns {
   override def name(): String = s"graft-dfs:$path"
   override def schema(): StructType = DfsTable.Schema
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    DfsTable.metaCol("chunk_id", IntegerType),
+    DfsTable.metaCol("line_no", LongType))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
     : ScanBuilder = new DfsScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DfsWriteBuilder(path, info.schema())
 }
 
 class DfsScanBuilder(path: String) extends ScanBuilder
@@ -116,6 +140,92 @@ class DfsScan(path: String, required: StructType) extends Scan with Batch
 
 /** One chunk = one Spark partition (serialized to executors). */
 case class DfsChunk(chunkId: Int, file: String) extends InputPartition
+
+/** WRITE side: each Spark partition becomes one chunk, partition order
+  * = manifest order (the reference's chunk-per-worker WRITE,
+  * `Client/client_v1.py:96-115`). Exactly-once via the standard
+  * temp-then-rename commit: tasks write to `_temp/part-<pid>-<task>`,
+  * only files named in COMMITTED task messages are renamed to their
+  * final `part-%05d` slot (a speculative/retried attempt's file is
+  * never referenced and is swept with the temp dir), so readers see
+  * each chunk exactly once. Input must carry a `value` string column
+  * (other columns rejected up front, not silently dropped).
+  */
+class DfsWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    require(schema.fieldNames.sameElements(Array("value"))
+      && schema.fields.head.dataType == StringType,
+      s"graft-dfs writes a single `value` string column; got $schema")
+    new Write { write =>
+      override def toBatch: BatchWrite = new DfsBatchWrite(path, doTruncate)
+    }
+  }
+}
+
+case class DfsCommit(partitionId: Int, tempFile: String)
+  extends WriterCommitMessage
+
+class DfsBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+    : DataWriterFactory = new DfsWriterFactory(dir)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf =
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (truncate && fs.exists(p)) {
+      DfsTable.chunks(dir, conf).foreach { case (_, f, _) =>
+        fs.delete(new Path(f), false) }
+    }
+    fs.mkdirs(p)
+    // append lands AFTER the existing manifest (new chunks extend the
+    // file, the reference's MR-output append at masterhandler.py:171)
+    val base = if (truncate) 0 else DfsTable.chunks(dir, conf).size
+    messages.collect { case DfsCommit(pid, temp) =>
+      fs.rename(new Path(temp), new Path(p, f"part-${base + pid}%05d"))
+    }
+    fs.delete(new Path(p, "_temp"), true) // uncommitted attempts swept
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf =
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    new Path(dir, "_temp").getFileSystem(conf)
+      .delete(new Path(dir, "_temp"), true)
+  }
+}
+
+class DfsWriterFactory(dir: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+    : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val temp = new Path(dir, s"_temp/part-$partitionId-$taskId")
+    private val fs = temp.getFileSystem(new Configuration())
+    private val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(temp, true),
+        java.nio.charset.StandardCharsets.UTF_8))
+
+    override def write(row: InternalRow): Unit = {
+      out.write(row.getUTF8String(0).toString)
+      out.write('\n')
+    }
+
+    override def commit(): WriterCommitMessage = {
+      out.close()
+      DfsCommit(partitionId, temp.toString)
+    }
+
+    override def abort(): Unit = {
+      out.close()
+      fs.delete(temp, false)
+    }
+
+    override def close(): Unit = ()
+  }
+}
 
 class DfsReaderFactory(required: StructType)
     extends PartitionReaderFactory {

@@ -74,6 +74,53 @@ class DfsSourceSpec extends SparkSpec {
     graft.sources.DfsTable.chunks(dir,
       spark.sparkContext.hadoopConfiguration).map(_._3).sum
 
+  test("write side: partitions become chunks, read paths interoperate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dfs-w").toString + "/store"
+    // 3 partitions of known contiguous content (repartitionByRange on a
+    // sortWithinPartitions'd index keeps lines where we put them)
+    val lines = (1 to 30).map(i => f"w-$i%03d")
+    spark.createDataset(lines).toDF("value")
+      .withColumn("idx", org.apache.spark.sql.functions
+        .monotonically_increasing_id())
+      .repartitionByRange(3, col("idx"))
+      .sortWithinPartitions("idx")
+      .select("value")
+      .write.format("graft-dfs").mode("overwrite").save(dir)
+    // connector read: chunk ids 0..2, manifest order == written order
+    val back = spark.read.format("graft-dfs").load(dir)
+      .orderBy(col("chunk_id"), col("line_no"))
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(back == lines)
+    assert(spark.read.format("graft-dfs").load(dir)
+      .select("chunk_id").distinct().count() == 3)
+    // MR-facade READ interop: same store, same byte order
+    assert(MapReduce.read(spark, dir).collect().toSeq == lines)
+  }
+
+  test("append extends the manifest; overwrite truncates; bad schemas rejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dfs-t").toString + "/store"
+    spark.createDataset(Seq("old-1", "old-2")).toDF("value")
+      .coalesce(1).write.format("graft-dfs").mode("append").save(dir)
+    // append: the new chunk lands AFTER the existing manifest
+    spark.createDataset(Seq("appended")).toDF("value")
+      .coalesce(1).write.format("graft-dfs").mode("append").save(dir)
+    val appended = spark.read.format("graft-dfs").load(dir)
+      .orderBy(col("chunk_id"), col("line_no"))
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(appended == Seq("old-1", "old-2", "appended"))
+    spark.createDataset(Seq("new-1")).toDF("value")
+      .coalesce(1).write.format("graft-dfs").mode("overwrite").save(dir)
+    val got = spark.read.format("graft-dfs").load(dir)
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("new-1"), "overwrite must replace prior chunks")
+    intercept[Exception] {
+      Seq((1, "x")).toDF("id", "value")
+        .write.format("graft-dfs").mode("overwrite").save(dir)
+    }
+  }
+
   test("a filtered projection keeps the pruned schema and right rows") {
     val dfs = store(Seq("alpha", "beta", "gamma", "delta"), 2)
     val df = spark.read.format("graft-dfs").load(dfs)
