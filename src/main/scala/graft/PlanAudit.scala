@@ -68,7 +68,8 @@ object PlanAudit {
       "q194_pattern_match", "q195_entropy_mix", "q197_near_search",
       "ml_logreg", "q198_source_similarity", "q199_stream_semi_join",
       "q200_linkage_weights", "q201_ctfidf", "q202_winsorize",
-      "q203_impute", "q204_quantize")
+      "q203_impute", "q204_quantize", "stats_wmedian_2pass",
+      "rfm_globalrank")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
@@ -119,5 +120,6 @@ object PlanAudit {
     "q181_feature_matrix" -> "1-row dataset-horizon broadcast",
     // the candidate universe IS the operator's defined work: every
     // customer × the PopPool(=50)-row popular-item pool, then anti-join
-    "q182_negative_sample" -> "bounded candidate-pool (50-row) broadcast")
+    "q182_negative_sample" -> "bounded candidate-pool (50-row) broadcast",
+    "rfm_globalrank" -> "1-row recency-horizon broadcast")
 }

@@ -30,26 +30,66 @@ object BusinessOps {
 
   private val dec = DecimalType(18, 4)
 
+  /** Per-customer RFM base measures (recency days, frequency, monetary)
+    * — shared by the q165 ntile form and its GlobalRank scale twin.
+    */
+  private def rfmBase(s: SparkSession, d: String): DataFrame = {
+    val o = Tables(s, d, "orders")
+    val mx = o.agg(max(date_trunc("day", col("o_orderdate"))).as("m"))
+    o.groupBy(col("o_custkey"))
+      .agg(max(date_trunc("day", col("o_orderdate"))).as("last_od"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("mon"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        datediff(col("m"), col("last_od")).as("rec"),
+        col("freq"), col("mon"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q165_rfm" -> ((s, d) => {
-      val o = Tables(s, d, "orders")
-      val mx = o.agg(max(date_trunc("day", col("o_orderdate"))).as("m"))
-      val m = o.groupBy(col("o_custkey"))
-        .agg(max(date_trunc("day", col("o_orderdate"))).as("last_od"),
-          count(lit(1)).as("freq"),
-          sum(col("o_totalprice").cast(dec)).cast("double").as("mon"))
-        .crossJoin(broadcast(mx))
-        .select(col("o_custkey"),
-          datediff(col("m"), col("last_od")).as("rec"),
-          col("freq"), col("mon"))
-      m.select(col("o_custkey"), col("rec"), col("freq"),
+    "q165_rfm" -> ((s, d) =>
+      rfmBase(s, d).select(col("o_custkey"), col("rec"), col("freq"),
         round(col("mon"), 4).as("monetary"),
         ntile(5).over(Window.orderBy(col("rec").desc, col("o_custkey")))
           .as("r_score"),
         ntile(5).over(Window.orderBy(col("freq"), col("o_custkey")))
           .as("f_score"),
         ntile(5).over(Window.orderBy(col("mon"), col("o_custkey")))
-          .as("m_score"))
+          .as("m_score"))),
+
+    // The 100 TB form of q165 — the documented GlobalRank trade, now
+    // CODE: the three global ntile(5) windows (each a single-partition
+    // sort over every customer) are replaced by three range-partitioned
+    // GlobalRank passes plus a CLOSED-FORM ntile from the gap-free rank
+    // (first n mod k buckets take ⌈n/k⌉ rows — Spark's exact ntile
+    // sizing). Identical quintiles to q165 — same oracle SQL gates it,
+    // and BusinessOpsSpec pins row-level equality — with no
+    // whole-relation single-task window anywhere.
+    "rfm_globalrank" -> ((s, d) => {
+      val base = rfmBase(s, d)
+      val n = base.count() // per-customer row count — driver scalar
+      def tile(rank: org.apache.spark.sql.Column) = {
+        val k = 5
+        val q = n / k
+        val rem = n % k
+        (if (rem == 0) floor((rank - 1) / lit(q.toDouble))
+         else when(rank <= rem * (q + 1),
+             floor((rank - 1) / lit((q + 1).toDouble)))
+           .otherwise(lit(rem.toDouble)
+             + floor((rank - rem * (q + 1) - 1) / lit(q.toDouble))))
+          .cast("int") + 1
+      }
+      val ranked = graft.operators.GlobalRank.withRank(
+        graft.operators.GlobalRank.withRank(
+          graft.operators.GlobalRank.withRank(base,
+            "rrank", col("rec").desc, col("o_custkey")),
+          "frank", col("freq"), col("o_custkey")),
+        "mrank", col("mon"), col("o_custkey"))
+      ranked.select(col("o_custkey"), col("rec"), col("freq"),
+        round(col("mon"), 4).as("monetary"),
+        tile(col("rrank")).as("r_score"),
+        tile(col("frank")).as("f_score"),
+        tile(col("mrank")).as("m_score"))
     }),
 
     "q167_period_over_period" -> ((s, d) => {
@@ -145,6 +185,25 @@ object BusinessOps {
         |      / ln(n_sources), 6) END AS evenness
         |FROM g""".stripMargin,
     "q165_rfm" ->
+      """WITH mx AS (SELECT max(date_trunc('day', o_orderdate)) AS m
+        |  FROM orders),
+        |m AS (SELECT o_custkey,
+        |   CAST(date_diff('day', max(date_trunc('day', o_orderdate)),
+        |     max(mx.m)) AS INTEGER) AS rec,
+        |   COUNT(*) AS freq,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS mon
+        | FROM orders, mx GROUP BY o_custkey)
+        |SELECT o_custkey, rec, freq, round(mon, 4) AS monetary,
+        |  CAST(ntile(5) OVER (ORDER BY rec DESC, o_custkey) AS INTEGER)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS INTEGER)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY mon, o_custkey) AS INTEGER)
+        |    AS m_score
+        |FROM m""".stripMargin,
+    // the GlobalRank twin must land on exactly the ntile answer — gate
+    // it with the SAME oracle text as q165
+    "rfm_globalrank" ->
       """WITH mx AS (SELECT max(date_trunc('day', o_orderdate)) AS m
         |  FROM orders),
         |m AS (SELECT o_custkey,

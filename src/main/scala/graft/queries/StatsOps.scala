@@ -362,6 +362,55 @@ object StatsOps {
           .agg(min(col("x")).as("wmedian"))
       }),
 
+      // The 100 TB form of q171 — the trade carried since round 4
+      // session 3, now CODE: exact weighted median with NO per-group
+      // corpus sort. Pass 1 builds a per-flag 64-bucket equi-width
+      // weight histogram (one map-side-combined shuffle); the
+      // cumulative walk over the (flags × 64)-row table locates each
+      // flag's median BUCKET with its exclusive prefix weight — bounded
+      // metadata, broadcast back. Pass 2 re-scans only the located
+      // buckets' rows (≈1/64 of the corpus), applies q171's exact
+      // (x, keys) ordering + 2·(prefix+cum) ≥ total cut inside that
+      // small set. The answer is BIT-IDENTICAL to q171 (weights below
+      // the bucket enter as the exact decimal prefix), which
+      // StatsOpsSpec pins — two passes replace the group-wide sort.
+      "stats_wmedian_2pass" -> ((s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_returnflag").as("f"),
+            col("l_extendedprice").as("x"),
+            col("l_quantity").cast(dec).as("w"),
+            col("l_orderkey"), col("l_linenumber"))
+        val mm = li.agg(min(col("x")), max(col("x"))).head()
+        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+        val nb = 64
+        val bucket: org.apache.spark.sql.Column =
+          if (hi <= lo) lit(0)
+          else least(floor((col("x") - lit(lo)) / lit((hi - lo) / nb)),
+            lit(nb - 1.0)).cast("int")
+        val wtw = Window.partitionBy(col("f"))
+        val wcum = Window.partitionBy(col("f")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tgt = li.groupBy(col("f"), bucket.as("b"))
+          .agg(sum(col("w")).as("bw"))
+          .withColumn("tw", sum(col("bw")).over(wtw))
+          .withColumn("prefix",
+            coalesce(sum(col("bw")).over(wcum), lit(0).cast(dec)))
+          .filter(col("prefix") * 2 < col("tw")
+            && (col("prefix") + col("bw")) * 2 >= col("tw"))
+          .select(col("f").as("tf"), col("b").as("tb"),
+            col("prefix"), col("tw"))
+        val inBucket = Window.partitionBy(col("f"))
+          .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.withColumn("b", bucket)
+          .join(broadcast(tgt),
+            col("f") === col("tf") && col("b") === col("tb"))
+          .withColumn("cw", sum(col("w")).over(inBucket))
+          .filter((col("prefix") + col("cw")) * 2 >= col("tw"))
+          .groupBy(col("f").as("l_returnflag"))
+          .agg(min(col("x")).as("wmedian"))
+      }),
+
       "q125_moving_median" -> ((s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))

@@ -128,6 +128,26 @@ class BusinessOpsSpec extends SparkSpec {
       got.head.getDouble(3) == 0.625)
   }
 
+  test("GlobalRank RFM twin equals the ntile form row for row") {
+    def run(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    val exact = run("q165_rfm")
+    val scaled = run("rfm_globalrank")
+    assert(exact.nonEmpty && scaled == exact)
+  }
+
+  test("rfm_globalrank plans no whole-relation single-partition window") {
+    val df = SparkEntry.queries("rfm_globalrank")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every Window in the plan must be partitioned (GlobalRank's only
+    // unpartitioned window runs over the partition-count size table)
+    assert(!p.contains("Window [ntile"),
+      s"scale twin must not fall back to global ntile:\n$p")
+  }
+
   test("q195 entropy: uniform mix is perfectly even, single source is zero") {
     import spark.implicits._
     // en: 8 docs over 4 equal sources; de: 4 docs from one source

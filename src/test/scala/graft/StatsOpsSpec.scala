@@ -51,6 +51,16 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("two-pass weighted median is bit-identical to the sorted q171 form") {
+    def run(name: String) =
+      graft.queries.StatsOps.queries(name)(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = run("q171_weighted_median")
+    val twoPass = run("stats_wmedian_2pass")
+    assert(exact.nonEmpty && twoPass == exact,
+      s"scale path must land on the exact cut: $twoPass vs $exact")
+  }
+
   test("q202 winsorize: symmetric clip leaves the mean fixed on 1..20") {
     import spark.implicits._
     // p05 of 1..20 = 1.95, p95 = 19.05 (linear interpolation); exactly
