@@ -69,7 +69,7 @@ object PlanAudit {
       "ml_logreg", "q198_source_similarity", "q199_stream_semi_join",
       "q200_linkage_weights", "q201_ctfidf", "q202_winsorize",
       "q203_impute", "q204_quantize", "stats_wmedian_2pass",
-      "rfm_globalrank")
+      "rfm_globalrank", "text_fingerprint_xx", "dfs_roundtrip")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

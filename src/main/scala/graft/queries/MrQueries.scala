@@ -45,8 +45,29 @@ object MrQueries {
       split(col("value"), ",", 2).getItem(1).cast("long").as("n"))
   }
 
+  /** The graft-dfs DataSourceV2 connector driven end-to-end: documents'
+    * text written through the DSv2 sink in doc order (orderBy produces
+    * the range partitioning, each partition = one chunk), read back
+    * through the connector, summarized per chunk. FS side effects →
+    * rows-only for the driver; DfsSourceSpec pins byte-order,
+    * append/truncate, pruning, and MR-READ interop.
+    */
+  def dfsRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-dfs-q").toString + "/store"
+    Tables(s, d, "documents")
+      .orderBy(col("doc_id"))
+      .select(col("text").as("value"))
+      .write.format("graft-dfs").mode("overwrite").save(tmp)
+    s.read.format("graft-dfs").load(tmp)
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("n_chars"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mr_wordcount" -> (mrWordcount _)
+    "mr_wordcount" -> (mrWordcount _),
+    "dfs_roundtrip" -> (dfsRoundtrip _)
   )
 
   def oracle: Map[String, String] = Map(

@@ -34,6 +34,18 @@ object TextAnalysis {
       sequence(lit(1), length(c) - 7),
       i => md5(c.substr(i, lit(8)).cast("binary")))))
 
+  /** The production form of [[fingerprint]] — xxhash64 instead of md5
+    * (~5× cheaper per gram, the swap documented at q30 since round 2).
+    * Same winnowing semantics: min over all character-8-gram hashes.
+    * Not DuckDB-mirrorable (xxhash64 seed/impl is Spark's) → rows-only;
+    * TextAnalysisSpec pins that it induces the SAME duplicate grouping
+    * as the md5 gate form.
+    */
+  private[graft] def fingerprintXx(c: Column): Column =
+    when(length(c) >= 8, array_min(transform(
+      sequence(lit(1), length(c) - 7),
+      i => xxhash64(c.substr(i, lit(8))))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q201 class-distinctive terms (c-TF-IDF, the BERTopic labeling
     // scheme applied to the lang classes): per class, the terms with
@@ -202,6 +214,11 @@ object TextAnalysis {
     "q30_fingerprint" -> ((s, d) =>
       Tables(s, d, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // the xxhash64 production twin of q30 (rows-only; see fingerprintXx)
+    "text_fingerprint_xx" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), fingerprintXx(col("text")).as("fp"))),
 
     // Heavy hitters: top-10 corpus tokens via the Misra-Gries
     // approx_top_k sketch (capacity 64). The test vocabulary is smaller

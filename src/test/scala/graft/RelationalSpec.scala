@@ -33,8 +33,16 @@ class RelationalSpec extends SparkSpec {
     // DuckDB has no twin for (deflate), and file-layout audits whose
     // output (file counts) isn't SQL over the source tables
     val rowsOnly = Set("q78_compress_ratio", "layout_compact",
+      "layout_timetravel",
       "q107_rolling_distinct", "q112_approx_percentiles",
-      "stats_approx_eqdepth", "stats_countmin", "stats_hll_overlap")
+      "stats_approx_eqdepth", "stats_countmin", "stats_hll_overlap",
+      // iterative float training (spec-pinned vs a local reference)
+      "ml_logreg",
+      // exact scale twin of q171 — equality pinned by StatsOpsSpec +
+      // a Verify-output compare; the q171 oracle stays the gate
+      "stats_wmedian_2pass",
+      // DSv2 connector drive: FS side effects, not SQL over the tables
+      "dfs_roundtrip")
     assert(missing.forall(n => n.startsWith("dedup_") || n.startsWith("sim_")
       || n.startsWith("text_") || n.startsWith("mm_") || n.startsWith("mr_")
       || rowsOnly(n)),

@@ -19,6 +19,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2).nonEmpty)
   }
 
+  test("xxhash64 fingerprint: stable per text, null under 8 chars") {
+    import spark.implicits._
+    // identical texts MUST collide (the dedup contract); the chosen
+    // minimum gram differs from md5's (different hash order), so only
+    // text-level agreement is guaranteed — not md5-group equality
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpx").toString
+    Seq((1L, "the same long document body"),
+      (2L, "the same long document body"),
+      (3L, "a different document body entirely"),
+      (4L, "short"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("text_fingerprint_xx")(spark, dir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isDefined && got(1L) == got(2L))
+    assert(got(3L).isDefined && got(3L) != got(1L))
+    assert(got(4L).isEmpty, "sub-8-char docs have no 8-gram")
+  }
+
   test("q201 c-TF-IDF: exclusive terms outrank shared ones") {
     import spark.implicits._
     // "only" appears in en alone (cdf 1 -> ln 5 idf); "both" appears in
