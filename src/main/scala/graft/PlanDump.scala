@@ -67,7 +67,17 @@ object PlanDump {
       "q161_hits" -> "two mutual-reinforcement rounds as co-partitioned equi-join + grouped LONG sums (exact, order-independent); 1-row normalizer broadcasts at the end",
       "q171_weighted_median" -> "DECIMAL cumulative-weight window ordered by (value, row key); the 2·cw ≥ tw cut replaces any global sort-and-pick",
       "q176_asof_native" -> "custom AsOfJoinExec: ClusteredDistribution + (keys, time) sort on both children, one O(|L|+|R|) merge per co-partition pair — the plan SortMergeJoin gets, with as-of semantics",
-      "q175_overlap_score" -> "probe shingles broadcast (benchmark-suite-bounded); corpus side is one explode + left-outer count — the q57 shape emitting a fraction instead of a verdict")
+      "q175_overlap_score" -> "probe shingles broadcast (benchmark-suite-bounded); corpus side is one explode + left-outer count — the q57 shape emitting a fraction instead of a verdict",
+      "q188_ks_test" -> "corpus reduces to per-(type, value) arm counts in one pass; the CDF walk + integer supremum run over the value-cardinality table",
+      "q189_naive_bayes" -> "training = two grouped counting passes (vocab-bounded model); scoring joins test tf with the model on w + the 5-row class grid; per-doc argmax window",
+      "q192_kcore" -> "round 1 is a plain degree filter; peels 2-3 are induced-subgraph semi-joins + map-side-combined counts — frontier-proportional, never the whole graph after round 1",
+      "q193_mv_join_maintain" -> "only the DELTA rides the 3-table join pipeline; base + delta merge by summing aggregate state — the Gupta-Mumick rule as one plan",
+      "q197_near_search" -> "ZERO shuffles: indexed transform/filter builds both terms' position lists in one scan; pair enumeration stays inside the row",
+      "q198_source_similarity" -> "one corpus pass to (source, word) cells; vocab-keyed self-join over the bounded profile table; exact integer dots/norms until one division per pair",
+      "q201_ctfidf" -> "one tokenize pass; tf/class-df/score aggregates all vocab-bounded; per-class top-10 window over vocab-sized input",
+      "q204_quantize" -> "narrow per-row array fold (fixed left-to-right order) — map-only work fused behind the scan",
+      "stats_wmedian_2pass" -> "pass 1: 64-bucket weight histogram (map-side combined); bucket walk over flags x 64 rows; pass 2 re-scans ONLY the located buckets and refines — exact q171 answer, no per-group corpus sort",
+      "rfm_globalrank" -> "three range-partitioned GlobalRank passes + closed-form ntile from the gap-free rank — NO whole-relation single-partition window anywhere")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -192,7 +202,23 @@ object PlanDump {
       "q176_asof_native" ->
         "no broadcast by design: the custom exec REQUIRES ClusteredDistribution on both children, so EnsureRequirements co-partitions exactly like a sort-merge join; per-partition merge state is one buffered right row",
       "q178_fk_orphans" ->
-        "left-anti per FK edge, un-hinted: parent sides range from 5-row region (AQE broadcasts) to corpus-scale orders (shuffles) — exactly the split AQE should own")
+        "left-anti per FK edge, un-hinted: parent sides range from 5-row region (AQE broadcasts) to corpus-scale orders (shuffles) — exactly the split AQE should own",
+      "q189_naive_bayes" ->
+        "explicit broadcast(class grid): |classes| rows of model constants attached to every test doc (an intentional bounded-metadata BNLJ, the q161 normalizer pattern); the seen-word join is test-tf x matched-vocab on w, un-hinted — the model side is vocab-sized, AQE owns it",
+      "q192_kcore / kCoreFixpoint" ->
+        "no hint on the peel semi-joins: the surviving node set is frontier-scale (can be the whole graph in round 2) — AQE broadcasts small cores, shuffles big ones on the SAME node key the degree aggregation uses",
+      "q193_mv_join_maintain / StreamingMv" ->
+        "no hint anywhere: the delta can be one order or a full backfill — AQE broadcasts small deltas through the dimension joins, shuffles big ones; the base+delta merge unions nation-cardinality STATE rows (no join)",
+      "q198_source_similarity" ->
+        "explicit broadcast(norms): one row per source — bounded metadata; the profile self-join is un-hinted (vocab-sized cells, AQE broadcasts at test scale and shuffles on w at corpus vocabulary)",
+      "q203_impute" ->
+        "explicit broadcast(per-type fill means): bounded vocabulary, the q102 scalar-table shape; the fill pass is narrow",
+      "stats_wmedian_2pass" ->
+        "explicit broadcast(target-bucket table): one row per group — bounded metadata; the in-bucket refine joins the corpus against it on (flag, bucket), keeping ~1/64 of rows past the filter",
+      "rfm_globalrank" ->
+        "explicit broadcast(GlobalRank prefix offsets, 3x): one row per shuffle partition — bounded metadata; plus the q165 1-row horizon. The customer aggregate range-repartitions once per score axis",
+      "q199_stream_semi_join" ->
+        "stream-stream left semi: both sides watermark-bounded state, no broadcast; batch twin: AQE decides")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"

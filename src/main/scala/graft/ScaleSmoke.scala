@@ -27,7 +27,12 @@ object ScaleSmoke {
       // two-round HITS over the replicated trade graph, and the
       // vocabulary-sized recommender pair aggregation
       "q160_sorted_neighborhood", "q176_asof_native", "q161_hits",
-      "q154_also_bought")
+      "q154_also_bought",
+      // session-4 additions: unrolled peeling, the profile self-join,
+      // the ntile-free RFM, and the histogram-refine weighted median —
+      // each exists BECAUSE of its scale story, so smoke it off-gate
+      "q192_kcore", "q198_source_similarity", "rfm_globalrank",
+      "stats_wmedian_2pass", "q189_naive_bayes", "q197_near_search")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

@@ -32,8 +32,18 @@ object GlobalRank {
     * `keys` (which must be unique as a tuple for a deterministic result).
     */
   def withRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
+    // EAGERLY checkpoint the ranged layout: the rank branch and the
+    // offsets branch below both consume it, and without pinning ONE
+    // materialization each branch re-runs the range exchange with a
+    // fresh RDD id — RangePartitioner seeds its boundary sampling from
+    // that id, so the two branches can disagree on partition boundaries
+    // and the __gr_pid equi-join silently drops/duplicates rows
+    // (observed at the 10× smoke: 77k of 150k rows survived, count
+    // varying run to run; the driver gates passed only because AQE's
+    // ReusedExchange happened to collapse the branches there).
     val ranged = df.repartitionByRange(keys: _*)
       .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint(true)
     val local = ranged.withColumn("__gr_lrn",
       row_number().over(
         Window.partitionBy(col("__gr_pid")).orderBy(keys: _*)))

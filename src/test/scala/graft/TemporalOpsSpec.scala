@@ -146,6 +146,24 @@ class TemporalOpsSpec extends SparkSpec {
     assert(want.except(got.select("k", "id", "rn")).isEmpty)
   }
 
+  test("GlobalRank preserves every input row (pinned ranged layout)") {
+    // regression for the 10x smoke bug: without the eager checkpoint,
+    // the rank branch and the offsets branch re-sample range boundaries
+    // independently (fresh RDD id seeds the partitioner) and the pid
+    // join dropped ~half the rows nondeterministically
+    val n = 200000L
+    val df = spark.range(0, n).repartition(13)
+      .select((col("id") * 2654435761L % 999983L).as("k"), col("id"))
+    val ranked = GlobalRank.withRank(df, "rn", col("k"), col("id"))
+    assert(ranked.count() == n, "no row may be lost to boundary drift")
+    // gap-free: rank values are exactly 1..n (distinct count suffices
+    // with min/max given count == n)
+    val mm = ranked.agg(min("rn"), max("rn"),
+      countDistinct("rn")).head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == n
+      && mm.getLong(2) == n)
+  }
+
   test("GlobalRank does not globally window the input relation") {
     // the only Window in the plan runs over the partition-size table
     // (bounded metadata); the input-sized relation is never coalesced
