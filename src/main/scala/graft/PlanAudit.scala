@@ -69,7 +69,8 @@ object PlanAudit {
       "ml_logreg", "q198_source_similarity", "q199_stream_semi_join",
       "q200_linkage_weights", "q201_ctfidf", "q202_winsorize",
       "q203_impute", "q204_quantize", "stats_wmedian_2pass",
-      "rfm_globalrank", "text_fingerprint_xx", "dfs_roundtrip")
+      "rfm_globalrank", "text_fingerprint_xx", "dfs_roundtrip",
+      "q205_anova", "q206_combo_profile", "q207_freq_triples")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -41,7 +41,23 @@ object BehaviorOps {
       "q157_attribution" -> ((s, d) => attribution(s, d)),
       "q162_debounce" -> ((s, d) => debounce(s, d)),
       "q164_conversion_lag" -> ((s, d) => conversionLag(s, d)),
-      "q194_pattern_match" -> ((s, d) => patternMatch(s, d)))
+      "q194_pattern_match" -> ((s, d) => patternMatch(s, d)),
+      "q206_combo_profile" -> ((s, d) => comboProfile(s, d)))
+
+  /** q206 behavioral-combination profile: how many users exhibit each
+    * distinct SET of event types — the "segment by capability" audit
+    * (who views-and-buys vs only-views…). collect_set is
+    * order-nondeterministic, so the combo key is array_sort'd before
+    * joining — the q194 shuffle-safety rule for set-valued keys. One
+    * shuffle on user_id, one 2^|types|-bounded aggregation.
+    */
+  def comboProfile(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+        .as("combo"))
+      .groupBy(col("combo"))
+      .agg(count(lit(1)).as("n_users"))
 
   /** q194 MATCH_RECOGNIZE-lite sequence pattern matching: count, per
     * user, non-overlapping occurrences of the journey pattern
@@ -321,6 +337,13 @@ object BehaviorOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q206_combo_profile" ->
+      """WITH u AS (SELECT user_id,
+        |    array_to_string(list_sort(list(DISTINCT event_type)), ',')
+        |      AS combo
+        |  FROM events GROUP BY user_id)
+        |SELECT combo, COUNT(*) AS n_users FROM u GROUP BY combo"""
+        .stripMargin,
     "q194_pattern_match" ->
       """WITH seqs AS (SELECT user_id,
         |    string_agg(substring(event_type, 1, 1), ''

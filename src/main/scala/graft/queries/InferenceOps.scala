@@ -136,6 +136,37 @@ object InferenceOps {
             .as("spearman"))
     }),
 
+    // q205 one-way ANOVA — the k-group generalization of q136's
+    // two-arm t-test: F = (SSB/(k−1)) / (SSW/(n−k)) with the sum-of-
+    // squares decomposition SSB = Σ Sᵢ²/nᵢ − S²/n, SSW = Σx² − Σ Sᵢ²/nᵢ,
+    // so everything reduces from ONE per-type grouped pass of decimal
+    // moments + one fold over the k-row table. All inputs to the final
+    // divisions are exact; one row out.
+    "q205_anova" -> ((s, d) => {
+      val g = Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ni"),
+          sum(col("value").cast(dec)).cast("double").as("si"),
+          sum((col("value") * col("value")).cast(dec)).cast("double")
+            .as("qi"))
+      // the k-row fold is ALSO decimal-routed: per-type si/qi are
+      // 4-dp-exact doubles and the si²/nᵢ term is rounded to 6 dp
+      // before the decimal sum, so even this 5-row reduction is
+      // order-independent (doubles summed across partitions are not)
+      g.agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+          sum(col("si").cast(DecimalType(28, 4))).cast("double").as("s"),
+          sum(col("qi").cast(DecimalType(28, 4))).cast("double").as("q"),
+          sum(round(col("si") * col("si") / col("ni"), 6)
+            .cast(DecimalType(28, 6))).cast("double").as("a"))
+        .select(col("k"), col("n"),
+          round(col("a") - col("s") * col("s") / col("n"), 4).as("ssb"),
+          round(col("q") - col("a"), 4).as("ssw"),
+          round(((col("a") - col("s") * col("s") / col("n"))
+            / (col("k") - 1))
+            / ((col("q") - col("a")) / (col("n") - col("k"))), 6)
+            .as("f_stat"))
+    }),
+
     "q136_welch_ttest" -> ((s, d) => {
       val a = col("user_id") % 2 === 0
       def csum(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
@@ -250,6 +281,24 @@ object InferenceOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q205_anova" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS ni,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS si,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS qi
+        |  FROM events GROUP BY event_type),
+        |t AS (SELECT COUNT(*) AS k, SUM(ni) AS n,
+        |    CAST(SUM(CAST(si AS DECIMAL(28,4))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(qi AS DECIMAL(28,4))) AS DOUBLE) AS q,
+        |    CAST(SUM(CAST(round(si * si / ni, 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE) AS a
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  round(a - s * s / n, 4) AS ssb,
+        |  round(q - a, 4) AS ssw,
+        |  round(((a - s * s / n) / (k - 1)) / ((q - a) / (n - k)), 6)
+        |    AS f_stat
+        |FROM t""".stripMargin,
     "q188_ks_test" ->
       """WITH vc AS (SELECT event_type, value,
         |    COUNT(*) FILTER (user_id % 2 = 0) AS ca,

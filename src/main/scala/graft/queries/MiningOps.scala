@@ -39,7 +39,45 @@ object MiningOps {
     Map[String, (SparkSession, String) => DataFrame](
       "q134_assoc_rules" -> ((s, d) => assocRules(s, d)),
       "q138_skyline" -> ((s, d) => supplierSkyline(s, d)),
-      "q190_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)))
+      "q190_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
+      "q207_freq_triples" -> ((s, d) => freqTriples(s, d)))
+
+  /** q207 frequent TRIPLES — the Apriori level-3 pass above q134's
+    * pairs [VLDB'94]: candidate (a, b, c) baskets come from joining the
+    * already-support-filtered PAIR hits with frequent-ITEM hits on the
+    * doc key (the classic Lₖ₋₁ ⋈ L₁ candidate join — anti-monotonicity
+    * means a frequent triple's (a, b) prefix must be a frequent pair,
+    * so the join volume is bounded by surviving-pair density, never
+    * tokens³). Counts are one grouped aggregation on the candidate
+    * stream; the support cut is the same exact-fraction compare as
+    * q134 (no float threshold).
+    */
+  private def freqTriples(s: SparkSession, d: String): DataFrame = {
+    val b = baskets(s, d)
+    val nDocs: Long = Tables(s, d, "documents").count()
+    val df = b.groupBy("w").agg(count(lit(1)).as("df"))
+    val frequent = df.filter(col("df") * SupDen >= lit(nDocs) * SupNum)
+      .select("w")
+    val fb = b.join(broadcast(frequent), "w")
+    // frequent-pair HITS (doc-level), support-filtered via a semi join
+    // against the pair list — the Apriori prune before the 3rd item
+    val pairHits = fb.as("a")
+      .join(fb.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.w") < col("b.w"))
+      .select(col("a.doc_id").as("doc_id"), col("a.w").as("w1"),
+        col("b.w").as("w2"))
+    val freqPairs = pairHits.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") * SupDen >= lit(nDocs) * SupNum)
+      .select(col("w1"), col("w2"))
+    pairHits.join(freqPairs, Seq("w1", "w2"), "left_semi").as("p")
+      .join(fb.as("c"), col("p.doc_id") === col("c.doc_id") &&
+        col("c.w") > col("p.w2"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("c.w").as("w3"))
+      .agg(count(lit(1)).as("n_triple"))
+      .filter(col("n_triple") * SupDen >= lit(nDocs) * SupNum)
+  }
 
   /** Distinct (doc_id, token) baskets — whitespace tokenization, the
     * corpus-wide convention (TextAnalysis oracle parity).
@@ -199,6 +237,27 @@ object MiningOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q207_freq_triples" ->
+      """WITH b AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE len(w) > 0),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (SELECT w, count(*) AS df FROM b GROUP BY w),
+        |freq AS (SELECT w FROM df, n WHERE df * 20 >= n_docs),
+        |fb AS (SELECT b.doc_id, b.w FROM b JOIN freq ON b.w = freq.w),
+        |ph AS (SELECT a.doc_id, a.w AS w1, c.w AS w2
+        |  FROM fb a JOIN fb c ON a.doc_id = c.doc_id AND a.w < c.w),
+        |fp AS (SELECT w1, w2 FROM (
+        |    SELECT w1, w2, count(*) AS n_pair FROM ph GROUP BY w1, w2) z,
+        |    n WHERE n_pair * 20 >= n_docs),
+        |cand AS (SELECT ph.doc_id, ph.w1, ph.w2, c.w AS w3
+        |  FROM ph JOIN fp ON ph.w1 = fp.w1 AND ph.w2 = fp.w2
+        |  JOIN fb c ON ph.doc_id = c.doc_id AND c.w > ph.w2),
+        |t AS (SELECT w1, w2, w3, count(*) AS n_triple
+        |  FROM cand GROUP BY w1, w2, w3)
+        |SELECT w1, w2, w3, n_triple FROM t, n
+        |WHERE n_triple * 20 >= n_docs""".stripMargin,
     "q190_pmi_collocations" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |uni AS (SELECT w, count(*) AS cu FROM (

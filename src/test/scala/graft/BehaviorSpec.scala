@@ -127,6 +127,24 @@ class BehaviorSpec extends SparkSpec {
       ("C", "A", "B", 1L)))
   }
 
+  test("q206 combo profile groups users by their sorted event-type set") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = new Timestamp(1704067200000L)
+    // u1 and u2 share the {click, view} SET (different order/counts);
+    // u3 is view-only
+    val ev = Seq((1L, "view"), (1L, "click"), (1L, "view"),
+      (2L, "click"), (2L, "view"), (3L, "view"))
+      .zipWithIndex.map { case ((u, e), i) =>
+        (u, (i + 1).toLong, t0, e) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft-combo").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val got = graft.queries.BehaviorOps.comboProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("click,view" -> 2L, "view" -> 1L))
+  }
+
   test("q194 pattern match counts non-overlapping v[ce]*p journeys") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -37,6 +37,20 @@ class InferenceSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("q205 ANOVA matches the closed-form F on two crafted groups") {
+    // a={1,2,3}, b={4,5,6}: SSB = 13.5, SSW = 4, F = 13.5/(4/4) = 13.5
+    val ev = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0))
+      .map { case (t, v) => (1L, t, v) }
+      .toDF("user_id", "event_type", "value")
+    val r = InferenceOps.queries("q205_anova")(spark, eventsDir(ev)).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 2 && row.getLong(1) == 6)
+    assert(row.getDouble(2) == 13.5 && row.getDouble(3) == 4.0)
+    assert(row.getDouble(4) == 13.5)
+  }
+
   test("q188 KS: D matches the hand-computed supremum") {
     // arm A (even users) {1,2,3}; arm B (odd users) {2,4}
     // CDF gaps at v=1,2,3,4: 1/3, 1/6, 1/2, 0 -> D = 0.5

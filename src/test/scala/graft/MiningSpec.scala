@@ -124,6 +124,23 @@ class MiningSpec extends SparkSpec {
     assert(got == Set(("s1", "s2", 2L, 1.0)))
   }
 
+  test("q207 Apriori triples: only the support-clearing triple survives") {
+    import spark.implicits._
+    // 40 docs, support floor = 2: {x,y,z} co-occurs in 3 docs (passes);
+    // "q" appears once (item-pruned before any pair/triple forms);
+    // 36 distinct filler singles generate no candidates at all
+    val docs = (Seq.fill(3)("x y z") ++ Seq("x q z")
+      ++ (1 to 36).map(i => s"f$i"))
+      .zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q207_freq_triples")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == Set(("x", "y", "z", 3L)))
+  }
+
   test("q134/q138 plans stay on equi-joins (no cartesian/BNLJ)") {
     Seq("q134_assoc_rules", "q138_skyline").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
