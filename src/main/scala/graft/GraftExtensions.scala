@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, BloomContains, DamerauLevenshtein, DeflateLen, FreqItemsAgg, InterleaveBits, JaroWinkler, MinHashSigAgg, OphSigAgg, SimHashSigAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm, WeightedSimHashSigAgg}
+import graft.functions.{BloomAgg, BloomContains, DamerauLevenshtein, DeflateLen, FreqItemsAgg, InterleaveBits, JaroWinkler, MinHashSigAgg, NfcNormalize, OphSigAgg, SimHashSigAgg, TopKAgg, VectorDot, VectorCosine, VectorNorm, WeightedSimHashSigAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("... vec_cosine(a,b) ...")`
@@ -72,6 +72,9 @@ object GraftExtensions {
       ("interleave_bits", info("interleave_bits",
         "interleave_bits(x, y) - 64-bit Morton (Z-order) key of two 32-bit ints"),
         (es: Seq[Expression]) => InterleaveBits(es(0), es(1))),
+      ("nfc_normalize", info("nfc_normalize",
+        "nfc_normalize(s) - UAX#15 NFC canonical Unicode normalization"),
+        (es: Seq[Expression]) => NfcNormalize(es(0))),
       ("dam_lev", info("dam_lev",
         "dam_lev(a, b) - unrestricted Damerau-Levenshtein edit distance"),
         (es: Seq[Expression]) => DamerauLevenshtein(es(0), es(1))),

@@ -70,7 +70,8 @@ object PlanAudit {
       "q200_linkage_weights", "q201_ctfidf", "q202_winsorize",
       "q203_impute", "q204_quantize", "stats_wmedian_2pass",
       "rfm_globalrank", "text_fingerprint_xx", "dfs_roundtrip",
-      "q205_anova", "q206_combo_profile", "q207_freq_triples")
+      "q205_anova", "q206_combo_profile", "q207_freq_triples",
+      "q208_nfc_audit")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -95,6 +95,47 @@ object InterleaveBits {
   }
 }
 
+/** NFC Unicode normalization — THE canonicalization pass ahead of
+  * exact-hash dedup on real web text: visually identical strings with
+  * composed vs decomposed code points ("é" as U+00E9 vs U+0065 U+0301)
+  * hash apart and defeat q20-style dedup unless normalized first. No
+  * Spark built-in exposes java.text.Normalizer; the kernel stays inside
+  * WholeStageCodegen (the normalize call dominates, not dispatch). NFC
+  * (not NFKC) so the transform is canonical-only and round-trip-safe;
+  * DuckDB's nfc_normalize implements the same UAX#15 form, which makes
+  * the operator oracle-checkable.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(a: Any): Any =
+    NfcNormalize.nfc(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NfcNormalize.nfc($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+    : NfcNormalize = copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Static so generated code calls it directly; skips the copy when
+    * the input is already normalized ASCII-fast-path (Normalizer
+    * checks internally, but the isNormalized probe avoids the rebuild).
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Column-API surface for the text/layout kernels. */
 object textkernels {
   def deflate_len(a: Column): Column =
@@ -102,4 +143,6 @@ object textkernels {
   def interleave_bits(a: Column, b: Column): Column =
     ColumnBridge.column(
       InterleaveBits(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def nfc_normalize(a: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(a)))
 }

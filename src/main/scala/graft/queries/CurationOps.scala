@@ -166,6 +166,25 @@ object CurationOps {
             .as("sum_filled"))
     }),
 
+    // q208 NFC canonicalization audit — the Unicode-normalization pass
+    // ahead of exact-hash dedup (composed vs decomposed code points
+    // hash apart), via the codegen'd NfcNormalize kernel; DuckDB's
+    // nfc_normalize implements the same UAX#15 form, so the audit
+    // (how many docs change, net length delta) is oracle-checkable.
+    // Entirely narrow; the synthetic corpus is ASCII so the corpus
+    // numbers are the identity case — TextKernelsSpec pins the real
+    // composed/decomposed behavior on unicode fixtures.
+    "q208_nfc_audit" -> ((s, d) => {
+      val n = graft.functions.textkernels.nfc_normalize(col("text"))
+      Tables(s, d, "documents")
+        .select(col("text"), n.as("norm"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("norm") =!= col("text"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum((length(col("norm")) - length(col("text"))).cast("long"))
+            .as("len_delta"))
+    }),
+
     "q58_pii_scrub" -> ((s, d) => {
       val email = "[a-z0-9.]+@[a-z0-9.]+"
       val longNum = "[0-9]{6,}"
@@ -243,6 +262,13 @@ object CurationOps {
       .stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q208_nfc_audit" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(COUNT(*) FILTER (nfc_normalize(text) <> text) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(COALESCE(SUM(len(nfc_normalize(text)) - len(text)), 0)
+        |    AS BIGINT) AS len_delta
+        |FROM documents""".stripMargin,
     "q203_impute" ->
       """WITH e AS (SELECT event_id, event_type, value,
         |    event_id % 7 = 0 AS missing FROM events),

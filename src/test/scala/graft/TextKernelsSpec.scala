@@ -58,6 +58,43 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("nfc_normalize folds decomposed sequences onto composed ones") {
+    import spark.implicits._
+    val composed = "café"            // é as U+00E9
+    val decomposed = "café"         // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("id", "s")
+      .select(col("id"), col("s"), nfc_normalize(col("s")).as("n"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L)._2 == composed, "already-NFC input must be unchanged")
+    assert(got(2L)._1 != composed && got(2L)._2 == composed,
+      "decomposed input must canonicalize to the composed form")
+    assert(got(3L)._2 == "plain ascii")
+    // the dedup payoff: both spellings now share one exact hash
+    val hashes = df.select(md5(col("n"))).collect().map(_.getString(0))
+    assert(hashes(0) == hashes(1))
+  }
+
+  test("nfc_normalize agrees across codegen and interpreted paths, idempotent") {
+    import spark.implicits._
+    val df = Seq("café", "café", "Å", "Å", "x")
+      .toDF("s")
+    val cg = df.select(nfc_normalize(col("s"))).collect()
+      .map(_.getString(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(nfc_normalize(col("s"))).collect()
+        .map(_.getString(0)).toSeq
+      assert(cg == interp)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val twice = df.select(nfc_normalize(nfc_normalize(col("s"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == cg, "NFC is idempotent")
+    // Å: the angstrom SIGN (U+212B) canonically maps to A-with-ring
+    assert(cg(2) == cg(3))
+  }
+
   test("deflate_len: repetitive text compresses far better than varied") {
     val boiler = "spam " * 400
     val varied = (1 to 400).map(i => (i * 2654435761L).toHexString).mkString(" ")
