@@ -166,6 +166,48 @@ object CurationOps {
             .as("sum_filled"))
     }),
 
+    // q209 DSIR-style importance weights [Xie et al., NeurIPS'23] — the
+    // data-SELECTION pass: score every corpus doc by how target-like it
+    // is, log w(d) = Σ_f [ln p_target(f) − ln p_corpus(f)] over the
+    // doc's hashed-bigram features. Feature space is 256 md5 buckets
+    // (md5 so DuckDB mirrors the hash — the q94 discipline; swap
+    // xxhash64 at production), so BOTH distributions are 256-row
+    // BOUNDED tables broadcast over one corpus feature pass, and the
+    // per-bucket log-ratios are precomputed there — the corpus join
+    // carries one long per feature hit. Add-one smoothing; exact
+    // log-MICROS sums (q189). Target = the 'en' slice; output = the
+    // deterministic top-20 most-target-like non-target docs.
+    "q209_dsir_weights" -> ((s, d) => {
+      val feats = Tables(s, d, "documents")
+        // guard 1-token docs: Spark's sequence(1, 0) DESCENDS (the
+        // fuzzyPairs lesson) where DuckDB's range(1, 1) is empty
+        .filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 1),
+            |  i -> cast(conv(substring(md5(concat_ws(' ',
+            |    element_at(split(text, ' '), i),
+            |    element_at(split(text, ' '), i + 1))), 1, 4), 16, 10)
+            |    as int) % 256)""".stripMargin)).as("f"))
+      val lnM = (c: org.apache.spark.sql.Column) =>
+        round(log(c) * lit(1e6), 0).cast("long")
+      val dist = feats
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("cc"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tot = dist.agg(sum(col("cc")).as("tc"), sum(col("ct")).as("tt"))
+        .head()
+      val (tc, tt) = (tot.getLong(0), tot.getLong(1))
+      val ratios = dist.select(col("f"),
+        (lnM(col("ct") + 1) - lnM(lit(tt + 256.0))
+          - lnM(col("cc") + 1) + lnM(lit(tc + 256.0))).as("lr"))
+      feats.filter(col("lang") =!= "en")
+        .join(broadcast(ratios), "f")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("w_micros"))
+        .orderBy(col("w_micros").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // q208 NFC canonicalization audit — the Unicode-normalization pass
     // ahead of exact-hash dedup (composed vs decomposed code points
     // hash apart), via the codegen'd NfcNormalize kernel; DuckDB's
@@ -262,6 +304,28 @@ object CurationOps {
       .stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q209_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS sp
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |ft AS (SELECT doc_id, lang,
+        |    unnest([CAST(('0x' || substr(md5(sp[i] || ' ' || sp[i+1]),
+        |      1, 4)) AS INTEGER) % 256 FOR i IN range(1, len(sp))]) AS f
+        |  FROM tk),
+        |dist AS (SELECT f, COUNT(*) AS cc,
+        |    COUNT(*) FILTER (lang = 'en') AS ct FROM ft GROUP BY f),
+        |tot AS (SELECT SUM(cc) AS tc, SUM(ct) AS tt FROM dist),
+        |r AS (SELECT f,
+        |    CAST(round(ln(ct + 1) * 1000000, 0) AS BIGINT)
+        |    - CAST(round(ln(tt + 256.0) * 1000000, 0) AS BIGINT)
+        |    - CAST(round(ln(cc + 1) * 1000000, 0) AS BIGINT)
+        |    + CAST(round(ln(tc + 256.0) * 1000000, 0) AS BIGINT) AS lr
+        |  FROM dist, tot)
+        |SELECT ft.doc_id, ft.lang, COUNT(*) AS n_feats,
+        |  CAST(SUM(r.lr) AS BIGINT) AS w_micros
+        |FROM ft JOIN r ON ft.f = r.f
+        |WHERE ft.lang <> 'en'
+        |GROUP BY ft.doc_id, ft.lang
+        |ORDER BY w_micros DESC, doc_id LIMIT 20""".stripMargin,
     "q208_nfc_audit" ->
       """SELECT COUNT(*) AS n_docs,
         |  CAST(COUNT(*) FILTER (nfc_normalize(text) <> text) AS BIGINT)

@@ -28,6 +28,24 @@ class CurationOpsSpec extends SparkSpec {
       assert(!cleanIds.contains(id), s"doc $id copies a probe text"))
   }
 
+  test("q209 DSIR: target-like bigrams outweigh off-target ones") {
+    import spark.implicits._
+    // en target speaks "a b"; de doc 10 reuses that bigram, de doc 11
+    // shares nothing — importance weighting must rank 10 above 11
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    Seq((1L, "a b a b", "en"), (2L, "a b a b", "en"), (3L, "b a b", "en"),
+      (10L, "a b x", "de"), (11L, "z w q", "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q209_dsir_weights")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got.keySet == Set(10L, 11L), "every non-target doc is scored")
+    assert(got(10L)._2 == 2L && got(11L)._2 == 2L, "bigram counts")
+    assert(got(10L)._3 > got(11L)._3,
+      "the target-bigram doc must carry the higher importance weight")
+  }
+
   test("q203 imputes the missing seventh with the present-value mean") {
     import spark.implicits._
     // ids 1..6 present (values 1..6, mean 3.5); id 7 missing (raw 100
