@@ -77,7 +77,9 @@ object PlanDump {
       "q201_ctfidf" -> "one tokenize pass; tf/class-df/score aggregates all vocab-bounded; per-class top-10 window over vocab-sized input",
       "q204_quantize" -> "narrow per-row array fold (fixed left-to-right order) — map-only work fused behind the scan",
       "stats_wmedian_2pass" -> "pass 1: 64-bucket weight histogram (map-side combined); bucket walk over flags x 64 rows; pass 2 re-scans ONLY the located buckets and refines — exact q171 answer, no per-group corpus sort",
-      "rfm_globalrank" -> "three range-partitioned GlobalRank passes + closed-form ntile from the gap-free rank — NO whole-relation single-partition window anywhere")
+      "rfm_globalrank" -> "three range-partitioned GlobalRank passes + closed-form ntile from the gap-free rank — NO whole-relation single-partition window anywhere",
+      "q207_freq_triples" -> "Apriori L2 ⋈ L1 candidate join on the doc key — support-filtered pair hits bound the triple volume (anti-monotonicity), never tokens³",
+      "q209_dsir_weights" -> "both n-gram distributions reduce to 256-row bounded tables; per-bucket log-ratios broadcast over ONE corpus feature pass — the whole selection model is KB metadata")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is

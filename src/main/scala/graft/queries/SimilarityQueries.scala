@@ -274,32 +274,41 @@ object SimilarityQueries {
     * centroid matrix (KB — the IVF-centroid pattern). Ties break to the
     * lower cluster id via the (dist, k) struct ordering.
     */
-  private[graft] def kmeansLloyd(emb: DataFrame, k: Int, iters: Int,
-      dim: Int): DataFrame = {
-    val e = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("e"))
-    def distTo(c: Array[Double]): Column =
-      aggregate(
-        zip_with(col("e"), typedlit(c.toSeq),
-          (x, y) => ((x - y) * (x - y)).cast("decimal(25,12)")),
-        lit(0).cast("decimal(25,12)"),
-        (acc, v) => (acc + v).cast("decimal(25,12)"))
-    // init: the k lowest vec_ids (driver metadata, KB)
+  /** Exact squared distance from the `e` array column to a centroid
+    * literal — decimal accumulation so assignment argmins are
+    * cross-engine bit-identical (the q85 discipline).
+    */
+  private def sqDistTo(c: Array[Double]): Column =
+    aggregate(
+      zip_with(col("e"), typedlit(c.toSeq),
+        (x, y) => ((x - y) * (x - y)).cast("decimal(25,12)")),
+      lit(0).cast("decimal(25,12)"),
+      (acc, v) => (acc + v).cast("decimal(25,12)"))
+
+  private def withAssignment(e: DataFrame, cs: Array[Array[Double]])
+    : DataFrame = {
+    val dk = array(cs.zipWithIndex.map { case (c, i) =>
+      struct(sqDistTo(c).as("d"), lit(i).as("k"))
+    }: _*)
+    e.withColumn("k", array_min(dk).getField("k"))
+  }
+
+  private def lloydSumCols(dim: Int): Seq[Column] = (0 until dim).map(j =>
+    sum(element_at(col("e"), j + 1).cast("decimal(20,8)"))
+      .cast("double").as(s"s$j"))
+
+  /** Lloyd training loop: init = k lowest vec_ids, `iters − 1` collected
+    * update rounds; centroids are driver metadata (KB) throughout.
+    * Shared by q85's k-means output and the silhouette audit.
+    */
+  private[graft] def lloydFit(e: DataFrame, k: Int, iters: Int, dim: Int)
+    : Array[Array[Double]] = {
     var cents: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("e").toArray)
-    def assigned(cs: Array[Array[Double]]): DataFrame = {
-      val dk = array(cs.zipWithIndex.map { case (c, i) =>
-        struct(distTo(c).as("d"), lit(i).as("k"))
-      }: _*)
-      e.withColumn("k", array_min(dk).getField("k"))
-    }
-    val sumCols = (0 until dim).map(j =>
-      sum(element_at(col("e"), j + 1).cast("decimal(20,8)"))
-        .cast("double").as(s"s$j"))
     (1 until iters).foreach { _ =>
-      val upd = assigned(cents).groupBy(col("k"))
-        .agg(count(lit(1)).as("n"), sumCols: _*)
+      val upd = withAssignment(e, cents).groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), lloydSumCols(dim): _*)
         .collect()
         .map { r =>
           r.getInt(0) -> (0 until dim)
@@ -308,15 +317,58 @@ object SimilarityQueries {
       // empty clusters keep their previous centroid
       cents = cents.indices.map(i => upd.getOrElse(i, cents(i))).toArray
     }
+    cents
+  }
+
+  private[graft] def kmeansLloyd(emb: DataFrame, k: Int, iters: Int,
+      dim: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val cents = lloydFit(e, k, iters, dim)
     // final round: assignment against the last collected centroids, then
     // size + updated-centroid norm in ONE aggregation — the output stays
     // a distributed plan end-to-end.
     val normExpr = round(sqrt((0 until dim)
       .map(j => (col(s"s$j") / col("n")) * (col(s"s$j") / col("n")))
       .reduce(_ + _)), 6)
-    assigned(cents).groupBy(col("k"))
-      .agg(count(lit(1)).as("n"), sumCols: _*)
+    withAssignment(e, cents).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), lloydSumCols(dim): _*)
       .select(col("k").as("cluster"), col("n"), normExpr.as("c_norm"))
+  }
+
+  /** Centroid-form silhouette [Rousseeuw, J. Comp. Appl. Math. 1987] —
+    * the cluster-quality audit over the trained k-means: per point,
+    * a = distance to its OWN centroid, b = distance to the NEAREST
+    * OTHER centroid, s = (b − a)/max(a, b). The centroid form replaces
+    * the exact silhouette's O(n²) point-pair distances with k centroid
+    * literals per row — the variant that scales; the plan is ONE narrow
+    * pass (distances against the same sorted struct array the
+    * assignment uses) + one k-group aggregation. Per-point s is rounded
+    * and decimal-summed so the per-cluster means are order-independent.
+    * Iterative training + float sqrt → rows-only; AnnSpec pins crafted
+    * blob geometry.
+    */
+  private[graft] def silhouette(emb: DataFrame, k: Int, iters: Int,
+      dim: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val cents = lloydFit(e, k, iters, dim)
+    val dk = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDistTo(c).cast("double").as("d"), lit(i).as("k"))
+    }: _*)
+    val s = e.withColumn("ds", array_sort(dk)) // (d, k) lexicographic
+      .select(col("vec_id"),
+        col("ds")(0).getField("k").as("cluster"),
+        sqrt(col("ds")(0).getField("d")).as("a"),
+        sqrt(col("ds")(1).getField("d")).as("b"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) > 0,
+          round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+          .otherwise(lit(0.0)))
+    s.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_silhouette"))
   }
 
   /** q94's kernel: feature-hashed unit-norm text vectors, exploded as
@@ -345,6 +397,12 @@ object SimilarityQueries {
     // L2 norm. See kmeansLloyd for the decimal discipline that makes the
     // iteration hash-comparable cross-engine.
     "q85_kmeans" -> ((s, d) => kmeansLloyd(
+      Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      k = 5, iters = 2, dim = 64)),
+
+    // cluster-quality audit over the same trained k-means (rows-only —
+    // iterative; see silhouette's scaladoc for the centroid-form trade)
+    "ml_silhouette" -> ((s, d) => silhouette(
       Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
       k = 5, iters = 2, dim = 64)),
 

@@ -64,6 +64,36 @@ class AnnSpec extends SparkSpec {
     assert(got(2L)._1 == s2 && got(2L)._2 == e2 && got(2L)._3 == 0)
   }
 
+  test("silhouette: tight separated blobs score near 1, one blob near 0") {
+    import spark.implicits._
+    // ids 1 and 2 seed the two blobs (init = lowest vec_ids)
+    val blobs = Seq(
+      (1L, Array(0.0f, 0.0f)), (3L, Array(0.1f, 0.0f)),
+      (5L, Array(0.0f, 0.1f)),
+      (2L, Array(10.0f, 10.0f)), (4L, Array(10.1f, 10.0f)),
+      (6L, Array(10.0f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.queries.SimilarityQueries
+      .silhouette(blobs, k = 2, iters = 2, dim = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 2 && got.map(_._2).sum == 6)
+    got.foreach { case (_, _, s) =>
+      assert(s > 0.95, s"separated blobs must score ~1, got $s")
+    }
+    // the same six points forced into k=2 when they form ONE tight
+    // blob: splitting it scores poorly (many points nearly equidistant)
+    val one = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.1f)), (4L, Array(0.1f, 0.1f)),
+      (5L, Array(0.05f, 0.0f)), (6L, Array(0.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val flat = graft.queries.SimilarityQueries
+      .silhouette(one, k = 2, iters = 2, dim = 2)
+      .collect().map(_.getDouble(2))
+    assert(flat.forall(_ < 0.6),
+      s"splitting one blob must score clearly below the separated case")
+  }
+
   test("brute-force ANN: k neighbors per query, ranks contiguous") {
     val rows = SparkEntry.queries("q25_ann_topk")(spark, sf)
       .groupBy("q_id").agg(count(lit(1)).as("n"), max("rk").as("maxrk"))

@@ -38,6 +38,8 @@ class RelationalSpec extends SparkSpec {
       "stats_approx_eqdepth", "stats_countmin", "stats_hll_overlap",
       // iterative float training (spec-pinned vs a local reference)
       "ml_logreg",
+      // iterative k-means + float sqrt (AnnSpec pins blob geometry)
+      "ml_silhouette",
       // exact scale twin of q171 — equality pinned by StatsOpsSpec +
       // a Verify-output compare; the q171 oracle stays the gate
       "stats_wmedian_2pass",
