@@ -109,6 +109,31 @@ object StatsOps {
         max(col("v")).as("mx"))
   }
 
+  /** q202 / stats_approx_winsorize shared body — see the queries-map
+    * comments; `approx` swaps the exact percentile boundary buffer for
+    * the bounded approx_percentile sketch.
+    */
+  private def winsorize(li: DataFrame, approx: Boolean): DataFrame = {
+    val pctAgg =
+      if (approx) s"approx_percentile(l_extendedprice," +
+        s" array(0.05, 0.95), $ApproxAccuracy)"
+      else "percentile(l_extendedprice, array(0.05, 0.95))"
+    val bnds = li.agg(expr(s"transform($pctAgg, x -> round(x, 4))").as("b"))
+      .head().getSeq[Double](0)
+    val (lo, hi) = (bnds(0), bnds(1))
+    li.select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      .withColumn("clipped",
+        least(greatest(col("x"), lit(lo)), lit(hi)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < lo, 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("x") > hi, 1L).otherwise(0L)).as("n_clip_hi"),
+        round(sum(col("x").cast(dec)).cast("double")
+          / count(lit(1)), 6).as("mean_raw"),
+        round(sum(col("clipped").cast(dec)).cast("double")
+          / count(lit(1)), 6).as("mean_wins"))
+  }
+
   /** Count-Min sketch dimensions: 4 rows × 2048 counters = 64 KB of
     * state regardless of vocabulary size.
     */
@@ -167,25 +192,16 @@ object StatsOps {
       // reduce decimally, so the oracle hash-compares. The
       // approx_percentile swap documented at q106 applies unchanged at
       // corpus scale.
-      "q202_winsorize" -> ((s, d) => {
-        val li = Tables(s, d, "lineitem")
-        val bnds = li.agg(expr(
-          "transform(percentile(l_extendedprice, array(0.05, 0.95))," +
-            " x -> round(x, 4))").as("b"))
-          .head().getSeq[Double](0)
-        val (lo, hi) = (bnds(0), bnds(1))
-        li.select(col("l_returnflag"), col("l_extendedprice").as("x"))
-          .withColumn("clipped",
-            least(greatest(col("x"), lit(lo)), lit(hi)))
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("x") < lo, 1L).otherwise(0L)).as("n_clip_lo"),
-            sum(when(col("x") > hi, 1L).otherwise(0L)).as("n_clip_hi"),
-            round(sum(col("x").cast(dec)).cast("double")
-              / count(lit(1)), 6).as("mean_raw"),
-            round(sum(col("clipped").cast(dec)).cast("double")
-              / count(lit(1)), 6).as("mean_wins"))
-      }),
+      "q202_winsorize" -> ((s, d) =>
+        winsorize(Tables(s, d, "lineitem"), approx = false)),
+
+      // the 100 TB form of q202: identical clip consumer, boundaries
+      // from the mergeable approx_percentile sketch instead of the
+      // exact value-count buffer (the q106 ⇄ stats_approx_eqdepth
+      // pairing). Approximate → rows-only; StatsOpsSpec pins clip
+      // counts within 1% of exact and means within 1e-3 at sf0.001.
+      "stats_approx_winsorize" -> ((s, d) =>
+        winsorize(Tables(s, d, "lineitem"), approx = true)),
 
       // The 100 TB form of q106: identical consumer (boundaries →
       // narrow bucket assignment → bounded-key agg), boundaries from the

@@ -35,7 +35,8 @@ class RelationalSpec extends SparkSpec {
     val rowsOnly = Set("q78_compress_ratio", "layout_compact",
       "layout_timetravel",
       "q107_rolling_distinct", "q112_approx_percentiles",
-      "stats_approx_eqdepth", "stats_countmin", "stats_hll_overlap",
+      "stats_approx_eqdepth", "stats_approx_winsorize", "stats_countmin",
+      "stats_hll_overlap",
       // iterative float training (spec-pinned vs a local reference)
       "ml_logreg",
       // iterative k-means + float sqrt (AnnSpec pins blob geometry)

@@ -61,6 +61,25 @@ class StatsOpsSpec extends SparkSpec {
       s"scale path must land on the exact cut: $twoPass vs $exact")
   }
 
+  test("approx winsorize tracks the exact form within tolerance") {
+    def run(name: String) =
+      graft.queries.StatsOps.queries(name)(spark, sf).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val exact = run("q202_winsorize")
+    val approx = run("stats_approx_winsorize")
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (k, (n, lo, hi, mRaw, mWins)) =>
+      val (n2, lo2, hi2, mRaw2, mWins2) = approx(k)
+      assert(n2 == n && mRaw2 == mRaw, "untouched stats must agree")
+      assert(math.abs(lo2 - lo) <= math.max(1, n / 100)
+        && math.abs(hi2 - hi) <= math.max(1, n / 100),
+        s"clip counts within 1%: $k")
+      assert(math.abs(mWins2 - mWins) / math.abs(mWins) < 1e-4,
+        s"winsorized mean within 0.01% relative: $k")
+    }
+  }
+
   test("q202 winsorize: symmetric clip leaves the mean fixed on 1..20") {
     import spark.implicits._
     // p05 of 1..20 = 1.95, p95 = 19.05 (linear interpolation); exactly
