@@ -71,7 +71,8 @@ object PlanAudit {
       "q203_impute", "q204_quantize", "stats_wmedian_2pass",
       "rfm_globalrank", "text_fingerprint_xx", "dfs_roundtrip",
       "q205_anova", "q206_combo_profile", "q207_freq_triples",
-      "q208_nfc_audit", "q209_dsir_weights", "stats_approx_winsorize")
+      "q208_nfc_audit", "q209_dsir_weights", "stats_approx_winsorize",
+      "ml_silhouette")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

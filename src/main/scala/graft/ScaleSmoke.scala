@@ -32,7 +32,8 @@ object ScaleSmoke {
       // the ntile-free RFM, and the histogram-refine weighted median —
       // each exists BECAUSE of its scale story, so smoke it off-gate
       "q192_kcore", "q198_source_similarity", "rfm_globalrank",
-      "stats_wmedian_2pass", "q189_naive_bayes", "q197_near_search")
+      "stats_wmedian_2pass", "q189_naive_bayes", "q197_near_search",
+      "q209_dsir_weights", "ml_silhouette", "q207_freq_triples")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

@@ -97,11 +97,14 @@ object ClassifyOps {
     *
     * `x` must be `array<float>`, `y` ∈ {0, 1}.
     */
-  def trainLogReg(data: DataFrame, rounds: Int, lr: Double): Array[Double] = {
+  def trainLogReg(data: DataFrame, rounds: Int, lr: Double,
+      tol: Double = 0.0): Array[Double] = {
     val dims = data.select(size(col("x"))).head().getInt(0)
     val n = data.count().toDouble
     var w = Array.fill(dims)(0.0)
-    for (_ <- 1 to rounds) {
+    var converged = false
+    var round_ = 0
+    while (round_ < rounds && !converged) {
       val wl = typedlit(w.map(_.toFloat).toSeq)
       val g = data
         .withColumn("resid", col("y").cast("double")
@@ -113,7 +116,12 @@ object ClassifyOps {
         .collect()
       val grad = Array.fill(dims)(0.0)
       g.foreach(r => grad(r.getInt(0)) = r.getDouble(1))
-      w = w.indices.map(i => w(i) + lr * grad(i) / n).toArray
+      val step = w.indices.map(i => lr * grad(i) / n)
+      w = w.indices.map(i => w(i) + step(i)).toArray
+      // convergence: largest weight movement under tol (tol = 0 keeps
+      // the fixed-round behavior the driver entry and specs pin)
+      converged = tol > 0 && step.map(math.abs).max < tol
+      round_ += 1
     }
     w
   }

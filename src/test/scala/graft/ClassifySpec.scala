@@ -76,6 +76,24 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("logreg tolerance stop halts once steps shrink, same separation") {
+    val rows = Seq(
+      (1, Array(1.0f, 0.2f)), (1, Array(0.8f, -0.1f)),
+      (0, Array(-1.0f, 0.1f)), (0, Array(-0.9f, -0.2f)))
+    val data = rows.toDF("y", "x")
+    // generous round budget + tolerance: must converge BEFORE the
+    // budget and still separate the blobs
+    val w = graft.queries.ClassifyOps
+      .trainLogReg(data, rounds = 500, lr = 4.0, tol = 1e-3)
+    rows.foreach { case (y, x) =>
+      val z = w(0) * x(0) + w(1) * x(1)
+      assert((z > 0) == (y == 1))
+    }
+    // and with tol = 0 the old fixed-round semantics hold unchanged
+    val w3 = graft.queries.ClassifyOps.trainLogReg(data, rounds = 3, lr = 4.0)
+    assert(w3.length == w.length)
+  }
+
   test("ml_logreg confusion matrix covers the whole embeddings corpus") {
     val got = SparkEntry.queries("ml_logreg")(spark, sf).collect()
     val n = Tables(spark, sf, "embeddings").count()
