@@ -61,4 +61,49 @@ object StreamingMv {
       .groupBy(col("c_nationkey"))
       .agg(round(sum(col("rev")), 4).cast("double").as("rev"),
         sum(col("n_lines")).as("n_lines"))
+
+  /** Fold the ledger into a CHECKPOINT: the merged aggregate state as
+    * of the ledger's current high-water batch becomes the next version
+    * of a [[graft.operators.VersionedTable]] (atomic marker commit),
+    * with the high-water mark stored alongside the state. The ledger is
+    * NEVER mutated — compaction that deletes ledger batches has an
+    * unsafe window between delete and rewrite; versioning the
+    * checkpoint instead gives the Delta/Iceberg checkpoint-plus-log
+    * structure from the engine's two existing commit-marker primitives.
+    * State stays DECIMAL so checkpoint + tail re-merge is exact.
+    * Returns the committed version (-1 for an empty ledger).
+    */
+  def compact(spark: SparkSession, ledger: String, table: String): Long = {
+    val deltas = IdempotentSink.readCommitted(spark, ledger)
+    if (deltas.isEmpty) return -1L
+    // partition discovery types batch_id as INT for small ids
+    val hwm = deltas.agg(max(col("batch_id"))).head()
+      .getAs[Number](0).longValue
+    val state = deltas.groupBy(col("c_nationkey"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n_lines")).as("n_lines"))
+      .withColumn("hwm", lit(hwm))
+    graft.operators.VersionedTable.write(state, table)
+  }
+
+  /** The view through the newest checkpoint plus only the ledger TAIL
+    * above its high-water mark — reads KB of checkpoint state plus
+    * batches-since-compaction instead of the whole ledger. Falls back
+    * to the pure ledger view when nothing is compacted yet. Equals
+    * [[view]] exactly (decimal state merges associatively).
+    */
+  def viewCompacted(spark: SparkSession, ledger: String, table: String)
+    : DataFrame = {
+    if (graft.operators.VersionedTable.versions(spark, table).isEmpty)
+      return view(spark, ledger)
+    val base = graft.operators.VersionedTable.read(spark, table)
+    val hwm = base.agg(max(col("hwm"))).head().getAs[Number](0).longValue
+    val tail = IdempotentSink.readCommitted(spark, ledger)
+      .filter(col("batch_id") > hwm)
+      .select(col("c_nationkey"), col("rev"), col("n_lines"))
+    base.select(col("c_nationkey"), col("rev"), col("n_lines"))
+      .unionByName(tail)
+      .groupBy(col("c_nationkey"))
+      .agg(round(sum(col("rev")), 4).cast("double").as("rev"),
+        sum(col("n_lines")).as("n_lines"))
+  }
 }

@@ -46,6 +46,41 @@ class StreamingMvSpec extends SparkSpec {
     assert(got == want, "sum-merged deltas must equal the batch recompute")
   }
 
+  test("checkpoint compaction: ledger untouched, tail read equals full view") {
+    val ledger = Files.createTempDirectory("graft_mv_ck").toString
+    val table = Files.createTempDirectory("graft_mv_ck_t").toString
+    val l = Tables(spark, sf, "lineitem")
+    val c = Tables(spark, sf, "customer")
+    val o = Tables(spark, sf, "orders").select(col("o_orderkey"),
+      col("o_custkey"))
+    // three delta batches land, then compact
+    Seq(0L, 1L, 2L).foreach { i =>
+      IdempotentSink.write(
+        StreamingMv.delta(o.filter(col("o_orderkey") % 3 === i), l, c),
+        ledger, i)
+    }
+    val v1 = StreamingMv.compact(spark, ledger, table)
+    assert(v1 == 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getDouble(1),
+        r.getLong(2))).toSet
+    assert(rows(StreamingMv.viewCompacted(spark, ledger, table))
+      == rows(StreamingMv.view(spark, ledger)))
+    // a post-compaction batch must surface through the tail read
+    IdempotentSink.write(
+      StreamingMv.delta(o.limit(50), l, c), ledger, 3L)
+    assert(rows(StreamingMv.viewCompacted(spark, ledger, table))
+      == rows(StreamingMv.view(spark, ledger)))
+    // second compaction folds the tail; ledger batches all still there
+    assert(StreamingMv.compact(spark, ledger, table) == 2L)
+    assert(rows(StreamingMv.viewCompacted(spark, ledger, table))
+      == rows(StreamingMv.view(spark, ledger)))
+    val fs = new org.apache.hadoop.fs.Path(ledger).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$ledger/data"))
+      .length == 4, "compaction must never mutate the ledger")
+  }
+
   test("a replayed delta batch cannot double-count the view") {
     val root = Files.createTempDirectory("graft_mv_replay").toString
     val o = Tables(spark, sf, "orders").limit(100)
