@@ -127,6 +127,14 @@ class BehaviorSpec extends SparkSpec {
       ("C", "A", "B", 1L)))
   }
 
+  test("q206 combos on driver data partition the user base") {
+    val rows = graft.queries.BehaviorOps.comboProfile(spark, sf).collect()
+    val users = Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users,
+      "every user lands in exactly one combo")
+  }
+
   test("q206 combo profile groups users by their sorted event-type set") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -64,6 +64,17 @@ class InferenceSpec extends SparkSpec {
     assert(r.head.getDouble(3) == 0.5)
   }
 
+  test("q188 KS on driver data: D bounded in [0, 1], arms partition rows") {
+    val rows = InferenceOps.queries("q188_ks_test")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, sf, "events").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val d = r.getDouble(3)
+      assert(d >= 0.0 && d <= 1.0, s"D out of range: $r")
+    }
+  }
+
   test("q188 KS: identical samples give D = 0") {
     // mirror the arms exactly: every value appears once per arm
     val ev = Seq(1.0, 2.0, 3.0).flatMap(v =>
