@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Gap-free global rank without the single-partition window.
   *
@@ -10,45 +11,112 @@ import org.apache.spark.sql.functions._
   * relation into one task — the canonical scale-killer (WindowExec warns
   * about it). The distributed equivalent is the classic two-phase rank:
   *
-  *   1. range-repartition on the sort keys (Spark's RangePartitioner
-  *      samples boundaries per input partition with a fixed per-index
-  *      seed, so the layout is deterministic for a given input),
-  *   2. rank locally inside each range partition,
-  *   3. add each partition's exclusive prefix count, computed from the
-  *      partition-count-sized size table (bounded metadata — the ONLY
+  *   1. bucket rows by range against SAMPLED BOUNDARIES computed once on
+  *      the driver (KB metadata, embedded as literals — so every branch
+  *      that consumes the bucketing recomputes the SAME deterministic
+  *      bucket id from the row itself; nothing depends on RDD ids or
+  *      physical partition placement),
+  *   2. rank locally inside each bucket,
+  *   3. add each bucket's exclusive prefix count, computed from the
+  *      bucket-count-sized size table (bounded metadata — the ONLY
   *      single-partition window runs over ≤ numShufflePartitions rows)
   *      and broadcast back.
   *
+  * History: the first implementation derived the bucket id from
+  * `spark_partition_id()` after `repartitionByRange`, pinned by an eager
+  * `localCheckpoint(true)` — without the pin, the rank branch and the
+  * offsets branch re-sampled range boundaries independently (fresh RDD id
+  * seeds the RangePartitioner) and the pid join dropped rows
+  * nondeterministically at the 10× smoke. The checkpoint fixed that but
+  * materialized the whole relation to executor storage per call and
+  * retained it for the session (three pinned copies per rfm_globalrank
+  * run). This form removes the materialization entirely: boundaries are
+  * driver metadata computed once from one count + one bounded sample
+  * (sample size ≈ 64 × buckets rows, sorted AS A SAMPLE, never the full
+  * relation), and the bucket id is a pure expression of the row — both
+  * branches agree by construction. Boundary quality only affects bucket
+  * BALANCE, never correctness. Callers ranking an expensive derived
+  * relation should persist it themselves (the input plan is evaluated up
+  * to four times: count, sample, rank branch, offsets branch — all
+  * narrow).
+  *
   * The result equals the single-partition `row_number` whenever the key
   * tuple is globally unique (callers append a tiebreaker id — same
-  * contract as any deterministic sort). Used by q160's sorted-neighborhood
-  * linkage; reference analogue: the reference's WRITE path assigns global
-  * chunk order on the master (`Master/masterhandler.py:209-213`) — here
-  * the order is computed distributively instead of on the coordinator.
+  * contract as any deterministic sort). Keys may carry sort direction
+  * (`col.desc`); rows with NULL key values bucket to 0 (callers' keys are
+  * non-null by contract). Used by q160's sorted-neighborhood linkage and
+  * q165's RFM twin; reference analogue: the reference's WRITE path
+  * assigns global chunk order on the master
+  * (`Master/masterhandler.py:209-213`) — here the order is computed
+  * distributively instead of on the coordinator.
   */
 object GlobalRank {
+
+  /** Sample rows collected per target bucket for boundary estimation —
+    * the RangePartitioner's own default neighborhood (20/partition),
+    * rounded up for balance.
+    */
+  private val SamplePerBucket = 64
 
   /** Append a 1-based dense global row number named `rankCol`, ordered by
     * `keys` (which must be unique as a tuple for a deterministic result).
     */
   def withRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
-    // EAGERLY checkpoint the ranged layout: the rank branch and the
-    // offsets branch below both consume it, and without pinning ONE
-    // materialization each branch re-runs the range exchange with a
-    // fresh RDD id — RangePartitioner seeds its boundary sampling from
-    // that id, so the two branches can disagree on partition boundaries
-    // and the __gr_pid equi-join silently drops/duplicates rows
-    // (observed at the 10× smoke: 77k of 150k rows survived, count
-    // varying run to run; the driver gates passed only because AQE's
-    // ReusedExchange happened to collapse the branches there).
-    val ranged = df.repartitionByRange(keys: _*)
-      .withColumn("__gr_pid", spark_partition_id())
-      .localCheckpoint(true)
-    val local = ranged.withColumn("__gr_lrn",
+    val spark = df.sparkSession
+    // (underlying value column, ascending?) per key — keys may arrive as
+    // SortOrder-wrapped columns (col.desc); the split happens at the
+    // column-node level (Spark 4 wraps catalyst conversion lazily)
+    val parts: Seq[(Column, Boolean)] = keys.map(ColumnBridge.splitSortOrder)
+    val buckets = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+    // ---- boundaries: ONE count + ONE bounded sample, driver-side ----
+    val n = df.count()
+    val boundaries: Seq[Seq[Any]] =
+      if (n <= 1 || buckets == 1) Seq.empty
+      else {
+        val fraction =
+          math.min(1.0, (buckets.toLong * SamplePerBucket).toDouble / n)
+        val plain = parts.zipWithIndex.map { case ((c, _), i) =>
+          c.as(s"__gr_b$i") }
+        val order = parts.zipWithIndex.map { case ((_, asc), i) =>
+          if (asc) col(s"__gr_b$i") else col(s"__gr_b$i").desc }
+        // the sort runs over the SAMPLE only (≤ 64 × buckets rows)
+        val sample = df.select(plain: _*)
+          .sample(withReplacement = false, fraction, seed = 42L)
+          .sort(order: _*)
+          .collect()
+        val m = sample.length
+        if (m == 0) Seq.empty
+        else (1 until buckets)
+          .map(i => ((i.toLong * m) / buckets).toInt.min(m - 1))
+          .distinct
+          .map(sample(_).toSeq)
+          .filter(_.forall(_ != null)) // null boundary values can't lit()
+          .distinct
+      }
+
+    // ---- pure-expression bucket id: #boundaries this row is ≥ of ----
+    // lexicographic (row >= boundary) under the key directions; since
+    // boundaries ascend in key order, the sum is the bucket index
+    def geBoundary(b: Seq[Any]): Column = {
+      val eqs = parts.zip(b).map { case ((c, _), v) => c === lit(v) }
+      val gts = parts.zip(b).map { case ((c, asc), v) =>
+        if (asc) c > lit(v) else c < lit(v) }
+      val lexGt = parts.indices
+        .map(i => (eqs.take(i) :+ gts(i)).reduce(_ && _))
+        .reduce(_ || _)
+      lexGt || eqs.reduce(_ && _)
+    }
+    val pid = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(geBoundary(b), 1).otherwise(0) }
+
+    val bucketed = df.withColumn("__gr_pid", pid)
+    val local = bucketed.withColumn("__gr_lrn",
       row_number().over(
         Window.partitionBy(col("__gr_pid")).orderBy(keys: _*)))
-    // partition sizes: one row per shuffle partition — bounded metadata
-    val offsets = ranged.groupBy(col("__gr_pid")).count()
+    // bucket sizes: one row per bucket — bounded metadata
+    val offsets = bucketed.groupBy(col("__gr_pid")).count()
       .withColumn("__gr_off",
         coalesce(
           sum(col("count")).over(

@@ -219,7 +219,11 @@ object MiningOps {
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val nu = uni.agg(sum(col("cu"))).head().getLong(0)
     val nb = nu - Tables(s, d, "documents").count()
-    val bi = toks.select(explode(expr(
+    // >= 2 tokens before the bigram transform: for a 1-token doc
+    // sequence(1, 0) is the DESCENDING [1, 0], whose element_at(tk, 0)
+    // throws — the q209 fuzzyPairs lesson; DuckDB's range(1, 1) is
+    // simply empty, so the filter is also the oracle's semantics
+    val bi = toks.filter(size(col("tk")) >= 2).select(explode(expr(
       """transform(sequence(1, size(tk) - 1),
         |  i -> struct(element_at(tk, i) AS w1,
         |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))

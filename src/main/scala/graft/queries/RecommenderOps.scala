@@ -31,6 +31,19 @@ object RecommenderOps {
   /** Neighbors kept per item. */
   private val TopK = 5
 
+  /** Per-customer basket cap: at most this many parts per customer feed
+    * the pair self-join, keeping the MOST RECENT purchases (tie → lower
+    * part key). This bounds pair volume at C(cap, 2) per customer — the
+    * standard item-CF trade [Linden et al. '03 §"Scalability"] — so one
+    * whale basket can never explode quadratically into a single
+    * co-partition. 128 exceeds every basket at the test SFs (max 105 at
+    * sf0.1), so the driver oracle is the UNCAPPED semantics verbatim;
+    * RecommenderSpec pins both sides of the trade (capped == uncapped
+    * when no basket exceeds the cap; a crafted whale basket contributes
+    * exactly C(cap, 2) pairs).
+    */
+  private[graft] val BasketCap = 128
+
   /** q182 candidate pool: the most-popular parts considered as
     * negatives (bounded by construction, broadcast).
     */
@@ -39,45 +52,66 @@ object RecommenderOps {
   /** q182 negatives kept per customer. */
   private val NegK = 5
 
+  /** q154 core over an explicit (cust, part, last) purchase relation —
+    * factored out so RecommenderSpec can drive crafted baskets through
+    * the EXACT shipped plan. `last` (latest purchase date per pair)
+    * orders the basket-cap keep-list: most recent first, part ascending
+    * as the deterministic tiebreak.
+    */
+  private[graft] def alsoBoughtFrom(boughtWithDate: DataFrame,
+      basketCap: Int = BasketCap): DataFrame = {
+    // basket cap BEFORE the self-join: one row_number window on cust —
+    // the same key the pair join shuffles on, so the exchange is shared
+    val capW = Window.partitionBy(col("cust"))
+      .orderBy(col("last").desc, col("part"))
+    val bought = boughtWithDate
+      .withColumn("__keep", row_number().over(capW))
+      .filter(col("__keep") <= basketCap)
+      .select(col("cust"), col("part"))
+    // item popularity is a map-side-combined one-row-per-item count,
+    // BROADCAST onto the support-filtered pair table. Measured EQUAL
+    // to the previous window-count form at sf0.1 (5.9 vs 6.0 s — the
+    // pair shuffle dominates both); chosen for the 100× shape: the
+    // window form full-sorts the purchase relation by part, making a
+    // hub item one giant sort group, while this count stays partial-
+    // aggregated and the pair shuffle carries two fewer columns
+    val popularity = bought.groupBy(col("part")).agg(count(lit(1)).as("n"))
+    val pairs = bought.as("a").join(bought.as("b"),
+        col("a.cust") === col("b.cust")
+          && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= MinSupport)
+    val scored = pairs
+      .join(broadcast(popularity.select(col("part").as("p1"),
+        col("n").as("n1"))), "p1")
+      .join(broadcast(popularity.select(col("part").as("p2"),
+        col("n").as("n2"))), "p2")
+      .select(col("p1"), col("p2"), col("n12"),
+        round(col("n12") / sqrt(col("n1") * col("n2")), 6).as("sim"))
+    // both orientations so every item ranks its own neighbors
+    val directed = scored.select(col("p1").as("item"),
+        col("p2").as("neighbor"), col("n12"), col("sim"))
+      .union(scored.select(col("p2"), col("p1"), col("n12"), col("sim")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    directed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      // DuckDB's ROW_NUMBER is BIGINT, Spark's INT — align dtypes
+      .select(col("item"), col("neighbor"), col("n12"), col("sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_also_bought" -> ((s, d) => {
+      // groupBy (cust, part) with max(date) IS the old distinct, plus
+      // the recency key the basket cap orders by — same one shuffle
       val bought = Tables(s, d, "lineitem")
         .join(Tables(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-        .distinct()
-      // item popularity is a map-side-combined one-row-per-item count,
-      // BROADCAST onto the support-filtered pair table. Measured EQUAL
-      // to the previous window-count form at sf0.1 (5.9 vs 6.0 s — the
-      // pair shuffle dominates both); chosen for the 100× shape: the
-      // window form full-sorts the purchase relation by part, making a
-      // hub item one giant sort group, while this count stays partial-
-      // aggregated and the pair shuffle carries two fewer columns
-      val popularity = bought.groupBy(col("part")).agg(count(lit(1)).as("n"))
-      val pairs = bought.as("a").join(bought.as("b"),
-          col("a.cust") === col("b.cust")
-            && col("a.part") < col("b.part"))
-        .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
-        .agg(count(lit(1)).as("n12"))
-        .filter(col("n12") >= MinSupport)
-      val scored = pairs
-        .join(broadcast(popularity.select(col("part").as("p1"),
-          col("n").as("n1"))), "p1")
-        .join(broadcast(popularity.select(col("part").as("p2"),
-          col("n").as("n2"))), "p2")
-        .select(col("p1"), col("p2"), col("n12"),
-          round(col("n12") / sqrt(col("n1") * col("n2")), 6).as("sim"))
-      // both orientations so every item ranks its own neighbors
-      val directed = scored.select(col("p1").as("item"),
-          col("p2").as("neighbor"), col("n12"), col("sim"))
-        .union(scored.select(col("p2"), col("p1"), col("n12"), col("sim")))
-      val w = Window.partitionBy(col("item"))
-        .orderBy(col("sim").desc, col("neighbor"))
-      directed.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= TopK)
-        // DuckDB's ROW_NUMBER is BIGINT, Spark's INT — align dtypes
-        .select(col("item"), col("neighbor"), col("n12"), col("sim"),
-          col("rk").cast("long").as("rk"))
+        .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .agg(max(col("o_orderdate")).as("last"))
+      alsoBoughtFrom(bought)
     }),
 
     // q182 negative sampling (contrastive training data for a

@@ -62,11 +62,21 @@ object TextAnalysis {
         .filter(length(col("w")) > 0)
         .groupBy(col("lang"), col("w"))
         .agg(count(lit(1)).as("tf"))
-      val k = 5 // class cardinality (langs) — fixed corpus property
+      // class cardinality DERIVED from the data (q77's nd pattern — a
+      // driver scalar, not a hardcoded corpus property): if the lang
+      // axis ever changes, idf weights follow and the oracle (which
+      // derives it the same way) still cross-checks
+      val k = Tables(s, d, "documents")
+        .agg(count_distinct(col("lang"))).head().getLong(0)
       val cdf = tf.groupBy(col("w")).agg(count(lit(1)).as("cdf"))
       val scored = tf.join(cdf, "w")
+        // smoothed idf ln(1 + K/cdf) — BERTopic's form: strictly
+        // positive even for a term present in every class, so the
+        // ranking always has substance (the plain ln(K/cdf) zeroed the
+        // whole sf corpus, where all 31 vocabulary terms span all 5
+        // langs, and the driver gate compared two empty results)
         .withColumn("score_u", col("tf")
-          * round(log(lit(k.toDouble) / col("cdf")) * lit(1e6), 0)
+          * round(log(lit(1.0) + lit(k.toDouble) / col("cdf")) * lit(1e6), 0)
             .cast("long"))
         .filter(col("score_u") > 0)
       val win = org.apache.spark.sql.expressions.Window
@@ -442,13 +452,14 @@ object TextAnalysis {
     "q201_ctfidf" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
         |  FROM documents),
+        |k AS (SELECT COUNT(DISTINCT lang) AS k FROM documents),
         |tf AS (SELECT lang, w, COUNT(*) AS tf FROM tok
         |  WHERE len(w) > 0 GROUP BY lang, w),
         |cdf AS (SELECT w, COUNT(*) AS cdf FROM tf GROUP BY w),
         |scored AS (SELECT tf.lang, tf.w, tf.tf, cdf.cdf,
-        |    tf.tf * CAST(round(ln(5.0 / cdf.cdf) * 1000000, 0) AS BIGINT)
-        |      AS score_u
-        |  FROM tf JOIN cdf ON tf.w = cdf.w),
+        |    tf.tf * CAST(round(ln(1.0 + CAST(k.k AS DOUBLE) / cdf.cdf)
+        |      * 1000000, 0) AS BIGINT) AS score_u
+        |  FROM tf JOIN cdf ON tf.w = cdf.w, k),
         |r AS (SELECT lang, w, tf, cdf, score_u,
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY score_u DESC, w) AS rank

@@ -39,6 +39,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * Registered as `spark.read.format("graft-dfs").load(dir)` via the
   * DataSourceRegister service file.
   */
+/** Java-serializable Hadoop Configuration carrier: factories are
+  * serialized to executors, so the driver's session conf (object-store
+  * credentials, custom fs schemes) must ride along explicitly — a bare
+  * `new Configuration()` on the executor would silently drop every
+  * driver-side setting. Same write/readFields recipe Spark's own
+  * (package-private) SerializableConfiguration uses.
+  */
+class SerializableHadoopConf(@transient private var conf: Configuration)
+    extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 class DfsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-dfs"
 
@@ -135,7 +156,9 @@ class DfsScan(path: String, required: StructType) extends Scan with Batch
     files.map { case (id, f, _) => DfsChunk(id, f): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DfsReaderFactory(required)
+    new DfsReaderFactory(required,
+      new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
 }
 
 /** One chunk = one Spark partition (serialized to executors). */
@@ -170,7 +193,9 @@ case class DfsCommit(partitionId: Int, tempFile: String)
 
 class DfsBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-    : DataWriterFactory = new DfsWriterFactory(dir)
+    : DataWriterFactory = new DfsWriterFactory(dir,
+      new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf =
@@ -186,7 +211,13 @@ class DfsBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
     // file, the reference's MR-output append at masterhandler.py:171)
     val base = if (truncate) 0 else DfsTable.chunks(dir, conf).size
     messages.collect { case DfsCommit(pid, temp) =>
-      fs.rename(new Path(temp), new Path(p, f"part-${base + pid}%05d"))
+      val dest = new Path(p, f"part-${base + pid}%05d")
+      // rename reports failure via its RETURN VALUE (name collision,
+      // cross-fs temp) — ignoring it would silently drop a committed
+      // chunk; fail the job instead of losing data
+      if (!fs.rename(new Path(temp), dest))
+        throw new java.io.IOException(
+          s"graft-dfs commit: rename $temp -> $dest failed")
     }
     fs.delete(new Path(p, "_temp"), true) // uncommitted attempts swept
   }
@@ -199,11 +230,12 @@ class DfsBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
   }
 }
 
-class DfsWriterFactory(dir: String) extends DataWriterFactory {
+class DfsWriterFactory(dir: String, conf: SerializableHadoopConf)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
     : DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val temp = new Path(dir, s"_temp/part-$partitionId-$taskId")
-    private val fs = temp.getFileSystem(new Configuration())
+    private val fs = temp.getFileSystem(conf.value)
     private val out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(fs.create(temp, true),
         java.nio.charset.StandardCharsets.UTF_8))
@@ -227,7 +259,7 @@ class DfsWriterFactory(dir: String) extends DataWriterFactory {
   }
 }
 
-class DfsReaderFactory(required: StructType)
+class DfsReaderFactory(required: StructType, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition)
     : PartitionReader[InternalRow] = {
@@ -236,7 +268,7 @@ class DfsReaderFactory(required: StructType)
       private val path = new Path(chunk.file)
       private val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(
-          path.getFileSystem(new Configuration()).open(path),
+          path.getFileSystem(conf.value).open(path),
           java.nio.charset.StandardCharsets.UTF_8))
       private var line: String = _
       private var lineNo = -1L

@@ -44,6 +44,19 @@ object ColumnBridge {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(session)
 
+  /** Split a possibly direction-wrapped sort column into (value column,
+    * ascending?). Spark 4 models `col.desc` as an `internal.SortOrder`
+    * COLUMN NODE (not a catalyst SortOrder — `expression` wraps it
+    * lazily), so the split has to happen at the node level; bridged
+    * here for [[graft.operators.GlobalRank]]'s boundary bucketing.
+    */
+  def splitSortOrder(c: Column): (Column, Boolean) = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      (Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Ascending)
+    case _ => (c, true)
+  }
+
   /** Release the storage blocks behind a `Dataset.localCheckpoint` result:
     * the checkpointed data lives in the RDD wrapped by the plan's
     * `LogicalRDD` leaf (`private[sql]` in Spark 4.1, hence bridged here).

@@ -23,6 +23,23 @@ class DfsSourceSpec extends SparkSpec {
     dfs
   }
 
+  test("executor-bound Hadoop conf survives Java serialization") {
+    // the writer/reader factories ship the DRIVER's Hadoop conf to
+    // executors via SerializableHadoopConf — a custom driver-side key
+    // (an object-store credential in production) must survive the trip;
+    // `new Configuration()` on the executor would silently drop it
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("graft.test.credential", "s3-secret-stand-in")
+    val wrapped = new graft.sources.SerializableHadoopConf(conf)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    out.writeObject(wrapped); out.close()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = in.readObject().asInstanceOf[graft.sources.SerializableHadoopConf]
+    assert(back.value.get("graft.test.credential") == "s3-secret-stand-in")
+  }
+
   test("round-trip: manifest order reassembles the original lines") {
     val lines = (1 to 97).map(i => s"line-$i")
     val dfs = store(lines, 4)

@@ -110,6 +110,22 @@ class MiningSpec extends SparkSpec {
       "always-adjacent pair must out-score the split-context pair")
   }
 
+  test("q190 PMI survives 1-token and empty docs (bigram guard)") {
+    import spark.implicits._
+    // a 1-token doc (and an empty text, which splits to ['']) has NO
+    // bigrams: unguarded, sequence(1, 0) descends to [1, 0] and
+    // element_at(tk, 0) throws — the q209 fuzzyPairs hazard. The guard
+    // must skip those docs while their unigrams still count.
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi3").toString
+    ((1 to 5).map(i => (i.toLong, "a b")) ++
+      Seq((6L, "solo"), (7L, "")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q190_pmi_collocations")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // only (a, b) reaches the min count; the crash is the real assertion
+    assert(got.toSeq == Seq(("a", "b", 5L)))
+  }
+
   test("q198 identical source profiles score cosine 1, disjoint ones vanish") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-srcsim").toString

@@ -39,8 +39,10 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("q201 c-TF-IDF: exclusive terms outrank shared ones") {
     import spark.implicits._
-    // "only" appears in en alone (cdf 1 -> ln 5 idf); "both" appears in
-    // en and de (cdf 2 -> ln 2.5); en tf equal -> exclusive must rank 1
+    // K is DERIVED from the data (2 langs here, not the corpus's 5);
+    // smoothed idf ln(1 + K/cdf): "only" (en-exclusive, cdf 1) gets
+    // ln 3, "both" (every class, cdf 2) gets ln 2 — still ranked, but
+    // below the exclusive term at equal tf
     val dir = java.nio.file.Files.createTempDirectory("graft-ctfidf").toString
     Seq((1L, "only both", "en"), (2L, "only both", "en"),
       (3L, "both anders", "de"))
@@ -50,9 +52,10 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1)) ->
         ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     def m(x: Double) = math.round(x * 1e6)
-    assert(got(("en", 1)) == (("only", 2L, 1L, 2 * m(math.log(5.0)))))
-    assert(got(("en", 2)) == (("both", 2L, 2L, 2 * m(math.log(2.5)))))
-    assert(got(("de", 1)) == (("anders", 1L, 1L, m(math.log(5.0)))))
+    assert(got(("en", 1)) == (("only", 2L, 1L, 2 * m(math.log(3.0)))))
+    assert(got(("en", 2)) == (("both", 2L, 2L, 2 * m(math.log(2.0)))))
+    assert(got(("de", 1)) == (("anders", 1L, 1L, m(math.log(3.0)))))
+    assert(got(("de", 2)) == (("both", 1L, 2L, m(math.log(2.0)))))
   }
 
   test("quantile token budget == full-sort budget (q56 == q40 semantics)") {
