@@ -33,7 +33,17 @@ object ScaleSmoke {
       // each exists BECAUSE of its scale story, so smoke it off-gate
       "q192_kcore", "q198_source_similarity", "rfm_globalrank",
       "stats_wmedian_2pass", "q189_naive_bayes", "q197_near_search",
-      "q209_dsir_weights", "ml_silhouette", "q207_freq_triples")
+      "q209_dsir_weights", "ml_silhouette", "q207_freq_triples",
+      // session-5 additions: the CDC/reconciliation family (so the
+      // warehouse ops get off-gate scale numbers like the dedup family
+      // — q105 upsert is above), multimodal image near-dup over the 10x
+      // replicated asset set (assets derive from documents, so the
+      // scale corpus replicates them automatically; each planted twin
+      // still lands at hamming <= 6 while the banding bounds the pair
+      // search), the salted hot-join twin, and the streaming dedup
+      // pipeline end-to-end
+      "q123_cdc_apply", "q124_checksum_compare", "mm_image_neardup",
+      "q211_salted_hot_join", "stream_dedup_inc")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

@@ -38,6 +38,47 @@ object SparkEntry {
     * the same parquet tables. Omitted only for non-SQL-expressible ops
     * (driver records a weaker rows-only check).
     */
+  /** Pinning ScalaTest suite for every ROWS-ONLY entry (no oracleSql
+    * twin): the driver artifact records `err: no_oracle` for these, so
+    * this map + the per-entry row counts Verify dumps to
+    * `rows_only.json` are what proves they ran and where their
+    * semantics are checked. Keep in sync when adding rows-only entries
+    * (Verify warns on any uncovered one).
+    */
+  def rowsOnlyProvenance: Map[String, String] = Map(
+    "dedup_keep_min" -> "DedupSpec",
+    "dedup_semantic" -> "AnnSpec",
+    "dedup_simhash" -> "DedupSpec",
+    "dedup_simhash_w" -> "DedupSpec",
+    "dfs_roundtrip" -> "DfsSourceSpec",
+    "layout_compact" -> "LayoutPruningSpec",
+    "layout_timetravel" -> "VersionedTableSpec",
+    "ml_logreg" -> "ClassifySpec",
+    "ml_silhouette" -> "AnnSpec",
+    "mm_audio_neardup" -> "MultimodalSpec",
+    "mm_audio_segments" -> "MultimodalSpec",
+    "mm_decode_stats" -> "MultimodalSpec",
+    "mm_frame_sample" -> "MultimodalSpec",
+    "mm_image_neardup" -> "MultimodalSpec",
+    "mm_scene_cuts" -> "MultimodalSpec",
+    "mm_video_neardup" -> "MultimodalSpec",
+    "q107_rolling_distinct" -> "StatsOpsSpec",
+    "q112_approx_percentiles" -> "StatsOpsSpec",
+    "q78_compress_ratio" -> "TextKernelsSpec",
+    "sim_ann_ivf" -> "AnnSpec",
+    "sim_ann_ivfpq" -> "AnnSpec",
+    "sim_ann_lsh" -> "AnnSpec",
+    "sim_pca" -> "MatrixSpec",
+    "stats_approx_eqdepth" -> "StatsOpsSpec",
+    "stats_approx_winsorize" -> "StatsOpsSpec",
+    "stats_countmin" -> "SketchSpec",
+    "stats_hll_overlap" -> "SketchSpec",
+    "stats_wmedian_2pass" -> "StatsOpsSpec",
+    "stream_dedup_inc" -> "StreamingDedupSpec",
+    "text_bpe_encode" -> "BpeSpec",
+    "text_bpe_train" -> "BpeSpec",
+    "text_fingerprint_xx" -> "TextAnalysisSpec")
+
   def oracleSql: Map[String, String] =
     TextQueries.oracle ++ Relational.oracle ++ EventQueries.oracle ++
       MrQueries.oracle ++ DedupQueries.oracle ++

@@ -20,11 +20,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // rows-only accounting: entries without an oracle record their row
+    // count + pinning spec here, so the driver artifact itself proves
+    // they RAN (a bare `err: no_oracle` is indistinguishable from a
+    // broken query) — see SparkEntry.rowsOnlyProvenance
+    val rowsOnly = scala.collection.mutable.Map[String, (Long, String)]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (!SparkEntry.oracleSql.contains(name)) {
+          val rows = spark.read.parquet(s"$outDir/$name").count()
+          val specName = SparkEntry.rowsOnlyProvenance.getOrElse(name, {
+            System.err.println(
+              s"[verify] WARN rows-only entry $name has no provenance")
+            "UNPINNED"
+          })
+          rowsOnly(name) = (rows, specName)
+          if (rows == 0L)
+            System.err.println(s"[verify] WARN rows-only $name wrote 0 rows")
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -44,6 +62,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val roJson = rowsOnly.toSeq.sortBy(_._1)
+      .map { case (k, (rows, spec)) =>
+        s"${q(k)}: {\"rows\": $rows, \"spec\": ${q(spec)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), roJson)
     spark.stop()
   }
 }

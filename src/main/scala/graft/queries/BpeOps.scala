@@ -109,6 +109,71 @@ object BpeOps {
     merges.toSeq.toDF("rank", "left", "right", "merged")
   }
 
+  /** Driver-local BPE training — the PRODUCTION-merge-count path.
+    *
+    * [[train]] runs one Spark job per merge round; at the spec'd merge
+    * counts (tens) that is the honest distributed form, but a
+    * production vocabulary (32k merges, the SentencePiece regime) would
+    * mean 32k sequential cluster jobs over data that is only
+    * vocabulary-sized after the first shuffle. This twin collects the
+    * word-frequency histogram ONCE (Heaps'-law bounded — KB..MB at any
+    * corpus size; the same table [[train]] iterates on) and runs the
+    * merge loop on the driver, returning the identical ranked merge
+    * table (BpeSpec pins local == distributed on the crafted corpus and
+    * on driver data).
+    *
+    * Crossover: per-round cost is O(total symbols in the histogram) both
+    * ways; the distributed round adds ~0.1–1 s of job scheduling, so
+    * local wins whenever `numMerges × jobOverhead` exceeds the one-time
+    * histogram collect — i.e. essentially always once merges reach the
+    * hundreds, provided the histogram fits driver memory (it does, by
+    * Heaps' law, until vocabulary ~10⁸ types).
+    */
+  def trainLocal(docs: DataFrame, numMerges: Int = NumMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE corpus shuffle, ONE collect of the vocabulary histogram
+    var words: Array[(Array[String], Long)] =
+      wordTable(docs).select(col("syms"), col("cnt")).collect()
+        .map(r => (r.getAs[scala.collection.Seq[String]]("syms").toArray,
+          r.getLong(1)))
+    val merges = mutable.ArrayBuffer[(Int, String, String, String)]()
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      // weighted adjacent-pair counts over the histogram
+      val counts = mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+      }
+      // argmax with the EXACT distributed tie order: n desc, a, b lex
+      val best = counts.filter(_._2 >= 2L)
+      if (best.isEmpty) done = true
+      else {
+        val ((a, b), _) = best.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((r, a, b, a + b))
+        // same left-to-right non-overlapping fold as [[foldMerge]]
+        words = words.map { case (syms, cnt) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), cnt)
+        }
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged")
+  }
+
   /** Encode one word against a rank map: repeatedly merge ALL
     * occurrences of the present pair with the LOWEST rank — the
     * canonical BPE encode loop, which reproduces exactly the training
@@ -161,8 +226,10 @@ object BpeOps {
     private val cache = mutable.Map[(SparkSession, String), Seq[(String, String)]]()
     def merges(s: SparkSession, d: String): Seq[(String, String)] =
       cache.synchronized {
+        // trainLocal: identical merge table (BpeSpec pins == train),
+        // one histogram collect instead of one cluster job per merge
         cache.getOrElseUpdate((s, d),
-          train(Tables(s, d, "documents")).orderBy("rank")
+          trainLocal(Tables(s, d, "documents")).orderBy("rank")
             .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
       }
     def evict(s: SparkSession, d: String): Unit =

@@ -269,6 +269,44 @@ object DedupQueries {
     "q92_incremental_dedup" -> ((s, d) =>
       incrementalDedup(graft.Tables(s, d, "documents"))),
 
+    // STREAMING incremental dedup: the q92 pass run CONTINUOUSLY — the
+    // A snapshot seeds an exactly-once keeper ledger, the B delta
+    // arrives as two real micro-batches through a foreachBatch pipeline
+    // (graft.streaming.StreamingDedup), each deduped against everything
+    // committed so far (seed + earlier batches' keepers). Rows-only by
+    // nature (a streaming run, not one SQL statement); StreamingDedupSpec
+    // pins streamed == q92 on the same split and replay suppression.
+    "stream_dedup_inc" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = graft.Tables(s, d, "documents")
+      val a = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val b = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 5,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))
+            .as("text"),
+          col("lang"), col("source"))
+        .as[(Long, String, String, String)].collect().toSeq
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sdd").toString
+      val root = s"$base/ledger"
+      graft.streaming.StreamingDedup.seed(a, root)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, String)]
+      val q = graft.streaming.StreamingDedup.attach(
+        stream.toDF().toDF("doc_id", "text", "lang", "source"),
+        root, s"$base/ck")
+      // two deliveries: the second must also dedup against the first's
+      // committed keepers, not just the seed
+      val (d1, d2) = b.partition(_._1 % 2 == 0)
+      stream.addData(d1); q.processAllAvailable()
+      stream.addData(d2); q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamingDedup.ingested(s, root)
+    }),
+
     // Exact transitive dedup clusters: connected components over the
     // exact near-dup pairs (q23) via distributed min-label propagation —
     // the closure dedup_keep_min approximates in one pass. Component id
@@ -493,6 +531,21 @@ object DedupQueries {
         when(pmod(col("doc_id"), lit(13)) === 5,
           concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"),
         col("lang"), col("source"))
+    dedupAgainstCorpus(b, a).select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** The q92 core over an EXPLICIT (delta, corpus) pair — the reusable
+    * cross-corpus dedup primitive [[graft.streaming.StreamingDedup]]
+    * routes every arriving micro-batch through. `b` (the delta) carries
+    * (doc_id, text, lang, source); `a` (the committed corpus) carries
+    * (doc_id, text). Keepers retain their TEXT so a caller can extend
+    * the corpus with them; q92 projects it away to keep its oracle
+    * shape. Delta rows are assumed id-unique within one call (the
+    * snapshot/micro-batch contract — cross-delta dups are what the
+    * corpus side catches).
+    */
+  private[graft] def dedupAgainstCorpus(b: DataFrame, a: DataFrame)
+      : DataFrame = {
     val aHash = a.select(col("doc_id"), md5(col("text")).as("h"))
     val incoming = b.withColumn("h", md5(col("text")))
       .join(aHash, Seq("doc_id", "h"), "left_anti")
@@ -525,7 +578,7 @@ object DedupQueries {
         / (col("na") + col("nb") - col("common")) >= JaccardThreshold)
       .select(col("b_id").as("doc_id")).distinct()
     candidates.join(nearDup, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
   }
 
   /** The exact near-dup pair set (3-gram shingle Jaccard ≥ 0.5) — oracle

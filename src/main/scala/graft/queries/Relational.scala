@@ -91,6 +91,30 @@ object Relational {
           count(lit(1)).as("n_items"))
     }),
 
+    // q3's revenue-join shape over a CRAFTED hot key, routed through
+    // SkewOps.saltedJoinAuto end-to-end: 80% of lineitem rows collapse
+    // onto synthetic nation key 7 (the one-hot-nation regime AQE's
+    // sort-merge skew split can't fix for hash joins), the profiler
+    // finds the hot key(s), salts ONLY their rows across 8 sub-keys and
+    // replicates the 25-row nation side per salt. The oracle is the
+    // PLAIN join semantics — the mitigation must be invisible in the
+    // result (hash-matched); SkewOpsSpec pins the hot-only replication
+    // and the result == unhinted join.
+    "q211_salted_hot_join" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select(
+        when(pmod(col("l_partkey"), lit(5)) < 4, lit(7L))
+          .otherwise(pmod(col("l_partkey"), lit(25)).cast("long")).as("nk"),
+        col("l_extendedprice"), col("l_discount"))
+      val n = Tables(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      graft.operators.SkewOps
+        .saltedJoinAuto(li, n, "nk", salts = 8, minCount = 1000L)
+        .groupBy(col("n_name"))
+        .agg(rsum(revTerm(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // R4: distinct (reference realization: map emits `key,`; reduce emits
     // each key once).
     "q4_distinct" -> ((s, d) =>
@@ -306,6 +330,16 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name, r_name""".stripMargin,
+    "q211_salted_hot_join" ->
+      """WITH li AS (SELECT
+        |    CASE WHEN l_partkey % 5 < 4 THEN 7
+        |         ELSE l_partkey % 25 END AS nk,
+        |    l_extendedprice, l_discount FROM lineitem)
+        |SELECT n_name,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM li JOIN nation ON li.nk = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "q4_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
     "q5_sort_limit" ->

@@ -136,37 +136,134 @@ object SimilarityQueries {
     cbs
   }
 
-  /** IVF-PQ retrieval: coarse cluster pruning (shared quantizer) + an
-    * ADC candidate scan that reads ONLY the 8-code column + exact
-    * cosine re-rank of the per-query top-`Pool`. See the sim_ann_ivfpq
-    * entry comment for the scale argument.
+  // IVF / PQ hyper-parameters (shared by build, persist, and serve)
+  private[graft] val IvfC = 16
+  private[graft] val IvfProbes = 4
+  private[graft] val IvfLloydIters = 2
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqKs = 16
+
+  /** Driver-side index metadata: coarse IVF centroids + per-subspace PQ
+    * codebooks — the KB-scale half of the index; the corpus-scale half
+    * is the encoded (vec_id, c, codes, embedding) table.
     */
-  private[graft] def annIvfPq(e: DataFrame, numQueries: Int = NumQueries,
-      k: Int = K, pool: Int = 50): DataFrame = {
-    val M = 8; val SubDim = 8; val Ks = 16
-    val CoarseC = 16; val Probes = 4
-    val coarse = trainCentroids(e, CoarseC, 2)
-    val cbs = trainPqCodebooks(e, M, SubDim, Ks)
-    // encode: per subspace, argmax-dot sub-centroid index — a narrow
-    // expression pass; the codes column is 8 small ints per vector
-    val codesCol = array((0 until M).map { ms =>
+  private[graft] case class AnnArtifacts(coarse: Array[Array[Float]],
+      cbs: Array[Array[Array[Float]]])
+
+  /** PQ encode expression: per subspace, argmax-dot sub-centroid index —
+    * a narrow expression pass; the codes column is 8 small ints/vector.
+    */
+  private def pqCodesCol(cbs: Array[Array[Array[Float]]]): Column =
+    array((0 until PqM).map { ms =>
       val sims = array(cbs(ms).zipWithIndex.map { case (c, i) =>
-        struct(vec_dot(expr(s"slice(embedding, ${ms * SubDim + 1}, $SubDim)"),
+        struct(vec_dot(
+          expr(s"slice(embedding, ${ms * PqSubDim + 1}, $PqSubDim)"),
           typedlit(c.toSeq)).as("sim"), lit(i).as("idx"))
       }: _*)
       array_max(sims).getField("idx")
     }: _*)
-    val indexed = assignCluster(e, coarse).withColumn("codes", codesCol)
+
+  /** Train quantizers and encode the corpus: the BUILD half of the ANN
+    * index, shared by the in-query path and [[persistAnnIndex]].
+    */
+  private[graft] def buildAnnIndex(e: DataFrame)
+      : (DataFrame, AnnArtifacts) = {
+    val coarse = trainCentroids(e, IvfC, IvfLloydIters)
+    val cbs = trainPqCodebooks(e, PqM, PqSubDim, PqKs)
+    (assignCluster(e, coarse).withColumn("codes", pqCodesCol(cbs)),
+      AnnArtifacts(coarse, cbs))
+  }
+
+  /** Persist the index as VersionedTable snapshots under `root` —
+    * codebooks are built ONCE and served MANY times (the FAISS
+    * lifecycle), instead of retraining inside every query: `index/`
+    * holds the encoded corpus partitioned by nothing but its snapshot
+    * version (at production scale, cluster-partition it by `c` so a
+    * probe prunes files); `coarse/` and `cb/` hold the KB metadata.
+    * Each rebuild commits a NEW version — time travel gives rollback to
+    * a previous index generation for free.
+    */
+  private[graft] def persistAnnIndex(e: DataFrame, root: String): Long = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val (indexed, arts) = buildAnnIndex(e)
+    val v = graft.operators.VersionedTable.write(
+      indexed.select(col("vec_id"), col("c"), col("codes"),
+        col("embedding")), s"$root/index")
+    graft.operators.VersionedTable.write(
+      arts.coarse.zipWithIndex.toSeq
+        .map { case (vals, i) => (i, vals.toSeq) }.toDF("idx", "vals"),
+      s"$root/coarse")
+    graft.operators.VersionedTable.write(
+      (for (ms <- arts.cbs.indices; c <- arts.cbs(ms).indices)
+        yield (ms, c, arts.cbs(ms)(c).toSeq)).toDF("ms", "code", "vals"),
+      s"$root/cb")
+    v
+  }
+
+  /** Load the NEWEST committed index snapshot (or `version` for time
+    * travel): the serve-side counterpart of [[persistAnnIndex]].
+    */
+  private[graft] def loadAnnIndex(spark: SparkSession, root: String,
+      version: Option[Long] = None): (DataFrame, AnnArtifacts) = {
+    val indexed = graft.operators.VersionedTable
+      .read(spark, s"$root/index", version)
+    val coarse = graft.operators.VersionedTable
+      .read(spark, s"$root/coarse", version)
+      .orderBy(col("idx")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vals").toArray)
+    val cb = graft.operators.VersionedTable
+      .read(spark, s"$root/cb", version)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getAs[scala.collection.Seq[Float]]("vals").toArray).toMap
+    val m = cb.keys.map(_._1).max + 1
+    val ks = cb.keys.map(_._2).max + 1
+    val cbs = Array.tabulate(m, ks)((ms, c) => cb((ms, c)))
+    (indexed, AnnArtifacts(coarse, cbs))
+  }
+
+  /** IVF serve: probe the query's nearest coarse cells, exact cosine
+    * within probed cells only. `indexed` carries (vec_id, c, embedding)
+    * — built in-query or loaded from a snapshot.
+    */
+  private[graft] def annIvfFrom(indexed: DataFrame,
+      coarse: Array[Array[Float]], numQueries: Int = NumQueries,
+      k: Int = K): DataFrame = {
     val q = indexed.filter(col("vec_id") < numQueries)
       .withColumn("sims", simArray(coarse))
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         explode(expr(s"transform(slice(reverse(array_sort(sims)), 1, " +
-          s"$Probes), x -> x.idx)")).as("probe"))
+          s"$IvfProbes), x -> x.idx)")).as("probe"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    indexed.join(broadcast(q),
+        col("c") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-PQ serve: coarse pruning + ADC scan over the code column only
+    * + exact cosine re-rank of the per-query top-`pool`. See the
+    * sim_ann_ivfpq entry comment for the scale argument.
+    */
+  private[graft] def annIvfPqFrom(indexed: DataFrame, arts: AnnArtifacts,
+      numQueries: Int = NumQueries, k: Int = K, pool: Int = 50)
+      : DataFrame = {
+    val cbs = arts.cbs
+    val q = indexed.filter(col("vec_id") < numQueries)
+      .withColumn("sims", simArray(arts.coarse))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(expr(s"transform(slice(reverse(array_sort(sims)), 1, " +
+          s"$IvfProbes), x -> x.idx)")).as("probe"))
     // ADC: approx dot = Σ_m dot(q_m, codebook_m[code_m]) — candidates
     // carry codes ONLY (embedding dropped before the join: the
     // bandwidth win PQ exists for)
-    val adcScore = (0 until M).map { ms =>
-      vec_dot(expr(s"slice(qe, ${ms * SubDim + 1}, $SubDim)"),
+    val adcScore = (0 until PqM).map { ms =>
+      vec_dot(expr(s"slice(qe, ${ms * PqSubDim + 1}, $PqSubDim)"),
         element_at(typedlit(cbs(ms).map(_.toSeq).toSeq),
           element_at(col("codes"), lit(ms + 1)) + 1))
     }.reduce(_ + _)
@@ -182,12 +279,42 @@ object SimilarityQueries {
     // exact re-rank: embeddings joined back for pool×queries rows only
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    cand.join(e, "vec_id")
+    cand.join(indexed.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
         round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-PQ retrieval, train-and-query form (AnnSpec's recall baseline;
+    * the driver entries serve from a persisted snapshot instead).
+    */
+  private[graft] def annIvfPq(e: DataFrame, numQueries: Int = NumQueries,
+      k: Int = K, pool: Int = 50): DataFrame = {
+    val (indexed, arts) = buildAnnIndex(e)
+    annIvfPqFrom(indexed, arts, numQueries, k, pool)
+  }
+
+  /** Session-scoped persisted-index roots: built+committed once per
+    * (session, table dir), served by both IVF entries — the
+    * MergeCache/ShingleCache lifecycle discipline.
+    */
+  private[graft] object AnnIndexCache {
+    private val cache = scala.collection.mutable.Map[(SparkSession, String), String]()
+    def root(s: SparkSession, d: String): String = cache.synchronized {
+      cache.getOrElseUpdate((s, d), {
+        val r = java.nio.file.Files.createTempDirectory("graft-annidx")
+          .toString
+        persistAnnIndex(
+          Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          r)
+        r
+      })
+    }
+    def evict(s: SparkSession, d: String): Unit =
+      cache.synchronized { cache.remove((s, d)) }
+    def clear(): Unit = cache.synchronized { cache.clear() }
   }
 
   /** Per-centroid (sim, idx) struct array for argmax assignment. */
@@ -468,27 +595,14 @@ object SimilarityQueries {
     // Query probes its `Probes` nearest centroids and ranks only those
     // clusters' vectors by exact cosine — at 100 TB the corpus stays
     // partitioned by cluster and only centroids (a few KB) move.
+    // The index is PERSISTED (VersionedTable snapshots: encoded corpus
+    // + centroid/codebook metadata) and SERVED from the newest committed
+    // version — codebooks train once per corpus, not once per query (the
+    // FAISS build/serve split). AnnSpec pins serve-from-snapshot ==
+    // train-and-query exactly.
     "sim_ann_ivf" -> ((s, d) => {
-      val C = 16; val Probes = 4; val LloydIters = 2
-      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val centroids = trainCentroids(e, C, LloydIters)
-      val indexed = assignCluster(e, centroids)
-      // query side: top-`Probes` centroids per query vector
-      val q = indexed.filter(col("vec_id") < NumQueries)
-        .withColumn("sims", simArray(centroids))
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          explode(expr(
-            s"transform(slice(reverse(array_sort(sims)), 1, $Probes), x -> x.idx)"))
-            .as("probe"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      indexed.join(broadcast(q),
-          col("c") === col("probe") && col("vec_id") =!= col("q_id"))
-        .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
-          round(col("sim"), 6).as("sim"))
+      val (indexed, arts) = loadAnnIndex(s, AnnIndexCache.root(s, d))
+      annIvfFrom(indexed, arts.coarse)
     }),
 
     // IVF-PQ [Jégou et al., TPAMI'11] — the memory-bandwidth scale path
@@ -504,8 +618,8 @@ object SimilarityQueries {
     // pool C=50 per query. Approximate → rows-only; AnnSpec pins recall
     // against q25's exact top-k.
     "sim_ann_ivfpq" -> ((s, d) => {
-      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      annIvfPq(e)
+      val (indexed, arts) = loadAnnIndex(s, AnnIndexCache.root(s, d))
+      annIvfPqFrom(indexed, arts)
     }),
 
     // SemDeDup semantic dedup over the embedding corpus — cluster with

@@ -142,6 +142,37 @@ class AnnSpec extends SparkSpec {
       }
   }
 
+  test("persisted ANN index: serve-from-snapshot == train-and-query") {
+    import graft.queries.SimilarityQueries
+    val e = Tables(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annidx-spec").toString
+    SimilarityQueries.persistAnnIndex(e, root)
+    val (indexed, arts) = SimilarityQueries.loadAnnIndex(spark, root)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    // IVF-PQ: the snapshot round-trips floats/codes exactly, so serving
+    // from it must be BIT-IDENTICAL to training in-query
+    assert(canon(SimilarityQueries.annIvfPqFrom(indexed, arts))
+      == canon(SimilarityQueries.annIvfPq(e)))
+    // IVF: same corpus, same centroids -> same plan output
+    val (builtIdx, builtArts) = SimilarityQueries.buildAnnIndex(e)
+    assert(canon(SimilarityQueries.annIvfFrom(indexed, arts.coarse))
+      == canon(SimilarityQueries.annIvfFrom(builtIdx, builtArts.coarse)))
+    // a rebuild commits a NEW version; read() serves the newest, and
+    // the previous generation stays readable (index rollback)
+    val v2 = SimilarityQueries.persistAnnIndex(e, root)
+    assert(v2 == 2L)
+    assert(graft.operators.VersionedTable
+      .versions(spark, s"$root/index") == Seq(1L, 2L))
+    val (oldIdx, _) = SimilarityQueries.loadAnnIndex(spark, root,
+      version = Some(1L))
+    assert(oldIdx.count() == indexed.count())
+  }
+
   test("LSH ANN: default setting recall vs brute force >= 0.6") {
     val exact = SparkEntry.queries("q25_ann_topk")(spark, sf)
       .select("q_id", "neighbor_id").collect()

@@ -25,6 +25,23 @@ class BpeSpec extends SparkSpec {
       (2, "ab", BpeOps.EowMarker, "ab" + BpeOps.EowMarker)))
   }
 
+  test("trainLocal == train: crafted corpus and driver documents") {
+    // the driver-local production path must reproduce the distributed
+    // merge table EXACTLY — same counts, same (n desc, a, b) tie order,
+    // same non-overlapping fold, same early stop
+    val local = BpeOps.trainLocal(tinyCorpus, numMerges = 10)
+      .orderBy("rank").collect().map(_.toSeq)
+    val dist = BpeOps.train(tinyCorpus, numMerges = 10)
+      .orderBy("rank").collect().map(_.toSeq)
+    assert(local.toSeq == dist.toSeq)
+    val docs = graft.Tables(spark, sf, "documents")
+    val l2 = BpeOps.trainLocal(docs, numMerges = 12)
+      .orderBy("rank").collect().map(_.toSeq)
+    val d2 = BpeOps.train(docs, numMerges = 12)
+      .orderBy("rank").collect().map(_.toSeq)
+    assert(l2.length == 12 && l2.toSeq == d2.toSeq)
+  }
+
   test("encodeWord replays training greedily, lowest rank first") {
     val rank = Map(("a", "b") -> 0, ("ab", BpeOps.EowMarker) -> 1)
     assert(BpeOps.encodeWord("ab", rank) == Seq("ab" + BpeOps.EowMarker))

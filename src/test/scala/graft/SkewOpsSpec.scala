@@ -96,6 +96,40 @@ class SkewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q211 driver entry: salted result == plain join, hot-only salting") {
+    // the end-to-end wiring of saltedJoinAuto into a driver query: the
+    // crafted hot key (7, ~80% of lineitem) is profiled and salted, the
+    // aggregate hash-matches the unhinted plain-join form
+    val got = SparkEntry.queries("q211_salted_hot_join")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val li = Tables(spark, sf, "lineitem").select(
+      when(pmod(col("l_partkey"), lit(5)) < 4, lit(7L))
+        .otherwise(pmod(col("l_partkey"), lit(25)).cast("long")).as("nk"),
+      col("l_extendedprice"), col("l_discount"))
+    val n = Tables(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    val plain = li.join(n, "nk").groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")
+          * (lit(1).cast("decimal(18,4)")
+            - col("l_discount").cast("decimal(18,4)"))), 4)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(got == plain, "salting must be invisible in the result")
+    // the profiler must find EXACTLY the crafted hot key at this SF
+    // (4780 rows on key 7 vs ~260 per cold key, minCount 1000), so the
+    // entry exercises genuine hot-only salting, not the degenerate path
+    assert(SkewOps.hotKeys(li, "nk", minCount = 1000L) == Seq(7L))
+    // plan pin: the salt explode (Generate) is present — the mitigated
+    // path actually ran, it didn't degenerate to the plain join
+    val p = SparkEntry.queries("q211_salted_hot_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"salted path must explode the right side:\n$p")
+  }
+
   test("saltedSum == plain sum, spread across salt sub-keys first") {
     val (l, _) = skewed()
     val plain = l.groupBy("k").agg(sum("v").as("s"))

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{IdempotentSink, StreamingDedup}
+
+/** Continuous incremental near-dedup: the q92 pass composed with the
+  * exactly-once ledger. Pins (1) streamed == batch q92 on the same
+  * delta split, (2) cross-batch dedup against earlier keepers, and
+  * (3) replay suppression.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("single-batch stream == batch q92 on the same split") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, sf, "documents")
+    val a = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val b = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 5,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect().toSeq
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sdd-spec").toString
+    val root = s"$base/ledger"
+    StreamingDedup.seed(a, root)
+    val stream = MemoryStream[(Long, String, String, String)]
+    val q = StreamingDedup.attach(
+      stream.toDF().toDF("doc_id", "text", "lang", "source"),
+      root, s"$base/ck")
+    stream.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = StreamingDedup.ingested(spark, root)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = SparkEntry.queries("q92_incremental_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == batch,
+      "one delivery through the stream must equal the batch q92 pass")
+    assert(streamed.nonEmpty)
+  }
+
+  test("later batches dedup against earlier batches' keepers") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sdd-multi").toString
+    val root = s"$base/ledger"
+    val seedText = "the quick brown fox jumps over the lazy dog"
+    StreamingDedup.seed(
+      Seq((1L, seedText, "en", "seed"))
+        .toDF("doc_id", "text", "lang", "source"), root)
+    val stream = MemoryStream[(Long, String, String, String)]
+    val q = StreamingDedup.attach(
+      stream.toDF().toDF("doc_id", "text", "lang", "source"),
+      root, s"$base/ck")
+    val novel = "completely different content about spark engines at scale"
+    // batch 0: one exact dup of the seed (dropped), one novel doc (kept)
+    stream.addData(Seq((10L, seedText, "en", "b0"), (11L, novel, "en", "b0")))
+    q.processAllAvailable()
+    // batch 1: a near-dup of batch 0's KEEPER (last token changed —
+    // 3-gram Jaccard 6/8 = 0.75 ≥ 0.5) must drop; a new doc must keep
+    val near = "completely different content about spark engines at speed"
+    val fresh = "unrelated prose concerning entirely other subject matter"
+    stream.addData(Seq((20L, near, "en", "b1"), (21L, fresh, "en", "b1")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = StreamingDedup.ingested(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 21L),
+      s"batch-1 near-dup of a batch-0 keeper must be dropped; got $kept")
+  }
+
+  test("replay cannot double-ingest (marker suppression before any work)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sdd-replay").toString
+    val root = s"$base/ledger"
+    StreamingDedup.seed(
+      Seq((1L, "alpha beta gamma delta epsilon", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"), root)
+    val batch = Seq((2L, "wholly new textual material for the ledger",
+      "en", "b")).toDF("doc_id", "text", "lang", "source")
+    assert(StreamingDedup.processBatch(batch, root, 0L),
+      "first attempt performs the write")
+    val afterFirst = IdempotentSink.readCommitted(spark, root).count()
+    assert(!StreamingDedup.processBatch(batch, root, 0L),
+      "replayed batchId must be suppressed")
+    assert(IdempotentSink.readCommitted(spark, root).count() == afterFirst)
+    // seeding again is also suppressed
+    assert(!StreamingDedup.seed(
+      Seq((1L, "alpha beta gamma delta epsilon", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"), root))
+  }
+}

@@ -91,3 +91,11 @@ for name, sql in {
             " (FORMAT PARQUET)")
     n = con.sql(f"SELECT count(*) FROM '{out}/{name}.parquet'").fetchone()[0]
     print(f"wrote {out}/{name}.parquet ({n} rows)")
+
+# scale-invariant dims, copied verbatim (TPC-H dims grow sublinearly;
+# the smoke queries that read them — q211's nation join — treat them as
+# broadcast metadata at any SF)
+for name in ["region", "nation", "supplier"]:
+    con.sql(f"COPY (SELECT * FROM '{src}/{name}.parquet') TO "
+            f"'{out}/{name}.parquet' (FORMAT PARQUET)")
+    print(f"wrote {out}/{name}.parquet (verbatim)")
