@@ -30,9 +30,74 @@ object CurationOps {
     */
   private def isProbe(c: Column): Column = pmod(c, lit(97)) === 0
 
+  /** q212 chunking window (tokens) and stride: ~100-token docs yield
+    * 4–5 overlapping chunks each (overlap = ChunkW − ChunkS = 8).
+    */
+  private val ChunkW = 32
+  private val ChunkS = 24
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Decontamination via inverted shingle index: a document is
     // contaminated iff it shares ANY 3-token shingle with the probe set.
+    // q212 sliding-window document chunking — the context-window prep
+    // pass of a training/RAG pipeline: each doc becomes overlapping
+    // token windows of ChunkW tokens at stride ChunkS (overlap
+    // ChunkW − ChunkS). ENTIRELY NARROW — one explode of a per-row
+    // start sequence, zero shuffles; at 100 TB this is map-only work
+    // fused behind the scan. Chunk identity is an md5 over the joined
+    // window (so downstream exact-dedup of chunks composes with q20),
+    // start/count arithmetic is integer-exact — hash-compared per row.
+    "q212_chunk_sliding" -> ((s, d) => {
+      val w = ChunkW; val st = ChunkS
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t != '')").as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          posexplode(expr(s"transform(sequence(1, size(tk), $st), " +
+            s"i -> struct(i AS start_tok, " +
+            s"array_join(slice(tk, i, $w), ' ') AS chunk))")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_no"),
+          col("col.start_tok").cast("long").as("start_tok"),
+          least(col("n_tokens") - col("col.start_tok") + 1, lit(w.toLong))
+            .as("chunk_tokens"),
+          md5(col("col.chunk")).as("chunk_hash"))
+    }),
+
+    // q213 repetition-ratio quality filter (the Gopher/RefinedWeb
+    // repetition rules): per doc, the duplicate-3-gram fraction
+    // (1 − distinct/total 3-grams) and the top-token fraction (most
+    // frequent token's share). Both are PER-ROW higher-order-function
+    // folds over the token array — zero shuffles, the q28/q76 narrow
+    // shape; the O(distinct × len) top-token scan is bounded by doc
+    // length, not corpus size. keep = both signals under the Gopher
+    // thresholds (0.2 / 0.3).
+    "q213_rep_ratio" -> ((s, d) => {
+      val tk = expr("filter(split(text, ' '), t -> t != '')")
+      Tables(s, d, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .filter(size(col("tk")) > 0)
+        .withColumn("g3", expr(
+          """case when size(tk) >= 3 then
+            |  transform(sequence(1, size(tk) - 2),
+            |    i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1),
+            |                   element_at(tk, i+2)))
+            |else array() end""".stripMargin))
+        .withColumn("top_cnt", expr(
+          "array_max(transform(array_distinct(tk), " +
+            "w -> size(filter(tk, x -> x = w))))"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          size(col("g3")).cast("long").as("n_3grams"),
+          when(size(col("g3")) > 0,
+            round(lit(1.0) - size(array_distinct(col("g3")))
+              / size(col("g3")).cast("double"), 6)).otherwise(lit(0.0))
+            .as("dup3_frac"),
+          round(col("top_cnt") / size(col("tk")).cast("double"), 6)
+            .as("top_tok_frac"))
+        .withColumn("keep",
+          col("dup3_frac") < 0.2 && col("top_tok_frac") < 0.3)
+    }),
+
     // The probe side is a benchmark suite — bounded by construction, so
     // its distinct shingles BROADCAST (the standard decontamination
     // shape); the corpus side streams through an exploded semi-join +
@@ -308,6 +373,43 @@ object CurationOps {
       .stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q212_chunk_sliding" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x != '') AS tk
+         |  FROM documents),
+         |f AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+         |s AS (SELECT doc_id, tk, n, unnest(range(1, n + 1, $ChunkS))
+         |    AS start_tok FROM f)
+         |SELECT doc_id,
+         |  CAST((start_tok - 1) / $ChunkS + 1 AS BIGINT) AS chunk_no,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(least(n - start_tok + 1, $ChunkW) AS BIGINT)
+         |    AS chunk_tokens,
+         |  md5(array_to_string(list_slice(tk, start_tok,
+         |    least(start_tok + ${ChunkW - 1}, n)), ' ')) AS chunk_hash
+         |FROM s""".stripMargin,
+    "q213_rep_ratio" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS tk
+        |  FROM documents),
+        |f AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+        |g AS (SELECT doc_id, tk, n,
+        |    CASE WHEN n >= 3 THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                           FOR i IN range(1, n - 1)]
+        |         ELSE [] END AS g3 FROM f),
+        |m AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |    CAST(len(g3) AS BIGINT) AS n_3grams,
+        |    CASE WHEN len(g3) > 0
+        |      THEN round(1.0 - len(list_distinct(g3))
+        |                   / CAST(len(g3) AS DOUBLE), 6)
+        |      ELSE 0.0 END AS dup3_frac,
+        |    round(list_max(list_transform(list_distinct(tk),
+        |        w -> len(list_filter(tk, x -> x = w))))
+        |      / CAST(n AS DOUBLE), 6) AS top_tok_frac
+        |  FROM g)
+        |SELECT doc_id, n_tokens, n_3grams, dup3_frac, top_tok_frac,
+        |  dup3_frac < 0.2 AND top_tok_frac < 0.3 AS keep
+        |FROM m""".stripMargin,
     "q209_dsir_weights" ->
       """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS sp
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

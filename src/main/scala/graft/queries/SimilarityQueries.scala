@@ -562,6 +562,32 @@ object SimilarityQueries {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // q214 FILTERED similarity search — ANN with a metadata predicate,
+    // the "find near vectors from the SAME source/label" serving shape
+    // every vector store exposes (pre-filter form: the predicate prunes
+    // candidates BEFORE ranking, so k survivors are guaranteed — vs
+    // post-filtering a top-k that can come up short). Same scale
+    // contract as q25: the bounded query set broadcasts WITH its label,
+    // the corpus side stays partitioned and the label equality rides
+    // the join condition into the build side — at 100 TB a
+    // label-partitioned corpus layout turns it into partition pruning.
+    "q214_ann_filtered" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("qlabel"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.join(broadcast(q),
+          col("vec_id") =!= col("q_id") && col("label") === col("qlabel"))
+        .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("label"), col("vec_id").as("neighbor_id"),
+          col("rk"), round(col("sim"), 6).as("sim"))
+    }),
+
     // k-NN classification on top of the exact top-k: each query vector
     // takes the majority label of its K nearest neighbors (ties first to
     // the bigger vote count, then to the smaller label — deterministic).
@@ -834,6 +860,18 @@ object SimilarityQueries {
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS rk
          |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries)
+         |WHERE rk <= $K""".stripMargin,
+    "q214_ann_filtered" ->
+      s"""SELECT q_id, label, neighbor_id, CAST(rk AS INTEGER) AS rk,
+         | round(sim, 6) AS sim
+         |FROM (
+         |  SELECT q.vec_id AS q_id, e.label, e.vec_id AS neighbor_id,
+         |    ${cosSql("q", "e")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS rk
+         |  FROM embeddings q JOIN embeddings e
+         |    ON e.vec_id <> q.vec_id AND e.label = q.label
          |  WHERE q.vec_id < $NumQueries)
          |WHERE rk <= $K""".stripMargin,
     "q149_knn_classify" ->

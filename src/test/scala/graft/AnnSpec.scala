@@ -142,6 +142,34 @@ class AnnSpec extends SparkSpec {
       }
   }
 
+  test("q214 filtered ANN: label predicate pre-filters, ranks stay exact") {
+    val rows = SparkEntry.queries("q214_ann_filtered")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every query's label column is constant == its own label, and the
+    // neighbor set is exactly the same-label restriction of brute force
+    val labels = Tables(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (q, lbl, n) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(labels(q) == lbl && labels(n) == lbl,
+        s"neighbor $n of query $q must share label $lbl")
+    }
+    // pre-filter guarantee: K survivors per query (the corpus has far
+    // more than K vectors per label), ranks contiguous from 1
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"ranks broken for $q")
+    }
+    // filtered top-1 can never beat the unrestricted top-1
+    val best = SparkEntry.queries("q25_ann_topk")(spark, sf)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getDouble(4) <= best(r.getLong(0)) + 1e-9)
+    }
+  }
+
   test("persisted ANN index: serve-from-snapshot == train-and-query") {
     import graft.queries.SimilarityQueries
     val e = Tables(spark, sf, "embeddings")

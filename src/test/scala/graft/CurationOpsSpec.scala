@@ -28,6 +28,49 @@ class CurationOpsSpec extends SparkSpec {
       assert(!cleanIds.contains(id), s"doc $id copies a probe text"))
   }
 
+  test("q212 chunking: window/stride arithmetic and overlap, hand-checked") {
+    import spark.implicits._
+    // 60 tokens, W=32 S=24 -> starts 1/25/49 with 32/32/12 tokens;
+    // 10 tokens -> one chunk of 10; empty text -> no rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    val toks60 = (1 to 60).map(i => s"t$i")
+    Seq((1L, toks60.mkString(" ")),
+      (2L, (1 to 10).map(i => s"u$i").mkString(" ")),
+      (3L, ""))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q212_chunk_sliding")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got.keySet == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
+    assert(got((1L, 1L))._1 == 1L && got((1L, 1L))._2 == 32L)
+    assert(got((1L, 2L))._1 == 25L && got((1L, 2L))._2 == 32L)
+    assert(got((1L, 3L))._1 == 49L && got((1L, 3L))._2 == 12L)
+    assert(got((2L, 1L))._2 == 10L)
+    // chunk identity: the middle chunk's hash is the md5 of exactly
+    // tokens 25..56 — adjacent chunks overlap by 8 tokens
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(toks60.slice(24, 56).mkString(" ")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got((1L, 2L))._3 == expect)
+  }
+
+  test("q213 repetition ratio: dup-3gram and top-token fractions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq((1L, "a a a a"),            // 2 identical 3-grams, all-a tokens
+      (2L, "a b c d e"),            // all distinct
+      (3L, "x y"))                  // no 3-grams, top frac 0.5
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q213_rep_ratio")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5, 1.0, false)))
+    assert(got(2L) == ((5L, 3L, 0.0, 0.2, true)))
+    assert(got(3L) == ((2L, 0L, 0.0, 0.5, false)))
+  }
+
   test("q209 DSIR: target-like bigrams outweigh off-target ones") {
     import spark.implicits._
     // en target speaks "a b"; de doc 10 reuses that bigram, de doc 11

@@ -26,30 +26,20 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or is documented rows-only") {
+  test("every query has an oracle or declared rows-only provenance") {
+    // SparkEntry.rowsOnlyProvenance is the single source of truth for
+    // "no oracle by design": every oracle-less entry must name its
+    // pinning spec there (Verify dumps the same map + row counts to
+    // rows_only.json), and no oracle-CHECKED entry may claim rows-only
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only checks are allowed only for non-SQL-expressible ops:
-    // the approximate dedup/ANN families, multimodal decode, kernels
-    // DuckDB has no twin for (deflate), and file-layout audits whose
-    // output (file counts) isn't SQL over the source tables
-    val rowsOnly = Set("q78_compress_ratio", "layout_compact",
-      "layout_timetravel",
-      "q107_rolling_distinct", "q112_approx_percentiles",
-      "stats_approx_eqdepth", "stats_approx_winsorize", "stats_countmin",
-      "stats_hll_overlap",
-      // iterative float training (spec-pinned vs a local reference)
-      "ml_logreg",
-      // iterative k-means + float sqrt (AnnSpec pins blob geometry)
-      "ml_silhouette",
-      // exact scale twin of q171 — equality pinned by StatsOpsSpec +
-      // a Verify-output compare; the q171 oracle stays the gate
-      "stats_wmedian_2pass",
-      // DSv2 connector drive: FS side effects, not SQL over the tables
-      "dfs_roundtrip")
-    assert(missing.forall(n => n.startsWith("dedup_") || n.startsWith("sim_")
-      || n.startsWith("text_") || n.startsWith("mm_") || n.startsWith("mr_")
-      || rowsOnly(n)),
-      s"queries without oracle: $missing")
+    assert(missing == SparkEntry.rowsOnlyProvenance.keySet,
+      s"undeclared rows-only: ${missing -- SparkEntry.rowsOnlyProvenance.keySet}; " +
+        s"stale provenance: ${SparkEntry.rowsOnlyProvenance.keySet -- missing}")
+    // mr_wordcount is oracle-checked; keep the provenance suite names
+    // honest — each must be a real spec class on the test classpath
+    SparkEntry.rowsOnlyProvenance.values.toSet.foreach { (s: String) =>
+      assert(Class.forName(s"graft.$s") != null, s"unknown spec $s")
+    }
   }
 
   test("q1_agg matches a hand-computed fold") {
