@@ -63,7 +63,13 @@ object PlanDump {
       "q148_seasonal_anomaly" -> "daily decimal aggregation + lag-7 window; per-type residual moments broadcast back over the series (the q102 outlier shape on time series)",
       "q155_survival" -> "per-customer gap window (one shuffle) collapses to DISTINCT-DURATION rows; KM risk-set/product windows run over that calendar-bounded set, 1-row horizon broadcast",
       "q158_profile" -> "ONE single-distinct aggregation per column, unioned — each branch's scan prunes to its column; the 11-distinct Expand alternative measured 26s vs 1.4s",
-      "q160_sorted_neighborhood" -> "GlobalRank: range exchange + per-partition rank + broadcast prefix offsets (NO single-partition window on data); neighbor pairing is an equi-join on rank",
+      "q154_also_bought" -> "basket-cap window shuffles on the SAME cust key the pair self-join uses (shared exchange); pair volume bounded at C(cap,2)/customer; popularity broadcast onto support-filtered pairs",
+      "q160_sorted_neighborhood" -> "GlobalRank: driver-sampled boundary literals -> pure-expression bucket id, per-bucket rank, broadcast prefix offsets (NO single-partition window on data, no checkpoint); neighbor pairing is an equi-join on rank",
+      "q211_salted_hot_join" -> "profiled hot key scattered across 8 salts; ONLY hot rows replicate the 25-row dim side (cold keys ride salt 0); aggregate == plain join",
+      "q212_chunk_sliding" -> "narrow per-row start-sequence explode — zero shuffles, map-only behind the scan",
+      "q213_rep_ratio" -> "per-row higher-order-function folds (dup-3gram + top-token fractions) — zero shuffles",
+      "q214_ann_filtered" -> "label equality rides the broadcast-join condition (pre-filter ANN); corpus side stays partitioned",
+      "sim_ann_ivfpq" -> "serve-from-snapshot: ADC scan reads ONLY the code column of the persisted index; exact re-rank joins embeddings from the same snapshot",
       "q161_hits" -> "two mutual-reinforcement rounds as co-partitioned equi-join + grouped LONG sums (exact, order-independent); 1-row normalizer broadcasts at the end",
       "q171_weighted_median" -> "DECIMAL cumulative-weight window ordered by (value, row key); the 2·cw ≥ tw cut replaces any global sort-and-pick",
       "q176_asof_native" -> "custom AsOfJoinExec: ClusteredDistribution + (keys, time) sort on both children, one O(|L|+|R|) merge per co-partition pair — the plan SortMergeJoin gets, with as-of semantics",
@@ -77,7 +83,7 @@ object PlanDump {
       "q201_ctfidf" -> "one tokenize pass; tf/class-df/score aggregates all vocab-bounded; per-class top-10 window over vocab-sized input",
       "q204_quantize" -> "narrow per-row array fold (fixed left-to-right order) — map-only work fused behind the scan",
       "stats_wmedian_2pass" -> "pass 1: 64-bucket weight histogram (map-side combined); bucket walk over flags x 64 rows; pass 2 re-scans ONLY the located buckets and refines — exact q171 answer, no per-group corpus sort",
-      "rfm_globalrank" -> "three range-partitioned GlobalRank passes + closed-form ntile from the gap-free rank — NO whole-relation single-partition window anywhere",
+      "rfm_globalrank" -> "three sampled-boundary GlobalRank passes + closed-form ntile from the gap-free rank — NO whole-relation single-partition window, no checkpoint pinning",
       "q207_freq_triples" -> "Apriori L2 ⋈ L1 candidate join on the doc key — support-filtered pair hits bound the triple volume (anti-monotonicity), never tokens³",
       "q209_dsir_weights" -> "both n-gram distributions reduce to 256-row bounded tables; per-bucket log-ratios broadcast over ONE corpus feature pass — the whole selection model is KB metadata")
 
@@ -194,11 +200,11 @@ object PlanDump {
       "q153_personalized_pr" ->
         "no hint (the q74 rule): links and the rank vector co-partition on the source key per round; the rank vector is SPARSE — reached nodes only — so early rounds join a frontier, not the graph; the seed teleport table rides as a bounded union branch",
       "q154_also_bought" ->
-        "no hint on the basket self-join: both sides are the same (customer, part) relation keyed on the customer — pair volume is bounded by basket size squared per customer, the item-CF bound; item popularity rides each row as a window count computed BEFORE the join (no popularity join revisits the relation), and the pair aggregation carries n1/n2 through functionally dependent grouping keys",
+        "basket CAP first (row_number window keeps the BasketCap=128 most recent parts per customer — bounds pair volume at C(128,2) per customer, closing the whale-basket quadratic worst case), then no hint on the basket self-join: both sides are the same capped (customer, part) relation keyed on the customer, and the cap window shuffles on the SAME customer key the join uses so the exchange is shared; item popularity is a map-side-combined one-row-per-item count BROADCAST onto the support-filtered pair table (NOT a window over the purchase relation — a hub item would become one giant sort group)",
       "q155_survival / q156_interpolate / q161_hits / q165_rfm" ->
         "explicit 1-ROW broadcasts only (dataset horizon, calendar span, score normalizers): the cross join against a single aggregate row is the intended plan; every corpus-scale reduction upstream is a grouped LONG/DECIMAL sum with map-side combine",
       "q160_sorted_neighborhood" ->
-        "GlobalRank's offsets join is an explicit broadcast of the partition-count-sized size table (bounded by spark.sql.shuffle.partitions); the rank equi-join shuffles both sides on rn — corpus-scale, never broadcast",
+        "GlobalRank's offsets join is an explicit broadcast of the bucket-count-sized size table (bounded by spark.sql.shuffle.partitions); bucket ids are pure expressions against driver-sampled boundary literals (no checkpoint, no physical-partition dependence); the rank equi-join shuffles both sides on rn — corpus-scale, never broadcast",
       "q167_period_over_period / q172_concentration" ->
         "explicit broadcast of the dimension chain (customer/nation/region — bounded catalogs); revenue aggregates reduce decimally before the window/rank stage which runs per-nation or per-region over customer-bounded rows",
       "q176_asof_native" ->
@@ -218,7 +224,11 @@ object PlanDump {
       "stats_wmedian_2pass" ->
         "explicit broadcast(target-bucket table): one row per group — bounded metadata; the in-bucket refine joins the corpus against it on (flag, bucket), keeping ~1/64 of rows past the filter",
       "rfm_globalrank" ->
-        "explicit broadcast(GlobalRank prefix offsets, 3x): one row per shuffle partition — bounded metadata; plus the q165 1-row horizon. The customer aggregate range-repartitions once per score axis",
+        "explicit broadcast(GlobalRank prefix offsets, 3x): one row per range bucket — bounded metadata; plus the q165 1-row horizon. Bucket boundaries are sampled once per score axis as driver literals (no localCheckpoint pinning — the round-4 form retained three materialized copies per run)",
+      "q211_salted_hot_join" ->
+        "saltedJoinAuto end-to-end: the profiled hot key's rows scatter across 8 salts while the 25-row nation side replicates ONLY for hot keys (cold keys join on salt 0); the result is the plain join's — mitigation invisible in the aggregate, pinned by oracle hash",
+      "q214_ann_filtered" ->
+        "explicit broadcast(query set WITH labels): the label equality rides the join condition into the broadcast build side — pre-filter ANN; the corpus stays partitioned, and a label-partitioned layout turns the predicate into partition pruning at scale",
       "q199_stream_semi_join" ->
         "stream-stream left semi: both sides watermark-bounded state, no broadcast; batch twin: AQE decides")
 

@@ -185,12 +185,20 @@ object SimilarityQueries {
     * a previous index generation for free.
     */
   private[graft] def persistAnnIndex(e: DataFrame, root: String): Long = {
-    val spark = e.sparkSession
-    import spark.implicits._
     val (indexed, arts) = buildAnnIndex(e)
     val v = graft.operators.VersionedTable.write(
       indexed.select(col("vec_id"), col("c"), col("codes"),
         col("embedding")), s"$root/index")
+    writeArtifacts(e.sparkSession, arts, root)
+    v
+  }
+
+  /** Commit the KB metadata tables (coarse centroids, PQ codebooks) as
+    * their next snapshot versions.
+    */
+  private def writeArtifacts(spark: SparkSession, arts: AnnArtifacts,
+      root: String): Unit = {
+    import spark.implicits._
     graft.operators.VersionedTable.write(
       arts.coarse.zipWithIndex.toSeq
         .map { case (vals, i) => (i, vals.toSeq) }.toDF("idx", "vals"),
@@ -199,6 +207,36 @@ object SimilarityQueries {
       (for (ms <- arts.cbs.indices; c <- arts.cbs(ms).indices)
         yield (ms, c, arts.cbs(ms)(c).toSeq)).toDF("ms", "code", "vals"),
       s"$root/cb")
+    ()
+  }
+
+  /** Encode vectors against EXISTING artifacts (coarse assignment + PQ
+    * codes) — the serve-time half of the index, reused by
+    * [[appendToAnnIndex]].
+    */
+  private[graft] def encodeWith(e: DataFrame, arts: AnnArtifacts)
+      : DataFrame =
+    assignCluster(e, arts.coarse).withColumn("codes", pqCodesCol(arts.cbs))
+      .select(col("vec_id"), col("c"), col("codes"), col("embedding"))
+
+  /** INCREMENTAL index update: encode `newVecs` with the index's
+    * existing quantizers (no retraining — the standard serving pattern:
+    * codebooks drift slowly, arrivals are continuous) and commit
+    * old ∪ new as the next snapshot version. The KB metadata tables are
+    * re-committed unchanged so all three snapshots stay version-aligned;
+    * rollback to the pre-append index is `loadAnnIndex(version)`.
+    * Retrain (a fresh [[persistAnnIndex]]) when drift accumulates —
+    * the append/retrain split is exactly FAISS's add() vs train().
+    */
+  private[graft] def appendToAnnIndex(newVecs: DataFrame, root: String)
+      : Long = {
+    val spark = newVecs.sparkSession
+    val (indexed, arts) = loadAnnIndex(spark, root)
+    val merged = indexed
+      .select(col("vec_id"), col("c"), col("codes"), col("embedding"))
+      .unionByName(encodeWith(newVecs, arts))
+    val v = graft.operators.VersionedTable.write(merged, s"$root/index")
+    writeArtifacts(spark, arts, root)
     v
   }
 

@@ -53,19 +53,61 @@ object StreamingDedup {
   /** `foreachBatch` body: dedup `batch` against the committed corpus at
     * `root` and land keepers under this batchId. Returns false when the
     * batch was already committed (replay suppressed — no reads, no
-    * writes).
+    * writes). The corpus read goes through [[corpusView]], so a
+    * compacted ledger serves the checkpoint + tail instead of every
+    * historical batch directory.
     */
   def processBatch(batch: DataFrame, root: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(s"$root/_commits/batch-$batchId"))) return false
-    val corpus = IdempotentSink.readCommitted(spark, root)
-      .select(col("doc_id"), col("text"))
     val keepers = DedupQueries.dedupAgainstCorpus(
       batch.select(col("doc_id"), col("text"), col("lang"), col("source")),
-      corpus)
+      corpusView(spark, root))
     IdempotentSink.write(keepers, root, batchId)
+  }
+
+  /** Checkpoint table root: the StreamingMv compaction recipe applied
+    * to the dedup corpus — the ledger is NEVER mutated; compaction
+    * versions a full-corpus snapshot beside it.
+    */
+  private def compactTable(root: String): String = s"$root/_compacted"
+
+  /** Fold the committed ledger into the next VersionedTable snapshot
+    * (full corpus + high-water batch id). Subsequent [[corpusView]]
+    * reads serve the snapshot plus only ledger batches ABOVE the mark —
+    * at a production batch cadence this bounds the per-batch corpus
+    * read to one compacted table + the recent tail instead of thousands
+    * of batch directories. Returns the committed version (-1 when the
+    * ledger is empty).
+    */
+  def compact(spark: SparkSession, root: String): Long = {
+    val all = IdempotentSink.readCommitted(spark, root)
+    if (all.isEmpty) return -1L
+    val hwm = all.agg(max(col("batch_id"))).head().getAs[Number](0)
+      .longValue
+    graft.operators.VersionedTable.write(
+      all.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .withColumn("hwm", lit(hwm)),
+      compactTable(root))
+  }
+
+  /** The committed corpus (doc_id, text): newest compacted snapshot +
+    * ledger tail above its high-water mark, or the pure ledger when
+    * nothing is compacted yet. Equals the full-ledger read exactly.
+    */
+  def corpusView(spark: SparkSession, root: String): DataFrame = {
+    val table = compactTable(root)
+    if (graft.operators.VersionedTable.versions(spark, table).isEmpty)
+      return IdempotentSink.readCommitted(spark, root)
+        .select(col("doc_id"), col("text"))
+    val base = graft.operators.VersionedTable.read(spark, table)
+    val hwm = base.agg(max(col("hwm"))).head().getAs[Number](0).longValue
+    base.select(col("doc_id"), col("text"))
+      .unionByName(IdempotentSink.readCommitted(spark, root)
+        .filter(col("batch_id") > hwm)
+        .select(col("doc_id"), col("text")))
   }
 
   /** Wire a document stream (doc_id, text, lang, source) into the

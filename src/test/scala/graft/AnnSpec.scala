@@ -201,6 +201,42 @@ class AnnSpec extends SparkSpec {
     assert(oldIdx.count() == indexed.count())
   }
 
+  test("ANN index append: encode-with-existing-codebooks, no retrain") {
+    import graft.queries.SimilarityQueries
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annidx-app").toString
+    SimilarityQueries.persistAnnIndex(e, root)
+    val n1 = SimilarityQueries.loadAnnIndex(spark, root)._1.count()
+    // append an EXACT COPY of query vector 0 under a fresh id: the
+    // served index must rank it as q0's top neighbor at cosine 1
+    val clone = e.filter(col("vec_id") === 0L)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    val v2 = SimilarityQueries.appendToAnnIndex(clone, root)
+    assert(v2 == 2L)
+    // all three snapshots stay version-aligned
+    Seq("index", "coarse", "cb").foreach { t =>
+      assert(graft.operators.VersionedTable
+        .versions(spark, s"$root/$t") == Seq(1L, 2L), s"misaligned $t")
+    }
+    val (idx2, arts2) = SimilarityQueries.loadAnnIndex(spark, root)
+    assert(idx2.count() == n1 + 1)
+    // the appended vector used the EXISTING codebooks: its stored codes
+    // equal vec 0's (same embedding, same quantizers)
+    val codes = idx2.filter(col("vec_id").isin(0L, 900000L))
+      .select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.length == 2 && codes(0) == codes(1))
+    val top = SimilarityQueries.annIvfPqFrom(idx2, arts2)
+      .filter(col("q_id") === 0L && col("rk") === 1).head()
+    assert(top.getLong(1) == 900000L && top.getDouble(3) == 1.0,
+      s"appended clone must be q0's exact top neighbor: $top")
+    // rollback: version 1 still serves the pre-append index
+    assert(SimilarityQueries.loadAnnIndex(spark, root, Some(1L))._1.count()
+      == n1)
+  }
+
   test("LSH ANN: default setting recall vs brute force >= 0.6") {
     val exact = SparkEntry.queries("q25_ann_topk")(spark, sf)
       .select("q_id", "neighbor_id").collect()

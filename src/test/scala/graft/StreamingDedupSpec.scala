@@ -76,6 +76,39 @@ class StreamingDedupSpec extends SparkSpec {
       s"batch-1 near-dup of a batch-0 keeper must be dropped; got $kept")
   }
 
+  test("ledger compaction: checkpoint + tail == full ledger, dedup unchanged") {
+    import graft.streaming.StreamingDedup._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sdd-compact").toString
+    val root = s"$base/ledger"
+    seed(Seq((1L, "alpha beta gamma delta epsilon zeta", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source"), root)
+    val b0 = Seq((10L, "first new document about streaming ledgers",
+      "en", "b")).toDF("doc_id", "text", "lang", "source")
+    val b1 = Seq((20L, "second new document about snapshot folding",
+      "en", "b")).toDF("doc_id", "text", "lang", "source")
+    assert(processBatch(b0, root, 0L) && processBatch(b1, root, 1L))
+    def corpusSet = corpusView(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = corpusSet
+    assert(compact(spark, root) == 1L)
+    assert(corpusSet == before, "compacted view must equal the ledger")
+    // a batch AFTER compaction dedups against checkpoint + tail: the
+    // near-dup of b1's keeper must still drop, the novel doc keeps
+    val b2 = Seq(
+      (30L, "second new document about snapshot compaction", "en", "b"),
+      (31L, "wholly unrelated prose on another topic entirely", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(processBatch(b2, root, 2L))
+    val kept = ingested(spark, root).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L, 31L),
+      s"post-compaction dedup must match the uncompacted semantics: $kept")
+    // the tail batch (2) sits ABOVE the checkpoint's high-water mark
+    // and still reaches the corpus view
+    assert(corpusSet.exists(_._1 == 31L))
+  }
+
   test("replay cannot double-ingest (marker suppression before any work)") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-sdd-replay").toString
