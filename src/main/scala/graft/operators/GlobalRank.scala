@@ -115,11 +115,17 @@ object GlobalRank {
     val local = bucketed.withColumn("__gr_lrn",
       row_number().over(
         Window.partitionBy(col("__gr_pid")).orderBy(keys: _*)))
-    // bucket sizes: one row per bucket — bounded metadata
-    val offsets = bucketed.groupBy(col("__gr_pid")).count()
+    // bucket sizes DERIVED FROM THE RANKED BRANCH (max local rank ==
+    // bucket row count): both consumers then share the identical
+    // Exchange(__gr_pid) subtree, so ReuseExchange evaluates the input
+    // plan ONCE for the joined result — deriving sizes from `bucketed`
+    // directly would put a partial aggregate under the second exchange
+    // and force a full upstream re-evaluation
+    val offsets = local.groupBy(col("__gr_pid"))
+      .agg(max(col("__gr_lrn")).cast("long").as("__gr_cnt"))
       .withColumn("__gr_off",
         coalesce(
-          sum(col("count")).over(
+          sum(col("__gr_cnt")).over(
             Window.orderBy(col("__gr_pid"))
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))

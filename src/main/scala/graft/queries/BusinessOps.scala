@@ -66,7 +66,14 @@ object BusinessOps {
     // and BusinessOpsSpec pins row-level equality — with no
     // whole-relation single-task window anywhere.
     "rfm_globalrank" -> ((s, d) => {
-      val base = rfmBase(s, d)
+      // ONE materialization of the per-customer aggregate (the kCore
+      // checkpoint discipline): every downstream consumer — the n
+      // count, each rank's boundary count+sample, and the final joins
+      // — reads the pinned 1-row-per-customer snapshot instead of
+      // re-running the orders aggregation (11 evaluations measured
+      // 4.4 s vs ~1 s). The pin is released below after the KB-scale
+      // result is itself materialized.
+      val base = rfmBase(s, d).localCheckpoint(true)
       val n = base.count() // per-customer row count — driver scalar
       def tile(rank: org.apache.spark.sql.Column) = {
         val k = 5
@@ -79,17 +86,30 @@ object BusinessOps {
              + floor((rank - rem * (q + 1) - 1) / lit(q.toDouble))))
           .cast("int") + 1
       }
-      val ranked = graft.operators.GlobalRank.withRank(
+      // three INDEPENDENT ranks joined back on the customer key —
+      // nesting them instead (rank(rank(rank(base)))) compounds each
+      // call's input evaluations multiplicatively (measured 10.6 s vs
+      // ~2 s at sf0.1); each rank carries only (key, score column) and
+      // the joins co-partition on o_custkey
+      def rankOf(name: String, score: String, desc: Boolean) = {
+        val key = if (desc) col(score).desc else col(score)
         graft.operators.GlobalRank.withRank(
-          graft.operators.GlobalRank.withRank(base,
-            "rrank", col("rec").desc, col("o_custkey")),
-          "frank", col("freq"), col("o_custkey")),
-        "mrank", col("mon"), col("o_custkey"))
-      ranked.select(col("o_custkey"), col("rec"), col("freq"),
+          base.select(col("o_custkey"), col(score)),
+          name, key, col("o_custkey"))
+          .select(col("o_custkey"), col(name))
+      }
+      val ranked = base
+        .join(rankOf("rrank", "rec", desc = true), "o_custkey")
+        .join(rankOf("frank", "freq", desc = false), "o_custkey")
+        .join(rankOf("mrank", "mon", desc = false), "o_custkey")
+      val out = ranked.select(col("o_custkey"), col("rec"), col("freq"),
         round(col("mon"), 4).as("monetary"),
         tile(col("rrank")).as("r_score"),
         tile(col("frank")).as("f_score"),
         tile(col("mrank")).as("m_score"))
+        .localCheckpoint(true) // one row per customer — KB-scale
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(base)
+      out
     }),
 
     "q167_period_over_period" -> ((s, d) => {
