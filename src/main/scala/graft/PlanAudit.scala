@@ -72,7 +72,12 @@ object PlanAudit {
       "rfm_globalrank", "text_fingerprint_xx", "dfs_roundtrip",
       "q205_anova", "q206_combo_profile", "q207_freq_triples",
       "q208_nfc_audit", "q209_dsir_weights", "stats_approx_winsorize",
-      "ml_silhouette")
+      "ml_silhouette",
+      // session-5 additions
+      "q211_salted_hot_join", "q212_chunk_sliding", "q213_rep_ratio",
+      "q214_ann_filtered", "sim_ann_ivf", "sim_ann_ivfpq",
+      "stream_dedup_inc", "rfm_globalrank", "q154_also_bought",
+      "text_bpe_encode")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

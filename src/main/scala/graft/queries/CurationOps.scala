@@ -36,6 +36,24 @@ object CurationOps {
   private val ChunkW = 32
   private val ChunkS = 24
 
+  /** Sliding-window chunker shared by q212 (emission) and q215
+    * (boilerplate audit): one narrow start-sequence explode per doc.
+    */
+  private[graft] def slidingChunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t != '')").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(expr(s"transform(sequence(1, size(tk), $ChunkS), " +
+          s"i -> struct(i AS start_tok, " +
+          s"array_join(slice(tk, i, $ChunkW), ' ') AS chunk))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_no"),
+        col("col.start_tok").cast("long").as("start_tok"),
+        least(col("n_tokens") - col("col.start_tok") + 1,
+          lit(ChunkW.toLong)).as("chunk_tokens"),
+        md5(col("col.chunk")).as("chunk_hash"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Decontamination via inverted shingle index: a document is
     // contaminated iff it shares ANY 3-token shingle with the probe set.
@@ -47,22 +65,23 @@ object CurationOps {
     // fused behind the scan. Chunk identity is an md5 over the joined
     // window (so downstream exact-dedup of chunks composes with q20),
     // start/count arithmetic is integer-exact — hash-compared per row.
-    "q212_chunk_sliding" -> ((s, d) => {
-      val w = ChunkW; val st = ChunkS
-      Tables(s, d, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), t -> t != '')").as("tk"))
-        .filter(size(col("tk")) > 0)
-        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
-          posexplode(expr(s"transform(sequence(1, size(tk), $st), " +
-            s"i -> struct(i AS start_tok, " +
-            s"array_join(slice(tk, i, $w), ' ') AS chunk))")))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_no"),
-          col("col.start_tok").cast("long").as("start_tok"),
-          least(col("n_tokens") - col("col.start_tok") + 1, lit(w.toLong))
-            .as("chunk_tokens"),
-          md5(col("col.chunk")).as("chunk_hash"))
-    }),
+    "q212_chunk_sliding" -> ((s, d) =>
+      slidingChunks(Tables(s, d, "documents"))),
+
+    // q215 boilerplate-chunk audit — the CCNet/RefinedWeb "repeated
+    // paragraph" pass, composing the q212 chunker with the q20 dedup
+    // shape: chunks whose hash recurs across ≥ 2 DISTINCT documents are
+    // boilerplate candidates (headers, license blocks, nav text). One
+    // map-side-combined aggregation on the 16-byte chunk hash — the
+    // exact-dedup shuffle shape at chunk granularity; at 100 TB this is
+    // the pass that feeds chunk-level span removal (q114's splice).
+    "q215_boilerplate_chunks" -> ((s, d) =>
+      slidingChunks(Tables(s, d, "documents"))
+        .groupBy(col("chunk_hash"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)),
 
     // q213 repetition-ratio quality filter (the Gopher/RefinedWeb
     // repetition rules): per doc, the duplicate-3-gram fraction
@@ -388,6 +407,20 @@ object CurationOps {
          |  md5(array_to_string(list_slice(tk, start_tok,
          |    least(start_tok + ${ChunkW - 1}, n)), ' ')) AS chunk_hash
          |FROM s""".stripMargin,
+    "q215_boilerplate_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x != '') AS tk
+         |  FROM documents),
+         |f AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+         |s AS (SELECT doc_id, tk, n, unnest(range(1, n + 1, $ChunkS))
+         |    AS start_tok FROM f),
+         |c AS (SELECT doc_id, md5(array_to_string(list_slice(tk,
+         |    start_tok, least(start_tok + ${ChunkW - 1}, n)), ' '))
+         |    AS chunk_hash FROM s)
+         |SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+         |FROM c GROUP BY chunk_hash
+         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
     "q213_rep_ratio" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x != '') AS tk

@@ -129,31 +129,78 @@ class DfsTable(path: String) extends Table with SupportsRead
 }
 
 class DfsScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = DfsTable.Schema
+  private var chunkFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DfsScan(path, required)
+  /** Accept filters over the `chunk_id` placement column for CHUNK
+    * PRUNING (the reference's chunk-lookup-by-manifest, expressed as
+    * planning-time partition elimination). ALL filters are returned as
+    * residual — Spark re-evaluates them post-scan, so pruning is purely
+    * an optimization and unsupported shapes cost nothing.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    chunkFilters = filters.filter(_.references.sameElements(
+      Array("chunk_id")))
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    chunkFilters
+  override def build(): Scan = new DfsScan(path, required, chunkFilters)
 }
 
-class DfsScan(path: String, required: StructType) extends Scan with Batch
-    with SupportsReportStatistics {
+class DfsScan(path: String, required: StructType,
+    chunkFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch with SupportsReportStatistics {
   // listed ONCE on the driver with the session's Hadoop conf
   private lazy val files = DfsTable.chunks(path,
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Planning-time evaluation of a pushed chunk_id predicate against a
+    * concrete chunk id — conservative: anything unrecognized keeps the
+    * chunk (Spark re-applies every filter post-scan).
+    */
+  private def keeps(f: org.apache.spark.sql.sources.Filter, id: Int)
+      : Boolean = {
+    import org.apache.spark.sql.sources._
+    def v(x: Any): Option[Long] = x match {
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+    f match {
+      case EqualTo("chunk_id", x) => v(x).forall(id.toLong == _)
+      case GreaterThan("chunk_id", x) => v(x).forall(id.toLong > _)
+      case GreaterThanOrEqual("chunk_id", x) => v(x).forall(id.toLong >= _)
+      case LessThan("chunk_id", x) => v(x).forall(id.toLong < _)
+      case LessThanOrEqual("chunk_id", x) => v(x).forall(id.toLong <= _)
+      case In("chunk_id", xs) => xs.flatMap(v).contains(id.toLong) ||
+        xs.exists(v(_).isEmpty)
+      case And(l, r) => keeps(l, id) && keeps(r, id)
+      case Or(l, r) => keeps(l, id) || keeps(r, id)
+      case _ => true
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft-dfs $path"
 
+  private lazy val kept =
+    files.filter { case (id, _, _) => chunkFilters.forall(keeps(_, id)) }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
-      util.OptionalLong.of(files.map(_._3).sum)
+      util.OptionalLong.of(kept.map(_._3).sum)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (id, f, _) => DfsChunk(id, f): InputPartition }.toArray
+    kept.map { case (id, f, _) => DfsChunk(id, f): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DfsReaderFactory(required,

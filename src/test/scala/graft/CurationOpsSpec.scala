@@ -55,6 +55,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(got((1L, 2L))._3 == expect)
   }
 
+  test("q215 boilerplate chunks: cross-document repeats only") {
+    import spark.implicits._
+    // docs 1+2 share an identical 40-token body -> their stride-aligned
+    // chunks collide (n_docs 2); doc 3 repeats ITS OWN chunk-aligned
+    // text? no — a within-doc repeat at different strides hashes apart,
+    // and n_docs >= 2 excludes single-doc occurrences anyway
+    val dir = java.nio.file.Files.createTempDirectory("graft-boiler").toString
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq((1L, shared), (2L, shared),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = CurationOps.queries("q215_boilerplate_chunks")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 40 tokens, stride 24 -> chunks at 1 (32 toks) and 25 (16 toks):
+    // both shared across docs 1+2, none from doc 3
+    assert(got.length == 2)
+    got.foreach { case (nDocs, nOcc, first) =>
+      assert(nDocs == 2L && nOcc == 2L && first == 1L)
+    }
+  }
+
   test("q213 repetition ratio: dup-3gram and top-token fractions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString

@@ -40,6 +40,32 @@ class DfsSourceSpec extends SparkSpec {
     assert(back.value.get("graft.test.credential") == "s3-secret-stand-in")
   }
 
+  test("chunk_id filters prune input partitions at planning time") {
+    val dfs = store((1 to 40).map(i => s"line-$i"), parts = 4)
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // force planning through AQE
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    }
+    val all = spark.read.format("graft-dfs").load(dfs)
+    assert(scanParts(all.select("value")) == 4)
+    val one = all.filter(col("chunk_id") === 2).select("value", "chunk_id")
+    assert(scanParts(one) == 1, "equality must plan exactly one chunk")
+    // the residual filter still applies (values correct, not just fewer
+    // partitions) and range predicates prune too
+    assert(one.select("value").collect().map(_.getString(0)).toSet
+      == (21 to 30).map(i => s"line-$i").toSet)
+    val range = all.filter(col("chunk_id") >= 2).select("value")
+    assert(scanParts(range) == 2)
+    // an unsupported shape keeps every chunk (conservative) but rows
+    // stay correct
+    val odd = all.filter(col("chunk_id") % 2 === 1).select("chunk_id")
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(odd == Set(1, 3))
+  }
+
   test("round-trip: manifest order reassembles the original lines") {
     val lines = (1 to 97).map(i => s"line-$i")
     val dfs = store(lines, 4)
