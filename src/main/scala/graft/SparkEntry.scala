@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_simhash_w" -> "DedupSpec",
     "dfs_roundtrip" -> "DfsSourceSpec",
     "layout_compact" -> "LayoutPruningSpec",
+    "layout_merge_versioned" -> "VersionedTableSpec",
     "layout_timetravel" -> "VersionedTableSpec",
     "ml_logreg" -> "ClassifySpec",
     "ml_silhouette" -> "AnnSpec",

@@ -57,6 +57,23 @@ object VersionedTable {
     next
   }
 
+  /** MERGE (upsert) into the newest snapshot, committing the result as
+    * the NEXT version — the table-format `MERGE INTO ... WHEN MATCHED
+    * UPDATE WHEN NOT MATCHED INSERT` cut to the versioned-layout
+    * primitives: matched keys are replaced by their update row,
+    * unmatched update rows insert, untouched rows carry over. One
+    * anti-join + union (the q105 upsert shape) + one snapshot write —
+    * readers keep snapshot isolation (pre-merge versions stay
+    * readable), and a crashed merge leaves an orphan directory no
+    * reader sees. Returns the committed version.
+    */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+      key: String): Long = {
+    val cur = read(spark, root)
+    write(cur.join(updates.select(key), Seq(key), "left_anti")
+      .unionByName(updates), root)
+  }
+
   /** Read a committed version (default: the newest). */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {

@@ -363,6 +363,32 @@ object WarehouseOps {
           .toDF("snapshot", "n_docs")
       }),
 
+      // Versioned MERGE: q105's upsert semantics committed as a NEW
+      // snapshot version (table-format MERGE INTO on the layout
+      // primitives). Rows-only (FS effects); VersionedTableSpec pins
+      // replace/insert/carry-over and pre-merge time travel.
+      "layout_merge_versioned" -> ((s, d) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_vtm").toString
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        graft.operators.VersionedTable.write(docs, root)
+        val updates = docs.filter(pmod(col("doc_id"), lit(10)) === 1)
+          .select(col("doc_id"), concat(lit("[m] "), col("text")).as("text"))
+          .unionByName(docs.agg((max(col("doc_id")) + 1).as("doc_id"))
+            .select(col("doc_id"), lit("inserted row").as("text")))
+        val v = graft.operators.VersionedTable.merge(s, root, updates,
+          "doc_id")
+        val merged = graft.operators.VersionedTable.read(s, root)
+        Seq(
+          ("version", v),
+          ("rows", merged.count()),
+          ("updated", merged.filter(col("text").startsWith("[m] ")).count()),
+          ("v1_rows", graft.operators.VersionedTable
+            .read(s, root, Some(1L)).count()))
+          .toDF("fact", "n")
+      }),
+
       "layout_compact" -> ((s, d) => {
         val base = Files.createTempDirectory("graft_compact").toString
         Tables(s, d, "documents").repartition(64)

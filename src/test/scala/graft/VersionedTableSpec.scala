@@ -24,6 +24,22 @@ class VersionedTableSpec extends SparkSpec {
     assert(old == Set((1, "a"), (2, "b")))
   }
 
+  test("merge: matched keys replace, unmatched insert, rest carry over") {
+    val root = freshRoot()
+    VersionedTable.write(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), root)
+    val v = VersionedTable.merge(spark, root,
+      Seq((2, "B!"), (4, "d")).toDF("k", "v"), "k")
+    assert(v == 2L)
+    val merged = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(merged == Set((1, "a"), (2, "B!"), (3, "c"), (4, "d")))
+    // snapshot isolation: the pre-merge version is untouched
+    val pre = VersionedTable.read(spark, root, Some(1L)).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(pre == Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("an uncommitted (crashed) snapshot is invisible to readers") {
     val root = freshRoot()
     VersionedTable.write(Seq((1, "a")).toDF("k", "v"), root)
