@@ -75,7 +75,8 @@ object PlanAudit {
       "ml_silhouette",
       // session-5 additions
       "q211_salted_hot_join", "q212_chunk_sliding", "q213_rep_ratio",
-      "q214_ann_filtered", "sim_ann_ivf", "sim_ann_ivfpq",
+      "q214_ann_filtered", "q216_hard_negatives", "q215_boilerplate_chunks",
+      "layout_merge_versioned", "sim_ann_ivf", "sim_ann_ivfpq",
       "stream_dedup_inc", "rfm_globalrank", "q154_also_bought",
       "text_bpe_encode")
       .foreach { n =>

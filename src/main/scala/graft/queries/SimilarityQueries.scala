@@ -626,6 +626,31 @@ object SimilarityQueries {
           col("rk"), round(col("sim"), 6).as("sim"))
     }),
 
+    // q216 hard-negative mining — the contrastive-training counterpart
+    // of q214: for each anchor, the nearest vectors with a DIFFERENT
+    // label are the hard negatives (similar in embedding space, wrong
+    // class — the pairs that actually move an embedding model
+    // [SimCLR/DPR practice]). q182's popularity negatives are the easy
+    // baseline; these are the informative ones. Same broadcast shape
+    // as q25/q214, inequality predicate in the join condition.
+    "q216_hard_negatives" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("qlabel"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.join(broadcast(q),
+          col("vec_id") =!= col("q_id") && col("label") =!= col("qlabel"))
+        .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("qlabel"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), col("rk"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // k-NN classification on top of the exact top-k: each query vector
     // takes the majority label of its K nearest neighbors (ties first to
     // the bigger vote count, then to the smaller label — deterministic).
@@ -912,6 +937,19 @@ object SimilarityQueries {
          |    ON e.vec_id <> q.vec_id AND e.label = q.label
          |  WHERE q.vec_id < $NumQueries)
          |WHERE rk <= $K""".stripMargin,
+    "q216_hard_negatives" ->
+      s"""SELECT q_id, qlabel, neg_id, neg_label, CAST(rk AS INTEGER) AS rk,
+         | round(sim, 6) AS sim
+         |FROM (
+         |  SELECT q.vec_id AS q_id, q.label AS qlabel,
+         |    e.vec_id AS neg_id, e.label AS neg_label,
+         |    ${cosSql("q", "e")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS rk
+         |  FROM embeddings q JOIN embeddings e
+         |    ON e.vec_id <> q.vec_id AND e.label <> q.label
+         |  WHERE q.vec_id < $NumQueries)
+         |WHERE rk <= 3""".stripMargin,
     "q149_knn_classify" ->
       s"""WITH nn AS (
          |  SELECT q.vec_id AS q_id, e.label,

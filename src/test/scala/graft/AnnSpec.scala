@@ -170,6 +170,22 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("q216 hard negatives: different-label only, complementary to q214") {
+    val neg = SparkEntry.queries("q216_hard_negatives")(spark, sf).collect()
+    assert(neg.nonEmpty)
+    neg.foreach { r =>
+      assert(r.getInt(1) != r.getInt(3),
+        s"hard negative must carry a DIFFERENT label: $r")
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 3)
+    }
+    // a hard negative is never a same-label q214 neighbor of the anchor
+    val pos = SparkEntry.queries("q214_ann_filtered")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    neg.foreach { r =>
+      assert(!pos.contains((r.getLong(0), r.getLong(2))))
+    }
+  }
+
   test("persisted ANN index: serve-from-snapshot == train-and-query") {
     import graft.queries.SimilarityQueries
     val e = Tables(spark, sf, "embeddings")
