@@ -69,6 +69,7 @@ object SparkEntry {
     "sim_ann_ivf" -> "AnnSpec",
     "sim_ann_ivfpq" -> "AnnSpec",
     "sim_ann_lsh" -> "AnnSpec",
+    "sim_ann_stream_ingest" -> "AnnIngestSpec",
     "sim_pca" -> "MatrixSpec",
     "stats_approx_eqdepth" -> "StatsOpsSpec",
     "stats_approx_winsorize" -> "StatsOpsSpec",

@@ -232,8 +232,13 @@ object SimilarityQueries {
       : Long = {
     val spark = newVecs.sparkSession
     val (indexed, arts) = loadAnnIndex(spark, root)
+    // UPSERT semantics on vec_id (anti-join the old side against the
+    // arriving ids): re-delivering a batch — a streaming replay, a
+    // retried job — converges to the same index instead of duplicating
+    // vectors; the anti-join's right side is the (bounded) arrival
     val merged = indexed
       .select(col("vec_id"), col("c"), col("codes"), col("embedding"))
+      .join(newVecs.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .unionByName(encodeWith(newVecs, arts))
     val v = graft.operators.VersionedTable.write(merged, s"$root/index")
     writeArtifacts(spark, arts, root)
@@ -709,6 +714,38 @@ object SimilarityQueries {
     "sim_ann_ivfpq" -> ((s, d) => {
       val (indexed, arts) = loadAnnIndex(s, AnnIndexCache.root(s, d))
       annIvfPqFrom(indexed, arts)
+    }),
+
+    // STREAMING index ingest: quantizers train on the corpus MINUS a
+    // held-out slice, the held-out vectors then ARRIVE as two real
+    // micro-batches through AnnIngest (exactly-once append with
+    // existing codebooks), and the entry serves top-k from the final
+    // snapshot — the continuously-maintained serving index end-to-end.
+    // Rows-only (streaming + approximate); AnnIngestSpec pins arrival
+    // visibility, replay convergence, and version alignment.
+    "sim_ann_stream_ingest" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      // hold out 20 vectors OUTSIDE the query range (queries are
+      // vec_id < NumQueries, seeds are the lowest ids)
+      val heldOut = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-annstream").toString
+      persistAnnIndex(e.filter(col("vec_id") < 100 || col("vec_id") >= 120),
+        root)
+      val rows = heldOut
+        .as[(Long, Array[Float])].collect().toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.AnnIngest.attach(
+        stream.toDF().toDF("vec_id", "embedding"),
+        root, s"$root/ck")
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      q.stop()
+      graft.streaming.AnnIngest.serveTopK(s, root)
     }),
 
     // SemDeDup semantic dedup over the embedding corpus — cluster with
