@@ -46,9 +46,21 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
   * equality with an O(n·m) reference join; the q176 driver entry pins
   * it against DuckDB's native ASOF JOIN.
   */
+/** Match direction: Backward keeps the LAST right row with time ≤ the
+  * left row's; Forward keeps the FIRST right row with time ≥ it — the
+  * two halves of pandas `merge_asof(direction=)`. `toleranceMs` (in the
+  * time column's native units) bounds |Δt|: a backward match older than
+  * the bound, or a forward match further ahead, emits NULLs instead.
+  */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -60,15 +72,17 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -125,11 +139,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val dir = direction
+      val tol = tolerance
       var lastMatch: InternalRow = null
       var lastMatchKey: UnsafeRow = null
+      var lastMatchTime: Long = 0L
       lIter.map { lrow =>
         val lkey = lkProj(lrow)
         val ltime = timeOf(ltProjRaw, lLong)(lrow)
+        // FORWARD: the first qualifying right row stays BUFFERED (it may
+        // also serve later left rows at the same or later time)
+        var fwdMatch: InternalRow = null
+        var fwdTime: Long = 0L
         if (!lkey.anyNull && ltime.isDefined) {
           var advance = true
           while (advance && rBuf.hasNext) {
@@ -142,16 +163,34 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else if (c == 0) {
               val rtime = timeOf(rtProjRaw, rLong)(peek)
               if (rtime.isEmpty) { rBuf.next(); () } // null time: no match
-              else if (rtime.get <= ltime.get) {
-                lastMatch = rBuf.next().copy()
-                lastMatchKey = rkey.copy()
-              } else advance = false
+              else dir match {
+                case AsOfBackward =>
+                  if (rtime.get <= ltime.get) {
+                    lastMatch = rBuf.next().copy()
+                    lastMatchKey = rkey.copy()
+                    lastMatchTime = rtime.get
+                  } else advance = false
+                case AsOfForward =>
+                  if (rtime.get < ltime.get) { rBuf.next(); () }
+                  else { fwdMatch = peek; fwdTime = rtime.get
+                    advance = false }
+              }
             } else advance = false
           }
         }
-        val matched = lastMatch != null && !lkey.anyNull &&
-          ltime.isDefined && keyOrd.compare(lastMatchKey, lkey) == 0
-        resultProj(joined(lrow, if (matched) lastMatch else nullRight))
+        val matchedRow: InternalRow = dir match {
+          case AsOfBackward =>
+            if (lastMatch != null && !lkey.anyNull && ltime.isDefined &&
+              keyOrd.compare(lastMatchKey, lkey) == 0 &&
+              tol.forall(t => ltime.get - lastMatchTime <= t)) lastMatch
+            else null
+          case AsOfForward =>
+            if (fwdMatch != null &&
+              tol.forall(t => fwdTime - ltime.get <= t)) fwdMatch
+            else null
+        }
+        resultProj(joined(lrow,
+          if (matchedRow != null) matchedRow else nullRight))
       }
     }
   }
@@ -160,15 +199,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** DataFrame-level entry point for the native as-of join. */
 object AsOfJoin {
 
-  /** Backward as-of join: every `left` row picks the `right` row with
-    * equal `keys` and the greatest `rightTimeCol` ≤ its `leftTimeCol`
-    * (right columns NULL when none exists). Right columns should not
-    * collide with left names — rename before joining. The right side is
-    * re-aliased internally, so self-joins (both sides from one source)
-    * are safe.
+  /** As-of join, backward by default: every `left` row picks the
+    * `right` row with equal `keys` and the greatest `rightTimeCol` ≤
+    * its `leftTimeCol` — or, with [[AsOfForward]], the SMALLEST ≥ it
+    * (right columns NULL when none exists, or when `toleranceMs` bounds
+    * the time gap and the candidate is too far). Right columns should
+    * not collide with left names — rename before joining. The right
+    * side is re-aliased internally, so self-joins (both sides from one
+    * source) are safe. Tolerance is in the time column's native units
+    * (µs for timestamps, days for dates).
     */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      direction: AsOfDirection = AsOfBackward,
+      toleranceMs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -183,7 +227,8 @@ object AsOfJoin {
         s"no column $n in ${p.output.map(_.name).mkString(", ")}"))
     val node = AsOfJoinPlan(lp, rp,
       keys.map(attr(lp, _)), keys.map(attr(rp, _)),
-      attr(lp, leftTimeCol), attr(rp, rightTimeCol))
+      attr(lp, leftTimeCol), attr(rp, rightTimeCol),
+      direction, toleranceMs)
     org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, node)
   }
 }

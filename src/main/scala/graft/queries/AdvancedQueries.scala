@@ -65,6 +65,27 @@ object AdvancedQueries {
           col("purchase_ts"), col("purchase_value"))
     }),
 
+    // FORWARD as-of through the same native exec (pandas merge_asof
+    // direction='forward'; DuckDB mirrors it with the <= comparator):
+    // each click picks the FIRST purchase at/after it — the
+    // "time-to-conversion" join shape. Same co-partitioned sort-merge
+    // plan; the matched right row stays BUFFERED so one purchase can
+    // serve many preceding clicks in a single pass.
+    "q217_asof_forward" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      graft.plans.AsOfJoin
+        .asof(clicks, purchases, Seq("user_id"), "ts", "purchase_ts",
+          direction = graft.plans.AsOfForward)
+        .filter(col("purchase_ts").isNotNull)
+        .select(col("event_id"), clicks("user_id"), col("ts"),
+          col("purchase_ts"), col("purchase_value"))
+    }),
+
     "q34_asof_join" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -507,6 +528,14 @@ object AdvancedQueries {
         |ASOF JOIN (SELECT user_id, ts, value FROM events
         |           WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q217_asof_forward" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        | p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
     "q33_custom_agg" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice AS p,
         |  DENSE_RANK() OVER (PARTITION BY l_returnflag

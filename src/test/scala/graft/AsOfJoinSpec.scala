@@ -34,6 +34,88 @@ class AsOfJoinSpec extends SparkSpec {
       (ts(30), 3L, null)))      // key with no quotes at all
   }
 
+  test("forward direction picks the FIRST quote at/after each trade") {
+    import graft.plans.AsOfForward
+    val trades = Seq((1L, ts(5)), (1L, ts(10)), (1L, ts(25)), (2L, ts(14)),
+      (2L, ts(16)), (3L, ts(30)))
+      .toDF("k", "t")
+    val quotes = Seq((1L, ts(10), 1.0), (1L, ts(20), 2.0), (2L, ts(15), 9.0))
+      .toDF("k", "qt", "price")
+    val rows = AsOfJoin.asof(trades, quotes, Seq("k"), "t", "qt",
+        direction = AsOfForward)
+      .select(col("t"), trades("k"), col("price"))
+      .collect().map(x => (x.getTimestamp(0), x.getLong(1),
+        if (x.isNullAt(2)) null else x.getDouble(2))).toSet
+    assert(rows == Set(
+      (ts(5), 1L, 1.0),         // first quote >= 5 is at 10
+      (ts(10), 1L, 1.0),        // simultaneous matches (>=)
+      (ts(25), 1L, null),       // nothing after 25
+      (ts(14), 2L, 9.0),
+      (ts(16), 2L, null),
+      (ts(30), 3L, null)))
+  }
+
+  test("tolerance bounds the match gap in both directions") {
+    import graft.plans.{AsOfBackward, AsOfForward}
+    val trades = Seq((1L, 100L), (1L, 200L), (1L, 1000L)).toDF("k", "t")
+    val quotes = Seq((1L, 90L, 1.0), (1L, 950L, 2.0)).toDF("k", "qt", "price")
+    // backward, tol 50: t=100 matches qt=90 (gap 10); t=200's best is
+    // 90 (gap 110 > 50 -> NULL); t=1000 matches 950 (gap 50, inclusive)
+    val back = AsOfJoin.asof(trades, quotes, Seq("k"), "t", "qt",
+        AsOfBackward, toleranceMs = Some(50L))
+      .select(col("t"), col("price")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(back == Map(100L -> 1.0, 200L -> null, 1000L -> 2.0))
+    // forward, tol 100: t=100's next is 950 (gap 850 -> NULL); t=200
+    // same; t=1000 has no quote >= it at all... qt=950 < 1000 -> NULL
+    val fwd = AsOfJoin.asof(trades, quotes, Seq("k"), "t", "qt",
+        AsOfForward, toleranceMs = Some(100L))
+      .select(col("t"), col("price")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(fwd == Map(100L -> null, 200L -> null, 1000L -> null))
+    // and with a generous tolerance the forward picks return
+    val fwd2 = AsOfJoin.asof(trades, quotes, Seq("k"), "t", "qt",
+        AsOfForward, toleranceMs = Some(1000L))
+      .select(col("t"), col("price")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(fwd2 == Map(100L -> 2.0, 200L -> 2.0, 1000L -> null))
+  }
+
+  test("forward equals an O(n·m) reference join on random data") {
+    import graft.plans.AsOfForward
+    val trades = spark.range(0, 2000).select(
+      (col("id") % 37).as("k"),
+      ((col("id") * 2654435761L) % 100000).as("t"))
+    val quotes = spark.range(0, 500).select(
+      (col("id") % 41).as("qk"),
+      ((col("id") * 40503L) % 100000).as("qt"),
+      col("id").cast("double").as("price"))
+    val got = AsOfJoin.asof(trades, quotes.withColumnRenamed("qk", "k"),
+        Seq("k"), "t", "qt", direction = AsOfForward)
+      .select(trades("k"), col("t"), col("qt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val want = trades.join(quotes.withColumnRenamed("qk", "k"),
+        Seq("k"), "left")
+      .filter(col("qt").isNull || col("qt") >= col("t"))
+      .groupBy(col("k"), col("t"))
+      .agg(min(col("qt")).as("qt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // the reference drops (k, t) pairs whose only join rows were
+    // filtered; re-add them as unmatched
+    val allKeys = trades.select(col("k"), col("t")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantFull = allKeys.map { case (k, t) =>
+      want.find(w => w._1 == k && w._2 == t && w._3 >= 0)
+        .getOrElse((k, t, -1L))
+    }
+    assert(got == wantFull)
+  }
+
   test("native as-of equals an O(n·m) reference join on random data") {
     val trades = spark.range(0, 2000).select(
       (col("id") % 37).as("k"),
