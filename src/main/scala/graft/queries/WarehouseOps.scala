@@ -169,6 +169,40 @@ object WarehouseOps {
             sum(col("n_lines")).as("n_lines"))
       }),
 
+      // q218 DELETE-delta view maintenance — the other half of the
+      // Gupta-Mumick rule q193 covers for inserts: deletions propagate
+      // as NEGATED aggregate deltas (−rev, −count), and base + ΔMV⁻
+      // must land on exactly the recompute-over-survivors answer. The
+      // base here is the FULL-corpus view; the deletion set (every 10th
+      // order) rides the 3-table join pipeline alone — work
+      // proportional to the deletion, never the history. A group whose
+      // every contributor is deleted folds to (0, 0) and is dropped by
+      // the n_lines > 0 filter, exactly as the recompute never emits
+      // it. Oracle recomputes from the surviving orders.
+      "q218_mv_delete_delta" -> ((s, d) => {
+        val c = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val l = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        def mv(ord: DataFrame) = ord
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(sum(col("l_extendedprice").cast(dec)).as("rev"),
+            count(lit(1)).as("n_lines"))
+        val o = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val base = mv(o)
+        val minus = mv(o.filter(col("o_orderkey") % 10 === 0))
+          .select(col("c_nationkey"), (-col("rev")).as("rev"),
+            (-col("n_lines")).as("n_lines"))
+        base.unionByName(minus)
+          .groupBy(col("c_nationkey"))
+          .agg(round(sum(col("rev")), 4).cast("double").as("rev"),
+            sum(col("n_lines")).as("n_lines"))
+          .filter(col("n_lines") > 0)
+      }),
+
       // MERGE/upsert over documents with a deterministic change set
       // derived from the table itself: every 10th doc gets a '[v2] '
       // revision, every 97th spawns a new doc at doc_id + 1e6.
@@ -534,6 +568,16 @@ object WarehouseOps {
         |FROM orders
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+    "q218_mv_delete_delta" ->
+      """SELECT c_nationkey,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+        |    AS DOUBLE) AS rev,
+        |  COUNT(*) AS n_lines
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 10 <> 0
         |GROUP BY c_nationkey""".stripMargin,
     "q101_state_merge" ->
       """WITH hist AS (SELECT o_custkey, COUNT(*) AS n_orders,

@@ -80,6 +80,40 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(inc == full, "base + delta must equal the from-scratch view")
   }
 
+  test("q218 delete-delta == recompute; fully-deleted groups vanish") {
+    val inc = SparkEntry.queries("q218_mv_delete_delta")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    val full = Tables(spark, sf, "orders")
+      .filter(col("o_orderkey") % 10 =!= 0)
+      .join(Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(round(sum(col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4))), 4)
+        .cast("double").as("rev"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(inc == full, "base - delete delta must equal the survivor view")
+    // crafted: a nation whose EVERY order is deleted must fold to
+    // (0, 0) and be dropped, exactly as the recompute never emits it
+    val dir = Files.createTempDirectory("graft-mvdel").toString
+    Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((10L, 5.0), (20L, 7.0)).toDF("l_orderkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 99), (2L, 7)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    // both orders are %10==0 -> both delete -> NO groups survive
+    val out = SparkEntry.queries("q218_mv_delete_delta")(spark, dir)
+      .collect()
+    assert(out.isEmpty, s"fully-deleted view must be empty, got ${out.toSeq}")
+  }
+
   test("state merge with an empty delta is identity") {
     val o = Tables(spark, sf, "orders")
     val base = WarehouseOps.stateMerge(o, o.limit(0))
