@@ -246,6 +246,25 @@ object TextAnalysis {
         .select(col("t.item").as("word"), col("t.cnt").as("n"))
     }),
 
+    // q219 GROUPED heavy hitters: the Misra-Gries sketch as a real
+    // per-group aggregate — top-5 tokens PER LANGUAGE in one
+    // aggregation (TypedImperativeAggregate partial buffers merge per
+    // group; the shuffle carries ≤ capacity counters per (lang,
+    // mapper), never the token stream). Capacity 64 exceeds the test
+    // vocabulary so the sketch is exact and hash-checkable against the
+    // plain grouped count — q46's contract, held per group.
+    "q219_freq_items_grouped" -> ((s, d) => {
+      import graft.functions.sketches._
+      Tables(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("lang"))
+        .agg(approx_top_k(col("w"), 64, 5).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.item").as("word"), col("col.cnt").as("n"))
+    }),
+
     // Exemplar selection: the highest-quality document per (lang, source)
     // stratum via max_by — one aggregation, no window sort. The ordering
     // key packs (score, doc_id) into one BIGINT (score·10⁶ ≤ 10⁶ and
@@ -590,6 +609,15 @@ object TextAnalysis {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         | WHERE word <> '' GROUP BY word)
         |ORDER BY n DESC, word LIMIT 10""".stripMargin,
+    "q219_freq_items_grouped" ->
+      """SELECT lang, CAST(rk AS BIGINT) AS rk, word, n FROM (
+        | SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang
+        |     ORDER BY n DESC, word) AS rk
+        | FROM (SELECT lang, word, COUNT(*) AS n FROM (
+        |   SELECT lang, unnest(string_split(text, ' ')) AS word
+        |   FROM documents)
+        |  WHERE word <> '' GROUP BY lang, word))
+        |WHERE rk <= 5""".stripMargin,
     "q40_token_budget" ->
       """WITH t AS (SELECT doc_id, lang,
         |  len(string_split(text, ' ')) AS n_tokens FROM documents),
