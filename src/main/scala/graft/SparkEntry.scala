@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_simhash" -> "DedupSpec",
     "dedup_simhash_w" -> "DedupSpec",
     "dfs_roundtrip" -> "DfsSourceSpec",
+    "layout_changelog" -> "VersionedTableSpec",
     "layout_compact" -> "LayoutPruningSpec",
     "layout_merge_versioned" -> "VersionedTableSpec",
     "layout_timetravel" -> "VersionedTableSpec",

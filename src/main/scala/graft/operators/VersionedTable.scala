@@ -74,6 +74,37 @@ object VersionedTable {
       .unionByName(updates), root)
   }
 
+  /** CHANGELOG between two committed versions — the inverse of CDC
+    * apply (q123): keys only in `to` emit I, keys only in `from` emit
+    * D, keys in both whose non-key content differs emit U (carrying the
+    * `to` row; D rows carry NULL content). One co-partitioned
+    * full-outer join on the key with 16-byte content hashes — the q75
+    * snapshot-diff shape over real snapshot versions. Invariant
+    * (spec-pinned): applying the changelog to `from` reproduces `to`
+    * exactly — so a versioned table can FEED a Debezium-style pipeline,
+    * not just consume one.
+    */
+  def changelog(spark: SparkSession, root: String, from: Long, to: Long,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, root, Some(from))
+    val b = read(spark, root, Some(to))
+    val valCols = a.columns.filter(_ != key).sorted.toSeq
+    require(valCols == b.columns.filter(_ != key).sorted.toSeq,
+      "changelog requires identical schemas")
+    def h(df: DataFrame) = md5(to_json(struct(valCols.map(col): _*)))
+    val av = a.select(col(key).as("__cl_k"), h(a).as("__cl_ha"))
+    val bv = b.select((col(key).as("__cl_k") +:
+      valCols.map(col)) :+ h(b).as("__cl_hb"): _*)
+    av.join(bv, Seq("__cl_k"), "full_outer")
+      .withColumn("op",
+        when(col("__cl_ha").isNull, lit("I"))
+          .when(col("__cl_hb").isNull, lit("D"))
+          .when(col("__cl_ha") =!= col("__cl_hb"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select((col("__cl_k").as(key) +: valCols.map(col)) :+ col("op"): _*)
+  }
+
   /** Read a committed version (default: the newest). */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {

@@ -423,6 +423,25 @@ object WarehouseOps {
           .toDF("fact", "n")
       }),
 
+      // Changelog BETWEEN snapshot versions (the inverse of q123's CDC
+      // apply) over the q75 simulation committed as real versions:
+      // emits I/U/D per key; rows-only (FS effects), with the
+      // apply-roundtrip invariant pinned in VersionedTableSpec.
+      "layout_changelog" -> ((s, d) => {
+        val root = Files.createTempDirectory("graft_vtcl").toString
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        graft.operators.VersionedTable.write(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 2), root)
+        graft.operators.VersionedTable.write(
+          docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+            .withColumn("text", when(pmod(col("doc_id"), lit(13)) === 5,
+              concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+          root)
+        graft.operators.VersionedTable.changelog(s, root, 1L, 2L, "doc_id")
+          .groupBy(col("op")).agg(count(lit(1)).as("n"))
+      }),
+
       "layout_compact" -> ((s, d) => {
         val base = Files.createTempDirectory("graft_compact").toString
         Tables(s, d, "documents").repartition(64)

@@ -40,6 +40,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(pre == Set((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("changelog between versions; applying it reproduces the target") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    VersionedTable.write(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), root)
+    VersionedTable.write(
+      Seq((1, "a"), (2, "B!"), (4, "d")).toDF("k", "v"), root)
+    val cl = VersionedTable.changelog(spark, root, 1L, 2L, "k")
+    val ops = cl.collect()
+      .map(r => r.getInt(0) -> (Option(r.getString(1)), r.getString(2)))
+      .toMap
+    assert(ops == Map(
+      2 -> (Some("B!"), "U"),
+      3 -> (None, "D"),
+      4 -> (Some("d"), "I")))
+    // ROUNDTRIP: v1 + changelog == v2 (the q123 CDC-apply semantics:
+    // drop D and U keys, add back U and I rows)
+    val v1 = VersionedTable.read(spark, root, Some(1L))
+    val touched = cl.select(col("k"))
+    val applied = v1.join(touched, Seq("k"), "left_anti")
+      .unionByName(cl.filter(col("op") =!= "D").select(col("k"), col("v")))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val v2 = VersionedTable.read(spark, root, Some(2L)).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(applied == v2, "changelog applied to v1 must reproduce v2")
+  }
+
   test("an uncommitted (crashed) snapshot is invisible to readers") {
     val root = freshRoot()
     VersionedTable.write(Seq((1, "a")).toDF("k", "v"), root)
