@@ -32,7 +32,8 @@ object SparkEntry {
       SurfaceCompletions.queries ++ MatrixOps.queries ++
       BehaviorOps.queries ++ MiningOps.queries ++ StringSimOps.queries ++
       InferenceOps.queries ++ RecommenderOps.queries ++
-      TemporalOps.queries ++ BusinessOps.queries ++ ClassifyOps.queries
+      TemporalOps.queries ++ BusinessOps.queries ++ ClassifyOps.queries ++
+      DriftOps.queries ++ TrendOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops
@@ -66,6 +67,7 @@ object SparkEntry {
     "mm_video_neardup" -> "MultimodalSpec",
     "q107_rolling_distinct" -> "StatsOpsSpec",
     "q112_approx_percentiles" -> "StatsOpsSpec",
+    "q224_isotonic" -> "TrendSpec",
     "q78_compress_ratio" -> "TextKernelsSpec",
     "sim_ann_ivf" -> "AnnSpec",
     "sim_ann_ivfpq" -> "AnnSpec",
@@ -93,5 +95,6 @@ object SparkEntry {
       SurfaceCompletions.oracle ++ MatrixOps.oracle ++
       BehaviorOps.oracle ++ MiningOps.oracle ++ StringSimOps.oracle ++
       InferenceOps.oracle ++ RecommenderOps.oracle ++
-      TemporalOps.oracle ++ BusinessOps.oracle ++ ClassifyOps.oracle
+      TemporalOps.oracle ++ BusinessOps.oracle ++ ClassifyOps.oracle ++
+      DriftOps.oracle ++ TrendOps.oracle
 }

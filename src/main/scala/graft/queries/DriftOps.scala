@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Distribution-drift monitoring and feature normalization (SURVEY.md
+  * §2.11 [EXT]) — the ops a training-data pipeline runs between corpus
+  * snapshots to decide whether the feature/data distribution still
+  * matches what the model was trained on:
+  *
+  *  - q220 PSI (population stability index) per event_type between the
+  *    first and second half of the event calendar, over reference-period
+  *    exact decile buckets. The corpus reduces to per-(type, value, arm)
+  *    counts in ONE grouped pass; decile boundaries come from the
+  *    cumulative-count walk over that (bounded) distinct-value table in
+  *    integer arithmetic (cum·10 ≥ k·n — no float quantile
+  *    interpolation to diverge cross-engine); bucket assignment is a
+  *    broadcast of the 9-boundary array per type + a narrow array
+  *    `filter` count — no join multiplier, no BNLJ. Per-bucket PSI terms
+  *    are smoothed ((c+0.5)/(n+5): a current-period bucket CAN be
+  *    empty), rounded once, and summed as DECIMAL so the 10-term
+  *    reduction is order-independent and the oracle hash-compares.
+  *  - q221 m-estimate target encoding of customer nation against order
+  *    totals — the leakage-safe categorical encoder: enc = (Σy + m·μ) /
+  *    (n + m) with the global mean μ as the prior. Sums are
+  *    DECIMAL-exact; the only float ops are the two final divisions.
+  *    One grouped pass over orders⋈customer (customer broadcast).
+  *  - q223 quantile normalization of n_chars across sources (the
+  *    microarray-normalization classic): rank within source, average
+  *    the rank-profile across sources (BIGINT-exact), map every doc to
+  *    its rank's cross-source mean. Two windows keyed by source +
+  *    one rank-keyed aggregation — all shuffles on bounded keys.
+  *
+  * Scale: every aggregation here is map-side combined on (type, value)
+  * or (source, rank) keys; the boundary/profile tables are metadata
+  * (9·types doubles, max-rank rows) and travel by broadcast. At 100 TB
+  * the one care is q220's distinct-value table on a continuous feature —
+  * pre-quantize `value` to the q106 histogram grid first (PSI is a
+  * binned statistic by definition, so grid pre-bucketing changes
+  * nothing once the grid is finer than the deciles).
+  */
+object DriftOps {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Decile count for q220's PSI buckets. */
+  private val PsiBuckets = 10
+
+  /** m-estimate prior weight for q221's target encoder. */
+  private val PriorM = 20
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_psi_drift" -> ((s, d) => psiDrift(Tables(s, d, "events"))),
+    "q221_target_encode" -> ((s, d) => targetEncode(
+      Tables(s, d, "orders"), Tables(s, d, "customer"),
+      Tables(s, d, "nation"))),
+    "q223_quantile_norm" -> ((s, d) =>
+      quantileNorm(Tables(s, d, "documents"))))
+
+  /** PSI per event_type: reference = calendar days 1-15, current =
+    * days 16+. Returns (event_type, n_ref, n_cur, psi).
+    */
+  def psiDrift(events: DataFrame): DataFrame = {
+    val arm = events.select(col("event_type"), col("value"),
+      (dayofmonth(col("ts")) <= 15).as("is_ref"))
+    // ONE map-side-combined shuffle: per-(type, value) arm counts.
+    val vc = arm.groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val tw = Window.partitionBy(col("event_type"))
+    val cum = vc.withColumn("cum", sum(col("cr")).over(w))
+      .withColumn("nr", sum(col("cr")).over(tw))
+    // Boundary k (k = 1..9) = smallest value with cum·10 ≥ k·n_ref —
+    // integer comparison, no quantile interpolation. The explode is a
+    // bounded 9× of the DISTINCT-VALUE table, not the corpus.
+    val bounds = cum
+      .select(col("event_type"), col("value"), col("cum"), col("nr"))
+      .withColumn("k", explode(sequence(lit(1), lit(PsiBuckets - 1))))
+      .filter(col("cum") * PsiBuckets >= col("k") * col("nr"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(min(col("value")).as("bk"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("k"), col("bk"))))
+        .as("kb"))
+      .select(col("event_type"),
+        expr("transform(kb, x -> x.bk)").as("bnds"))
+    // Bucket = #boundaries strictly below the value (0..9), via a
+    // per-type broadcast of the 9-double array — a narrow map, no join
+    // explosion. Scaffold all 10 buckets so empty current buckets
+    // still contribute their smoothed term.
+    val bucketed = vc.join(broadcast(bounds), "event_type")
+      .withColumn("bucket",
+        expr("size(filter(bnds, b -> value > b))"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc"))
+    val grid = bounds.select(col("event_type"))
+      .withColumn("bucket", explode(sequence(lit(0), lit(PsiBuckets - 1))))
+    val full = grid.join(bucketed, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("cr", "cc"))
+      .withColumn("nr", sum(col("cr")).over(tw))
+      .withColumn("nc", sum(col("cc")).over(tw))
+    // Smoothed proportions; each term rounded once then summed as
+    // DECIMAL so the reduction order cannot move the hash.
+    val pr = (col("cr") + lit(0.5)) / (col("nr") + lit(5.0))
+    val pc = (col("cc") + lit(0.5)) / (col("nc") + lit(5.0))
+    full
+      .withColumn("term",
+        round((pc - pr) * log(pc / pr), 8).cast(DecimalType(18, 8)))
+      .groupBy(col("event_type"))
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+  }
+
+  /** m-estimate target encoding: customer nation → smoothed mean order
+    * total. Returns (n_name, n, enc).
+    */
+  def targetEncode(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val joined = orders.select(col("o_custkey"), col("o_totalprice"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+    val global = joined.agg(
+      sum(col("o_totalprice").cast(dec)).as("sy"),
+      count(lit(1)).as("n"))
+      .select((col("sy").cast("double") / col("n")).as("mu"))
+      .head().getDouble(0)
+    joined.groupBy(col("c_nationkey"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("sy"),
+        count(lit(1)).as("n"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n"),
+        round((col("sy").cast("double") + lit(PriorM) * lit(global)) /
+          (col("n") + lit(PriorM)), 6).as("enc"))
+  }
+
+  /** Quantile normalization across sources. Returns
+    * (doc_id, source, n_chars, qnorm).
+    */
+  def quantileNorm(docs: DataFrame): DataFrame = {
+    val ranked = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+    // Rank profile: BIGINT sum / count per rank — exact, and only
+    // max-rank rows of metadata.
+    val profile = ranked.groupBy(col("rk"))
+      .agg(round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+        .as("qnorm"))
+    ranked.join(profile, "rk")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("qnorm"))
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q220_psi_drift" ->
+      s"""WITH arm AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN EXTRACT(day FROM ts) <= 15 THEN TRUE ELSE FALSE END
+        |      AS is_ref
+        |  FROM events),
+        |vc AS (
+        |  SELECT event_type, value,
+        |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+        |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+        |  FROM arm GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, value,
+        |    SUM(cr) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+        |    SUM(cr) OVER (PARTITION BY event_type) AS nr
+        |  FROM vc),
+        |bnd AS (
+        |  SELECT event_type, k, MIN(value) AS bk
+        |  FROM cum, (SELECT UNNEST(range(1, ${PsiBuckets})) AS k)
+        |  WHERE cum * ${PsiBuckets} >= k * nr
+        |  GROUP BY 1, 2),
+        |bl AS (
+        |  SELECT event_type, list(bk ORDER BY k) AS bnds
+        |  FROM bnd GROUP BY 1),
+        |bucketed AS (
+        |  SELECT vc.event_type,
+        |    len(list_filter(bl.bnds, b -> vc.value > b)) AS bucket,
+        |    SUM(cr) AS cr, SUM(cc) AS cc
+        |  FROM vc JOIN bl ON vc.event_type = bl.event_type
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, k AS bucket
+        |  FROM bl, (SELECT UNNEST(range(0, ${PsiBuckets})) AS k)),
+        |full_g AS (
+        |  SELECT g.event_type, g.bucket,
+        |    COALESCE(b.cr, 0) AS cr, COALESCE(b.cc, 0) AS cc
+        |  FROM grid g LEFT JOIN bucketed b
+        |    ON g.event_type = b.event_type AND g.bucket = b.bucket),
+        |tot AS (
+        |  SELECT event_type, bucket, cr, cc,
+        |    SUM(cr) OVER (PARTITION BY event_type) AS nr,
+        |    SUM(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM full_g)
+        |SELECT event_type, CAST(MAX(nr) AS BIGINT) AS n_ref,
+        |  CAST(MAX(nc) AS BIGINT) AS n_cur,
+        |  round(CAST(SUM(CAST(round(
+        |    ((cc + 0.5) / (nc + 5.0) - (cr + 0.5) / (nr + 5.0)) *
+        |    ln(((cc + 0.5) / (nc + 5.0)) / ((cr + 0.5) / (nr + 5.0))), 8)
+        |    AS DECIMAL(18, 8))) AS DOUBLE), 6) AS psi
+        |FROM tot GROUP BY 1""".stripMargin,
+    "q221_target_encode" ->
+      s"""WITH j AS (
+        |  SELECT c.c_nationkey, o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)))
+        |    AS DOUBLE) / COUNT(*) AS mu FROM j)
+        |SELECT n.n_name, COUNT(*) AS n,
+        |  round((CAST(SUM(CAST(j.o_totalprice AS DECIMAL(18, 2)))
+        |      AS DOUBLE) + ${PriorM} * MAX(g.mu)) /
+        |    (COUNT(*) + ${PriorM}), 6) AS enc
+        |FROM j CROSS JOIN g
+        |JOIN nation n ON j.c_nationkey = n.n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q223_quantile_norm" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents),
+        |p AS (
+        |  SELECT rk, round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+        |    AS qnorm
+        |  FROM r GROUP BY 1)
+        |SELECT r.doc_id, r.source, r.n_chars, p.qnorm
+        |FROM r JOIN p ON r.rk = p.rk""".stripMargin)
+}

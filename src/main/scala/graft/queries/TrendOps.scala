@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Trend detection over daily event series (SURVEY.md §2.11 [EXT]) —
+  * the monotonic-trend complement to q142's ACF and q159's CUSUM
+  * change-point:
+  *
+  *  - q222 Mann-Kendall trend test + Sen's slope per event_type: S =
+  *    Σ_{i<j} sign(x_j − x_i) with the tie-corrected variance
+  *    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18, the standard
+  *    continuity-corrected z, and the Theil–Sen slope estimate
+  *    (median of all pairwise slopes — the robust trend magnitude).
+  *    The corpus collapses to ONE decimal-exact daily aggregation
+  *    (calendar-bounded: ≤31 rows per type); the pairwise stage is a
+  *    self-join of that bounded table (C(31,2) pairs per type —
+  *    metadata, not data). S and the tie terms are INTEGER-exact; the
+  *    median slope is an order-statistic pick (row_number against the
+  *    pair count — avg of the two middles when even), not a float
+  *    interpolation, so the oracle hash-compares.
+  *  - q224 isotonic regression (PAVA) of the daily mean onto the day
+  *    axis per event_type, weighted by daily counts: pool-adjacent-
+  *    violators over the ≤31-element series, carrying DECIMAL
+  *    numerators and LONG weights through every pool so the final
+  *    fitted value is one double division per block. The per-type
+  *    series is collect_list'ed AFTER the daily reduction (bounded
+  *    array), and PAVA runs as a typed flatMap per group — the
+  *    imperative step touches calendar-bounded metadata only. PAVA has
+  *    no SQL form, so this is a rows-only entry pinned by TrendSpec
+  *    (hand-computed pools, monotonicity, weighted-mean preservation,
+  *    and idempotence on already-monotone input).
+  *
+  * Scale: both ops reduce the corpus in one map-side-combined shuffle
+  * keyed by (type, day); everything after is calendar-bounded. At
+  * 100 TB the daily table is still ≤ types×366 rows/year — the
+  * pairwise join and the PAVA fold never see data volume.
+  */
+object TrendOps {
+
+  private val dec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_mann_kendall" -> ((s, d) => mannKendall(Tables(s, d, "events"))),
+    "q224_isotonic" -> ((s, d) => isotonic(Tables(s, d, "events"))))
+
+  /** Daily decimal-exact sums per (event_type, day-of-month). */
+  private def daily(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        dayofmonth(col("ts")).as("day"))
+      .agg(sum(col("value").cast(dec)).as("x"))
+
+  /** Mann-Kendall + Sen's slope. Returns
+    * (event_type, n_days, s_stat, var_s, z, sen_slope).
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val dly = daily(events)
+    val a = dly.select(col("event_type"), col("day").as("d1"),
+      col("x").as("x1"))
+    val b = dly.select(col("event_type").as("et2"), col("day").as("d2"),
+      col("x").as("x2"))
+    // Bounded self-join: C(days, 2) pairs per type of DAILY rows.
+    val pairs = a.join(b,
+        col("event_type") === col("et2") && col("d2") > col("d1"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        signum((col("x2") - col("x1")).cast("double")).cast("long")
+          .as("sgn"),
+        ((col("x2") - col("x1")).cast("double") /
+          (col("d2") - col("d1"))).as("slope"))
+    val s = pairs.groupBy(col("event_type"))
+      .agg(sum(col("sgn")).as("s_stat"), count(lit(1)).as("np"))
+    // Tie correction over the daily VALUES (decimal-exact grouping).
+    val ties = dly.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"), sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_term"))
+    // Sen's slope: exact middle order statistic(s) of the pair slopes.
+    val rn = pairs.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("slope"), col("d1"), col("d2"))))
+    val sen = rn.join(s.select(col("event_type").as("et3"), col("np")),
+        col("event_type") === col("et3"))
+      .filter(
+        when(col("np") % 2 === 1, col("rk") * 2 === col("np") + 1)
+          .otherwise(col("rk") * 2 === col("np") ||
+            col("rk") * 2 === col("np") + 2))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("slope")), 6).as("sen_slope"))
+    s.join(ties, "event_type").join(sen, "event_type")
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        round((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+          - col("tie_term")).cast("double") / 18.0, 6).as("var_s"),
+        round(
+          when(col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+              - col("tie_term") > 0,
+            (when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+              .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+              .otherwise(0.0)) /
+            sqrt((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+              - col("tie_term")).cast("double") / 18.0))
+            .otherwise(0.0), 6).as("z"),
+        col("sen_slope"))
+  }
+
+  /** Weighted PAVA over (day, mean) per event_type. Returns
+    * (event_type, day, n, iso_value) — iso_value non-decreasing in day
+    * within each type. Rows-only (no SQL form); pinned by TrendSpec.
+    */
+  def isotonic(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dly = events.groupBy(col("event_type"),
+        dayofmonth(col("ts")).as("day"))
+      .agg(sum(col("value").cast(dec)).as("num"),
+        count(lit(1)).as("n"))
+    dly.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"),
+        col("num").cast("double").as("num"), col("n")))).as("series"))
+      .as[(String, Seq[(Int, Double, Long)])]
+      .flatMap { case (et, series) =>
+        pava(series).map { case (day, n, v) =>
+          (et, day, n, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+        }
+      }
+      .toDF("event_type", "day", "n", "iso_value")
+  }
+
+  /** Pool-adjacent-violators on a (day, numerator, weight) series
+    * sorted by day: merge adjacent blocks while a block's weighted mean
+    * exceeds its successor's; each day reports its block's mean.
+    * Numerators stay exact sums until the one final division.
+    */
+  def pava(series: Seq[(Int, Double, Long)])
+      : Seq[(Int, Long, Double)] = {
+    // blocks: (numSum, wSum, days in block)
+    val stack = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Long, List[(Int, Long)])]
+    series.foreach { case (day, num, w) =>
+      stack += ((num, w, List((day, w))))
+      // merge while the last block's mean < the previous block's mean
+      while (stack.length >= 2 && {
+        val (n2, w2, _) = stack(stack.length - 1)
+        val (n1, w1, _) = stack(stack.length - 2)
+        n1 * w2 > n2 * w1 // n1/w1 > n2/w2 without division
+      }) {
+        val (n2, w2, d2) = stack.remove(stack.length - 1)
+        val (n1, w1, d1) = stack.remove(stack.length - 1)
+        stack += ((n1 + n2, w1 + w2, d1 ++ d2))
+      }
+    }
+    stack.toSeq.flatMap { case (num, w, days) =>
+      val v = num / w
+      days.map { case (day, dw) => (day, dw, v) }
+    }.sortBy(_._1)
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q222_mann_kendall" ->
+      """WITH dly AS (
+        |  SELECT event_type, EXTRACT(day FROM ts) AS day,
+        |    SUM(CAST(value AS DECIMAL(18, 2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, a.day AS d1, b.day AS d2,
+        |    CAST(sign(CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS sgn,
+        |    CAST(b.x - a.x AS DOUBLE) / (b.day - a.day) AS slope
+        |  FROM dly a JOIN dly b
+        |    ON a.event_type = b.event_type AND b.day > a.day),
+        |s AS (
+        |  SELECT event_type, SUM(sgn) AS s_stat, COUNT(*) AS np
+        |  FROM pairs GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, COUNT(*) AS ng, SUM(t) AS n,
+        |    SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+        |  FROM (SELECT event_type, x, COUNT(*) AS t
+        |        FROM dly GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |rn AS (
+        |  SELECT p.event_type, p.slope, s.np,
+        |    row_number() OVER (PARTITION BY p.event_type
+        |      ORDER BY p.slope, p.d1, p.d2) AS rk
+        |  FROM pairs p JOIN s ON p.event_type = s.event_type),
+        |sen AS (
+        |  SELECT event_type, round(AVG(slope), 6) AS sen_slope
+        |  FROM rn
+        |  WHERE CASE WHEN np % 2 = 1 THEN rk * 2 = np + 1
+        |        ELSE rk * 2 = np OR rk * 2 = np + 2 END
+        |  GROUP BY 1)
+        |SELECT s.event_type, CAST(t.n AS BIGINT) AS n_days,
+        |  CAST(s.s_stat AS BIGINT) AS s_stat,
+        |  round(CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term
+        |    AS DOUBLE) / 18.0, 6) AS var_s,
+        |  round(
+        |    CASE WHEN t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term > 0
+        |    THEN
+        |      (CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+        |            WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+        |            ELSE 0.0 END) /
+        |      sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term
+        |        AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END, 6) AS z,
+        |  sen.sen_slope
+        |FROM s
+        |JOIN ties t ON s.event_type = t.event_type
+        |JOIN sen ON s.event_type = sen.event_type""".stripMargin)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.TrendOps
+
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsOf(rows: Seq[(String, Int, Double)]): DataFrame =
+    rows.map { case (et, day, v) =>
+      (1L, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), 7L, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  // ---- Mann-Kendall -------------------------------------------------
+
+  test("strictly increasing series: S = C(n,2), positive z, exact Sen slope") {
+    // daily sums 1, 2, 3, 4, 5 over days 1..5 -> every pair concordant
+    val df = eventsOf((1 to 5).map(d => ("up", d, d.toDouble)))
+    val r = TrendOps.mannKendall(df).collect().head
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Long]("s_stat") === 10L) // C(5,2)
+    // no ties: var = n(n-1)(2n+5)/18 = 5*4*15/18 (column rounded to 6dp)
+    assert(math.abs(r.getAs[Double]("var_s") - 5.0 * 4 * 15 / 18) < 1e-6)
+    assert(r.getAs[Double]("z") > 0)
+    // all pairwise slopes are exactly 1
+    assert(r.getAs[Double]("sen_slope") === 1.0)
+  }
+
+  test("strictly decreasing series mirrors the increasing one") {
+    val up = TrendOps.mannKendall(
+      eventsOf((1 to 5).map(d => ("u", d, d.toDouble)))).collect().head
+    val dn = TrendOps.mannKendall(
+      eventsOf((1 to 5).map(d => ("d", d, (6 - d).toDouble)))).collect().head
+    assert(dn.getAs[Long]("s_stat") === -up.getAs[Long]("s_stat"))
+    assert(dn.getAs[Double]("z") === -up.getAs[Double]("z"))
+    assert(dn.getAs[Double]("sen_slope") ===
+      -up.getAs[Double]("sen_slope"))
+  }
+
+  test("constant series: S = 0, z = 0, tie correction zeroes the variance") {
+    val r = TrendOps.mannKendall(
+      eventsOf((1 to 4).map(d => ("c", d, 2.5)))).collect().head
+    assert(r.getAs[Long]("s_stat") === 0L)
+    assert(r.getAs[Double]("z") === 0.0)
+    // one tie group of size 4: var = [4*3*13 - 4*3*13]/18 = 0
+    assert(r.getAs[Double]("var_s") === 0.0)
+  }
+
+  test("even pair count averages the two middle slopes") {
+    // values 1,5,2,8 on days 1..4 -> 6 pairwise slopes:
+    // 4, 0.5, 7/3, -3, 1.5, 6 -> sorted: -3, 0.5, 1.5, 7/3, 4, 6
+    // -> median = (1.5 + 7/3)/2
+    val r = TrendOps.mannKendall(
+      eventsOf(Seq(("m", 1, 1.0), ("m", 2, 5.0), ("m", 3, 2.0),
+        ("m", 4, 8.0)))).collect().head
+    val expected = BigDecimal((1.5 + 7.0 / 3) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("sen_slope") === expected)
+  }
+
+  // ---- isotonic (PAVA) ----------------------------------------------
+
+  test("pava pools a single violator into the weighted mean") {
+    // unit weights: 1, 3, 2, 4 -> pool (3,2) -> 1, 2.5, 2.5, 4
+    val got = TrendOps.pava(Seq((1, 1.0, 1L), (2, 3.0, 1L),
+      (3, 2.0, 1L), (4, 4.0, 1L)))
+    assert(got === Seq((1, 1L, 1.0), (2, 1L, 2.5), (3, 1L, 2.5),
+      (4, 1L, 4.0)))
+  }
+
+  test("pava respects weights when pooling") {
+    // (v=3, w=3) then (v=1, w=1): pooled mean = (9+1)/4 = 2.5
+    val got = TrendOps.pava(Seq((1, 9.0, 3L), (2, 1.0, 1L)))
+    assert(got === Seq((1, 3L, 2.5), (2, 1L, 2.5)))
+  }
+
+  test("pava cascades pools backwards") {
+    // 4, 3, 2 (unit weights) -> single block of mean 3
+    val got = TrendOps.pava(Seq((1, 4.0, 1L), (2, 3.0, 1L), (3, 2.0, 1L)))
+    assert(got.map(_._3) === Seq(3.0, 3.0, 3.0))
+  }
+
+  test("pava is the identity on already-monotone input") {
+    val in = Seq((1, 1.0, 2L), (2, 4.0, 2L), (3, 9.0, 3L))
+    assert(TrendOps.pava(in) ===
+      in.map { case (d, n, w) => (d, w, n / w) })
+  }
+
+  test("isotonic output is non-decreasing per type and mean-preserving") {
+    val df = Tables(spark, sf, "events")
+    val out = TrendOps.isotonic(df).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4 + 1e-9)
+        case _ =>
+      }
+    }
+    // weighted mean of the fit == weighted mean of the daily means
+    val fitMean = out.map(r => r._4 * r._3).sum / out.map(_._3).sum
+    val rawMean = df.agg(sum("value"), count(lit(1))).collect().head match {
+      case r => r.getDouble(0) / r.getLong(1)
+    }
+    assert(math.abs(fitMean - rawMean) < 1e-4)
+  }
+}
