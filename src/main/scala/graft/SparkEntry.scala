@@ -80,6 +80,7 @@ object SparkEntry {
     "stats_hll_overlap" -> "SketchSpec",
     "stats_wmedian_2pass" -> "StatsOpsSpec",
     "stream_dedup_inc" -> "StreamingDedupSpec",
+    "stream_psi_drift" -> "StreamingDriftSpec",
     "text_bpe_encode" -> "BpeSpec",
     "text_bpe_train" -> "BpeSpec",
     "text_fingerprint_xx" -> "TextAnalysisSpec")

@@ -59,7 +59,28 @@ object DriftOps {
       Tables(s, d, "orders"), Tables(s, d, "customer"),
       Tables(s, d, "nation"))),
     "q223_quantile_norm" -> ((s, d) =>
-      quantileNorm(Tables(s, d, "documents"))))
+      quantileNorm(Tables(s, d, "documents"))),
+
+    // Streaming PSI monitor (rows-only; pinned by StreamingDriftSpec):
+    // reference model from days 1-15 batch-side, then the SAME windowed
+    // PSI aggregation driven through the file-stream source over days
+    // 16+ — one streaming agg, bounded per-window state, append mode.
+    "stream_psi_drift" -> ((s, d) => {
+      val batch = Tables(s, d, "events")
+      val model = graft.streaming.DriftMonitor.refModel(
+        batch.filter(dayofmonth(col("ts")) <= 15)
+          .select(col("event_type"), col("value")))
+      val cur = graft.streaming.EventStream.readEventsStream(s, d)
+        .filter(dayofmonth(col("ts")) > 15)
+        .select(col("ts"), col("event_type"), col("value"))
+      val out = graft.streaming.DriftMonitor.psi(cur, model, "5 days")
+      // complete mode so the tail window (still above the watermark when
+      // the file source drains) is in the sink too — production append
+      // mode is what StreamingDriftSpec drives
+      graft.streaming.EventStream.runToMemory(out, "stream_psi_drift",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table("stream_psi_drift")
+    }))
 
   /** PSI per event_type: reference = calendar days 1-15, current =
     * days 16+. Returns (event_type, n_ref, n_cur, psi).

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Continuous distribution-drift monitoring — the streaming twin of
+  * q220's batch PSI: a training-data pipeline that ingests corpus
+  * snapshots continuously wants the "has the feature distribution
+  * moved?" alarm per arriving window, not per offline audit.
+  *
+  * Split the same way the other streaming twins are:
+  *
+  *  - [[refModel]] runs ONCE, batch-side, over the reference corpus
+  *    (what the model was trained on): exact decile boundaries per
+  *    event_type via the integer cum·10 ≥ k·n walk (no quantile
+  *    interpolation), plus the reference per-bucket counts. The result
+  *    is types×(9 doubles + 10 longs) — pure metadata, broadcast to
+  *    the stream.
+  *  - [[psi]] is ONE streaming aggregation: bucket assignment is a
+  *    narrow array-filter count against the broadcast boundaries, the
+  *    per-window bucket histogram is 10 conditional sums (fixed-width
+  *    state per (window, type) group — no per-value state), and PSI
+  *    folds over the zipped current/reference histograms in a
+  *    projection AFTER the agg. With a watermark the query runs in
+  *    append mode and each window emits exactly one PSI row when it
+  *    closes — bounded state, exactly-once via the sink's usual
+  *    contract.
+  *
+  * The same `psi` function applied to a BATCH frame produces the
+  * identical result (it is plain DataFrame code), which is what
+  * StreamingDriftSpec pins: streamed == batch on the same split, and a
+  * planted location shift fires the alarm (PSI > 0.2) in its window
+  * only.
+  *
+  * Scale: stream state is (windows in flight)×types×10 counters;
+  * the reference model is KB-scale broadcast; the bucket walk is
+  * codegen'd array arithmetic on the hot path. Nothing grows with
+  * corpus size.
+  */
+object DriftMonitor {
+
+  /** PSI bucket count (reference deciles). */
+  val Buckets = 10
+
+  /** Reference model: (event_type, bnds array[9], ref_counts array[10],
+    * n_ref) from a batch reference frame with (event_type, value).
+    */
+  def refModel(ref: DataFrame): DataFrame = {
+    val vc = ref.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val tw = Window.partitionBy(col("event_type"))
+    val cum = vc.withColumn("cum", sum(col("cr")).over(w))
+      .withColumn("nr", sum(col("cr")).over(tw))
+    val bounds = cum
+      .withColumn("k", explode(sequence(lit(1), lit(Buckets - 1))))
+      .filter(col("cum") * Buckets >= col("k") * col("nr"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(min(col("value")).as("bk"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("k"), col("bk")))).as("kb"))
+      .select(col("event_type"), expr("transform(kb, x -> x.bk)").as("bnds"))
+    // reference bucket histogram over the same boundaries
+    vc.join(bounds, "event_type")
+      .withColumn("bucket", expr("size(filter(bnds, b -> value > b))"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("cr")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("c"))))
+        .as("bc"))
+      .join(bounds, "event_type")
+      .select(col("event_type"), col("bnds"),
+        // scaffold missing buckets with 0 (a decile CAN be empty only
+        // if a later boundary duplicates an earlier one on heavy ties)
+        expr(s"""transform(sequence(0, ${Buckets - 1}), i ->
+             coalesce(element_at(map_from_entries(
+               transform(bc, x -> struct(x.bucket, x.c))), i), 0L))""")
+          .as("ref_counts"))
+      .withColumn("n_ref", expr("aggregate(ref_counts, 0L, (a, x) -> a + x)"))
+  }
+
+  /** Windowed PSI of `events` (streaming OR batch; columns ts,
+    * event_type, value) against a [[refModel]] frame. Returns
+    * (ws, event_type, n_cur, psi) — one row per closed window per type.
+    */
+  def psi(events: DataFrame, model: DataFrame, windowDur: String,
+      watermark: String = "0 seconds"): DataFrame = {
+    val withBucket = events
+      .withWatermark("ts", watermark)
+      .join(broadcast(model), "event_type")
+      .withColumn("bucket", expr("size(filter(bnds, b -> value > b))"))
+    val hist = withBucket
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_cur"),
+        array((0 until Buckets).map(k =>
+          sum(when(col("bucket") === k, 1L).otherwise(0L))): _*)
+          .as("cur_counts"),
+        first(col("ref_counts")).as("ref_counts"),
+        first(col("n_ref")).as("n_ref"))
+    hist.select(col("window.start").as("ws"), col("event_type"),
+      col("n_cur"),
+      round(expr(
+        """CAST(aggregate(
+          |  zip_with(cur_counts, ref_counts, (cc, cr) ->
+          |    CAST(round(
+          |      ((CAST(cc AS DOUBLE) + 0.5D) / (CAST(n_cur AS DOUBLE) + 5.0D)
+          |        - (CAST(cr AS DOUBLE) + 0.5D) /
+          |          (CAST(n_ref AS DOUBLE) + 5.0D)) *
+          |      ln(((CAST(cc AS DOUBLE) + 0.5D) /
+          |          (CAST(n_cur AS DOUBLE) + 5.0D)) /
+          |         ((CAST(cr AS DOUBLE) + 0.5D) /
+          |          (CAST(n_ref AS DOUBLE) + 5.0D))), 8) AS DECIMAL(18, 8))),
+          |  CAST(0 AS DECIMAL(28, 8)),
+          |  (acc, x) -> CAST(acc + x AS DECIMAL(28, 8))) AS DOUBLE)"""
+          .stripMargin), 6).as("psi"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{DriftMonitor, EventStream}
+
+class StreamingDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed windowed PSI equals the batch computation on the same split") {
+    val batch = Tables(spark, sf, "events")
+    val model = DriftMonitor.refModel(
+      batch.filter(dayofmonth(col("ts")) <= 15)
+        .select(col("event_type"), col("value")))
+    val curBatch = batch.filter(dayofmonth(col("ts")) > 15)
+      .select(col("ts"), col("event_type"), col("value"))
+    val expected = DriftMonitor.psi(curBatch, model, "5 days")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(expected.nonEmpty)
+
+    val cur = EventStream.readEventsStream(spark, sf)
+      .filter(dayofmonth(col("ts")) > 15)
+      .select(col("ts"), col("event_type"), col("value"))
+    EventStream.runToMemory(
+      DriftMonitor.psi(cur, model, "5 days"), "sds_twin",
+      OutputMode.Complete())
+    val got = spark.table("sds_twin").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === expected)
+  }
+
+  test("a planted shift fires the alarm in its window only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference: values 1..200 for one type
+    val ref = (1 to 200)
+      .map(v => ("m", v.toDouble)).toDF("event_type", "value")
+    val model = DriftMonitor.refModel(ref)
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val out = DriftMonitor.psi(
+      stream.toDF().toDF("ts", "event_type", "value"), model,
+      "1 hour")
+    val q = out.writeStream.format("memory").queryName("sds_alarm")
+      .outputMode(OutputMode.Complete()).start()
+    // window 1: same distribution; window 2: shifted far right
+    stream.addData((1 to 200).map(v =>
+      (Timestamp.valueOf("2024-02-01 10:30:00"), "m", v.toDouble)))
+    stream.addData((1 to 200).map(v =>
+      (Timestamp.valueOf("2024-02-01 11:30:00"), "m", v + 500.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sds_alarm").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(3)).toMap
+    assert(rows.size === 2)
+    assert(math.abs(rows("2024-02-01 10:00:00.0")) < 1e-6)
+    assert(rows("2024-02-01 11:00:00.0") > 0.2)
+  }
+
+  test("append mode emits each window once it passes the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = (1 to 100).map(v => ("m", v.toDouble))
+      .toDF("event_type", "value")
+    val model = DriftMonitor.refModel(ref)
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val out = DriftMonitor.psi(
+      stream.toDF().toDF("ts", "event_type", "value"), model,
+      "1 hour", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sds_append")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData((1 to 100).map(v =>
+      (Timestamp.valueOf("2024-02-01 10:30:00"), "m", v.toDouble)))
+    q.processAllAvailable()
+    // first window still open (watermark at 10:20) -> nothing emitted
+    assert(spark.table("sds_append").count() === 0)
+    // an event 2 hours later closes it
+    stream.addData(Seq(
+      (Timestamp.valueOf("2024-02-01 12:30:00"), "m", 50.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sds_append").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getTimestamp(0) ===
+      Timestamp.valueOf("2024-02-01 10:00:00"))
+    assert(math.abs(rows.head.getDouble(3)) < 1e-6)
+  }
+}
