@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -45,6 +46,19 @@ object ClassifyOps {
     * matrix (actual lang, predicted lang, n docs).
     */
   def naiveBayes(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("c"))
+    nbScores(s, d).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("c").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Held-out per-(doc, class) NB log-scores in integer micros —
+    * shared by the q189 confusion matrix and the q226 calibration
+    * curve. Columns (doc_id, lang, c, score).
+    */
+  def nbScores(s: SparkSession, d: String): DataFrame = {
     val toks = Tables(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
@@ -66,17 +80,47 @@ object ClassifyOps {
       .groupBy(col("doc_id"), col("c"))
       .agg(sum(col("tf") * lnMicros(col("cwc") + lit(1.0))).as("seen"))
     val grid = dlen.crossJoin(broadcast(cls)) // |classes| rows — metadata
-    val scored = grid.join(seen, Seq("doc_id", "c"), "left")
+    grid.join(seen, Seq("doc_id", "c"), "left")
       .select(col("doc_id"), col("lang"), col("c"),
         (lnMicros(col("docs_c")) + coalesce(col("seen"), lit(0L))
           - col("len") * lnMicros(col("tok_c").cast("double") + lit(vocab.toDouble)))
           .as("score"))
+  }
+
+  /** q226 reliability (calibration) curve of the NB classifier: bucket
+    * the winning class's posterior into fixed decile bins and compare
+    * claimed confidence against observed accuracy — the audit that
+    * decides whether q189's scores can gate a curation pipeline.
+    *
+    * The posterior is computed WITHOUT a float normalizer shuffle
+    * hazard: p(top) = 1 / Σ_c exp((s_c − s_top)/1e6), where each exp
+    * term is rounded once and summed as DECIMAL (the class set is the
+    * reduction, so order-independence matters), and the top term is
+    * exactly 1. Per-bin confidence averages the once-rounded posterior
+    * decimally. Output (bin, n, acc, conf) hash-compares with the
+    * DuckDB twin of the same arithmetic.
+    */
+  def calibration(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("c"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("lang"), col("c").as("pred"))
-      .agg(count(lit(1)).as("n"))
+    val top = nbScores(s, d)
+      .withColumn("smax", max(col("score")).over(w))
+      .withColumn("pred", min(when(col("score") === col("smax"),
+        col("c"))).over(w))
+    val byDoc = top
+      .withColumn("t", round(exp((col("score") - col("smax")) / lit(1e6)), 9)
+        .cast(DecimalType(28, 9)))
+      .groupBy(col("doc_id"), col("lang"), col("pred"))
+      .agg(sum(col("t")).as("z"))
+      .select(col("doc_id"), col("lang"), col("pred"),
+        round(lit(1.0) / col("z").cast("double"), 6).as("p"))
+    byDoc
+      .withColumn("bin", least(lit(9L), floor(col("p") * 10)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("acc"),
+        round(sum(col("p").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6).as("conf"))
   }
 
   /** Distributed batch-gradient-descent logistic regression — the
@@ -149,6 +193,7 @@ object ClassifyOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_naive_bayes" -> ((s, d) => naiveBayes(s, d)),
+    "q226_calibration" -> ((s, d) => calibration(s, d)),
     // iterative float training — rows-only; ClassifySpec pins behavior
     "ml_logreg" -> ((s, d) => logRegConfusion(s, d)))
 
@@ -183,5 +228,47 @@ object ClassifyOps {
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY score DESC, c) AS rn FROM score)
         |SELECT lang, c AS pred, COUNT(*) AS n FROM pred
-        |WHERE rn = 1 GROUP BY lang, c""".stripMargin)
+        |WHERE rn = 1 GROUP BY lang, c""".stripMargin,
+    "q226_calibration" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE len(w) > 0),
+        |train AS (SELECT * FROM t2 WHERE doc_id % 5 <> 0),
+        |test AS (SELECT * FROM t2 WHERE doc_id % 5 = 0),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM train),
+        |cls AS (SELECT lang AS c, COUNT(*) AS tok_c,
+        |    COUNT(DISTINCT doc_id) AS docs_c FROM train GROUP BY lang),
+        |wc AS (SELECT lang AS c, w, COUNT(*) AS cwc
+        |  FROM train GROUP BY lang, w),
+        |tf AS (SELECT doc_id, lang, w, COUNT(*) AS tf
+        |  FROM test GROUP BY doc_id, lang, w),
+        |dlen AS (SELECT doc_id, lang, SUM(tf) AS len
+        |  FROM tf GROUP BY doc_id, lang),
+        |part AS (SELECT tf.doc_id, wc.c,
+        |    SUM(tf.tf * CAST(round(ln(wc.cwc + 1.0) * 1000000, 0)
+        |      AS BIGINT)) AS seen
+        |  FROM tf JOIN wc ON tf.w = wc.w GROUP BY tf.doc_id, wc.c),
+        |score AS (SELECT dlen.doc_id, dlen.lang, cls.c,
+        |    CAST(round(ln(cls.docs_c) * 1000000, 0) AS BIGINT)
+        |      + COALESCE(part.seen, 0)
+        |      - dlen.len * CAST(round(ln(CAST(cls.tok_c AS DOUBLE) + v.v)
+        |          * 1000000, 0) AS BIGINT) AS score
+        |  FROM dlen CROSS JOIN cls CROSS JOIN v
+        |  LEFT JOIN part ON part.doc_id = dlen.doc_id AND part.c = cls.c),
+        |top AS (SELECT doc_id, lang, c, score,
+        |    MAX(score) OVER (PARTITION BY doc_id) AS smax
+        |  FROM score),
+        |bydoc AS (SELECT doc_id, lang,
+        |    MIN(CASE WHEN score = smax THEN c END) AS pred,
+        |    round(1.0 / CAST(SUM(CAST(round(
+        |        exp(CAST(score - smax AS DOUBLE) / 1000000.0), 9)
+        |      AS DECIMAL(28, 9))) AS DOUBLE), 6) AS p
+        |  FROM top GROUP BY doc_id, lang)
+        |SELECT CAST(LEAST(9, CAST(floor(p * 10) AS BIGINT)) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  round(CAST(SUM(CASE WHEN lang = pred THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS acc,
+        |  round(CAST(SUM(CAST(p AS DECIMAL(18, 6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS conf
+        |FROM bydoc GROUP BY 1""".stripMargin)
 }

@@ -37,6 +37,54 @@ object InferenceOps {
   private val Lags = Seq(1, 2, 3)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q225 deterministic day-block bootstrap CI for the daily mean of
+    // `value` per event_type — the uncertainty quantifier the t-test
+    // family can't give for non-normal series. Classic bootstrap is
+    // unusable under the cross-engine gate (RNG) and at scale
+    // (row-level resampling multiplies the corpus); this is the
+    // m-out-of-n BLOCK subsample bootstrap: the corpus first reduces
+    // to the calendar-bounded daily table (ONE map-side-combined
+    // shuffle), then each of 200 replicas keeps a day iff an md5 bit
+    // of (replica, day) says so — the q50 deterministic-sampling
+    // primitive, identical in both engines. Replica means divide
+    // DECIMAL sums once; the 95% interval is an ORDER-STATISTIC pick
+    // (ceil-rank in integer arithmetic, q171's discipline), not a
+    // float quantile. Replica volume = types × days × 200 rows of
+    // METADATA regardless of corpus size.
+    "q225_bootstrap_ci" -> ((s, d) => {
+      val b = 200
+      val dly = Tables(s, d, "events")
+        .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+        .agg(sum(col("value").cast(dec)).as("sv"), count(lit(1)).as("n"))
+      val rep = dly
+        .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+        .filter(
+          conv(substring(md5(concat(col("b").cast("string"), lit("_"),
+            col("day").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 2 === 0)
+      val means = rep.groupBy(col("event_type"), col("b"))
+        .agg((sum(col("sv")).cast("double") / sum(col("n"))).as("m"))
+      val tw = Window.partitionBy(col("event_type"))
+      val ranked = means
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("m"), col("b"))))
+        .withColumn("r", count(lit(1)).over(tw))
+      val full = dly.groupBy(col("event_type"))
+        .agg(round(sum(col("sv")).cast("double") / sum(col("n")), 6)
+          .as("mean"))
+      ranked
+        .filter(col("rk") === floor((col("r") * 25 + 999) / lit(1000))
+          || col("rk") === floor((col("r") * 975 + 999) / lit(1000)))
+        .groupBy(col("event_type"))
+        .agg(max(col("r")).as("n_reps"),
+          round(min(col("m")), 6).as("ci_lo"),
+          round(max(col("m")), 6).as("ci_hi"))
+        .join(full, "event_type")
+        .select(col("event_type"), col("n_reps"), col("mean"),
+          col("ci_lo"), col("ci_hi"))
+    }),
+
     // q188 Kolmogorov-Smirnov two-sample test per event_type (A/B arms
     // on user_id parity) — the distribution-level complement to q136's
     // mean test and q186's rank test: D = sup |F_A(v) - F_B(v)|. The
@@ -281,6 +329,37 @@ object InferenceOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q225_bootstrap_ci" ->
+      """WITH dly AS (
+        |  SELECT event_type, EXTRACT(day FROM ts) AS day,
+        |    SUM(CAST(value AS DECIMAL(18, 4))) AS sv, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT event_type, day, sv, n, b
+        |  FROM dly, (SELECT UNNEST(range(0, 200)) AS b)
+        |  WHERE CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' ||
+        |      CAST(day AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0),
+        |means AS (
+        |  SELECT event_type, b,
+        |    CAST(SUM(sv) AS DOUBLE) / SUM(n) AS m
+        |  FROM rep GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, b, m,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY m, b)
+        |      AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS r
+        |  FROM means),
+        |full_m AS (
+        |  SELECT event_type,
+        |    round(CAST(SUM(sv) AS DOUBLE) / SUM(n), 6) AS mean
+        |  FROM dly GROUP BY 1)
+        |SELECT ranked.event_type, CAST(MAX(r) AS BIGINT) AS n_reps,
+        |  MAX(full_m.mean) AS mean,
+        |  round(MIN(m), 6) AS ci_lo, round(MAX(m), 6) AS ci_hi
+        |FROM ranked JOIN full_m ON ranked.event_type = full_m.event_type
+        |WHERE rk = (r * 25 + 999) // 1000
+        |   OR rk = (r * 975 + 999) // 1000
+        |GROUP BY 1""".stripMargin,
     "q205_anova" ->
       """WITH g AS (SELECT event_type, COUNT(*) AS ni,
         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS si,

@@ -119,8 +119,28 @@ object SqlSurface {
       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
       |FROM reach GROUP BY node""".stripMargin
 
+  /** q227: GROUP BY ALL + ORDER BY ALL — the modern analyst-SQL
+    * shorthand (every non-aggregate select item becomes a grouping key;
+    * the result orders by the full output row). Spark 4 and DuckDB both
+    * implement the same resolution rule, so one text serves engine and
+    * oracle; the aggregate rides the decimal discipline as always.
+    */
+  def groupByAllSqlOn(lineitem: String): String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS qty
+      |FROM $lineitem
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
+      "q227_group_by_all" -> ((s, d) => {
+        Tables(s, d, "lineitem")
+          .createOrReplaceTempView("graft_q227_lineitem")
+        val df = s.sql(groupByAllSqlOn("graft_q227_lineitem"))
+        s.catalog.dropTempView("graft_q227_lineitem")
+        df
+      }),
       // Star join over all six chained tables (TPC-H Q5 shape): local
       // supplier revenue by nation for one region-year. Catalyst's job
       // here is join ORDER (pushing the region/nation reduction below
@@ -288,6 +308,7 @@ object SqlSurface {
   }
 
   def oracle: Map[String, String] = Map(
+    "q227_group_by_all" -> groupByAllSqlOn("lineitem"),
     "q147_lateral_topk" -> lateralTopSqlOn("nation", "customer"),
     "q143_recursive_reach" ->
       recursiveReachSqlOn("lineitem", "orders", "customer"),

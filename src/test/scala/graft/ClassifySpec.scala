@@ -116,4 +116,36 @@ class ClassifySpec extends SparkSpec {
       assert(langs.contains(r.getString(0)) && langs.contains(r.getString(1)))
     }
   }
+  test("q226 calibration bins partition the held-out set, values in range") {
+    val conf = ClassifyOps.queries("q189_naive_bayes")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+    val bins = ClassifyOps.queries("q226_calibration")(spark, sf).collect()
+    assert(bins.map(_.getAs[Long]("n")).sum === conf)
+    bins.foreach { r =>
+      val (bin, acc, c) = (r.getAs[Long]("bin"), r.getAs[Double]("acc"),
+        r.getAs[Double]("conf"))
+      // top-of-5 posterior is always > 1/5 -> bins 1..9 only
+      assert(bin >= 1L && bin <= 9L)
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(c >= 0.0 && c <= 1.0 + 1e-9)
+      // claimed confidence lies inside its own decile bin
+      assert(c >= bin / 10.0 - 1e-6 && (bin == 9L || c < (bin + 1) / 10.0 + 1e-6))
+    }
+  }
+
+  test("q226 a perfectly separable corpus calibrates to the top bin") {
+    import spark.implicits._
+    // two languages with disjoint vocabularies, many docs each
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "aa bb cc aa bb cc aa bb", "en", "s", 8L)
+      else (i, "xx yy zz xx yy zz xx yy", "fr", "s", 8L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = java.nio.file.Files.createTempDirectory("graft-q226").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val bins = ClassifyOps.queries("q226_calibration")(spark, d).collect()
+    assert(bins.length === 1)
+    assert(bins.head.getAs[Long]("bin") === 9L)
+    assert(bins.head.getAs[Double]("acc") === 1.0)
+    assert(bins.head.getAs[Double]("conf") > 0.9)
+  }
 }

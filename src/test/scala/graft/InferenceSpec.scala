@@ -227,4 +227,56 @@ class InferenceSpec extends SparkSpec {
       assert(acf >= -1.0 && acf <= 1.0, s"acf out of range: $acf")
     }
   }
+  test("q225 bootstrap CI: degenerate identical days collapse the interval") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // every day has the same single value -> every replica mean == mean
+    val rows = (1 to 20).map(dd =>
+      (dd.toLong, Timestamp.valueOf(f"2024-01-$dd%02d 09:00:00"), 1L,
+        "flat", 7.25, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val out = InferenceOps.queries("q225_bootstrap_ci")(spark, sf)
+    // driver-data shape assertions ride below; the crafted frame runs
+    // through the same code path via a direct call on the daily shape
+    val r = bootstrapOn(df).collect().head
+    assert(r.getAs[Double]("mean") === 7.25)
+    assert(r.getAs[Double]("ci_lo") === 7.25)
+    assert(r.getAs[Double]("ci_hi") === 7.25)
+    assert(out.columns.toSeq ===
+      Seq("event_type", "n_reps", "mean", "ci_lo", "ci_hi"))
+  }
+
+  test("q225 bootstrap CI brackets the full-sample mean on driver data") {
+    val rows = InferenceOps.queries("q225_bootstrap_ci")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, m, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("mean"),
+        r.getAs[Double]("ci_hi"))
+      assert(lo <= hi)
+      assert(lo <= m && m <= hi,
+        s"CI [$lo, $hi] misses mean $m for ${r.getString(0)}")
+      // half-sampling keeps most of the 200 replicas non-empty
+      assert(r.getAs[Long]("n_reps") > 150L)
+    }
+  }
+
+  test("q225 bootstrap is deterministic across invocations") {
+    val a = InferenceOps.queries("q225_bootstrap_ci")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val b = InferenceOps.queries("q225_bootstrap_ci")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  /** The q225 pipeline applied to an arbitrary events frame (the driver
+    * entry binds it to the sf dir; specs need crafted frames).
+    */
+  private def bootstrapOn(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft-q225").toString
+    events.write.mode("overwrite").parquet(s"$d/events.parquet")
+    InferenceOps.queries("q225_bootstrap_ci")(spark, d)
+  }
 }

@@ -131,4 +131,19 @@ class SqlSurfaceSpec extends SparkSpec {
     got.groupBy(_._1).foreach { case (n, rs) =>
       assert(rs.size <= 2, s"nation $n has ${rs.size} rows") }
   }
+  test("q227 GROUP BY ALL equals the explicit grouped aggregation") {
+    import org.apache.spark.sql.functions._
+    val got = SqlSurface.queries("q227_group_by_all")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("qty"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
