@@ -78,7 +78,11 @@ object PlanAudit {
       "q214_ann_filtered", "q216_hard_negatives", "q215_boilerplate_chunks",
       "layout_merge_versioned", "sim_ann_ivf", "sim_ann_ivfpq",
       "stream_dedup_inc", "rfm_globalrank", "q154_also_bought",
-      "text_bpe_encode")
+      "text_bpe_encode",
+      // round-5 additions
+      "q220_psi_drift", "q221_target_encode", "q222_mann_kendall",
+      "q223_quantile_norm", "q224_isotonic", "q225_bootstrap_ci",
+      "q226_calibration", "q227_group_by_all", "stream_psi_drift")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
@@ -112,6 +116,10 @@ object PlanAudit {
     // engine must do for an exact top-k baseline
     "q25_ann_topk" -> "query-set broadcast, corpus scanned once by definition",
     "q149_knn_classify" -> "query-set broadcast, corpus scanned once by definition",
+    // both join predicates are inequalities (≠ id, ≠ label), so the
+    // broadcast of the bounded query set cannot hash — the scan-once
+    // nested loop IS the exact mining pass (q25's rationale)
+    "q216_hard_negatives" -> "query-set broadcast, corpus scanned once by definition",
     // the `<` pair join runs over the |event-types|-row SKETCH table —
     // bounded metadata (5x5 here); the corpus contributed one sketch
     // aggregation upstream
@@ -130,5 +138,7 @@ object PlanAudit {
     // the candidate universe IS the operator's defined work: every
     // customer × the PopPool(=50)-row popular-item pool, then anti-join
     "q182_negative_sample" -> "bounded candidate-pool (50-row) broadcast",
-    "rfm_globalrank" -> "1-row recency-horizon broadcast")
+    "rfm_globalrank" -> "1-row recency-horizon broadcast",
+    // q226 rides q189's scoring: the same |classes|-row grid broadcast
+    "q226_calibration" -> "|classes|-row model-constant grid broadcast")
 }

@@ -85,7 +85,12 @@ object PlanDump {
       "stats_wmedian_2pass" -> "pass 1: 64-bucket weight histogram (map-side combined); bucket walk over flags x 64 rows; pass 2 re-scans ONLY the located buckets and refines — exact q171 answer, no per-group corpus sort",
       "rfm_globalrank" -> "three sampled-boundary GlobalRank passes + closed-form ntile from the gap-free rank — NO whole-relation single-partition window, no checkpoint pinning",
       "q207_freq_triples" -> "Apriori L2 ⋈ L1 candidate join on the doc key — support-filtered pair hits bound the triple volume (anti-monotonicity), never tokens³",
-      "q209_dsir_weights" -> "both n-gram distributions reduce to 256-row bounded tables; per-bucket log-ratios broadcast over ONE corpus feature pass — the whole selection model is KB metadata")
+      "q209_dsir_weights" -> "both n-gram distributions reduce to 256-row bounded tables; per-bucket log-ratios broadcast over ONE corpus feature pass — the whole selection model is KB metadata",
+      "q220_psi_drift" -> "one (type, value) arm-count shuffle; decile boundaries from the integer cum-walk over the distinct-value table; 9-double boundary arrays broadcast — bucketing is a narrow array filter, no join multiplier",
+      "q221_target_encode" -> "one grouped pass over orders⋈broadcast(customer); global-mean prior is a 1-row driver scalar; nation names broadcast",
+      "q222_mann_kendall" -> "corpus reduces to the calendar-bounded daily table in ONE map-side-combined shuffle; the C(days,2) pair self-join and the Sen order-statistic window touch only that metadata",
+      "q225_bootstrap_ci" -> "200-replica explode over the DAILY table (types x days x 200 rows of metadata, never the corpus); md5 day-inclusion is a narrow filter; CI is an integer ceil-rank pick",
+      "q226_calibration" -> "rides q189's vocab-bounded scoring joins; posterior normalizer sums once-rounded exp terms DECIMALLY per doc (order-independent); bin table is 10 rows")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -230,7 +235,15 @@ object PlanDump {
       "q214_ann_filtered" ->
         "explicit broadcast(query set WITH labels): the label equality rides the join condition into the broadcast build side — pre-filter ANN; the corpus stays partitioned, and a label-partitioned layout turns the predicate into partition pruning at scale",
       "q199_stream_semi_join" ->
-        "stream-stream left semi: both sides watermark-bounded state, no broadcast; batch twin: AQE decides")
+        "stream-stream left semi: both sides watermark-bounded state, no broadcast; batch twin: AQE decides",
+      "q220_psi_drift / stream_psi_drift" ->
+        "explicit broadcast(boundary/ref-model table): types x (9 doubles + 10 longs) — bounded metadata; bucket assignment is a narrow array filter on the corpus side (no join multiplier, no BNLJ); the streaming twin keeps (windows x types x 10) counters of state",
+      "q221_target_encode" ->
+        "explicit broadcast(customer, nation): bounded catalogs; the global-mean prior is a 1-row driver scalar folded into the projection — the corpus contributes ONE grouped pass",
+      "q222_mann_kendall / q224_isotonic / q225_bootstrap_ci" ->
+        "no hint needed anywhere: every join/window/explode runs over the calendar-bounded DAILY table (types x days rows of metadata); the corpus's only appearance is the one map-side-combined daily aggregation",
+      "q226_calibration" ->
+        "rides q189's broadcast decisions unchanged (class grid broadcast, vocab join un-hinted); the posterior fold and decile binning add zero joins")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"
