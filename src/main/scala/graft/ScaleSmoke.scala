@@ -43,7 +43,12 @@ object ScaleSmoke {
       // search), the salted hot-join twin, and the streaming dedup
       // pipeline end-to-end
       "q123_cdc_apply", "q124_checksum_compare", "mm_image_neardup",
-      "q211_salted_hot_join", "stream_dedup_inc")
+      "q211_salted_hot_join", "stream_dedup_inc",
+      // round-5 additions whose cost scales with the corpus (the
+      // drift/trend family is calendar-bounded and needs no smoke):
+      // NB calibration rides the vocab-bounded scoring joins; the
+      // target encoder is one grouped pass over the replicated orders
+      "q226_calibration", "q221_target_encode")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

@@ -221,6 +221,38 @@ object DedupQueries {
     // stop-shingle df cap bounds the inverted-index join's worst case.
     "q23_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d, ShingleFreqCap)),
 
+    // q229 cross-source overlap matrix — the corpus-composition audit a
+    // mixing pipeline runs before setting source weights: for every
+    // source PAIR, the shared 3-gram vocabulary as Jaccard and as
+    // containment (share of the smaller source's shingle set). Shingles
+    // come from the session ShingleCache (one tokenize pass shared with
+    // q23/q108/q129); the (source, shingle) relation is SOURCE-deduped
+    // first, so the self-join on the shingle key fans out at most
+    // |sources|² rows per shingle — bounded by the source catalog, not
+    // by shingle frequency (contrast q23, which needs a df cap because
+    // its unit is the document). Output is C(|sources|, 2) rows of
+    // metadata. Counts exact; the two divisions round once.
+    "q229_source_overlap" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+      val post = ShingleCache.hashed(s, d).join(docs, "doc_id")
+        .select(col("source"), col("h")).distinct()
+      val sizes = post.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      post.as("a").join(post.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("s1"),
+          col("n").as("n1"))), "s1")
+        .join(broadcast(sizes.select(col("source").as("s2"),
+          col("n").as("n2"))), "s2")
+        .select(col("s1"), col("s2"), col("inter"),
+          round(col("inter") / least(col("n1"), col("n2")), 6)
+            .as("containment"),
+          round(col("inter") / (col("n1") + col("n2") - col("inter")), 6)
+            .as("jaccard"))
+    }),
+
     // Asymmetric containment (small-doc-inside-big-doc detection) —
     // see containmentPairs.
     "q108_containment" -> ((s, d) => containmentPairs(s, d, ShingleFreqCap)),
@@ -634,6 +666,25 @@ object DedupQueries {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "q21_minhash_lsh" -> exactPairsSql,
     "q23_ngram_jaccard" -> exactPairsSql,
+    // Replays q229 on raw shingle strings (the Spark side joins on
+    // xxhash64 keys — same collision-free assumption as q23/q129).
+    "q229_source_overlap" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT source, unnest(list_distinct(
+        |         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |          FOR i IN range(1, len(tk) - 1)])) AS g FROM t),
+        |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+        |co AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+        |       FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT s1, s2, inter,
+        |  round(CAST(inter AS DOUBLE) / LEAST(x.n, y.n), 6)
+        |    AS containment,
+        |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
+        |FROM co JOIN sz x ON s1 = x.source JOIN sz y ON s2 = y.source"""
+        .stripMargin,
     // Replays the idf-cosine on raw shingle strings (the Spark side
     // joins on xxhash64 keys — collision-free at any plausible shingle
     // vocabulary; same assumption as q23's postings).

@@ -95,6 +95,12 @@ object EventQueries {
     "q31_sessions" -> ((s, d) =>
       graft.streaming.EventStream.sessionized(Tables(s, d, "events"), 30)),
 
+    // §2.10: DYNAMIC-gap sessionization (per-event timeout) — see
+    // EventStream.sessionizedDynamic for the interval-union semantics.
+    "q228_dynamic_sessions" -> ((s, d) =>
+      graft.streaming.EventStream.sessionizedDynamic(
+        Tables(s, d, "events"))),
+
     // §2.10: stream-stream join, batch twin — clicks matched to the same
     // user's purchases within 10 minutes (EventStreamSpec runs the same
     // plan as a watermarked MemoryStream join and pins equality).
@@ -296,6 +302,22 @@ object EventQueries {
         | CAST(datediff('day', f.cohort, a.wk) AS BIGINT) // 7 AS week_offset
         |FROM f JOIN a ON f.user_id = a.user_id
         |GROUP BY f.cohort, a.wk""".stripMargin,
+    "q228_dynamic_sessions" ->
+      """WITH g AS (SELECT user_id, ts,
+        |    ts + CASE WHEN event_type IN ('view', 'click')
+        |         THEN INTERVAL 30 MINUTE ELSE INTERVAL 10 MINUTE END AS e
+        |  FROM events),
+        |m AS (SELECT user_id, ts, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+        |  FROM g),
+        |f AS (SELECT *, CASE WHEN cm IS NULL OR ts >= cm THEN 1 ELSE 0 END
+        |    AS new_s FROM m),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, e ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(e) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q31_sessions" ->
       """WITH e AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL

@@ -279,6 +279,35 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_end"), col("n_events"), col("sum_value"))
 
+  /** q228: sessionization with a DYNAMIC gap — the session timeout
+    * depends on the event (engagement events like view/click hold a
+    * session open for 30 minutes; transactional events only 10). This
+    * is Spark's `session_window(ts, gapExpr)` surface: each event
+    * contributes the interval [ts, ts+gap(event)) and overlapping
+    * intervals merge, so the session END is the running MAX of member
+    * ends, not last-event + constant. Same single shuffle on user_id
+    * as the fixed-gap form (q31); works identically over a watermarked
+    * stream (EventStreamSpec pins streaming == batch). The DuckDB twin
+    * reconstructs the merge with the classic interval-union walk: a
+    * session boundary is exactly an event whose ts ≥ the running max
+    * end of all previous events (ends are non-decreasing across
+    * sessions, so the global cummax IS the current session's end).
+    */
+  def sessionizedDynamic(events: DataFrame): DataFrame = {
+    // string durations: session_window requires CalendarIntervalType
+    // (ANSI INTERVAL literals arrive as DayTimeIntervalType and are
+    // rejected); duration strings cast to the right type per-row
+    val gap = when(col("event_type").isin("view", "click"),
+      lit("30 minutes")).otherwise(lit("10 minutes"))
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Per-window top-k event types, batch form — q93's oracle-checked
     * shape: tumbling 10-minute windows, types ranked by (count desc,
     * type). Two-phase at scale: the windowed count is a partial+final

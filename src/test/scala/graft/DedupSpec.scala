@@ -258,4 +258,38 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(9L), s"only the genuinely new doc survives; got $got")
   }
+
+  test("q229 source overlap: identical sources overlap fully, disjoint not at all") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f", "en", "s1", 11L),
+      (2L, "a b c d e f", "en", "s2", 11L), // s2 == s1 vocabulary
+      (3L, "x y z w v u", "en", "s3", 11L)) // s3 disjoint from both
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-q229").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = graft.queries.DedupQueries
+        .queries("q229_source_overlap")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      // only the (s1, s2) pair exists; 4 shared 3-grams, both sides 4
+      assert(got.toSeq === Seq(("s1", "s2", 4L, 1.0, 1.0)))
+    } finally graft.queries.ShingleCache.evict(spark, dir)
+  }
+
+  test("q229 source overlap on driver data: bounded, symmetric-free, sane") {
+    val rows = graft.queries.DedupQueries
+      .queries("q229_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s1, s2, inter, cont, jac) =>
+      assert(s1 < s2, "each pair appears in one canonical orientation")
+      assert(inter > 0)
+      assert(cont > 0.0 && cont <= 1.0)
+      assert(jac > 0.0 && jac <= cont + 1e-9,
+        "jaccard cannot exceed containment")
+    }
+  }
 }

@@ -338,4 +338,56 @@ class EventStreamSpec extends SparkSpec {
         r.getInt(3))).toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("dynamic-gap sessions: engagement holds a session open, txn does not") {
+    import spark.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    // user 1: view@10:00 holds 30 min; purchase@10:20 holds 10 min ->
+    // session end stays 10:30 (the view's hold wins); view@10:31 starts
+    // a NEW session. user 2: error@10:00 holds only 10 min, so
+    // error@10:15 is a separate session.
+    val events = Seq(
+      (1L, t(0), "view"), (1L, t(20), "purchase"), (1L, t(31), "view"),
+      (2L, t(0), "error"), (2L, t(15), "error"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventStream.sessionizedDynamic(events).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, t(0), Timestamp.valueOf("2024-03-01 10:30:00"), 2L),
+      (1L, t(31), Timestamp.valueOf("2024-03-01 11:01:00"), 1L),
+      (2L, t(0), Timestamp.valueOf("2024-03-01 10:10:00"), 1L),
+      (2L, t(15), Timestamp.valueOf("2024-03-01 10:25:00"), 1L)))
+  }
+
+  test("dynamic-gap sessions: streaming emits the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, t(0), "view"), (1L, t(20), "purchase"), (1L, t(31), "view"),
+      (2L, t(0), "error"), (2L, t(15), "error"))
+    val batch = EventStream.sessionizedDynamic(
+      rows.toDF("user_id", "ts", "event_type")).collect()
+      .map(_.toString).toSet
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.sessionizedDynamic(
+      stream.toDF().toDF("user_id", "ts", "event_type")
+        .withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("dyn_sess")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      // advance the watermark far past every session end (12:00 cannot
+      // merge with any original interval) so all four sessions close
+      stream.addData(Seq(
+        (1L, Timestamp.valueOf("2024-03-01 12:00:00"), "view"),
+        (2L, Timestamp.valueOf("2024-03-01 12:00:00"), "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dyn_sess").collect().map(_.toString).toSet
+    // the 12:00 closer sessions are still open -> exactly the batch set
+    assert(streamed === batch)
+  }
 }
