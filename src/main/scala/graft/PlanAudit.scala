@@ -82,7 +82,9 @@ object PlanAudit {
       // round-5 additions
       "q220_psi_drift", "q221_target_encode", "q222_mann_kendall",
       "q223_quantile_norm", "q224_isotonic", "q225_bootstrap_ci",
-      "q226_calibration", "q227_group_by_all", "stream_psi_drift")
+      "q226_calibration", "q227_group_by_all", "stream_psi_drift",
+      "q228_dynamic_sessions", "q229_source_overlap",
+      "q230_homoglyph_dedup")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -48,7 +48,11 @@ object ScaleSmoke {
       // drift/trend family is calendar-bounded and needs no smoke):
       // NB calibration rides the vocab-bounded scoring joins; the
       // target encoder is one grouped pass over the replicated orders
-      "q226_calibration", "q221_target_encode")
+      "q226_calibration", "q221_target_encode",
+      // session merge, the source-pair shingle join, and the skeleton
+      // group all scale with the corpus
+      "q228_dynamic_sessions", "q229_source_overlap",
+      "q230_homoglyph_dedup")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

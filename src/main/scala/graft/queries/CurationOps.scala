@@ -30,6 +30,25 @@ object CurationOps {
     */
   private def isProbe(c: Column): Column = pmod(c, lit(97)) === 0
 
+  /** q230 homoglyph-confusable mapping (a UTS #39 "confusables"
+    * SUBSET): visually-identical Cyrillic/Greek letters fold to their
+    * Latin skeletons, and invisible joiners/width characters are
+    * DELETED (both engines' `translate` drops source characters beyond
+    * the replacement string's length). The pair of strings is the
+    * single source of truth for the Spark plan AND the DuckDB oracle,
+    * so the skeleton is bit-identical cross-engine. Deliberately
+    * conservative: only unambiguous lookalikes — a full confusables
+    * table is data, not code, and would ship as a broadcast lookup.
+    */
+  private[graft] val ConfusablesFrom: String =
+    "аеорсхуіј" + // а е о р с х у і ј
+    "АВЕКМНОРСТХ" + // А В Е К М Н О Р С Т Х
+    "οαν" + // Greek ο α ν
+    // ZWSP, ZWNJ, ZWJ, soft hyphen, BOM/ZWNBSP: deleted (no target)
+    "\u200B\u200C\u200D\u00AD\uFEFF"
+  private[graft] val ConfusablesTo: String =
+    "aeopcxyij" + "ABEKMHOPCTX" + "oav"
+
   /** q212 chunking window (tokens) and stride: ~100-token docs yield
     * 4–5 overlapping chunks each (overlap = ChunkW − ChunkS = 8).
     */
@@ -55,6 +74,27 @@ object CurationOps {
         md5(col("col.chunk")).as("chunk_hash"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q230 homoglyph-skeleton dedup — the adversarial-duplicate pass:
+    // spam/SEO corpora evade exact dedup by swapping Latin letters for
+    // Cyrillic/Greek lookalikes or injecting zero-width characters.
+    // Folding every doc to its confusable SKELETON (builtin `translate`
+    // — codegen'd, no UDF, chars beyond the replacement deleted) and
+    // exact-grouping on the skeleton catches what q20 misses:
+    // n_texts > 1 inside a cluster means visually-identical docs whose
+    // raw bytes differ (planted and pinned in CurationOpsSpec; the
+    // clean driver corpus yields all-singleton clusters, every skeleton
+    // hash-checked). One map-side-combined shuffle on the 16-byte
+    // skeleton hash — exactly q20's scale shape.
+    "q230_homoglyph_dedup" -> ((s, d) => {
+      val skel = md5(lower(translate(col("text"),
+        ConfusablesFrom, ConfusablesTo)))
+      Tables(s, d, "documents")
+        .groupBy(skel.as("skel_key"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("text")).as("n_texts"),
+          min(col("doc_id")).as("keeper"))
+    }),
+
     // Decontamination via inverted shingle index: a document is
     // contaminated iff it shares ANY 3-token shingle with the probe set.
     // q212 sliding-window document chunking — the context-window prep
@@ -392,6 +432,15 @@ object CurationOps {
       .stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the mapping strings interpolate from the SAME Scala constants the
+    // Spark plan uses — one source of truth for the skeleton
+    "q230_homoglyph_dedup" ->
+      s"""SELECT md5(lower(translate(text, '$ConfusablesFrom',
+         |    '$ConfusablesTo'))) AS skel_key,
+         |  COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_texts,
+         |  MIN(doc_id) AS keeper
+         |FROM documents
+         |GROUP BY 1""".stripMargin,
     "q212_chunk_sliding" ->
       s"""WITH t AS (SELECT doc_id,
          |    list_filter(string_split(text, ' '), x -> x != '') AS tk

@@ -187,4 +187,35 @@ class CurationOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == first)
   }
+
+  test("q230 homoglyph dedup clusters Cyrillic/zero-width evasions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "paypal account verify now", "en", "s", 25L),
+      // Cyrillic а/е/о/р/с lookalikes of doc 1
+      (2L, "p\u0430yp\u0430l \u0430ccount v\u0435rify n\u043ew", "en", "s", 25L),
+      // zero-width space injected into doc 1's text
+      (3L, "pay\u200Bpal account verify now", "en", "s", 26L),
+      (4L, "a completely different document", "en", "s", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-q230").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.CurationOps
+      .queries("q230_homoglyph_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one cluster of the three evasion variants (3 docs, 3 distinct raw
+    // texts) + one singleton
+    assert(got.toSet === Set((3L, 3L, 1L), (1L, 1L, 4L)))
+  }
+
+  test("q230 skeleton is the identity on clean ASCII text") {
+    import spark.implicits._
+    import graft.queries.CurationOps
+    val skel = org.apache.spark.sql.functions.translate(
+      org.apache.spark.sql.functions.col("t"),
+      CurationOps.ConfusablesFrom, CurationOps.ConfusablesTo)
+    val r = Seq(("The quick brown fox 123 !@#"))
+      .toDF("t").select(skel).head().getString(0)
+    assert(r === "The quick brown fox 123 !@#")
+  }
 }
