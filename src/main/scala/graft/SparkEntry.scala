@@ -68,6 +68,7 @@ object SparkEntry {
     "q107_rolling_distinct" -> "StatsOpsSpec",
     "q112_approx_percentiles" -> "StatsOpsSpec",
     "q224_isotonic" -> "TrendSpec",
+    "q231_pagerank_inc" -> "GraphSpec",
     "q78_compress_ratio" -> "TextKernelsSpec",
     "sim_ann_ivf" -> "AnnSpec",
     "sim_ann_ivfpq" -> "AnnSpec",

@@ -237,4 +237,53 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)))
   }
+
+  test("warm-started pageRank continues the iteration (k then m == k+m)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("u", "v")
+    val full = PageRank.pageRank(e, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val half = PageRank.pageRank(e, 2)
+    val cont = PageRank.pageRankFrom(e, half, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cont.keySet === full.keySet)
+    cont.foreach { case (n, r) =>
+      assert(math.abs(r - full(n)) < 1e-12, s"node $n: $r vs ${full(n)}")
+    }
+  }
+
+  test("after an edge delta, warm start converges faster than cold") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (5L, 4L),
+      (2L, 5L)).toDF("u", "v")
+    val delta = Seq((5L, 1L), (1L, 4L)).toDF("u", "v")
+    val grown = base.union(delta)
+    val ref = PageRank.pageRank(grown, 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val warmStartRanks = PageRank.pageRank(base, 15)
+    def maxDiff(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(r => math.abs(r.getDouble(1) - ref(r.getLong(0))))
+        .max
+    val warm = maxDiff(PageRank.pageRankFrom(grown, warmStartRanks, 4))
+    val cold = maxDiff(PageRank.pageRank(grown, 4))
+    assert(warm < cold,
+      s"warm $warm should beat cold $cold at the same round budget")
+    // two new edges on a 5-node graph move the fixed point materially,
+    // so the bound is coarse; the STRICT claim is warm < cold above
+    assert(warm < 1e-2)
+  }
+
+  test("warm start seeds unseen nodes at uniform mass") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    // initial ranks know only node 1; node 2 must fall back to 1/N
+    val init = Seq((1L, 0.7)).toDF("node", "rank")
+    val got = PageRank.pageRankFrom(e, init, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // teleport = (1-d)/N = 0.075; round 1: node 2 gathers
+    // 0.075 + 0.85 * r1(=0.7), node 1 gathers 0.075 + 0.85 * r2(=1/N)
+    assert(math.abs(got(2L) - (0.075 + 0.85 * 0.7)) < 1e-12)
+    assert(math.abs(got(1L) - (0.075 + 0.85 * 0.5)) < 1e-12)
+  }
 }
