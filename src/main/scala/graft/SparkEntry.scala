@@ -82,6 +82,7 @@ object SparkEntry {
     "stats_wmedian_2pass" -> "StatsOpsSpec",
     "stream_dedup_inc" -> "StreamingDedupSpec",
     "stream_psi_drift" -> "StreamingDriftSpec",
+    "stream_scd2_enrich" -> "EventStreamSpec",
     "text_bpe_encode" -> "BpeSpec",
     "text_bpe_train" -> "BpeSpec",
     "text_fingerprint_xx" -> "TextAnalysisSpec")

@@ -101,6 +101,34 @@ object EventQueries {
       graft.streaming.EventStream.sessionizedDynamic(
         Tables(s, d, "events"))),
 
+    // §2.10: streaming point-in-time enrichment (rows-only; pinned by
+    // EventStreamSpec): days 16+ stream through a stream-static
+    // temporal join against the SCD2 history built from days 1-15 —
+    // each fact picks the dimension version valid AT ITS EVENT TIME.
+    // Output is the per-state audit aggregate of the enriched stream.
+    "stream_scd2_enrich" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val dim = ev.filter(dayofmonth(col("ts")) <= 15)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id").as("d_key"), col("event_type").as("attr"),
+          col("ts").as("valid_from"), col("valid_to"))
+      val facts = graft.streaming.EventStream.readEventsStream(s, d)
+        .filter(dayofmonth(col("ts")) > 15)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val out = graft.streaming.EventStream.scd2Enrich(facts, dim)
+      graft.streaming.EventStream.runToMemory(out, "stream_scd2_enrich",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("stream_scd2_enrich")
+        .groupBy(col("state_at_event"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // §2.10: stream-stream join, batch twin — clicks matched to the same
     // user's purchases within 10 minutes (EventStreamSpec runs the same
     // plan as a watermarked MemoryStream join and pins equality).

@@ -372,6 +372,33 @@ object EventStream {
       }
   }
 
+  /** Point-in-time (temporal) enrichment of a fact stream against an
+    * SCD2 dimension: each fact joins the dimension VERSION whose
+    * [valid_from, valid_to) interval covers the fact's event time — the
+    * "what did we believe about this user when the event happened"
+    * join, the streaming counterpart of q83's history build and the
+    * interval cousin of the as-of join (q34/q176).
+    *
+    * `dim` columns: (d_key, attr, valid_from, valid_to) with NULL
+    * valid_to on the current version. Works identically on a BATCH
+    * fact frame (EventStreamSpec pins streaming == batch). Scale: this
+    * is a stream-STATIC join with an EQUALITY conjunct on the key, so
+    * every micro-batch plans a hash join with the validity range as a
+    * residual filter — no unbounded stream-stream state, no BNLJ; the
+    * dimension re-reads per batch, which is exactly the SCD2 refresh
+    * contract. Facts before their key's first version emit with NULL
+    * attr (left join) — the honest "we did not know them yet" row.
+    */
+  def scd2Enrich(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts.join(dim,
+      facts("user_id") === dim("d_key") &&
+        facts("ts") >= dim("valid_from") &&
+        (dim("valid_to").isNull || facts("ts") < dim("valid_to")),
+      "left")
+      .select(facts("event_id"), facts("ts"), facts("user_id"),
+        facts("event_type"), dim("attr").as("state_at_event"),
+        dim("valid_from").as("state_since"))
+
   /** readStream twin of Tables(): parquet source with the RAW on-disk
     * schema (streaming needs it explicit), then the same ts
     * normalization the batch loader applies.

@@ -390,4 +390,50 @@ class EventStreamSpec extends SparkSpec {
     // the 12:00 closer sessions are still open -> exactly the batch set
     assert(streamed === batch)
   }
+
+  test("scd2 temporal enrich picks the version valid at event time") {
+    import spark.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val dim = Seq(
+      (1L, "bronze", t(0), Some(t(10))),
+      (1L, "gold", t(10), None))
+      .toDF("d_key", "attr", "valid_from", "valid_to")
+    val facts = Seq(
+      (100L, t(5), 1L, "view"),   // inside the bronze interval
+      (101L, t(10), 1L, "view"),  // exactly at the flip -> gold
+      (102L, t(20), 1L, "click"), // current version
+      (103L, t(5), 2L, "view"))   // unknown user -> NULL state
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventStream.scd2Enrich(facts, dim).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(got === Map(100L -> Some("bronze"), 101L -> Some("gold"),
+      102L -> Some("gold"), 103L -> None))
+  }
+
+  test("scd2 enrich: streaming facts equal the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val dim = Seq(
+      (1L, "bronze", t(0), Some(t(10))), (1L, "gold", t(10), None),
+      (2L, "silver", t(3), None))
+      .toDF("d_key", "attr", "valid_from", "valid_to")
+    val rows = Seq(
+      (100L, t(5), 1L, "view"), (101L, t(12), 1L, "view"),
+      (102L, t(1), 2L, "click"), (103L, t(7), 2L, "click"))
+    val batch = EventStream.scd2Enrich(
+      rows.toDF("event_id", "ts", "user_id", "event_type"), dim)
+      .collect().map(_.toString).toSet
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = EventStream.scd2Enrich(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type"), dim)
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(2)); q.processAllAvailable()
+      stream.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("scd2_stream").collect().map(_.toString).toSet
+      === batch)
+  }
 }
