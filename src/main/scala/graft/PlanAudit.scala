@@ -84,7 +84,8 @@ object PlanAudit {
       "q223_quantile_norm", "q224_isotonic", "q225_bootstrap_ci",
       "q226_calibration", "q227_group_by_all", "stream_psi_drift",
       "q228_dynamic_sessions", "q229_source_overlap",
-      "q230_homoglyph_dedup", "q231_pagerank_inc", "stream_scd2_enrich")
+      "q230_homoglyph_dedup", "q231_pagerank_inc", "stream_scd2_enrich",
+      "q232_pack_bins", "q233_approx_distinct")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

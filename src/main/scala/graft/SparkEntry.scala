@@ -69,6 +69,8 @@ object SparkEntry {
     "q112_approx_percentiles" -> "StatsOpsSpec",
     "q224_isotonic" -> "TrendSpec",
     "q231_pagerank_inc" -> "GraphSpec",
+    "q232_pack_bins" -> "PipelineOpsSpec",
+    "q233_approx_distinct" -> "ApproxRewriteSpec",
     "q78_compress_ratio" -> "TextKernelsSpec",
     "sim_ann_ivf" -> "AnnSpec",
     "sim_ann_ivfpq" -> "AnnSpec",

@@ -59,6 +59,55 @@ object PipelineOps {
         col("top_bi_frac"), col("dup_tri_frac"),
         (col("top_bi_frac") <= 0.2 && col("dup_tri_frac") <= 0.2).as("keep"))
 
+  /** q232: bin packing WITHOUT document splitting — the SFT/instruction
+    * tuning counterpart of [[packSequences]] (which concat-splits like
+    * pretraining): each document must land whole in one context window,
+    * so the packer is first-fit-decreasing per shard — sort the shard's
+    * docs by token count descending (doc_id tiebreak), place each into
+    * the first bin with room, open a new bin when none fits. Docs longer
+    * than the window get a singleton overflow bin (flagged) rather than
+    * silent truncation.
+    *
+    * Scale shape: FFD is inherently sequential, so parallelism comes
+    * from SHARDING — the md5 shard key distributes docs uniformly, each
+    * shard packs independently (one `flatMapGroups` over its sorted
+    * docs), and bins are shard-local. More shards = smaller per-task
+    * state; packing quality degrades only by the per-shard tail (one
+    * partially-filled last bin per shard). No SQL form (the bin state
+    * is a fold) → rows-only; PipelineOpsSpec pins hand-computed FFD
+    * placements, capacity, doc integrity, and the waste bound vs the
+    * concat-split packer.
+    */
+  def packBins(docs: DataFrame, ctx: Long = CtxTokens,
+      shards: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long"), lit(shards)).cast("int").as("shard"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val docsSorted = it.toArray.sortBy(t => (-t._2, t._1))
+        // open bins: (bin index, remaining tokens)
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docsSorted.iterator.map { case (id, tok, _) =>
+          val bin =
+            if (tok > ctx) {
+              // overflow doc: singleton bin with no remaining capacity
+              bins += -1L; bins.length - 1
+            } else {
+              val fit = bins.indexWhere(_ >= tok)
+              if (fit >= 0) { bins(fit) -= tok; fit }
+              else { bins += (ctx - tok); bins.length - 1 }
+            }
+          (id, tok, shard, bin.toLong, tok > ctx)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard", "bin", "overflow")
+  }
+
   /** Concat-and-chunk packing: order documents by (md5(doc_id), doc_id),
     * lay their tokens end-to-end, and assign each document the context
     * window its first token lands in. The prefix sum is the distributed
@@ -268,6 +317,14 @@ object PipelineOps {
     "q63_map_fns" -> ((s, d) => mapFacets(Tables(s, d, "events"))),
     "q64_repetition" -> ((s, d) => repetitionStats(Tables(s, d, "documents"))),
     "q65_pack_sequences" -> ((s, d) => packSequences(Tables(s, d, "documents"))),
+    // q232 no-split FFD packing (rows-only; PipelineOpsSpec) — see
+    // packBins. Output is the per-bin audit: fill, doc count, waste.
+    "q232_pack_bins" -> ((s, d) =>
+      packBins(Tables(s, d, "documents"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("fill_tokens"),
+          max(col("overflow").cast("int")).cast("boolean").as("overflow"))),
     "q66_domain_mix" -> ((s, d) => domainMix(Tables(s, d, "documents"))),
     "q70_dup_spans" -> ((s, d) => dupSpans(Tables(s, d, "documents"))),
     "q114_span_removal" -> ((s, d) =>

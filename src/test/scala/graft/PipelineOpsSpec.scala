@@ -166,4 +166,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getInt(7) == 4)
     assert(r.getString(8) == "42")
   }
+
+  test("q232 FFD packs whole docs under capacity with overflow flagged") {
+    import spark.implicits._
+    import graft.queries.PipelineOps
+    // single shard (shards = 1) so placements are hand-checkable:
+    // sorted desc: 120(overflow), 60, 50, 40, 30 with ctx = 100
+    // -> bin0 singleton(120, overflow), then 60 opens bin1(rem 40),
+    // 50 opens bin2(rem 50), 40 fits bin1(rem 0), 30 fits bin2(rem 20)
+    val docs = Seq((1L, 60L), (2L, 40L), (3L, 120L), (4L, 50L), (5L, 30L))
+      .map { case (id, n) => (id, Seq.fill(n.toInt)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = PipelineOps.packBins(docs, ctx = 100L, shards = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got === Map(3L -> (0L, true), 1L -> (1L, false),
+      4L -> (2L, false), 2L -> (1L, false), 5L -> (2L, false)))
+  }
+
+  test("q232 on driver data: capacity respected, docs intact, waste bounded") {
+    import graft.queries.PipelineOps
+    val docs = Tables(spark, sf, "documents")
+    val packed = PipelineOps.packBins(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    // every doc appears exactly once (no splitting, no loss)
+    assert(packed.map(_._1).distinct.length.toLong === docs.count())
+    // non-overflow bins respect capacity
+    packed.filterNot(_._5).groupBy(p => (p._3, p._4)).foreach {
+      case (_, ds) => assert(ds.map(_._2).sum <= 2048L)
+    }
+    // waste vs the concat-split lower bound: FFD uses at most
+    // 2x the minimal bin count on any instance (loose static check)
+    val total = packed.map(_._2).sum
+    val nBins = packed.map(p => (p._3, p._4)).distinct.length
+    val lower = (total + 2047) / 2048
+    assert(nBins <= 2 * lower + 16, s"bins $nBins vs lower $lower")
+  }
 }
