@@ -85,7 +85,8 @@ object PlanAudit {
       "q226_calibration", "q227_group_by_all", "stream_psi_drift",
       "q228_dynamic_sessions", "q229_source_overlap",
       "q230_homoglyph_dedup", "q231_pagerank_inc", "stream_scd2_enrich",
-      "q232_pack_bins", "q233_approx_distinct")
+      "q232_pack_bins", "q233_approx_distinct", "q234_retrieval_eval",
+      "q235_dedup_impact")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

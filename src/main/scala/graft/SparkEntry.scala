@@ -71,6 +71,7 @@ object SparkEntry {
     "q231_pagerank_inc" -> "GraphSpec",
     "q232_pack_bins" -> "PipelineOpsSpec",
     "q233_approx_distinct" -> "ApproxRewriteSpec",
+    "q234_retrieval_eval" -> "AnnSpec",
     "q78_compress_ratio" -> "TextKernelsSpec",
     "sim_ann_ivf" -> "AnnSpec",
     "sim_ann_ivfpq" -> "AnnSpec",

@@ -125,6 +125,36 @@ object DedupQueries {
         .groupBy(sha2(col("text"), 256).as("fp"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))),
 
+    // q235 dedup impact report — the before/after accounting a curation
+    // run publishes: per source, documents and whitespace tokens before
+    // exact dedup vs after keeping one doc per content hash (the q20
+    // keeper = min doc_id of each text group, chosen GLOBALLY so a
+    // cross-source dup survives in exactly one source). Two grouped
+    // passes (hash-group, then source rollup) — both map-side combined;
+    // the keeper flag is a windowless min-comparison carried through
+    // the hash aggregation. Everything is integer counting → the pct
+    // divisions round once and hash-compare.
+    "q235_dedup_impact" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          sha2(col("text"), 256).as("fp"))
+      val keep = docs.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"))
+      docs.join(keep, "fp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_before"),
+          sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L))
+            .as("docs_after"),
+          sum(col("tok")).as("tokens_before"),
+          sum(when(col("doc_id") === col("keeper"), col("tok"))
+            .otherwise(0L)).as("tokens_after"))
+        .select(col("source"), col("docs_before"), col("docs_after"),
+          col("tokens_before"), col("tokens_after"),
+          round(lit(1.0) - col("tokens_after")
+            / col("tokens_before").cast("double"), 6).as("token_cut_pct"))
+    }),
+
     // MinHash + LSH banding near-dup join, exact-verified.
     "q21_minhash_lsh" -> ((s, d) => {
       val sh = shingles(s, d)
@@ -666,6 +696,21 @@ object DedupQueries {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "q21_minhash_lsh" -> exactPairsSql,
     "q23_ngram_jaccard" -> exactPairsSql,
+    "q235_dedup_impact" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS tok, sha256(text) AS fp
+        |  FROM documents),
+        |k AS (SELECT fp, MIN(doc_id) AS keeper FROM d GROUP BY 1)
+        |SELECT d.source, COUNT(*) AS docs_before,
+        |  CAST(SUM(CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_after,
+        |  CAST(SUM(d.tok) AS BIGINT) AS tokens_before,
+        |  CAST(SUM(CASE WHEN d.doc_id = k.keeper THEN d.tok ELSE 0 END)
+        |    AS BIGINT) AS tokens_after,
+        |  round(1.0 - CAST(SUM(CASE WHEN d.doc_id = k.keeper THEN d.tok
+        |      ELSE 0 END) AS DOUBLE) / SUM(d.tok), 6) AS token_cut_pct
+        |FROM d JOIN k ON d.fp = k.fp
+        |GROUP BY 1""".stripMargin,
     // Replays q229 on raw shingle strings (the Spark side joins on
     // xxhash64 keys — same collision-free assumption as q23/q129).
     "q229_source_overlap" ->

@@ -270,6 +270,21 @@ object SimilarityQueries {
     * within probed cells only. `indexed` carries (vec_id, c, embedding)
     * — built in-query or loaded from a snapshot.
     */
+  /** q234 core: ground truth (q_id, neighbor_id, rk) vs a candidate
+    * list (c_qid, c_nid, c_rk) → per-query (recall_at_k, mrr).
+    */
+  private[graft] def retrievalEval(gt: DataFrame,
+      cand: DataFrame): DataFrame =
+    gt.join(cand,
+        col("q_id") === col("c_qid") && col("neighbor_id") === col("c_nid"),
+        "left")
+      .groupBy(col("q_id"))
+      .agg(
+        round(sum(when(col("c_rk").isNotNull, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("recall_at_k"),
+        round(max(when(col("rk") === 1,
+          coalesce(lit(1.0) / col("c_rk"), lit(0.0)))), 6).as("mrr"))
+
   private[graft] def annIvfFrom(indexed: DataFrame,
       coarse: Array[Array[Float]], numQueries: Int = NumQueries,
       k: Int = K): DataFrame = {
@@ -697,6 +712,25 @@ object SimilarityQueries {
     "sim_ann_ivf" -> ((s, d) => {
       val (indexed, arts) = loadAnnIndex(s, AnnIndexCache.root(s, d))
       annIvfFrom(indexed, arts.coarse)
+    }),
+
+    // q234 retrieval evaluation — recall@K and MRR of the served IVF
+    // index against the exact brute-force ground truth (q25), the
+    // eval-harness op every retrieval pipeline runs before swapping an
+    // index into serving. Both sides are the SHIPPED driver entries
+    // (not reimplementations), joined on (query, neighbor): recall@K =
+    // overlap/K; MRR = 1/rank of the TRUE nearest neighbor in the
+    // served list (0 when the index misses it). Per-query rows of
+    // query-set-bounded size; one join of two K·|queries| tables —
+    // metadata scale. Rows-only (IVF floats); AnnSpec pins the
+    // self-eval identity (brute vs brute ≡ 1.0) and the recall floor.
+    "q234_retrieval_eval" -> ((s, d) => {
+      val gt = queries("q25_ann_topk")(s, d)
+        .select(col("q_id"), col("neighbor_id"), col("rk"))
+      val cand = queries("sim_ann_ivf")(s, d)
+        .select(col("q_id").as("c_qid"), col("neighbor_id").as("c_nid"),
+          col("rk").as("c_rk"))
+      retrievalEval(gt, cand)
     }),
 
     // IVF-PQ [Jégou et al., TPAMI'11] — the memory-bandwidth scale path

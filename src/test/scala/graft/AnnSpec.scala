@@ -386,4 +386,27 @@ class AnnSpec extends SparkSpec {
     // its prediction must be 1 with 5 votes too
     assert(got(3L) == ((1, 5L)))
   }
+
+  test("q234 retrieval eval: brute vs itself is perfect; IVF holds the floor") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries
+    val gt = SimilarityQueries.queries("q25_ann_topk")(spark, sf)
+      .select(col("q_id"), col("neighbor_id"), col("rk"))
+    val self = SimilarityQueries.retrievalEval(gt,
+      gt.select(col("q_id").as("c_qid"), col("neighbor_id").as("c_nid"),
+        col("rk").as("c_rk"))).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getDouble(1) === 1.0 && r.getDouble(2) === 1.0)
+    }
+    val eval = SimilarityQueries.queries("q234_retrieval_eval")(spark, sf)
+      .collect()
+    assert(eval.nonEmpty)
+    val meanRecall = eval.map(_.getDouble(1)).sum / eval.length
+    assert(meanRecall >= 0.6, s"IVF mean recall $meanRecall below floor")
+    eval.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
 }
