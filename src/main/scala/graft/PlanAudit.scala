@@ -86,7 +86,7 @@ object PlanAudit {
       "q228_dynamic_sessions", "q229_source_overlap",
       "q230_homoglyph_dedup", "q231_pagerank_inc", "stream_scd2_enrich",
       "q232_pack_bins", "q233_approx_distinct", "q234_retrieval_eval",
-      "q235_dedup_impact")
+      "q235_dedup_impact", "q236_profile_drift")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
@@ -124,6 +124,10 @@ object PlanAudit {
     // broadcast of the bounded query set cannot hash — the scan-once
     // nested loop IS the exact mining pass (q25's rationale)
     "q216_hard_negatives" -> "query-set broadcast, corpus scanned once by definition",
+    // the eval's ground-truth side IS q25's brute-force pass (by
+    // design: exact baseline); the IVF side and the metric join add
+    // only bounded-key equi-joins
+    "q234_retrieval_eval" -> "ground truth is q25's brute-force scan by definition",
     // the `<` pair join runs over the |event-types|-row SKETCH table —
     // bounded metadata (5x5 here); the corpus contributed one sketch
     // aggregation upstream

@@ -291,6 +291,37 @@ object WarehouseOps {
       // countDistinct → approx_count_distinct and the branches fuse
       // into one genuine single pass (the q107⇄q113 trade applied to
       // profiling). Output is 11 rows.
+      // q236 profile drift between two corpus snapshots — the
+      // column-level complement of q124's row checksum and q75's
+      // content diff: a reconciliation that says WHICH statistic moved
+      // (volume, null rate, cardinality, range) rather than which rows.
+      // Snapshots reuse the q75/changelog splits; each (snapshot,
+      // column) profile is its OWN single-distinct aggregation branch,
+      // unioned — the q158 lesson (one Expand-free distinct per branch)
+      // — and there are NO joins: the 6-row long-format report diffs by
+      // eye or by a trivial downstream pivot. min/max compute in the
+      // column's native type, then cast to string for the uniform
+      // report schema.
+      "q236_profile_drift" -> ((s, d) => {
+        val docs = Tables(s, d, "documents")
+        val snaps = Seq(
+          "a" -> docs.filter(pmod(col("doc_id"), lit(7)) =!= 2),
+          "b" -> docs.filter(pmod(col("doc_id"), lit(11)) =!= 3))
+        val cols = Seq("n_chars", "lang", "source")
+        snaps.flatMap { case (tag, df) =>
+          cols.map { c =>
+            df.agg(count(lit(1)).as("n"),
+                sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+                countDistinct(col(c)).as("n_distinct"),
+                min(col(c)).cast("string").as("min_val"),
+                max(col(c)).cast("string").as("max_val"))
+              .select(lit(tag).as("snap"), lit(c).as("col_name"),
+                col("n"), col("n_null"), col("n_distinct"),
+                col("min_val"), col("max_val"))
+          }
+        }.reduce(_.unionByName(_))
+      }),
+
       "q158_profile" -> ((s, d) => {
         val li = Tables(s, d, "lineitem")
         val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
@@ -485,6 +516,23 @@ object WarehouseOps {
            |  (SELECT 1 FROM $pa WHERE $pa.$pk = $ch.$k)""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+    "q236_profile_drift" -> {
+      val snaps = Seq("a" -> "doc_id % 7 <> 2", "b" -> "doc_id % 11 <> 3")
+      val cols = Seq("n_chars", "lang", "source")
+      snaps.flatMap { case (tag, pred) =>
+        cols.map { c =>
+          s"""SELECT '$tag' AS snap, '$c' AS col_name,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_val,
+             |  CAST(MAX($c) AS VARCHAR) AS max_val
+             |FROM documents WHERE $pred""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+    },
+
     "q158_profile" -> {
       val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
