@@ -55,16 +55,18 @@ object ClassifyOps {
   }
 
   /** Held-out per-(doc, class) NB log-scores in integer micros —
-    * shared by the q189 confusion matrix and the q226 calibration
-    * curve. Columns (doc_id, lang, c, score).
+    * shared by the q189 confusion matrix, the q226 calibration curve,
+    * and the q237 cross-validation (`testFold` selects which fifth of
+    * the corpus is held out). Columns (doc_id, lang, c, score).
     */
-  def nbScores(s: SparkSession, d: String): DataFrame = {
+  def nbScores(s: SparkSession, d: String,
+      testFold: Int = 0): DataFrame = {
     val toks = Tables(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val train = toks.filter(col("doc_id") % 5 =!= 0)
-    val test = toks.filter(col("doc_id") % 5 === 0)
+    val train = toks.filter(col("doc_id") % 5 =!= testFold)
+    val test = toks.filter(col("doc_id") % 5 === testFold)
     // vocabulary size: one scalar to the driver (q77's nd pattern) —
     // a 1-row cross-join would plan a BroadcastNestedLoop for no benefit
     val vocab = train.select(col("w")).distinct().count()
@@ -194,10 +196,80 @@ object ClassifyOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_naive_bayes" -> ((s, d) => naiveBayes(s, d)),
     "q226_calibration" -> ((s, d) => calibration(s, d)),
+
+    // q237 5-fold cross-validation of the NB classifier — the variance
+    // estimate q189's single held-out fifth can't give: each fold
+    // retrains on the other four fifths and scores its own (counting
+    // retraining IS the NB training cost, so CV is 5 full passes BY
+    // DEFINITION — each pass the q189 shape: two grouped counts +
+    // vocab-bounded scoring joins). Folds are deterministic doc_id
+    // residues, accuracy is integer counting, so the per-fold table
+    // hash-compares against the 5-fold-unrolled oracle.
+    "q237_nb_crossval" -> ((s, d) =>
+      (0 until 5).map { f =>
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("c"))
+        nbScores(s, d, f).withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("lang") === col("c"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(lit(f.toLong).as("fold"), col("n_test"),
+            col("n_correct"),
+            round(col("n_correct").cast("double") / col("n_test"), 6)
+              .as("acc"))
+      }.reduce(_.unionByName(_))),
     // iterative float training — rows-only; ClassifySpec pins behavior
     "ml_logreg" -> ((s, d) => logRegConfusion(s, d)))
 
+  /** One fold's CTE chain for the q237 oracle — the q189 SQL with a
+    * `_f` suffix and a parameterized held-out residue.
+    */
+  private def nbFoldCtes(f: Int): String =
+    s"""train_$f AS (SELECT * FROM t2 WHERE doc_id % 5 <> $f),
+       |test_$f AS (SELECT * FROM t2 WHERE doc_id % 5 = $f),
+       |v_$f AS (SELECT COUNT(DISTINCT w) AS v FROM train_$f),
+       |cls_$f AS (SELECT lang AS c, COUNT(*) AS tok_c,
+       |    COUNT(DISTINCT doc_id) AS docs_c FROM train_$f GROUP BY lang),
+       |wc_$f AS (SELECT lang AS c, w, COUNT(*) AS cwc
+       |  FROM train_$f GROUP BY lang, w),
+       |tf_$f AS (SELECT doc_id, lang, w, COUNT(*) AS tf
+       |  FROM test_$f GROUP BY doc_id, lang, w),
+       |dlen_$f AS (SELECT doc_id, lang, SUM(tf) AS len
+       |  FROM tf_$f GROUP BY doc_id, lang),
+       |part_$f AS (SELECT tf_$f.doc_id, wc_$f.c,
+       |    SUM(tf_$f.tf * CAST(round(ln(wc_$f.cwc + 1.0) * 1000000, 0)
+       |      AS BIGINT)) AS seen
+       |  FROM tf_$f JOIN wc_$f ON tf_$f.w = wc_$f.w
+       |  GROUP BY tf_$f.doc_id, wc_$f.c),
+       |score_$f AS (SELECT dlen_$f.doc_id, dlen_$f.lang, cls_$f.c,
+       |    CAST(round(ln(cls_$f.docs_c) * 1000000, 0) AS BIGINT)
+       |      + COALESCE(part_$f.seen, 0)
+       |      - dlen_$f.len * CAST(round(ln(CAST(cls_$f.tok_c AS DOUBLE)
+       |          + v_$f.v) * 1000000, 0) AS BIGINT) AS score
+       |  FROM dlen_$f CROSS JOIN cls_$f CROSS JOIN v_$f
+       |  LEFT JOIN part_$f ON part_$f.doc_id = dlen_$f.doc_id
+       |    AND part_$f.c = cls_$f.c),
+       |pred_$f AS (SELECT doc_id, lang, c,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, c) AS rn FROM score_$f)""".stripMargin
+
+  private def nbFoldSelect(f: Int): String =
+    s"""SELECT CAST($f AS BIGINT) AS fold, COUNT(*) AS n_test,
+       |  CAST(SUM(CASE WHEN lang = c THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  round(CAST(SUM(CASE WHEN lang = c THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS acc
+       |FROM pred_$f WHERE rn = 1""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q237_nb_crossval" ->
+      ("""WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE len(w) > 0),
+        |""".stripMargin
+        + (0 until 5).map(nbFoldCtes).mkString(",\n") + "\n"
+        + (0 until 5).map(nbFoldSelect).mkString("\nUNION ALL\n")),
     "q189_naive_bayes" ->
       """WITH toks AS (SELECT doc_id, lang,
         |    unnest(string_split(text, ' ')) AS w FROM documents),

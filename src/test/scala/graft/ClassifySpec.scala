@@ -148,4 +148,25 @@ class ClassifySpec extends SparkSpec {
     assert(bins.head.getAs[Double]("acc") === 1.0)
     assert(bins.head.getAs[Double]("conf") > 0.9)
   }
+
+  test("q237 cross-validation: folds partition the corpus; fold 0 == q189") {
+    import org.apache.spark.sql.functions._
+    val cv = ClassifyOps.queries("q237_nb_crossval")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(cv.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // every doc is tested exactly once across folds
+    val totalTested = cv.values.map(_._1).sum
+    assert(totalTested === Tables(spark, sf, "documents").count())
+    // fold 0's accuracy equals the q189 confusion-matrix accuracy
+    val conf = ClassifyOps.queries("q189_naive_bayes")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val q189acc = conf.filter(c => c._1 == c._2).map(_._3).sum.toDouble /
+      conf.map(_._3).sum
+    assert(math.abs(cv(0L)._3 - q189acc) < 1e-6)
+    cv.values.foreach { case (n, correct, acc) =>
+      assert(correct <= n)
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
 }
