@@ -131,4 +131,44 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.schema(StructType(schema.fields.take(2)))
       .option("mode", "DROPMALFORMED").json(s"$dir/rows.json").count() == 2)
   }
+
+  test("XML roundtrip via the Spark-4 built-in source (rowTag records)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.write.option("rowTag", "doc").mode("overwrite")
+      .xml(s"$dir/docs.xml")
+    val back = spark.read.option("rowTag", "doc").xml(s"$dir/docs.xml")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    assert(back.count() === docs.count())
+    val a = docs.collect().map(_.toString).sorted.toSeq
+    val b = back.collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("XML malformed rows: PERMISSIVE captures the corrupt record") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmlm").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/rows.xml"),
+      """<rows>
+        |<r><id>1</id><v>10</v></r>
+        |<r><id>oops</id><v>20</v></r>
+        |<r><id>3</id><v>30</v></r>
+        |</rows>""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType),
+      StructField("_corrupt_record", StringType)))
+    val perm = spark.read.option("rowTag", "r").schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .xml(s"$dir/rows.xml").cache()
+    assert(perm.count() === 3)
+    assert(perm.filter(col("_corrupt_record").isNotNull).count() === 1)
+    // the unparsable field itself arrives NULL on the captured row
+    assert(perm.filter(col("_corrupt_record").isNotNull)
+      .filter(col("id").isNull).count() === 1)
+    perm.unpersist()
+  }
 }
