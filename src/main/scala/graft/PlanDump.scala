@@ -90,7 +90,13 @@ object PlanDump {
       "q221_target_encode" -> "one grouped pass over orders⋈broadcast(customer); global-mean prior is a 1-row driver scalar; nation names broadcast",
       "q222_mann_kendall" -> "corpus reduces to the calendar-bounded daily table in ONE map-side-combined shuffle; the C(days,2) pair self-join and the Sen order-statistic window touch only that metadata",
       "q225_bootstrap_ci" -> "200-replica explode over the DAILY table (types x days x 200 rows of metadata, never the corpus); md5 day-inclusion is a narrow filter; CI is an integer ceil-rank pick",
-      "q226_calibration" -> "rides q189's vocab-bounded scoring joins; posterior normalizer sums once-rounded exp terms DECIMALLY per doc (order-independent); bin table is 10 rows")
+      "q226_calibration" -> "rides q189's vocab-bounded scoring joins; posterior normalizer sums once-rounded exp terms DECIMALLY per doc (order-independent); bin table is 10 rows",
+      "q228_dynamic_sessions" -> "native session_window with a per-event gap expression: ONE shuffle on user_id, merge happens inside the session aggregation — no self-join, no window walk",
+      "q229_source_overlap" -> "(source, shingle)-deduped postings bound the self-join fanout by the SOURCE CATALOG per shingle (no df cap needed, unlike the doc-unit q23); sizes broadcast onto C(sources,2) pair rows",
+      "q230_homoglyph_dedup" -> "builtin translate (codegen'd) folds confusables in the scan projection; ONE map-side-combined group on the 16-byte skeleton hash — q20's exact-dedup shape",
+      "q232_pack_bins" -> "FFD runs per md5 shard inside flatMapGroups after ONE shuffle on the shard key; bin state never leaves its task; output re-aggregates shard-locally",
+      "q235_dedup_impact" -> "hash-group for global keepers + co-partitioned join back on fp + source rollup — two map-side-combined shuffles, all counting integer-exact",
+      "q237_nb_crossval" -> "5 independent q189-shaped passes (CV retraining is 5x train cost BY DEFINITION), each vocab-bounded; fold results union to 5 rows")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -243,7 +249,13 @@ object PlanDump {
       "q222_mann_kendall / q224_isotonic / q225_bootstrap_ci" ->
         "no hint needed anywhere: every join/window/explode runs over the calendar-bounded DAILY table (types x days rows of metadata); the corpus's only appearance is the one map-side-combined daily aggregation",
       "q226_calibration" ->
-        "rides q189's broadcast decisions unchanged (class grid broadcast, vocab join un-hinted); the posterior fold and decile binning add zero joins")
+        "rides q189's broadcast decisions unchanged (class grid broadcast, vocab join un-hinted); the posterior fold and decile binning add zero joins",
+      "q229_source_overlap" ->
+        "explicit broadcast(per-source sizes): |sources| rows of metadata; the shingle self-join is un-hinted — both sides are the same (source, shingle) relation, co-partitioned on the shingle key",
+      "q234_retrieval_eval / stream_scd2_enrich" ->
+        "q234's ground-truth side inherits q25's query-set broadcast; the metric join is K x |queries| vs K x |queries| (AQE's call). scd2Enrich: equality conjunct on the key keeps the stream-static join a hash join with the validity range as residual — never a BNLJ",
+      "q235_dedup_impact / q236_profile_drift / q237_nb_crossval" ->
+        "q235 joins corpus-to-keepers co-partitioned on the content hash (both sides derive from the same aggregation); q236 has NO joins (unioned single-distinct branches); q237 repeats q189's decisions per fold")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"
