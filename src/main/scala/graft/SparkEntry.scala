@@ -57,6 +57,7 @@ object SparkEntry {
     "layout_merge_versioned" -> "VersionedTableSpec",
     "layout_timetravel" -> "VersionedTableSpec",
     "ml_logreg" -> "ClassifySpec",
+    "ml_kmeans_inc" -> "AnnSpec",
     "ml_silhouette" -> "AnnSpec",
     "mm_audio_neardup" -> "MultimodalSpec",
     "mm_audio_segments" -> "MultimodalSpec",

@@ -488,10 +488,26 @@ object SimilarityQueries {
     */
   private[graft] def lloydFit(e: DataFrame, k: Int, iters: Int, dim: Int)
     : Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
+    val seed: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("e").toArray)
-    (1 until iters).foreach { _ =>
+    lloydFrom(e, seed, iters - 1, dim)
+  }
+
+  /** Warm-started Lloyd updates from EXPLICIT centroids — the
+    * incremental-clustering form (the q231 warm-start story applied to
+    * k-means): when the corpus gains vectors, continue from the
+    * persisted centroids instead of re-seeding. Decimal-exact update
+    * sums make the continuation IDENTITY hold exactly (k-then-m
+    * updates == k+m updates — AnnSpec pins it), so warm restarts are
+    * not merely "close", they are the same trajectory. Per-update cost
+    * is unchanged: one K-group decimal aggregation; centroids stay
+    * driver metadata.
+    */
+  private[graft] def lloydFrom(e: DataFrame, init: Array[Array[Double]],
+      updates: Int, dim: Int): Array[Array[Double]] = {
+    var cents = init
+    (0 until updates).foreach { _ =>
       val upd = withAssignment(e, cents).groupBy(col("k"))
         .agg(count(lit(1)).as("n"), lloydSumCols(dim): _*)
         .collect()
@@ -590,6 +606,27 @@ object SimilarityQueries {
     "ml_silhouette" -> ((s, d) => silhouette(
       Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
       k = 5, iters = 2, dim = 64)),
+
+    // ml_kmeans_inc: INCREMENTAL k-means (rows-only; AnnSpec) — train
+    // on the corpus minus every 10th vector, then fold the full corpus
+    // in with ONE warm update from the persisted centroids
+    // (lloydFrom), instead of re-seeding Lloyd from scratch — the
+    // clustering twin of q231's warm-started PageRank. Output is q85's
+    // (cluster, n, c_norm) shape over the updated model.
+    "ml_kmeans_inc" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      def prep(df: DataFrame) = df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      val base = prep(emb.filter(pmod(col("vec_id"), lit(10)) =!= 7))
+      val full = prep(emb)
+      val warm = lloydFrom(full, lloydFit(base, 5, 2, 64), 1, 64)
+      val normExpr = round(sqrt((0 until 64)
+        .map(j => (col(s"s$j") / col("n")) * (col(s"s$j") / col("n")))
+        .reduce(_ + _)), 6)
+      withAssignment(full, warm).groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), lloydSumCols(64): _*)
+        .select(col("k").as("cluster"), col("n"), normExpr.as("c_norm"))
+    }),
 
     // Feature-hashed text embeddings [hashing trick, Weinberger et al.
     // ICML'09]: the in-engine embedder for when no model is available —

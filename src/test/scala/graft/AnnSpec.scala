@@ -409,4 +409,23 @@ class AnnSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("warm-started Lloyd continues the exact trajectory (k then m == k+m)") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val full = SimilarityQueries.lloydFit(e, 5, 3, 64)
+    val cont = SimilarityQueries.lloydFrom(e,
+      SimilarityQueries.lloydFit(e, 5, 2, 64), 1, 64)
+    full.zip(cont).zipWithIndex.foreach { case ((f, c), i) =>
+      f.zip(c).foreach { case (a, b) =>
+        assert(a === b, s"centroid $i diverged: $a vs $b")
+      }
+    }
+    // and the driver entry covers every vector exactly once
+    val inc = SimilarityQueries.queries("ml_kmeans_inc")(spark, sf)
+    assert(inc.agg(sum("n")).collect().head.getLong(0) ===
+      Tables(spark, sf, "embeddings").count())
+  }
 }
