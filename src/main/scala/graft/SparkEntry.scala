@@ -85,6 +85,7 @@ object SparkEntry {
     "stats_hll_overlap" -> "SketchSpec",
     "stats_wmedian_2pass" -> "StatsOpsSpec",
     "stream_dedup_inc" -> "StreamingDedupSpec",
+    "stream_heavy_hitters" -> "EventStreamSpec",
     "stream_psi_drift" -> "StreamingDriftSpec",
     "stream_scd2_enrich" -> "EventStreamSpec",
     "text_bpe_encode" -> "BpeSpec",

@@ -129,6 +129,18 @@ object EventQueries {
           count_distinct(col("user_id")).as("n_users"))
     }),
 
+    // §2.10: streaming windowed heavy hitters (rows-only; pinned by
+    // EventStreamSpec): the Misra-Gries custom aggregate run as a REAL
+    // streaming aggregation — fixed-size sketch state per window.
+    "stream_heavy_hitters" -> ((s, d) => {
+      val out = graft.streaming.EventStream.windowHeavyHitters(
+        graft.streaming.EventStream.readEventsStream(s, d)
+          .select(col("ts"), col("user_id")))
+      graft.streaming.EventStream.runToMemory(out, "stream_heavy_hitters",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table("stream_heavy_hitters")
+    }),
+
     // §2.10: stream-stream join, batch twin — clicks matched to the same
     // user's purchases within 10 minutes (EventStreamSpec runs the same
     // plan as a watermarked MemoryStream join and pins equality).

@@ -308,6 +308,29 @@ object EventStream {
         col("n_events"))
   }
 
+  /** Windowed heavy hitters via the Misra-Gries TypedImperativeAggregate
+    * (q219's grouped sketch composed with STREAMING aggregation): the
+    * state store carries one ≤capacity-counter sketch per window — not
+    * the item stream — so per-window state is fixed-size no matter the
+    * event volume; partial buffers merge across micro-batches exactly
+    * like across map partitions. Capacity 256 exceeds the test user
+    * cardinality, so the sketch is in its exact regime and the
+    * streaming result EQUALS the batch twin (EventStreamSpec pins it —
+    * with capacity below cardinality the counts stay within the
+    * Misra-Gries n/capacity bound but batch/stream merge orders may
+    * pick different tail items, so the exact-regime contract is what
+    * the twin test pins, q46's discipline).
+    */
+  def windowHeavyHitters(events: DataFrame): DataFrame = {
+    import graft.functions.sketches._
+    events
+      .groupBy(window(col("ts"), "5 days"))
+      .agg(approx_top_k(col("user_id").cast("string"), 256, 5).as("top"))
+      .select(col("window.start").as("ws"), posexplode(col("top")))
+      .select(col("ws"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.item").as("user_id"), col("col.cnt").as("n"))
+  }
+
   /** Per-window top-k event types, batch form — q93's oracle-checked
     * shape: tumbling 10-minute windows, types ranked by (count desc,
     * type). Two-phase at scale: the windowed count is a partial+final

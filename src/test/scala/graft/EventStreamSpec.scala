@@ -436,4 +436,28 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.table("scd2_stream").collect().map(_.toString).toSet
       === batch)
   }
+
+  test("streaming heavy hitters equal the batch sketch in the exact regime") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchEvents = Tables(spark, sf, "events")
+      .select(col("ts"), col("user_id"))
+    val batch = EventStream.windowHeavyHitters(batchEvents).collect()
+      .map(_.toString).toSet
+    assert(batch.nonEmpty)
+    val rows = batchEvents.as[(java.sql.Timestamp, Long)].collect().toSeq
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = EventStream.windowHeavyHitters(
+      stream.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("shh")
+      .outputMode("complete").start()
+    try {
+      // two deliveries so sketches MERGE across micro-batches
+      val (d1, d2) = rows.partition(_._2 % 2 == 0)
+      stream.addData(d1); q.processAllAvailable()
+      stream.addData(d2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("shh").collect().map(_.toString).toSet
+    assert(streamed === batch)
+  }
 }
