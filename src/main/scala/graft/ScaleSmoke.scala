@@ -52,7 +52,7 @@ object ScaleSmoke {
       // session merge, the source-pair shingle join, and the skeleton
       // group all scale with the corpus
       "q228_dynamic_sessions", "q229_source_overlap",
-      "q230_homoglyph_dedup", "q232_pack_bins")
+      "q230_homoglyph_dedup", "q232_pack_bins", "ml_kmeans_inc")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

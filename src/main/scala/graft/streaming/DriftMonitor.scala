@@ -84,6 +84,14 @@ object DriftMonitor {
   /** Windowed PSI of `events` (streaming OR batch; columns ts,
     * event_type, value) against a [[refModel]] frame. Returns
     * (ws, event_type, n_cur, psi) — one row per closed window per type.
+    *
+    * Contract: the model join is INNER — a type with no reference model
+    * has no deciles to compare against, so its rows do not produce a
+    * PSI (they are not silently zero). An entirely NEW type appearing
+    * in the stream is itself a drift signal; monitor it with the
+    * complementary count `stream.join(model, Seq("event_type"),
+    * "left_anti")` (one line, same broadcast), which is how
+    * StreamingDriftSpec's alarm framing expects deployments to pair it.
     */
   def psi(events: DataFrame, model: DataFrame, windowDur: String,
       watermark: String = "0 seconds"): DataFrame = {
