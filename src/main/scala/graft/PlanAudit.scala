@@ -87,7 +87,7 @@ object PlanAudit {
       "q230_homoglyph_dedup", "q231_pagerank_inc", "stream_scd2_enrich",
       "q232_pack_bins", "q233_approx_distinct", "q234_retrieval_eval",
       "q235_dedup_impact", "q236_profile_drift", "q237_nb_crossval",
-      "ml_kmeans_inc", "stream_heavy_hitters")
+      "ml_kmeans_inc", "stream_heavy_hitters", "q238_forget_flow")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

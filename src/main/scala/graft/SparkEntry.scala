@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_simhash_w" -> "DedupSpec",
     "dfs_roundtrip" -> "DfsSourceSpec",
     "layout_changelog" -> "VersionedTableSpec",
+    "q238_forget_flow" -> "VersionedTableSpec",
     "layout_compact" -> "LayoutPruningSpec",
     "layout_merge_versioned" -> "VersionedTableSpec",
     "layout_timetravel" -> "VersionedTableSpec",

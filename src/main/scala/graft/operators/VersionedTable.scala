@@ -74,6 +74,40 @@ object VersionedTable {
       .unionByName(updates), root)
   }
 
+  /** DELETE by key set, committed as the next version — the
+    * right-to-be-forgotten primitive: one anti-join against the newest
+    * snapshot, snapshot isolation preserved (pre-delete versions stay
+    * readable — which is exactly why [[expire]] exists: compliance is
+    * delete + expire, not delete alone). Returns the committed version.
+    */
+  def delete(spark: SparkSession, root: String, keys: DataFrame,
+      key: String): Long = {
+    val cur = read(spark, root)
+    write(cur.join(keys.select(key), Seq(key), "left_anti"), root)
+  }
+
+  /** PHYSICALLY remove every committed version below `keepFrom` —
+    * the vacuum/retention verb: time travel ends at `keepFrom`, and the
+    * deleted rows' bytes are actually gone (a GDPR delete is not done
+    * while an old snapshot still serves them). Markers are removed
+    * FIRST, then data directories — a crash between the two leaves an
+    * orphan directory no reader resolves (the write-path invariant,
+    * mirrored). Refuses to expire everything; returns the versions
+    * removed.
+    */
+  def expire(spark: SparkSession, root: String, keepFrom: Long): Seq[Long] = {
+    val committed = versions(spark, root)
+    val doomed = committed.filter(_ < keepFrom)
+    require(doomed.size < committed.size,
+      s"expire($keepFrom) would remove every committed version")
+    val f = fs(spark, root)
+    doomed.foreach { v =>
+      f.delete(new Path(root, s"_commits/$v"), false)
+      f.delete(new Path(root, s"data/v=$v"), true)
+    }
+    doomed
+  }
+
   /** CHANGELOG between two committed versions — the inverse of CDC
     * apply (q123): keys only in `to` emit I, keys only in `from` emit
     * D, keys in both whose non-key content differs emit U (carrying the

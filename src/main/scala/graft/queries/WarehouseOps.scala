@@ -458,6 +458,38 @@ object WarehouseOps {
       // apply) over the q75 simulation committed as real versions:
       // emits I/U/D per key; rows-only (FS effects), with the
       // apply-roundtrip invariant pinned in VersionedTableSpec.
+      // q238 forget flow (rows-only; VersionedTableSpec) — the
+      // right-to-be-forgotten pipeline over the versioned layout:
+      // DELETE the doomed users' rows as a new snapshot, then EXPIRE
+      // every pre-delete version so time travel can no longer serve
+      // the forgotten bytes (compliance = delete + expire, not delete
+      // alone). Output is the audit a DPO reads: before/after rows,
+      // post-flow residue (must be 0), and the surviving version set.
+      "q238_forget_flow" -> ((s, d) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_forget").toString
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        graft.operators.VersionedTable.write(ev, root)
+        val doomed = ev.select(col("user_id")).distinct()
+          .filter(pmod(col("user_id"), lit(50)) === 0)
+        val v2 = graft.operators.VersionedTable.delete(s, root, doomed,
+          "user_id")
+        graft.operators.VersionedTable.expire(s, root, v2)
+        val cur = graft.operators.VersionedTable.read(s, root)
+        val residue = cur.join(doomed, Seq("user_id")).count()
+        val live = graft.operators.VersionedTable.versions(s, root)
+        Seq(
+          ("rows_before", ev.count()),
+          ("rows_after", cur.count()),
+          ("forgotten_users", doomed.count()),
+          ("residue", residue),
+          ("versions_live", live.size.toLong),
+          ("oldest_version", live.min))
+          .toDF("metric", "value")
+      }),
+
       "layout_changelog" -> ((s, d) => {
         val root = Files.createTempDirectory("graft_vtcl").toString
         val docs = Tables(s, d, "documents")

@@ -99,4 +99,32 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.read(spark, freshRoot())
     }
   }
+
+  test("delete + expire: forgotten keys leave no residue and no history") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("vt-forget").toString
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    VersionedTable.write(base, root)
+    val doomed = Seq(2L, 4L).toDF("id")
+    val v2 = VersionedTable.delete(spark, root, doomed, "id")
+    // snapshot isolation BEFORE expire: v1 still serves the old rows
+    assert(VersionedTable.read(spark, root, Some(1L)).count() === 4)
+    assert(VersionedTable.read(spark, root).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // expire ends time travel below v2
+    assert(VersionedTable.expire(spark, root, v2) === Seq(1L))
+    assert(VersionedTable.versions(spark, root) === Seq(v2))
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(1L))
+    }
+    // newest still reads, residue zero
+    val cur = VersionedTable.read(spark, root)
+    assert(cur.join(doomed, Seq("id")).count() === 0)
+    // refuses to expire everything
+    intercept[IllegalArgumentException] {
+      VersionedTable.expire(spark, root, v2 + 10)
+    }
+  }
 }
