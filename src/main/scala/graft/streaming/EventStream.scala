@@ -313,8 +313,9 @@ object EventStream {
     * state store carries one ≤capacity-counter sketch per window — not
     * the item stream — so per-window state is fixed-size no matter the
     * event volume; partial buffers merge across micro-batches exactly
-    * like across map partitions. Capacity 256 exceeds the test user
-    * cardinality, so the sketch is in its exact regime and the
+    * like across map partitions. Capacity 2048 exceeds the per-window
+    * user cardinality at every test SF (1500 at sf0.1), so the sketch
+    * is in its exact regime and the
     * streaming result EQUALS the batch twin (EventStreamSpec pins it —
     * with capacity below cardinality the counts stay within the
     * Misra-Gries n/capacity bound but batch/stream merge orders may
@@ -325,7 +326,7 @@ object EventStream {
     import graft.functions.sketches._
     events
       .groupBy(window(col("ts"), "5 days"))
-      .agg(approx_top_k(col("user_id").cast("string"), 256, 5).as("top"))
+      .agg(approx_top_k(col("user_id").cast("string"), 2048, 5).as("top"))
       .select(col("window.start").as("ws"), posexplode(col("top")))
       .select(col("ws"), (col("pos") + 1).cast("long").as("rk"),
         col("col.item").as("user_id"), col("col.cnt").as("n"))
