@@ -24,6 +24,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * streaming batches, lifted to table snapshots — and on a real
   * cluster the Path API targets HDFS/S3A unchanged.
   *
+  * A version is either FULL (its data directory is the whole table) or
+  * a FRAGMENT ([[writeFragment]]: the directory holds only a delta;
+  * the version's logical content = newest full version below it ∪ the
+  * fragments in between). Fragments make continuous appends O(delta)
+  * instead of O(table); [[compact]] folds a chain back into one full
+  * snapshot. The flag rides in the commit marker (empty = full, one
+  * byte = fragment) so it commits atomically with the version and
+  * every pre-existing table reads as all-full.
+  *
   * This intentionally stops short of a full log (no schema evolution
   * journal, no compaction of manifests): VersionedTableSpec pins the
   * contract that matters — isolation, time travel, atomicity.
@@ -41,8 +50,23 @@ object VersionedTable {
     else f.listStatus(dir).map(_.getPath.getName.toLong).sorted.toSeq
   }
 
-  /** Write `df` as the next version; returns the committed version. */
-  def write(df: DataFrame, root: String): Long = {
+  /** Committed versions with their fragment flag, ascending. A FULL
+    * version's marker is an empty file (the original layout — every
+    * pre-fragment table reads as all-full); a FRAGMENT marker carries
+    * one byte. The flag lives in the marker itself so it is committed
+    * atomically with the version.
+    */
+  def versionMeta(spark: SparkSession, root: String): Seq[(Long, Boolean)] = {
+    val dir = new Path(root, "_commits")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir)
+      .map(s => (s.getPath.getName.toLong, s.getLen > 0L))
+      .sortBy(_._1).toSeq
+  }
+
+  private def commit(df: DataFrame, root: String,
+      fragment: Boolean): Long = {
     val spark = df.sparkSession
     val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
     val dataDir = new Path(root, s"data/v=$next")
@@ -53,9 +77,66 @@ object VersionedTable {
     // atomic claim: create(overwrite = false) throws if the version was
     // committed concurrently — the staged directory is then abandoned
     val out = f.create(marker, false)
+    if (fragment) out.write('F')
     out.close()
     next
   }
+
+  /** Write `df` as the next FULL version; returns the committed version. */
+  def write(df: DataFrame, root: String): Long = commit(df, root, false)
+
+  /** Commit `df` as the next version as a DELTA FRAGMENT: the version's
+    * data directory holds ONLY these rows, and the version's logical
+    * content is its base (the newest full version below it) unioned
+    * with every fragment in between — O(delta) bytes written per
+    * append instead of O(table). The append/compact split every log-
+    * structured store makes (LSM memtable flush, Iceberg append
+    * snapshot, FAISS add()): appends are cheap, [[compact]] folds the
+    * chain back into one full snapshot when it grows. Requires a full
+    * base version to already exist. No key semantics here — a caller
+    * needing upsert shading dedups across [[readParts]] (the ANN index
+    * does, delta-bounded).
+    */
+  def writeFragment(df: DataFrame, root: String): Long = {
+    require(versionMeta(df.sparkSession, root).exists(!_._2),
+      s"writeFragment needs an existing full base version under $root")
+    commit(df, root, true)
+  }
+
+  /** The resolved chain of a version: its base full snapshot plus the
+    * fragment versions layered on top, each as its own DataFrame.
+    * `(baseVersion, baseDf, Seq((fragVersion, fragDf)) ascending)`.
+    */
+  def readParts(spark: SparkSession, root: String,
+      version: Option[Long] = None)
+      : (Long, DataFrame, Seq[(Long, DataFrame)]) = {
+    val meta = versionMeta(spark, root)
+    require(meta.nonEmpty, s"no committed versions under $root")
+    val v = version match {
+      case Some(x) =>
+        require(meta.exists(_._1 == x),
+          s"version $x not committed (have ${meta.map(_._1).mkString(",")})")
+        x
+      case None => meta.last._1
+    }
+    val fulls = meta.filter { case (mv, frag) => !frag && mv <= v }
+    require(fulls.nonEmpty, s"version $v has no full base under $root")
+    val base = fulls.last._1
+    def dataOf(mv: Long) =
+      spark.read.parquet(new Path(root, s"data/v=$mv").toString)
+    val frags = meta.collect {
+      case (mv, true) if mv > base && mv <= v => (mv, dataOf(mv))
+    }
+    (base, dataOf(base), frags)
+  }
+
+  /** Fold the current chain (base + fragments) into ONE new full
+    * version — the compaction verb for fragment appends. Subsequent
+    * reads resolve to the new base alone; pre-compaction versions stay
+    * time-travelable until [[expire]]d. Returns the committed version.
+    */
+  def compact(spark: SparkSession, root: String): Long =
+    write(read(spark, root), root)
 
   /** MERGE (upsert) into the newest snapshot, committing the result as
     * the NEXT version — the table-format `MERGE INTO ... WHEN MATCHED
@@ -96,10 +177,22 @@ object VersionedTable {
     * removed.
     */
   def expire(spark: SparkSession, root: String, keepFrom: Long): Seq[Long] = {
-    val committed = versions(spark, root)
+    val meta = versionMeta(spark, root)
+    val committed = meta.map(_._1)
     val doomed = committed.filter(_ < keepFrom)
     require(doomed.size < committed.size,
       s"expire($keepFrom) would remove every committed version")
+    // a surviving fragment resolves against the newest FULL version at
+    // or below it — that base must survive too, or reads break. Callers
+    // compact first, then expire the pre-compaction chain.
+    meta.filter { case (v, frag) => frag && v >= keepFrom }.foreach {
+      case (v, _) =>
+        val base = meta.filter { case (mv, frag) => !frag && mv <= v }
+          .map(_._1).lastOption
+        require(base.exists(_ >= keepFrom),
+          s"expire($keepFrom) would remove the full base of surviving " +
+            s"fragment v=$v — compact() first")
+    }
     val f = fs(spark, root)
     doomed.foreach { v =>
       f.delete(new Path(root, s"_commits/$v"), false)
@@ -139,18 +232,14 @@ object VersionedTable {
       .select((col("__cl_k").as(key) +: valCols.map(col)) :+ col("op"): _*)
   }
 
-  /** Read a committed version (default: the newest). */
+  /** Read a committed version's LOGICAL content (default: the newest):
+    * the version's base full snapshot unioned with any fragment
+    * versions layered on top of it. A table with no fragments reads
+    * exactly its one snapshot directory, as before.
+    */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
-    val committed = versions(spark, root)
-    require(committed.nonEmpty, s"no committed versions under $root")
-    val v = version match {
-      case Some(x) =>
-        require(committed.contains(x),
-          s"version $x not committed (have ${committed.mkString(",")})")
-        x
-      case None => committed.last
-    }
-    spark.read.parquet(new Path(root, s"data/v=$v").toString)
+    val (_, base, frags) = readParts(spark, root, version)
+    frags.map(_._2).foldLeft(base)(_ unionByName _)
   }
 }

@@ -221,37 +221,68 @@ object SimilarityQueries {
 
   /** INCREMENTAL index update: encode `newVecs` with the index's
     * existing quantizers (no retraining — the standard serving pattern:
-    * codebooks drift slowly, arrivals are continuous) and commit
-    * old ∪ new as the next snapshot version. The KB metadata tables are
-    * re-committed unchanged so all three snapshots stay version-aligned;
-    * rollback to the pre-append index is `loadAnnIndex(version)`.
-    * Retrain (a fresh [[persistAnnIndex]]) when drift accumulates —
-    * the append/retrain split is exactly FAISS's add() vs train().
+    * codebooks drift slowly, arrivals are continuous) and commit the
+    * encoded delta as a FRAGMENT version — O(delta) rows written, NOT
+    * a rewrite of the corpus (a 10⁹-vector index ingesting minute-level
+    * batches must not write 10⁹ rows per minute). Reads resolve
+    * base ∪ fragments with newest-fragment-wins shading on vec_id
+    * ([[loadAnnIndex]]), so a replayed batch converges instead of
+    * duplicating; [[compactAnnIndex]] folds the chain back into one
+    * full snapshot. The KB metadata tables are re-committed unchanged
+    * so all three snapshots stay version-aligned; rollback to the
+    * pre-append index is `loadAnnIndex(version)`. Retrain (a fresh
+    * [[persistAnnIndex]]) when drift accumulates — the append/compact/
+    * retrain split is exactly FAISS add() / merge / train().
     */
   private[graft] def appendToAnnIndex(newVecs: DataFrame, root: String)
       : Long = {
     val spark = newVecs.sparkSession
-    val (indexed, arts) = loadAnnIndex(spark, root)
-    // UPSERT semantics on vec_id (anti-join the old side against the
-    // arriving ids): re-delivering a batch — a streaming replay, a
-    // retried job — converges to the same index instead of duplicating
-    // vectors; the anti-join's right side is the (bounded) arrival
-    val merged = indexed
-      .select(col("vec_id"), col("c"), col("codes"), col("embedding"))
-      .join(newVecs.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      .unionByName(encodeWith(newVecs, arts))
-    val v = graft.operators.VersionedTable.write(merged, s"$root/index")
+    val arts = loadAnnArtifacts(spark, root)
+    val v = graft.operators.VersionedTable.writeFragment(
+      encodeWith(newVecs, arts), s"$root/index")
     writeArtifacts(spark, arts, root)
     v
   }
 
-  /** Load the NEWEST committed index snapshot (or `version` for time
-    * travel): the serve-side counterpart of [[persistAnnIndex]].
+  /** Fold the index's fragment chain into one full snapshot (shading
+    * applied, so replay leftovers are dropped for good) and re-commit
+    * the metadata tables for alignment. Run when the chain grows —
+    * after it, old versions can be [[graft.operators.VersionedTable.expire]]d.
     */
-  private[graft] def loadAnnIndex(spark: SparkSession, root: String,
-      version: Option[Long] = None): (DataFrame, AnnArtifacts) = {
-    val indexed = graft.operators.VersionedTable
-      .read(spark, s"$root/index", version)
+  private[graft] def compactAnnIndex(spark: SparkSession, root: String)
+      : Long = {
+    val (indexed, arts) = loadAnnIndex(spark, root)
+    val v = graft.operators.VersionedTable.write(indexed, s"$root/index")
+    writeArtifacts(spark, arts, root)
+    v
+  }
+
+  /** The FORGET flow for the served index: drop `keys` (vec_id) from
+    * the corpus and commit the survivors as the next FULL version —
+    * compliance deletion must reach serving, not just the source table
+    * (q238 deletes table rows; this deletes their embeddings from the
+    * index). Completion is `VersionedTable.expire(root + "/index", v)`
+    * (+ coarse/cb) so the vectors' bytes are gone from every
+    * time-travelable snapshot. Deletes are rare compliance events, so
+    * the O(corpus) full rewrite is the right trade here — unlike
+    * appends, a tombstone fragment would leave the doomed bytes live.
+    */
+  private[graft] def deleteFromAnnIndex(keys: DataFrame, root: String)
+      : Long = {
+    val spark = keys.sparkSession
+    val (indexed, arts) = loadAnnIndex(spark, root)
+    val v = graft.operators.VersionedTable.write(
+      indexed.join(keys.select(col("vec_id")), Seq("vec_id"), "left_anti"),
+      s"$root/index")
+    writeArtifacts(spark, arts, root)
+    v
+  }
+
+  /** Load ONLY the KB metadata (coarse centroids + PQ codebooks) — the
+    * append path needs quantizers, not the encoded corpus.
+    */
+  private[graft] def loadAnnArtifacts(spark: SparkSession, root: String,
+      version: Option[Long] = None): AnnArtifacts = {
     val coarse = graft.operators.VersionedTable
       .read(spark, s"$root/coarse", version)
       .orderBy(col("idx")).collect()
@@ -262,8 +293,37 @@ object SimilarityQueries {
         r.getAs[scala.collection.Seq[Float]]("vals").toArray).toMap
     val m = cb.keys.map(_._1).max + 1
     val ks = cb.keys.map(_._2).max + 1
-    val cbs = Array.tabulate(m, ks)((ms, c) => cb((ms, c)))
-    (indexed, AnnArtifacts(coarse, cbs))
+    AnnArtifacts(coarse, Array.tabulate(m, ks)((ms, c) => cb((ms, c))))
+  }
+
+  /** Load the NEWEST committed index snapshot (or `version` for time
+    * travel): the serve-side counterpart of [[persistAnnIndex]].
+    * Fragment appends are resolved with newest-wins shading on vec_id:
+    * later fragments shade earlier ones AND the base (upsert + replay
+    * convergence). The dedup work is DELTA-bounded, never a corpus
+    * shuffle — the window runs over fragment rows only, and the base is
+    * anti-joined against the (small) fragment key set; a fragment-free
+    * index skips all of it.
+    */
+  private[graft] def loadAnnIndex(spark: SparkSession, root: String,
+      version: Option[Long] = None): (DataFrame, AnnArtifacts) = {
+    val (_, base, frags) = graft.operators.VersionedTable
+      .readParts(spark, s"$root/index", version)
+    val indexed =
+      if (frags.isEmpty) base
+      else {
+        val fragRows = frags
+          .map { case (fv, df) => df.withColumn("__fv", lit(fv)) }
+          .reduce(_ unionByName _)
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("__fv").desc)
+        val latest = fragRows
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1).drop("__rk", "__fv")
+        base.join(latest.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .unionByName(latest)
+      }
+    (indexed, loadAnnArtifacts(spark, root, version))
   }
 
   /** IVF serve: probe the query's nearest coarse cells, exact cosine

@@ -8,16 +8,19 @@ import graft.queries.SimilarityQueries
 
 /** CONTINUOUS embedding ingest into the served ANN index — the
   * composition of [[SimilarityQueries.appendToAnnIndex]] (encode with
-  * the index's existing quantizers, commit old ∪ new as the next
-  * aligned snapshot version) with the exactly-once micro-batch
-  * discipline:
+  * the index's existing quantizers, commit ONLY the encoded delta as a
+  * fragment version — O(batch) rows written per micro-batch, never a
+  * corpus rewrite) with the exactly-once micro-batch discipline:
   *
   *  - a commit marker per batchId suppresses replays BEFORE any work
   *    (the IdempotentSink contract applied to index maintenance);
-  *  - the append itself is UPSERT-shaped on vec_id, so even a crash
-  *    BETWEEN the snapshot commit and the marker write converges on
-  *    replay instead of duplicating vectors — the marker is an
-  *    optimization, the upsert is the correctness;
+  *  - reads shade on vec_id with newest-fragment-wins
+  *    ([[SimilarityQueries.loadAnnIndex]]), so even a crash BETWEEN
+  *    the fragment commit and the marker write converges on replay
+  *    instead of duplicating vectors — the marker is an optimization,
+  *    the shading is the correctness;
+  *  - [[SimilarityQueries.compactAnnIndex]] folds a grown fragment
+  *    chain back into one full snapshot (the LSM flush/compact split);
   *  - queries keep serving throughout: a reader holds whatever snapshot
   *    version it loaded (snapshot isolation), and the next load sees
   *    the newest committed index.

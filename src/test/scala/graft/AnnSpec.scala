@@ -253,6 +253,62 @@ class AnnSpec extends SparkSpec {
       == n1)
   }
 
+  test("ANN append writes O(delta) fragments; forget flow reaches serving") {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    import graft.operators.VersionedTable
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annidx-frag").toString
+    SimilarityQueries.persistAnnIndex(e, root)
+    val n1 = SimilarityQueries.loadAnnIndex(spark, root)._1.count()
+    val clone = e.filter(col("vec_id") === 0L)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    val v2 = SimilarityQueries.appendToAnnIndex(clone, root)
+    // THE delta contract the round-5 weak was about: the append's data
+    // directory holds exactly the arriving rows — not a corpus rewrite
+    assert(spark.read.parquet(s"$root/index/data/v=$v2").count() == 1L)
+    assert(VersionedTable.versionMeta(spark, s"$root/index")
+      .last == ((v2, true)))
+    // a replayed append lands as another 1-row fragment; shading keeps
+    // the logical index converged
+    val v3 = SimilarityQueries.appendToAnnIndex(clone, root)
+    assert(spark.read.parquet(s"$root/index/data/v=$v3").count() == 1L)
+    assert(SimilarityQueries.loadAnnIndex(spark, root)._1.count() == n1 + 1)
+    // compaction folds the chain into one full snapshot; serving output
+    // is unchanged and the planted clone still ranks top-1 for q0
+    val c = SimilarityQueries.compactAnnIndex(spark, root)
+    assert(VersionedTable.versionMeta(spark, s"$root/index")
+      .last == ((c, false)))
+    val (idxC, artsC) = SimilarityQueries.loadAnnIndex(spark, root)
+    assert(idxC.count() == n1 + 1)
+    val top = SimilarityQueries.annIvfPqFrom(idxC, artsC)
+      .filter(col("q_id") === 0L && col("rk") === 1).head()
+    assert(top.getLong(1) == 900001L && top.getDouble(3) == 1.0)
+    // FORGET flow: delete must reach the SERVED index, not just the
+    // source table — then expire so no time-travelable snapshot serves
+    // the vector's bytes
+    val del = SimilarityQueries.deleteFromAnnIndex(
+      Seq(900001L).toDF("vec_id"), root)
+    val (idxD, artsD) = SimilarityQueries.loadAnnIndex(spark, root)
+    assert(idxD.filter(col("vec_id") === 900001L).count() == 0L)
+    val topD = SimilarityQueries.annIvfPqFrom(idxD, artsD)
+      .filter(col("q_id") === 0L && col("rk") === 1).head()
+    assert(topD.getLong(1) != 900001L)
+    // pre-delete snapshots still serve it — exactly why expire exists
+    assert(SimilarityQueries.loadAnnIndex(spark, root, Some(c))._1
+      .filter(col("vec_id") === 900001L).count() == 1L)
+    Seq("index", "coarse", "cb").foreach { t =>
+      VersionedTable.expire(spark, s"$root/$t", del)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityQueries.loadAnnIndex(spark, root, Some(c))
+    }
+    assert(SimilarityQueries.loadAnnIndex(spark, root)._1.count() == n1)
+  }
+
   test("LSH ANN: default setting recall vs brute force >= 0.6") {
     val exact = SparkEntry.queries("q25_ann_topk")(spark, sf)
       .select("q_id", "neighbor_id").collect()

@@ -127,4 +127,44 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.expire(spark, root, v2 + 10)
     }
   }
+
+  test("fragment appends: O(delta) bytes written, reads resolve the chain") {
+    val root = freshRoot()
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, s"r$i")).toDF("k", "v"), root)
+    // a fragment cannot be the first commit — there is nothing to layer on
+    intercept[IllegalArgumentException] {
+      VersionedTable.writeFragment(Seq((0L, "x")).toDF("k", "v"), freshRoot())
+    }
+    val f1 = VersionedTable.writeFragment(
+      Seq((101L, "f1"), (102L, "f1")).toDF("k", "v"), root)
+    val f2 = VersionedTable.writeFragment(
+      Seq((103L, "f2")).toDF("k", "v"), root)
+    assert(f1 == 2L && f2 == 3L)
+    assert(VersionedTable.versionMeta(spark, root)
+      == Seq((1L, false), (2L, true), (3L, true)))
+    // THE delta-write contract: each fragment's data directory holds
+    // exactly its delta — never a table rewrite
+    assert(spark.read.parquet(s"$root/data/v=2").count() == 2)
+    assert(spark.read.parquet(s"$root/data/v=3").count() == 1)
+    // logical reads resolve base ∪ fragments, per version
+    assert(VersionedTable.read(spark, root).count() == 103)
+    assert(VersionedTable.read(spark, root, Some(2L)).count() == 102)
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 100)
+    // readParts exposes the chain for callers that shade on a key
+    val (base, baseDf, frags) = VersionedTable.readParts(spark, root)
+    assert(base == 1L && baseDf.count() == 100
+      && frags.map(_._1) == Seq(2L, 3L))
+    // expire below a surviving fragment's base is refused (reads would
+    // break) until compaction folds the chain
+    intercept[IllegalArgumentException] {
+      VersionedTable.expire(spark, root, 2L)
+    }
+    val c = VersionedTable.compact(spark, root)
+    assert(c == 4L
+      && VersionedTable.versionMeta(spark, root).last == ((4L, false)))
+    assert(VersionedTable.read(spark, root).count() == 103)
+    assert(VersionedTable.expire(spark, root, c) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.read(spark, root).count() == 103)
+  }
 }
