@@ -84,7 +84,6 @@ object SparkEntry {
     "stats_approx_winsorize" -> "StatsOpsSpec",
     "stats_countmin" -> "SketchSpec",
     "stats_hll_overlap" -> "SketchSpec",
-    "stats_wmedian_2pass" -> "StatsOpsSpec",
     "stream_dedup_inc" -> "StreamingDedupSpec",
     "stream_heavy_hitters" -> "EventStreamSpec",
     "stream_psi_drift" -> "StreamingDriftSpec",

@@ -63,6 +63,26 @@ object GlobalRank {
     */
   def withRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
     val spark = df.sparkSession
+    // advisory: the input plan is evaluated up to four times (count,
+    // sample, rank branch, offsets branch). For a narrow scan that is
+    // the cheap case by definition; for a derived relation with a
+    // shuffle in its lineage the upstream cost multiplies — warn unless
+    // the caller pinned it (cache/persist or a checkpoint, which both
+    // collapse the lineage). rfm_globalrank pins; q160 ranks a scan.
+    val hasShuffleWork = df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isDefined
+    lazy val cached = spark.sharedState.cacheManager
+      .lookupCachedData(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isDefined
+    if (hasShuffleWork && !cached)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn("GlobalRank.withRank input has a shuffle in its plan and " +
+          "is not cached; it will be evaluated up to 4x — persist or " +
+          "localCheckpoint the input first")
     // (underlying value column, ascending?) per key — keys may arrive as
     // SortOrder-wrapped columns (col.desc); the split happens at the
     // column-node level (Spark 4 wraps catalyst conversion lazily)

@@ -44,8 +44,9 @@ object PageRank {
     * deep runs still truncate lineage every few rounds.
     */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85, checkpointEvery: Int = 4): DataFrame =
-    pageRankImpl(edges, None, iters, damping, checkpointEvery)
+      damping: Double = 0.85, checkpointEvery: Int = 4,
+      tol: Double = 0.0): DataFrame =
+    pageRankImpl(edges, None, iters, damping, checkpointEvery, tol)
 
   /** Warm-started power iteration — the INCREMENTAL PageRank form: when
     * the graph gains a delta of edges, restart the iteration from the
@@ -60,13 +61,23 @@ object PageRank {
     * stops circulating (the next rounds renormalize through teleport).
     * Per-round cost is identical to [[pageRank]] — one co-partitioned
     * join+agg against the cached link table.
+    *
+    * `tol` > 0 adds CONVERGENCE-based early stop — the point of a warm
+    * start is fewer rounds, so a fixed round count leaves the payoff on
+    * the table: after each round, stop once max |Δrank| < tol (one
+    * co-partitioned join of two checkpointed rank vectors + one scalar
+    * to the driver — the trainLogReg tol contract). `iters` becomes the
+    * round BUDGET; tol = 0 (default) keeps the exact fixed-round
+    * semantics every oracle pins.
     */
   def pageRankFrom(edges: DataFrame, initial: DataFrame, iters: Int,
-      damping: Double = 0.85, checkpointEvery: Int = 4): DataFrame =
-    pageRankImpl(edges, Some(initial), iters, damping, checkpointEvery)
+      damping: Double = 0.85, checkpointEvery: Int = 4,
+      tol: Double = 0.0): DataFrame =
+    pageRankImpl(edges, Some(initial), iters, damping, checkpointEvery, tol)
 
   private def pageRankImpl(edges: DataFrame, initial: Option[DataFrame],
-      iters: Int, damping: Double, checkpointEvery: Int): DataFrame = {
+      iters: Int, damping: Double, checkpointEvery: Int,
+      tol: Double): DataFrame = {
     val Seq(cs, cd) = edges.columns.toSeq.take(2).map(col)
     // the loop's working set. Out-degree via map-side-combined
     // groupBy + join, NOT a window count: the unbounded window frame
@@ -104,7 +115,9 @@ object PageRank {
           .select(col("u"), coalesce(col("__r0"), lit(1.0 / n)).as("r"))
     }
     var prev: DataFrame = null
-    (1 to iters).foreach { i =>
+    var i = 1
+    var converged = false
+    while (i <= iters && !converged) {
       var next = links.join(ranks, "u")
         .groupBy(col("v"))
         .agg(sum(col("r") / col("deg")).as("m"))
@@ -113,13 +126,22 @@ object PageRank {
         .unionByName(noIn)
       // the final round ALWAYS checkpoints (the returned frame owns its
       // blocks, lineage-free — same contract as before); superseded
-      // checkpoints are freed only after the newer one materializes
-      if (i % checkpointEvery == 0 || i == iters) {
+      // checkpoints are freed only after the newer one materializes.
+      // With tol > 0 every round is a barrier: the convergence check
+      // needs the round materialized anyway, and early stop exists to
+      // run FEW rounds
+      if (tol > 0.0 || i % checkpointEvery == 0 || i == iters) {
         next = next.localCheckpoint(true)
+        if (tol > 0.0)
+          converged = next.select(col("u"), col("r").as("__rn"))
+            .join(ranks.select(col("u"), col("r").as("__rp")), Seq("u"))
+            .agg(max(abs(col("__rn") - col("__rp"))).as("d"))
+            .head().getDouble(0) < tol
         if (prev != null) ColumnBridge.unpersistCheckpoint(prev)
         prev = next
       }
       ranks = next
+      i += 1
     }
     links.unpersist(); nodes.unpersist(); noIn.unpersist()
     ranks.select(col("u").as("node"), col("r").as("rank"))

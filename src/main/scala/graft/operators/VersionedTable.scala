@@ -150,6 +150,16 @@ object VersionedTable {
     */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       key: String): Long = {
+    // MERGE INTO rejects multiple matches per target row; without this
+    // guard duplicate update keys would silently commit duplicate rows
+    // (the anti-join removes the one old row, the union keeps N new
+    // ones). One bounded-by-updates aggregate, checked pre-commit.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: duplicate update rows for $key=${dup.headOption.map(_.get(0))
+        .getOrElse("")} — MERGE requires at most one update per target key")
     val cur = read(spark, root)
     write(cur.join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates), root)

@@ -48,7 +48,7 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
   */
 /** Match direction: Backward keeps the LAST right row with time ≤ the
   * left row's; Forward keeps the FIRST right row with time ≥ it — the
-  * two halves of pandas `merge_asof(direction=)`. `toleranceMs` (in the
+  * two halves of pandas `merge_asof(direction=)`. `tolerance` (in the
   * time column's native units) bounds |Δt|: a backward match older than
   * the bound, or a forward match further ahead, emits NULLs instead.
   */
@@ -202,7 +202,7 @@ object AsOfJoin {
   /** As-of join, backward by default: every `left` row picks the
     * `right` row with equal `keys` and the greatest `rightTimeCol` ≤
     * its `leftTimeCol` — or, with [[AsOfForward]], the SMALLEST ≥ it
-    * (right columns NULL when none exists, or when `toleranceMs` bounds
+    * (right columns NULL when none exists, or when `tolerance` bounds
     * the time gap and the candidate is too far). Right columns should
     * not collide with left names — rename before joining. The right
     * side is re-aliased internally, so self-joins (both sides from one
@@ -212,7 +212,7 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
       direction: AsOfDirection = AsOfBackward,
-      toleranceMs: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -228,7 +228,7 @@ object AsOfJoin {
     val node = AsOfJoinPlan(lp, rp,
       keys.map(attr(lp, _)), keys.map(attr(rp, _)),
       attr(lp, leftTimeCol), attr(rp, rightTimeCol),
-      direction, toleranceMs)
+      direction, tolerance)
     org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, node)
   }
 }

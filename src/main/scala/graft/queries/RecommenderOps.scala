@@ -69,7 +69,7 @@ object RecommenderOps {
       .filter(col("__keep") <= basketCap)
       .select(col("cust"), col("part"))
     // item popularity is a map-side-combined one-row-per-item count,
-    // BROADCAST onto the support-filtered pair table. Measured EQUAL
+    // joined onto the support-filtered pair table. Measured EQUAL
     // to the previous window-count form at sf0.1 (5.9 vs 6.0 s — the
     // pair shuffle dominates both); chosen for the 100× shape: the
     // window form full-sorts the purchase relation by part, making a
@@ -82,11 +82,16 @@ object RecommenderOps {
       .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
       .agg(count(lit(1)).as("n12"))
       .filter(col("n12") >= MinSupport)
+    // NO broadcast hint on popularity: it has one row per ITEM, and the
+    // item catalog grows with the corpus (TPC-H part is linear in SF) —
+    // a forced broadcast is a driver OOM at 100×. AQE broadcasts it
+    // while it is small and shuffle-joins it once it is not; the pair
+    // table is already support-filtered, so the shuffle side is bounded
     val scored = pairs
-      .join(broadcast(popularity.select(col("part").as("p1"),
-        col("n").as("n1"))), "p1")
-      .join(broadcast(popularity.select(col("part").as("p2"),
-        col("n").as("n2"))), "p2")
+      .join(popularity.select(col("part").as("p1"),
+        col("n").as("n1")), "p1")
+      .join(popularity.select(col("part").as("p2"),
+        col("n").as("n2")), "p2")
       .select(col("p1"), col("p2"), col("n12"),
         round(col("n12") / sqrt(col("n1") * col("n2")), 6).as("sim"))
     // both orientations so every item ranks its own neighbors

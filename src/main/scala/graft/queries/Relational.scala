@@ -126,31 +126,30 @@ object Relational {
     // same count-distinct aggregation a user would write, executed with
     // the conf-gated optimizer rule swapping the exact distinct for
     // HLL++ at rsd 0.02 — the q211 pattern of surfacing a primitive
-    // through a driver-visible query. The rule and conf are restored
-    // whatever happens.
+    // through a driver-visible query. The rule runs in a DEDICATED
+    // newSession(): experimental optimizations and SQLConf are
+    // session-state, so mutating the shared session would silently
+    // rewrite any exact COUNT(DISTINCT) planned concurrently on it —
+    // isolation, not restore-on-exit, is the correctness here.
     "q233_approx_distinct" -> ((s, d) => {
       val rule = graft.plans.ApproxDistinctRewrite
-      val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ rule
-      s.conf.set(rule.RsdKey, "0.02")
-      try {
-        val out = Tables(s, d, "events")
-          .groupBy(col("event_type"))
-          .agg(count_distinct(col("user_id")).as("nd_users"),
-            count(lit(1)).as("n"))
-        val plan = out.queryExecution.optimizedPlan.toString
-        require(plan.contains("approx_count_distinct"),
-          "rewrite did not fire")
-        // materialize while the rule is active; the returned frame is
-        // the computed result, independent of the session state below
-        val rows = out.collect().toSeq
-        import s.implicits._
-        rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-          .toDF("event_type", "nd_users", "n")
-      } finally {
-        s.conf.unset(rule.RsdKey)
-        s.experimental.extraOptimizations = prev
-      }
+      val iso = s.newSession()
+      iso.experimental.extraOptimizations =
+        iso.experimental.extraOptimizations :+ rule
+      iso.conf.set(rule.RsdKey, "0.02")
+      val out = Tables(iso, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("nd_users"),
+          count(lit(1)).as("n"))
+      val plan = out.queryExecution.optimizedPlan.toString
+      require(plan.contains("approx_count_distinct"),
+        "rewrite did not fire")
+      // materialize inside the isolated session; hand the caller a
+      // frame owned by ITS session
+      val rows = out.collect().toSeq
+      import s.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toDF("event_type", "nd_users", "n")
     }),
 
     // R6: global sort + limit with deterministic tie-break.

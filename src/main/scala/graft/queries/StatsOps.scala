@@ -478,6 +478,20 @@ object StatsOps {
         |   SUM(w) OVER (PARTITION BY f) AS tw FROM t)
         |SELECT f AS l_returnflag, MIN(x) AS wmedian FROM c
         |WHERE cw * 2 >= tw GROUP BY f""".stripMargin,
+    // the 2-pass form is BIT-IDENTICAL to q171 by construction (the
+    // StatsOpsSpec pin), so it earns the same oracle — a hash-checked
+    // row instead of rows-only
+    "stats_wmedian_2pass" ->
+      """WITH t AS (SELECT l_returnflag f, l_extendedprice x,
+        |   CAST(l_quantity AS DECIMAL(18,4)) w, l_orderkey, l_linenumber
+        | FROM lineitem),
+        |c AS (SELECT f, x,
+        |   SUM(w) OVER (PARTITION BY f
+        |     ORDER BY x, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |   SUM(w) OVER (PARTITION BY f) AS tw FROM t)
+        |SELECT f AS l_returnflag, MIN(x) AS wmedian FROM c
+        |WHERE cw * 2 >= tw GROUP BY f""".stripMargin,
     "q151_overlap_exact" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -73,9 +73,12 @@ object DriftMonitor {
       .join(bounds, "event_type")
       .select(col("event_type"), col("bnds"),
         // scaffold missing buckets with 0 (a decile CAN be empty only
-        // if a later boundary duplicates an earlier one on heavy ties)
+        // if a later boundary duplicates an earlier one on heavy ties).
+        // try_element_at, NOT element_at: under ANSI mode (the Spark 4
+        // default) element_at on a missing map key throws instead of
+        // returning NULL, so a tie-heavy reference would crash here
         expr(s"""transform(sequence(0, ${Buckets - 1}), i ->
-             coalesce(element_at(map_from_entries(
+             coalesce(try_element_at(map_from_entries(
                transform(bc, x -> struct(x.bucket, x.c))), i), 0L))""")
           .as("ref_counts"))
       .withColumn("n_ref", expr("aggregate(ref_counts, 0L, (a, x) -> a + x)"))

@@ -62,7 +62,7 @@ class AsOfJoinSpec extends SparkSpec {
     // backward, tol 50: t=100 matches qt=90 (gap 10); t=200's best is
     // 90 (gap 110 > 50 -> NULL); t=1000 matches 950 (gap 50, inclusive)
     val back = AsOfJoin.asof(trades, quotes, Seq("k"), "t", "qt",
-        AsOfBackward, toleranceMs = Some(50L))
+        AsOfBackward, tolerance = Some(50L))
       .select(col("t"), col("price")).collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
@@ -70,14 +70,14 @@ class AsOfJoinSpec extends SparkSpec {
     // forward, tol 100: t=100's next is 950 (gap 850 -> NULL); t=200
     // same; t=1000 has no quote >= it at all... qt=950 < 1000 -> NULL
     val fwd = AsOfJoin.asof(trades, quotes, Seq("k"), "t", "qt",
-        AsOfForward, toleranceMs = Some(100L))
+        AsOfForward, tolerance = Some(100L))
       .select(col("t"), col("price")).collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
     assert(fwd == Map(100L -> null, 200L -> null, 1000L -> null))
     // and with a generous tolerance the forward picks return
     val fwd2 = AsOfJoin.asof(trades, quotes, Seq("k"), "t", "qt",
-        AsOfForward, toleranceMs = Some(1000L))
+        AsOfForward, tolerance = Some(1000L))
       .select(col("t"), col("price")).collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) null else r.getDouble(1))).toMap

@@ -274,6 +274,47 @@ class GraphSpec extends SparkSpec {
     assert(warm < 1e-2)
   }
 
+  test("tol early stop: a converged start ends the loop at round one") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("u", "v")
+    // a well-converged start: per-round movement has contracted to
+    // ~0.85^30 of the initial mismatch (≈2e-3 here), safely under tol
+    val init = PageRank.pageRank(e, 30)
+    val budget = 20
+    val tol = 1e-2
+    val one = PageRank.pageRankFrom(e, init, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = PageRank.pageRankFrom(e, init, budget)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val early = PageRank.pageRankFrom(e, init, budget, tol = tol)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(early.keySet == full.keySet && early.keySet == one.keySet)
+    // the early-stop claim, timing-free: under a 20-round budget the run
+    // ended after ROUND ONE — it reproduces the explicit 1-round run
+    // (float-sum order tolerance, as the k-then-m pin uses) ...
+    early.foreach { case (n, r) =>
+      assert(math.abs(r - one(n)) < 1e-12, s"node $n: $r vs 1-round ${one(n)}")
+    }
+    // ... and measurably did NOT run the remaining 19 rounds: from this
+    // start they still move the ranks ~1e-8 (measured), orders beyond
+    // float-sum noise (~1e-15), so a full-budget run would sit at noise
+    // distance from `full` — the early one does not
+    assert(early.map { case (n, r) => math.abs(r - full(n)) }.max > 1e-10)
+    // the semantics tol trades: stopping when a round moves < tol leaves
+    // at most tol·d/(1-d) to the fixed point (d = 0.85 → ×5.67)
+    early.foreach { case (n, r) =>
+      assert(math.abs(r - full(n)) < tol * 0.85 / 0.15,
+        s"node $n: $r vs budget ${full(n)}")
+    }
+    // tol = 0 stays the exact fixed-round semantics (oracle contract)
+    val fixed = PageRank.pageRankFrom(e, init, 2, tol = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fixed2 = PageRank.pageRankFrom(e, init, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    fixed.foreach { case (n, r) => assert(math.abs(r - fixed2(n)) < 1e-15) }
+  }
+
   test("warm start seeds unseen nodes at uniform mass") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")

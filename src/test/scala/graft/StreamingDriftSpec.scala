@@ -89,4 +89,25 @@ class StreamingDriftSpec extends SparkSpec {
       Timestamp.valueOf("2024-02-01 10:00:00"))
     assert(math.abs(rows.head.getDouble(3)) < 1e-6)
   }
+
+  test("tie-heavy reference (duplicate decile boundaries) builds, not throws") {
+    // a constant-valued type collapses every decile boundary to one
+    // value, leaving most buckets empty — under ANSI mode a plain
+    // element_at on the missing bucket keys would throw; the model must
+    // scaffold them as 0 instead (try_element_at)
+    val ref = (1 to 40).map(i => ("const", 7.5)) ++
+      (1 to 40).map(i => ("spread", i.toDouble))
+    val model = DriftMonitor.refModel(ref.toDF("event_type", "value"))
+    val rows = model.collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val counts = r.getAs[scala.collection.Seq[Long]]("ref_counts")
+      assert(counts.length === 10)
+      assert(counts.sum === 40L, s"${r.getString(0)}: $counts")
+    }
+    // the constant type really is tie-heavy: all mass in one bucket
+    val constCounts = rows.find(_.getString(0) == "const").get
+      .getAs[scala.collection.Seq[Long]]("ref_counts")
+    assert(constCounts.count(_ > 0) === 1)
+  }
 }

@@ -38,6 +38,14 @@ class VersionedTableSpec extends SparkSpec {
     val pre = VersionedTable.read(spark, root, Some(1L)).collect()
       .map(r => (r.getInt(0), r.getString(1))).toSet
     assert(pre == Set((1, "a"), (2, "b"), (3, "c")))
+    // MERGE rejects multiple update rows per target key (it would
+    // otherwise silently commit duplicate rows for that key)
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root,
+        Seq((5, "x"), (5, "y")).toDF("k", "v"), "k")
+    }
+    // ... and the refused merge committed nothing
+    assert(VersionedTable.versions(spark, root).last == v)
   }
 
   test("changelog between versions; applying it reproduces the target") {
