@@ -63,7 +63,7 @@ object PlanDump {
       "q148_seasonal_anomaly" -> "daily decimal aggregation + lag-7 window; per-type residual moments broadcast back over the series (the q102 outlier shape on time series)",
       "q155_survival" -> "per-customer gap window (one shuffle) collapses to DISTINCT-DURATION rows; KM risk-set/product windows run over that calendar-bounded set, 1-row horizon broadcast",
       "q158_profile" -> "ONE single-distinct aggregation per column, unioned — each branch's scan prunes to its column; the 11-distinct Expand alternative measured 26s vs 1.4s",
-      "q154_also_bought" -> "basket-cap window shuffles on the SAME cust key the pair self-join uses (shared exchange); pair volume bounded at C(cap,2)/customer; popularity broadcast onto support-filtered pairs",
+      "q154_also_bought" -> "basket-cap window shuffles on the SAME cust key the pair self-join uses (shared exchange); pair volume bounded at C(cap,2)/customer; popularity (one row per catalog ITEM, linear in SF) broadcasts only under a size gate fed by the dimension-table count — <=4M items broadcast, beyond that the plain join lets AQE choose, so the driver is safe at 100x and the test-scale plan keeps the broadcast",
       "q160_sorted_neighborhood" -> "GlobalRank: driver-sampled boundary literals -> pure-expression bucket id, per-bucket rank, broadcast prefix offsets (NO single-partition window on data, no checkpoint); neighbor pairing is an equi-join on rank",
       "q211_salted_hot_join" -> "profiled hot key scattered across 8 salts; ONLY hot rows replicate the 25-row dim side (cold keys ride salt 0); aggregate == plain join",
       "q212_chunk_sliding" -> "narrow per-row start-sequence explode — zero shuffles, map-only behind the scan",

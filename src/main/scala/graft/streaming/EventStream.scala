@@ -313,20 +313,22 @@ object EventStream {
     * state store carries one ≤capacity-counter sketch per window — not
     * the item stream — so per-window state is fixed-size no matter the
     * event volume; partial buffers merge across micro-batches exactly
-    * like across map partitions. Capacity 2048 exceeds the per-window
-    * user cardinality at every test SF (1500 at sf0.1), so the sketch
-    * is in its exact regime and the
-    * streaming result EQUALS the batch twin (EventStreamSpec pins it —
-    * with capacity below cardinality the counts stay within the
-    * Misra-Gries n/capacity bound but batch/stream merge orders may
-    * pick different tail items, so the exact-regime contract is what
-    * the twin test pins, q46's discipline).
+    * like across map partitions. The default capacity 2048 exceeds the
+    * per-window user cardinality at every test SF (1500 at sf0.1), so
+    * the driver entry runs in the exact regime and the streaming result
+    * EQUALS the batch twin (EventStreamSpec pins it — q46's
+    * discipline). At 100× the cardinality the sketch IS approximate:
+    * counts underestimate by at most n/capacity and any item above that
+    * frequency is guaranteed present, ACROSS micro-batch merges —
+    * EventStreamSpec pins that regime too, with capacity forced far
+    * below a crafted stream's cardinality.
     */
-  def windowHeavyHitters(events: DataFrame): DataFrame = {
+  def windowHeavyHitters(events: DataFrame, capacity: Int = 2048,
+      k: Int = 5): DataFrame = {
     import graft.functions.sketches._
     events
       .groupBy(window(col("ts"), "5 days"))
-      .agg(approx_top_k(col("user_id").cast("string"), 2048, 5).as("top"))
+      .agg(approx_top_k(col("user_id").cast("string"), capacity, k).as("top"))
       .select(col("window.start").as("ws"), posexplode(col("top")))
       .select(col("ws"), (col("pos") + 1).cast("long").as("rk"),
         col("col.item").as("user_id"), col("col.cnt").as("n"))

@@ -41,17 +41,45 @@ class ApproxRewriteSpec extends SparkSpec {
     }
   }
 
-  test("plain count and multi-column distinct are left exact") {
+  test("plain count is left exact; multi-column distinct flips via tuple hash") {
+    val multiExact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id"), col("value")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     withRule("0.02") {
       val plain = events.groupBy(col("event_type"))
         .agg(count(col("user_id")).as("n"))
       assert(!optimizedPlan(plain).contains("approx_count_distinct"))
       val multi = events.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id"), col("value")).as("n"))
-      assert(!optimizedPlan(multi).contains("approx_count_distinct"))
+      val plan = optimizedPlan(multi)
+      assert(plan.contains("approx_count_distinct")
+        && plan.contains("xxhash64"))
+      multi.collect().foreach { r =>
+        val (et, n) = (r.getString(0), r.getLong(1))
+        assert(math.abs(n - multiExact(et)).toDouble <= multiExact(et) * 0.1,
+          s"$et: approx $n vs exact ${multiExact(et)}")
+      }
       // and the rewritten-adjacent query still computes plain counts right
       val n = events.agg(count(lit(1))).collect().head.getLong(0)
       assert(n === events.count())
+    }
+  }
+
+  test("multi-column rewrite keeps COUNT's null-tuple semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(1)), (Some("a"), Some(1)), (Some("b"), Some(2)),
+      (None: Option[String], Some(3)), (Some("c"), None: Option[Int]),
+      (None: Option[String], None: Option[Int]))
+      .toDF("x", "y")
+    val exact = df.agg(countDistinct(col("x"), col("y"))).head().getLong(0)
+    assert(exact === 2L) // rows with ANY null column are skipped
+    withRule("0.02") {
+      val got = df.agg(countDistinct(col("x"), col("y"))).head().getLong(0)
+      // 2 distinct tuples: HLL++ is exact at this cardinality, so the
+      // null guard is pinned exactly — an unguarded hash would count
+      // (null,3) and (c,null) and return 4
+      assert(got === exact)
     }
   }
 

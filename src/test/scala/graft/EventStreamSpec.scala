@@ -460,4 +460,43 @@ class EventStreamSpec extends SparkSpec {
     val streamed = spark.table("shh").collect().map(_.toString).toSet
     assert(streamed === batch)
   }
+
+  test("streaming heavy hitters hold the n/capacity bound in the " +
+      "approximate regime (cardinality >> capacity, cross-batch merges)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one 5-day window; 400 background users x4 + 3 heavy users x400:
+    // n = 2800, capacity 16 -> n/capacity = 175 < 400, so the heavy
+    // users are GUARANTEED to survive eviction and batch merges
+    val ts = java.sql.Timestamp.valueOf("2024-03-02 12:00:00")
+    val heavy = Seq(900001L, 900002L, 900003L)
+    val rows = new scala.util.Random(7).shuffle(
+      (1 to 400).flatMap(u => Seq.fill(4)((ts, u.toLong))) ++
+        heavy.flatMap(h => Seq.fill(400)((ts, h))))
+    val n = rows.size
+    val capacity = 16
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = EventStream.windowHeavyHitters(
+      stream.toDF().toDF("ts", "user_id"), capacity = capacity,
+      k = capacity)
+      .writeStream.format("memory").queryName("shh_approx")
+      .outputMode("complete").start()
+    try {
+      // three deliveries: state merges sketch buffers across batches
+      rows.grouped((n + 2) / 3).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("shh_approx").collect()
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(got.size <= capacity)
+    heavy.foreach { h =>
+      val est = got.getOrElse(h.toString,
+        fail(s"heavy hitter $h evicted from $got"))
+      // underestimate only, by at most n/capacity — the Misra-Gries
+      // bound, surviving the cross-buffer merge
+      assert(est <= 400L, s"$h overcounted: $est")
+      assert(400L - est <= n / capacity, s"$h undercut past bound: $est")
+    }
+  }
 }

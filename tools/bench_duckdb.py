@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Measured denominator for the bench gate: time every oracle SQL in
+DuckDB (single-node columnar, all cores) over the same parquet tables
+the Spark bench reads, join with the Spark per-query times, and emit a
+per-query + total ratio artifact.
+
+Usage:
+  bench_duckdb.py <sfDir> <oracle_sql.json> <spark_bench.json> <out.json>
+
+The ratio is spark_sec / duck_sec per shared query (>1 means Spark is
+slower). This makes `bench_vs_baseline` a measured number instead of
+the vacuous 1.0 carried while the reference published nothing — and the
+comparison cuts both ways (DuckDB loses badly on some blocking joins,
+e.g. q139), so publishing it is safe and honest.
+"""
+import sys, json, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sfdir, oracle_path, spark_bench_path, out_path):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(oracle_path))
+    spark = json.load(open(spark_bench_path))
+    spark_q = spark.get("queries", {})
+    duck = {}
+    for name in sorted(oracle):
+        t0 = time.monotonic()
+        try:
+            con.sql(oracle[name]).fetchall()
+            duck[name] = round(time.monotonic() - t0, 4)
+        except Exception as e:
+            duck[name] = None
+            print(f"SKIP {name}: {e}", file=sys.stderr)
+    shared = sorted(k for k in duck
+                    if duck[k] is not None and k in spark_q)
+    rows = {}
+    for k in shared:
+        d, s = duck[k], spark_q[k]
+        rows[k] = {"duck_sec": d, "spark_sec": s,
+                   "ratio": round(s / d, 3) if d > 0 else None}
+    td = sum(duck[k] for k in shared)
+    ts = sum(spark_q[k] for k in shared)
+    out = {
+        "sf_dir": sfdir,
+        "n_shared": len(shared),
+        "total_duck_sec": round(td, 2),
+        "total_spark_sec": round(ts, 2),
+        "ratio_total": round(ts / td, 3) if td else None,
+        "worst_ratio": sorted(
+            ({"q": k, **rows[k]} for k in shared),
+            key=lambda r: -(r["ratio"] or 0))[:15],
+        "best_ratio": sorted(
+            ({"q": k, **rows[k]} for k in shared),
+            key=lambda r: (r["ratio"] or 0))[:10],
+        "queries": rows,
+    }
+    json.dump(out, open(out_path, "w"), indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ["n_shared", "total_duck_sec", "total_spark_sec",
+                       "ratio_total"]}))
+    print("worst:", [(r["q"], r["ratio"]) for r in out["worst_ratio"][:8]])
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:5])
