@@ -74,6 +74,25 @@ object CurationOps {
         md5(col("col.chunk")).as("chunk_hash"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q240 k-anonymity / l-diversity audit [Sweeney '02; Machanavajjhala
+    // '07] — the privacy gate a dataset release runs BEFORE training:
+    // group by the quasi-identifier tuple (nation × market segment),
+    // flag groups smaller than k = 10 (re-identifiable), and measure
+    // l-diversity of a sensitive attribute (account-balance sign)
+    // within each group — a group whose sensitive value is uniform
+    // leaks it even at k. One map-side-combined aggregation over
+    // bounded quasi-ID keys (|nations| × |segments|) — the profiler
+    // discipline: counts and one distinct, no corpus re-scan per
+    // metric.
+    "q240_k_anonymity" -> ((s, d) =>
+      Tables(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)) < 10).cast("long").as("at_risk"),
+          countDistinct((col("c_acctbal") < 0).cast("int"))
+            .as("l_div"))),
+
     // q230 homoglyph-skeleton dedup — the adversarial-duplicate pass:
     // spam/SEO corpora evade exact dedup by swapping Latin letters for
     // Cyrillic/Greek lookalikes or injecting zero-width characters.
@@ -432,6 +451,13 @@ object CurationOps {
       .stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q240_k_anonymity" ->
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  count(*) AS n,
+        |  CAST(count(*) < 10 AS BIGINT) AS at_risk,
+        |  CAST(count(DISTINCT CAST(c_acctbal < 0 AS INT)) AS BIGINT)
+        |    AS l_div
+        |FROM customer GROUP BY 1, 2""".stripMargin,
     // the mapping strings interpolate from the SAME Scala constants the
     // Spark plan uses — one source of truth for the skeleton
     "q230_homoglyph_dedup" ->

@@ -115,7 +115,55 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Dedup ARRIVALS against an already-ingested REFERENCE corpus with a
+    * bloom prefilter — the continuous-ingest shape: most arrivals are
+    * new, so the exact anti-join should not shuffle them all against a
+    * reference that is 1000× larger. The bloom (KB-scale driver
+    * metadata over the reference keys, the RuntimeFilter recipe) splits
+    * arrivals inside their scan's codegen span: bloom-NEGATIVE rows are
+    * DEFINITELY new (no false negatives) and skip the join entirely;
+    * only bloom-positive rows (true dups + the fp-rate sliver) reach
+    * the exact anti-join that removes false positives. Result is
+    * EXACTLY the plain anti-join — which is what the driver oracle
+    * checks — with the join's left side shrunk from |arrivals| to
+    * |dups| + fp·|arrivals|.
+    */
+  private[graft] def bloomReferenceDedup(arrivals: DataFrame,
+      reference: DataFrame, key: String,
+      numBits: Int = 1 << 17, numHashes: Int = 6): DataFrame = {
+    import graft.functions.bloom._
+    val row = reference.agg(
+      bloom_agg(xxhash64(col(key)), numBits, numHashes).as("b")).head()
+    if (row.isNullAt(0)) arrivals // empty reference: everything is new
+    else {
+      val mayDup = bloom_contains(row.getAs[Array[Byte]](0),
+        xxhash64(col(key)), numHashes)
+      arrivals.filter(!mayDup).unionByName(
+        arrivals.filter(mayDup).join(
+          reference.select(col(key)).distinct(), Seq(key), "left_anti"))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q241 reference dedup via bloom prefilter: the ingest ledger holds
+    // the first 60% of doc_ids, the arriving batch is the last 60% —
+    // the overlapping middle is re-delivered content the dedup must
+    // drop (non-vacuous at EVERY SF by construction). The split
+    // boundary is one max() scalar (boundary-literal pattern); the
+    // oracle is the plain anti-join the bloom path must equal exactly.
+    "q241_bloom_ref_dedup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .filter(col("text").isNotNull)
+      val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val hashed = docs.select(col("doc_id"),
+        md5(col("text")).as("content_hash"))
+      bloomReferenceDedup(
+        hashed.filter(col("doc_id") * 10 >= lit(m * 4)),
+        hashed.filter(col("doc_id") * 10 <= lit(m * 6))
+          .select(col("content_hash")),
+        "content_hash")
+    }),
+
     // Exact dedup: content hash → keeper (min doc_id) + multiplicity.
     // One hash-partitioned aggregation; at 100 TB this is the standard
     // "exact dedup in one shuffle" shape (hash is 64 bytes/row, not the
@@ -662,6 +710,17 @@ object DedupQueries {
       |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the bloom path must equal the plain anti-join exactly (no false
+    // negatives; positives removed by the confirm join)
+    "q241_bloom_ref_dedup" ->
+      """WITH mx AS (SELECT max(doc_id) m FROM documents
+        |           WHERE text IS NOT NULL),
+        |ref AS (SELECT DISTINCT md5(text) h FROM documents, mx
+        |        WHERE text IS NOT NULL AND doc_id * 10 <= m * 6),
+        |arr AS (SELECT doc_id, md5(text) h FROM documents, mx
+        |        WHERE text IS NOT NULL AND doc_id * 10 >= m * 4)
+        |SELECT a.doc_id, a.h AS content_hash FROM arr a
+        |LEFT JOIN ref r ON a.h = r.h WHERE r.h IS NULL""".stripMargin,
     // exact closure of the near-dup pair graph: min reachable label per
     // node, via a recursive CTE over the bidirectional edge list —
     // upgrades dedup_components from rows-only to hash-checked.

@@ -290,6 +290,46 @@ object PipelineOps {
           / count(lit(1)), 6).as("lm_score"))
   }
 
+  /** q239 HELD-OUT perplexity — the CCNet-style LM quality filter
+    * [Wenzek et al., LREC'20]: a bigram model trained on a fixed
+    * REFERENCE slice scores a DISJOINT candidate slice, so a document
+    * whose transitions the reference never saw scores high-perplexity
+    * (q82 scores a corpus against itself; this is the train/serve split
+    * a production filter actually runs). Unseen mass is the add-one
+    * floor: missing bigram → count 0, missing context → 0, giving
+    * P = 1/(V) for a fully novel transition. Model tables are
+    * vocabulary-sized (corpus-sublinear) and the scoring joins are
+    * vocab-keyed — AQE broadcasts them when small; V is one driver
+    * scalar (the IVF-centroid metadata pattern). ppl is derived from
+    * the ROUNDED mean log-likelihood so both engines exponentiate the
+    * same 6-decimal value.
+    */
+  def heldoutPerplexity(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val train = tok.filter(col("doc_id") % 2 === 0)
+    val held = tok.filter(col("doc_id") % 2 === 1)
+    def bigrams(df: DataFrame) = df
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val trainBg = bigrams(train)
+    val v = train.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val c2 = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = trainBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams(held)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log((coalesce(col("c2"), lit(0L)) + 1.0) /
+            (coalesce(col("c1"), lit(0L)) + v.toDouble))) / count(lit(1)),
+          6).as("ll"))
+      .withColumn("ppl", round(exp(-col("ll")), 4))
+  }
+
   /** Map-typed column surface: construct a map from scalar columns and
     * JSON, then inspect (size/map_keys/map_contains_key), extract
     * (element_at), transform (transform_values/map_filter), merge
@@ -331,6 +371,9 @@ object PipelineOps {
       removeDupSpans(Tables(s, d, "documents"))),
     "q81_chunk_docs" -> ((s, d) => chunkDocs(Tables(s, d, "documents"))),
     "q82_bigram_lm" -> ((s, d) => bigramScore(Tables(s, d, "documents"))),
+
+    "q239_heldout_ppl" -> ((s, d) =>
+      heldoutPerplexity(Tables(s, d, "documents"))),
 
     // Corpus snapshot diff — the incremental-pipeline primitive: classify
     // every doc as added/removed/changed between two snapshots by
@@ -431,6 +474,33 @@ object PipelineOps {
         |    / count(*), 6) AS lm_score
         |FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY doc_id""".stripMargin,
+    "q239_heldout_ppl" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+        |he AS (SELECT * FROM t WHERE doc_id % 2 = 1),
+        |trb AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |          i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+        |        FROM tr),
+        |tb AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM trb),
+        |heb AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |          i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+        |        FROM he),
+        |hb AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM heb),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM tb
+        |       GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tb
+        |       GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |      FROM (SELECT unnest(tk) AS w FROM tr)),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |        round(sum(ln((COALESCE(c2, 0) + 1.0) /
+        |          (COALESCE(c1, 0) + CAST(v AS DOUBLE)))) / count(*), 6)
+        |          AS ll
+        |      FROM hb LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |      CROSS JOIN v GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, ll, round(exp(-ll), 4) AS ppl
+        |FROM g""".stripMargin,
     "q75_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents
         |           WHERE doc_id % 7 != 2),

@@ -218,4 +218,21 @@ class CurationOpsSpec extends SparkSpec {
       .toDF("t").select(skel).head().getString(0)
     assert(r === "The quick brown fox 123 !@#")
   }
+
+  test("q240 k-anonymity: small groups flagged, uniform sensitive = l_div 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    // group (1, A): 12 members, all positive balance -> safe but l_div 1
+    // group (2, B): 3 members, mixed sign -> at-risk, l_div 2
+    val rows = (1 to 12).map(i => (i.toLong, 1L, "A", 100.0)) ++
+      Seq((13L, 2L, "B", 50.0), (14L, 2L, "B", -5.0), (15L, 2L, "B", -9.0))
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = CurationOps.queries("q240_k_anonymity")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((1L, "A")) === ((12L, 0L, 1L)))
+    assert(got((2L, "B")) === ((3L, 1L, 2L)))
+  }
 }

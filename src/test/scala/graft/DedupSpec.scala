@@ -292,4 +292,40 @@ class DedupSpec extends SparkSpec {
         "jaccard cannot exceed containment")
     }
   }
+
+  test("bloom reference dedup equals the plain anti-join exactly") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    import org.apache.spark.sql.functions.col
+    // 10 of the 40 arrivals were already ingested; 30 are new
+    val reference = (1 to 50).map(i => s"ref-$i").toDF("h")
+    val arrivals = ((41 to 50).map(i => s"ref-$i") ++
+      (1 to 30).map(i => s"new-$i")).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("id", "h")
+    val got = DedupQueries.bloomReferenceDedup(arrivals, reference, "h")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = arrivals.join(reference, Seq("h"), "left_anti")
+      .select(col("id"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === plain)
+    assert(got.size === 30 && got.forall(_._2.startsWith("new-")))
+    // empty reference: everything passes, no join at all
+    val none = DedupQueries.bloomReferenceDedup(
+      arrivals, reference.filter(col("h") === "nope"), "h")
+    assert(none.count() === arrivals.count())
+    // the shipped entry equals its own plain anti-join at this SF
+    val entry = SparkEntry.queries("q241_bloom_ref_dedup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.md5(col("text")).as("ch"))
+    val m = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0)
+    val expected = docs.filter(col("doc_id") * 10 >= m * 4)
+      .join(docs.filter(col("doc_id") * 10 <= m * 6).select(col("ch")),
+        Seq("ch"), "left_anti")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(entry === expected)
+  }
 }

@@ -203,4 +203,31 @@ class PipelineOpsSpec extends SparkSpec {
     val lower = (total + 2047) / 2048
     assert(nBins <= 2 * lower + 16, s"bins $nBins vs lower $lower")
   }
+
+  test("held-out perplexity: hand-computed smoothing, unseen floor at 1/V") {
+    import spark.implicits._
+    // train (even ids): "a b a b" -> c2(a,b)=2,(b,a)=1; "c c" -> (c,c)=1
+    // contexts c1: a=2, b=1, c=1; vocab V = {a,b,c} = 3
+    val docs = Seq(
+      (0L, "a b a b"), (2L, "c c"),
+      (1L, "a b c"), (3L, "z z z"), (5L, "w"))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.heldoutPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    // doc 5 has one token -> no bigrams -> absent
+    assert(got.keySet === Set(1L, 3L))
+    // doc 1: p(a,b)=(2+1)/(2+3)=0.6; p(b,c)=(0+1)/(1+3)=0.25
+    val ll1 = BigDecimal((math.log(0.6) + math.log(0.25)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 === 2L)
+    assert(got(1L)._2 === ll1)
+    assert(got(1L)._3 === BigDecimal(math.exp(-ll1))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 3: fully novel transitions hit the 1/V floor: p = 1/3 twice
+    val ll3 = BigDecimal(math.log(1.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L)._1 === 2L)
+    assert(got(3L)._2 === ll3)
+  }
 }
