@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_simhash_w" -> "DedupSpec",
     "dfs_roundtrip" -> "DfsSourceSpec",
     "layout_changelog" -> "VersionedTableSpec",
+    "layout_result_cache" -> "ResultCacheSpec",
     "q238_forget_flow" -> "VersionedTableSpec",
     "layout_compact" -> "LayoutPruningSpec",
     "layout_merge_versioned" -> "VersionedTableSpec",
@@ -79,6 +80,7 @@ object SparkEntry {
     "sim_ann_ivfpq" -> "AnnSpec",
     "sim_ann_lsh" -> "AnnSpec",
     "sim_ann_stream_ingest" -> "AnnIngestSpec",
+    "sim_ann_forget" -> "AnnSpec",
     "sim_pca" -> "MatrixSpec",
     "stats_approx_eqdepth" -> "StatsOpsSpec",
     "stats_approx_winsorize" -> "StatsOpsSpec",

@@ -193,7 +193,48 @@ object ClassifyOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** q242 univariate feature AUC — the rank-based feature screen run
+    * before training a classifier: for each candidate feature, the
+    * probability a random positive outranks a random negative
+    * (Mann-Whitney U / (n⁺·n⁻), ties at half credit — exactly ROC-AUC
+    * of the raw feature as a score). Cost shape: one melt (3 narrow
+    * unions of the same scan), one (feature, value) aggregation, one
+    * window over VALUE-GROUPS per feature (never rows), one rollup —
+    * value cardinality, not corpus, bounds the window. Every term is
+    * an integer or half-integer < 2⁵³, so the double sums are exact
+    * and order-independent — hash-comparable cross-engine with no
+    * decimal scaffolding. The cust_mod7 feature is a planted
+    * known-noise control (AUC ≈ 0.5), the spec's sanity anchor.
+    */
+  private[graft] def featureAuc(labeled: DataFrame): DataFrame = {
+    val g = labeled.groupBy(col("feature"), col("value"))
+      .agg(sum(col("label")).as("np"),
+        sum(lit(1L) - col("label")).as("nn"))
+    val w = Window.partitionBy(col("feature")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("nn_less", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("feature"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        round(sum(col("np") * (col("nn_less") + col("nn") / 2.0)) /
+          (sum(col("np")) * sum(col("nn"))), 6).as("auc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q242_feature_auc" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_custkey"),
+          col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH").cast("long").as("label"))
+      def f(name: String, v: org.apache.spark.sql.Column) =
+        o.select(lit(name).as("feature"),
+          v.cast("double").as("value"), col("label"))
+      f("totalprice", col("o_totalprice"))
+        .unionByName(f("order_month", month(col("o_orderdate"))))
+        .unionByName(f("cust_mod7", col("o_custkey") % 7))
+        .transform(featureAuc)
+    }),
     "q189_naive_bayes" -> ((s, d) => naiveBayes(s, d)),
     "q226_calibration" -> ((s, d) => calibration(s, d)),
 
@@ -263,6 +304,30 @@ object ClassifyOps {
        |FROM pred_$f WHERE rn = 1""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q242_feature_auc" ->
+      """WITH l AS (SELECT
+        |    CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT)
+        |      AS label,
+        |    CAST(o_totalprice AS DOUBLE) AS tp,
+        |    CAST(month(o_orderdate) AS DOUBLE) AS om,
+        |    CAST(o_custkey % 7 AS DOUBLE) AS cm
+        |  FROM orders),
+        |m AS (SELECT 'totalprice' AS feature, tp AS value, label FROM l
+        |      UNION ALL SELECT 'order_month', om, label FROM l
+        |      UNION ALL SELECT 'cust_mod7', cm, label FROM l),
+        |g AS (SELECT feature, value,
+        |        CAST(sum(label) AS BIGINT) AS np,
+        |        CAST(sum(1 - label) AS BIGINT) AS nn
+        |      FROM m GROUP BY 1, 2),
+        |c AS (SELECT *, COALESCE(CAST(sum(nn) OVER (PARTITION BY feature
+        |        ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING) AS BIGINT), 0) AS nn_less FROM g)
+        |SELECT feature, CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  round(sum(np * (nn_less + nn / 2.0)) /
+        |    (CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)), 6)
+        |    AS auc
+        |FROM c GROUP BY feature""".stripMargin,
     "q237_nb_crossval" ->
       ("""WITH toks AS (SELECT doc_id, lang,
         |    unnest(string_split(text, ' ')) AS w FROM documents),

@@ -879,6 +879,40 @@ object SimilarityQueries {
       graft.streaming.AnnIngest.serveTopK(s, root)
     }),
 
+    // sim_ann_forget — the FORGET flow end-to-end on a served index:
+    // plant an exact clone of query vector 0 under a fresh id, verify
+    // it serves as q0's top-1, then DELETE it (anti-join + next full
+    // version) and EXPIRE every pre-delete snapshot so the vector's
+    // bytes are gone from all of time travel. Returns the post-forget
+    // top-k — the planted id must be absent (compliance deletion
+    // reaching serving, not just the source table; q238 is the table
+    // half). Own temp root: the shared AnnIndexCache index keeps
+    // serving the other entries untouched (snapshot isolation between
+    // entries mirrors production serve-during-maintenance). Rows-only
+    // (IVF floats); AnnSpec pins the full plant/delete/expire contract.
+    "sim_ann_forget" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-annforget").toString
+      persistAnnIndex(e, root)
+      val clone = e.filter(col("vec_id") === 0L)
+        .select(lit(990000L).as("vec_id"), col("embedding"))
+      appendToAnnIndex(clone, root)
+      val (planted, artsP) = loadAnnIndex(s, root)
+      val top = annIvfPqFrom(planted, artsP)
+        .filter(col("q_id") === 0L && col("rk") === 1).head()
+      require(top.getLong(1) == 990000L,
+        s"planted clone must serve as q0 top-1 before the forget: $top")
+      val v = deleteFromAnnIndex(
+        clone.select(col("vec_id")), root)
+      Seq("index", "coarse", "cb").foreach { t =>
+        graft.operators.VersionedTable.expire(s, s"$root/$t", v)
+      }
+      val (after, artsA) = loadAnnIndex(s, root)
+      annIvfPqFrom(after, artsA)
+    }),
+
     // SemDeDup semantic dedup over the embedding corpus — cluster with
     // the shared quantizer, exact cosine within clusters only, drop the
     // higher id of each ≥ 0.4 pair (0.4 matches q24's exact all-pairs

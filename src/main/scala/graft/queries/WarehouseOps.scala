@@ -410,6 +410,27 @@ object WarehouseOps {
           .reduce(_ unionByName _)
       }),
 
+      // rows-only: the content-addressed result cache
+      // (operators.ResultCache) driven end-to-end — first call computes
+      // and commits, the replay is served from the stored result (the
+      // warehouse result-reuse verb). The hit/miss contract, the
+      // no-re-execution proof, and input invalidation are pinned in
+      // ResultCacheSpec; the entry requires the miss-then-hit sequence
+      // before returning the served frame.
+      "layout_result_cache" -> ((s, d) => {
+        val root = Files.createTempDirectory("graft_rescache").toString
+        def q = Tables(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4)))
+              .cast("double").as("total"))
+        val (first, h1) = graft.operators.ResultCache.cached(q, root)
+        first.count()
+        val (served, h2) = graft.operators.ResultCache.cached(q, root)
+        require(!h1 && h2, s"expected miss-then-hit, got $h1/$h2")
+        served
+      }),
+
       // rows-only: snapshot-isolation layout (operators.VersionedTable)
       // — v1 holds the even docs, v2 the full corpus; the report reads
       // BOTH versions back (time travel) and the crashed-writer

@@ -169,4 +169,33 @@ class ClassifySpec extends SparkSpec {
       assert(acc >= 0.0 && acc <= 1.0)
     }
   }
+
+  test("q242 feature AUC: hand-computed with ties; noise anchors at 0.5") {
+    import spark.implicits._
+    // feature f: pos values {3, 2}, neg values {1, 2}
+    // pairs (pos vs neg): 3>1 ✓, 3>2 ✓, 2>1 ✓, 2=2 half → U = 3.5,
+    // AUC = 3.5 / 4 = 0.875
+    val crafted = Seq(
+      ("f", 3.0, 1L), ("f", 2.0, 1L), ("f", 1.0, 0L), ("f", 2.0, 0L),
+      // g: perfectly separating → AUC 1; h: inverted → AUC 0
+      ("g", 9.0, 1L), ("g", 1.0, 0L),
+      ("h", 1.0, 1L), ("h", 9.0, 0L))
+      .toDF("feature", "value", "label")
+    val got = ClassifyOps.featureAuc(crafted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got("f") === ((2L, 2L, 0.875)))
+    assert(got("g") === ((1L, 1L, 1.0)))
+    assert(got("h") === ((1L, 1L, 0.0)))
+    // the shipped entry: the planted modular-noise feature has no
+    // relation to priority → AUC within noise of 0.5; totalprice is a
+    // real feature ordering, so its AUC moves off the noise band's edge
+    val entry = SparkEntry.queries("q242_feature_auc")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(entry.keySet ===
+      Set("totalprice", "order_month", "cust_mod7"))
+    assert(math.abs(entry("cust_mod7") - 0.5) < 0.05,
+      s"noise control off 0.5: ${entry("cust_mod7")}")
+    entry.values.foreach(a => assert(a >= 0.0 && a <= 1.0))
+  }
 }
