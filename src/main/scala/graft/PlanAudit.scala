@@ -87,7 +87,12 @@ object PlanAudit {
       "q230_homoglyph_dedup", "q231_pagerank_inc", "stream_scd2_enrich",
       "q232_pack_bins", "q233_approx_distinct", "q234_retrieval_eval",
       "q235_dedup_impact", "q236_profile_drift", "q237_nb_crossval",
-      "ml_kmeans_inc", "stream_heavy_hitters", "q238_forget_flow")
+      "ml_kmeans_inc", "stream_heavy_hitters", "q238_forget_flow",
+      // round-6 additions
+      "q239_heldout_ppl", "q240_k_anonymity", "q241_bloom_ref_dedup",
+      "q242_feature_auc", "q243_clamped_balance", "q244_modularity",
+      "q245_mmr_rerank", "layout_result_cache", "layout_mv_rewrite",
+      "sim_ann_forget")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

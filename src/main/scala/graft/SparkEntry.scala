@@ -54,6 +54,7 @@ object SparkEntry {
     "dfs_roundtrip" -> "DfsSourceSpec",
     "layout_changelog" -> "VersionedTableSpec",
     "layout_result_cache" -> "ResultCacheSpec",
+    "layout_mv_rewrite" -> "MvRewriteSpec",
     "q238_forget_flow" -> "VersionedTableSpec",
     "layout_compact" -> "LayoutPruningSpec",
     "layout_merge_versioned" -> "VersionedTableSpec",
@@ -81,6 +82,7 @@ object SparkEntry {
     "sim_ann_lsh" -> "AnnSpec",
     "sim_ann_stream_ingest" -> "AnnIngestSpec",
     "sim_ann_forget" -> "AnnSpec",
+    "q245_mmr_rerank" -> "AnnSpec",
     "sim_pca" -> "MatrixSpec",
     "stats_approx_eqdepth" -> "StatsOpsSpec",
     "stats_approx_winsorize" -> "StatsOpsSpec",

@@ -58,12 +58,46 @@ object ResultCache {
       .map("%02x".format(_)).mkString
   }
 
+  /** The production-scale key: canonicalized plan digest + one NUMBER
+    * per input [[VersionedTable]] (its latest committed version) —
+    * O(tables) instead of O(files), no file-listing RPC storm at 100 TB,
+    * and immune to physical rewrites that preserve the logical snapshot
+    * (compaction commits a NEW version, so it correctly invalidates
+    * only when the table actually moved). The caller names the
+    * VersionedTable roots the plan reads; any append/merge/delete bumps
+    * that table's version and re-keys the entry.
+    */
+  def keyOfVersioned(df: DataFrame, tableRoots: Seq[String]): String = {
+    val plan = df.queryExecution.optimizedPlan
+    require(plan.find(p => p.expressions.exists(
+        e => e.find(!_.deterministic).isDefined)).isEmpty,
+      "refusing to cache a non-deterministic plan")
+    val spark = df.sparkSession
+    val vers = tableRoots.sorted.map { r =>
+      val v = VersionedTable.versions(spark, r)
+      require(v.nonEmpty, s"no committed version under $r")
+      s"$r@${v.last}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((plan.canonicalized.toString + vers.mkString("\n"))
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** [[cached]] with the snapshot-version key — see [[keyOfVersioned]]. */
+  def cachedVersioned(df: DataFrame, root: String,
+      tableRoots: Seq[String]): (DataFrame, Boolean) =
+    serve(df, root, keyOfVersioned(df, tableRoots))
+
   /** Serve `df`'s result from the cache under `root`, computing and
     * committing it on the first miss. Returns (result, hit?).
     */
-  def cached(df: DataFrame, root: String): (DataFrame, Boolean) = {
+  def cached(df: DataFrame, root: String): (DataFrame, Boolean) =
+    serve(df, root, keyOf(df))
+
+  private def serve(df: DataFrame, root: String, key: String)
+    : (DataFrame, Boolean) = {
     val spark = df.sparkSession
-    val key = keyOf(df)
     val f = fs(spark, root)
     val marker = new Path(root, s"_commits/$key")
     val dataDir = new Path(root, s"data/$key")

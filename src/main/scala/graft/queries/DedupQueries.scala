@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -299,6 +300,10 @@ object DedupQueries {
     // stop-shingle df cap bounds the inverted-index join's worst case.
     "q23_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d, ShingleFreqCap)),
 
+    // prefix-filtered exact Jaccard — same oracle as q23 (the outputs
+    // are defined identical), scale story on jaccardPrefixJoin.
+    "dedup_jaccard_prefix" -> ((s, d) => jaccardPrefixJoin(s, d)),
+
     // q229 cross-source overlap matrix — the corpus-composition audit a
     // mixing pipeline runs before setting source weights: for every
     // source PAIR, the shared 3-gram vocabulary as Jaccard and as
@@ -576,6 +581,42 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** PREFIX-FILTERED exact Jaccard join [Bayardo, Ma & Srikant,
+    * WWW'07 "Scaling Up All Pairs Similarity Search"; Chaudhuri's
+    * SSJoin] — the same output contract as [[ngramJaccard]] (every
+    * pair at Jaccard ≥ t, exact scores) through a fundamentally better
+    * scale shape. Order each document's shingle set by a GLOBAL
+    * rare-first total order (ascending document frequency, ties on the
+    * hash) and index only its PREFIX of length n − ⌈t·n⌉ + 1: any pair
+    * with Jaccard ≥ t must share ≥ ⌈t·n⌉ tokens of each side, which
+    * cannot all hide in a suffix of length ⌈t·n⌉ − 1 — so bucket-joining
+    * prefixes alone loses nothing, and exact verification of the
+    * (deduplicated) candidates restores the scores. Two wins over the
+    * df-capped inverted index: the index holds only ~(1−t) of each
+    * document's tokens, and stop-shingles sort to the END of the
+    * rare-first order, so the hottest buckets never enter the index at
+    * all — no frequency cap, no cap-correctness argument, EXACT by
+    * construction at any scale. Cost: one df aggregation (map-side
+    * combinable on the shingle key) + one per-document window to rank
+    * the set (the shuffle q23 pays for its own dedup anyway).
+    */
+  private[graft] def jaccardPrefixJoin(s: SparkSession, d: String)
+    : DataFrame = {
+    val t = JaccardThreshold
+    val ex = hashedShingles(s, d) // (doc_id, h) — distinct per doc
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("n") - ceil(col("n") * lit(t)) + 1)
+      .select(col("h"), col("doc_id"))
+    val cand = bucketPairs(prefix, Seq("h"), "doc_id").distinct()
+    verifyExact(cand, shingles(s, d))
+  }
+
   /** q108: shingle CONTAINMENT join — |A∩B| / |A| ≥ threshold, the
     * asymmetric cousin of q23's Jaccard. Jaccard misses the case a
     * training pipeline most wants caught: a small document living whole
@@ -755,6 +796,9 @@ object DedupQueries {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "q21_minhash_lsh" -> exactPairsSql,
     "q23_ngram_jaccard" -> exactPairsSql,
+    // prefix filtering is EXACT (a theorem, not a tuning) — it earns
+    // the identical oracle and a hash-checked row of its own
+    "dedup_jaccard_prefix" -> exactPairsSql,
     "q235_dedup_impact" ->
       """WITH d AS (SELECT doc_id, source,
         |    len(string_split(text, ' ')) AS tok, sha256(text) AS fp

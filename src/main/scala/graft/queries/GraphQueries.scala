@@ -388,6 +388,54 @@ object GraphQueries {
       core.select(col("node"),
         when(pmod(col("node"), lit(2)) === 0, "customer")
           .otherwise("supplier").as("kind"), col("deg"))
+    }),
+
+    // q244 modularity of a LABELED partition [Newman & Girvan, Phys.
+    // Rev. E 69 (2004)]: how much more intra-community mass the
+    // customer↔supplier trade graph has under the NATION partition
+    // than a degree-preserving random rewiring would give —
+    // Q = Σ_c (e_c/m − (d_c/2m)²), reported per nation so every
+    // community's contribution is a hash-checkable row (Σ q_contrib
+    // = Q). Everything is integer counting until the final division,
+    // and the whole statistic is ONE pass over the distinct edge list:
+    // each edge explodes into its two labeled endpoints carrying an
+    // intra flag on the first only (so an intra-nation edge counts
+    // once), one bounded-key aggregation yields (e_c, d_c) together,
+    // and m = Σd_c/2 comes from a window over the 25-ROW aggregate —
+    // no driver scalar, no 1-row cross-join BNLJ, no re-evaluated
+    // branches. Supplier is the only forced broadcast (1/10th of
+    // customer); the customer map stays a shuffle join that AQE may
+    // flip at small SFs.
+    "q244_modularity" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val su = Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val ends = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .select(explode(array(
+          struct(col("c_nationkey").as("nationkey"),
+            (col("c_nationkey") === col("s_nationkey"))
+              .cast("long").as("intra")),
+          struct(col("s_nationkey").as("nationkey"),
+            lit(0L).as("intra")))).as("e"))
+        .select(col("e.nationkey"), col("e.intra"))
+      val byNation = ends.groupBy(col("nationkey"))
+        .agg(sum(col("intra")).as("e_intra"), count(lit(1)).as("vol"))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      byNation
+        .withColumn("m", (sum(col("vol")).over(all) / 2).cast("double"))
+        .select(col("nationkey"), col("e_intra"), col("vol"),
+          round(col("e_intra") / col("m") -
+            pow(col("vol") / (lit(2.0) * col("m")), 2), 6)
+            .as("q_contrib"))
     })
   )
 
@@ -588,6 +636,23 @@ object GraphQueries {
         |x AS (SELECT a AS w FROM tri UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri)
         |SELECT w, CAST(count(*) AS BIGINT) AS n_triangles
-        |FROM x GROUP BY w""".stripMargin
+        |FROM x GROUP BY w""".stripMargin,
+    "q244_modularity" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+        |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |en AS (SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+        |     FROM e JOIN customer c ON e.ck = c.c_custkey
+        |            JOIN supplier s ON e.sk = s.s_suppkey),
+        |mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM en),
+        |intra AS (SELECT cn AS nationkey, COUNT(*) AS e_intra
+        |     FROM en WHERE cn = sn GROUP BY cn),
+        |vol AS (SELECT nationkey, COUNT(*) AS vol FROM (
+        |     SELECT cn AS nationkey FROM en
+        |     UNION ALL SELECT sn FROM en) GROUP BY nationkey)
+        |SELECT v.nationkey, COALESCE(i.e_intra, 0) AS e_intra, v.vol,
+        |  round(COALESCE(i.e_intra, 0) / mm.m
+        |    - pow(v.vol / (2.0 * mm.m), 2), 6) AS q_contrib
+        |FROM vol v LEFT JOIN intra i ON v.nationkey = i.nationkey, mm"""
+      .stripMargin
   )
 }

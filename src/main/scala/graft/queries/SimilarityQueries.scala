@@ -652,6 +652,80 @@ object SimilarityQueries {
         round(col("raw") / col("nrm"), 6).as("val"))
   }
 
+  /** Maximal-marginal-relevance diverse re-rank [Carbonell & Goldstein,
+    * SIGIR'98] of a per-query candidate pool: greedily pick the
+    * candidate maximizing λ·sim(q,i) − (1−λ)·max_{j∈S} cos(i,j), so
+    * each pick trades query relevance against redundancy with what is
+    * already selected — the serving-side answer to "my top-10 are ten
+    * near-copies" that retrieval-augmented pipelines run after ANN.
+    *
+    * Scale contract: the GREEDY stage is quadratic in the pool, so it
+    * must never see the corpus — candidates arrive pre-bounded (top-N
+    * per query from q25's broadcast scan or the IVF index), and the
+    * selection runs INSIDE each query's group via flatMapGroups:
+    * distributed across queries, O(pool²·dim) within one, no driver
+    * collect. λ = 1 degenerates to plain top-k with the exact q25 tie
+    * order (sim desc, vec_id asc) — the identity AnnSpec pins; ties in
+    * the marginal score resolve to the smaller vec_id, making the
+    * selection deterministic.
+    */
+  private[graft] def mmrSelect(cand: DataFrame, k: Int, lambda: Double)
+    : DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand
+      .select(col("q_id").cast("long"), col("vec_id").cast("long"),
+        col("sim").cast("double"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        val n = cs.length
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+        }
+        val chosen = new Array[Boolean](n)
+        val penalty = new Array[Double](n) // max cos to selected so far
+        val out = Seq.newBuilder[(Long, Long, Int, Double, Double)]
+        var step = 0
+        while (step < math.min(k, n)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val pen = if (step == 0) 0.0 else penalty(i)
+              val score = lambda * cs(i)._3 - (1.0 - lambda) * pen
+              // ties → smaller vec_id; cs is sorted (sim desc, id asc)
+              // so strict > keeps the earliest (smallest-id) winner
+              if (score > bestScore) { bestScore = score; best = i }
+            }
+            i += 1
+          }
+          chosen(best) = true
+          out += ((qid, cs(best)._2, step + 1, cs(best)._3, bestScore))
+          var j = 0
+          while (j < n) {
+            if (!chosen(j)) {
+              val c = cos(cs(j)._4, cs(best)._4)
+              if (step == 0 || c > penalty(j)) penalty(j) = c
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.result().iterator
+      }
+      .toDF("q_id", "vec_id", "rk", "sim", "mmr_score")
+      .select(col("q_id"), col("vec_id"), col("rk"),
+        round(col("sim"), 6).as("sim"),
+        round(col("mmr_score"), 6).as("mmr_score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = centroidQueries ++ Map(
     // Oracle-checked Lloyd k-means over the embedding corpus (K=5, two
     // assign→update rounds): output = per-cluster size + updated-centroid
@@ -715,6 +789,26 @@ object SimilarityQueries {
         .filter(col("rk") <= K)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
           round(col("sim"), 6).as("sim"))
+    }),
+
+    // q245 MMR diverse top-k: q25's candidate generation widened to a
+    // 50-deep pool per query, then the greedy λ = 0.7 trade-off inside
+    // each query group (see mmrSelect for the scale contract). Greedy
+    // float selection → rows-only; AnnSpec pins a hand-checked
+    // redundant-pool pick, the λ = 1 ≡ q25 identity, and set sanity.
+    "q245_mmr_rerank" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val pool = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("q_id"), col("vec_id"), col("sim"), col("embedding"))
+      mmrSelect(pool, K, 0.7)
     }),
 
     // q214 FILTERED similarity search — ANN with a metadata predicate,

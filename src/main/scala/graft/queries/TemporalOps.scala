@@ -173,6 +173,53 @@ object TemporalOps {
         .select(col("event_type"), col("day").as("change_day"),
           round(abs(col("s")) / (col("std") * sqrt(col("n"))), 6)
             .as("cusum_stat"))
+    }),
+
+    // q243 clamp-at-zero running inventory balance per supplier —
+    // returns ('R') restock, everything else issues, and stock can
+    // never go negative: B_i = max(0, B_{i-1} + δ_i). The recurrence
+    // looks like a per-row fold no window can express, but Lindley's
+    // equation (the M/G/1 waiting-time identity) gives the closed form
+    // B_n = S_n − min(0, min_{k≤n} S_k) over the UNCLAMPED prefix sums
+    // — so the whole operator is one shuffle on the supplier key plus
+    // three frames over the same window order (sum, running min,
+    // preceding min), no recursion, no mapGroups, no driver loop. A
+    // row clamps (stockout with lost demand) iff its prefix sum dips
+    // below every earlier one AND below zero: S_i < min(0, pmin_{i-1});
+    // the total lost quantity falls out of the same reflection as
+    // B_n − S_n. All deltas are integral TPC-H quantities routed
+    // through DECIMAL(18,4), so every sum is exact and the final
+    // doubles hash-match cross-engine.
+    "q243_clamped_balance" -> ((s, d) => {
+      val z = lit(0).cast(dec)
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"),
+          when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(-col("l_quantity")).cast(dec).as("delta"))
+      // delta is the FOURTH sort key: the synthetic data holds rows
+      // sharing (shipdate, orderkey, linenumber) under one supplier,
+      // and a non-total order lets the two engines walk different
+      // prefix-sum paths (observed: one ±1 stockout at sf0.1). Rows
+      // tying on all four keys are interchangeable for every output.
+      val ord = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("delta"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      li.withColumn("rn", row_number().over(ord))
+        .withColumn("srun", sum(col("delta")).over(run))
+        .withColumn("rmin", min(col("srun")).over(run))
+        .withColumn("pmin", min(col("srun")).over(prev))
+        .withColumn("bal", col("srun") - least(z, col("rmin")))
+        .withColumn("clamped",
+          (col("srun") < least(z, coalesce(col("pmin"), z)))
+            .cast("long"))
+        .groupBy(col("l_suppkey"))
+        .agg(expr("max_by(bal, rn)").cast("double").as("final_balance"),
+          expr("max_by(bal - srun, rn)").cast("double").as("lost_qty"),
+          sum(col("clamped")).as("n_stockouts"),
+          count(lit(1)).as("n_moves"))
     })
   )
 
@@ -284,6 +331,38 @@ object TemporalOps {
         | FROM c)
         |SELECT event_type, day AS change_day,
         |  round(abss / (std * sqrt(n)), 6) AS cusum_stat
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+    // the same Lindley rewrite on both engines: clamped balance from
+    // unclamped prefix sums, stockouts from new below-zero prefix mins
+    "q243_clamped_balance" ->
+      """WITH t AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |    CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+        |         ELSE -l_quantity END AS DECIMAL(18,4)) AS delta
+        |  FROM lineitem),
+        |w0 AS (SELECT l_suppkey, delta,
+        |    ROW_NUMBER() OVER o AS rn,
+        |    SUM(delta) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS srun
+        |  FROM t
+        |  WINDOW o AS (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, delta)),
+        |w AS (SELECT l_suppkey, delta, rn, srun,
+        |    MIN(srun) OVER (o2 ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS rmin,
+        |    MIN(srun) OVER (o2 ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS pmin
+        |  FROM w0
+        |  WINDOW o2 AS (PARTITION BY l_suppkey ORDER BY rn)),
+        |b AS (SELECT *,
+        |    srun - LEAST(CAST(0 AS DECIMAL(18,4)), rmin) AS bal,
+        |    CASE WHEN srun < LEAST(CAST(0 AS DECIMAL(18,4)),
+        |        COALESCE(pmin, CAST(0 AS DECIMAL(18,4))))
+        |      THEN 1 ELSE 0 END AS clamped
+        |  FROM w)
+        |SELECT l_suppkey, CAST(arg_max(bal, rn) AS DOUBLE) AS final_balance,
+        |  CAST(arg_max(bal - srun, rn) AS DOUBLE) AS lost_qty,
+        |  CAST(SUM(clamped) AS BIGINT) AS n_stockouts,
+        |  COUNT(*) AS n_moves
+        |FROM b GROUP BY l_suppkey""".stripMargin
   )
 }

@@ -417,6 +417,54 @@ object WarehouseOps {
       // no-re-execution proof, and input invalidation are pinned in
       // ResultCacheSpec; the entry requires the miss-then-hit sequence
       // before returning the served frame.
+      // rows-only: the MV query-rewrite rule (plans.MvRewrite) driven
+      // end-to-end the way q233 drives ApproxDistinctRewrite: build a
+      // rollup MV of lineitem keyed on (returnflag, linestatus), then
+      // run a plain aggregate against the FACT path on an isolated
+      // session with the rule armed — the entry requires the optimized
+      // plan to scan the MV (not the fact table) before returning the
+      // result. l_quantity is integral-valued, so the re-merged sums
+      // are bit-exact vs the direct scan; MvRewriteSpec pins equality,
+      // rollup, filter pushdown, every refusal path, and inertness.
+      "layout_mv_rewrite" -> ((s0, d) => {
+        val rule = graft.plans.MvRewrite
+        val iso = s0.newSession()
+        iso.experimental.extraOptimizations =
+          iso.experimental.extraOptimizations :+ rule
+        val root = Files.createTempDirectory("graft_mvrw").toString
+        val fact = s"$d/lineitem.parquet"
+        iso.read.parquet(fact)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity")).as("sum_l_quantity"),
+            min(col("l_quantity")).as("min_l_quantity"),
+            max(col("l_quantity")).as("max_l_quantity"))
+          .write.mode("overwrite").parquet(s"$root/mv")
+        iso.conf.set(rule.SourceKey, fact)
+        iso.conf.set(rule.TargetKey, s"$root/mv")
+        iso.conf.set(rule.KeysKey, "l_returnflag,l_linestatus")
+        val out = iso.read.parquet(fact)
+          .filter(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).as("qty"),
+            max(col("l_quantity")).as("max_qty"))
+        val scansMv = out.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if lr.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              && lr.relation
+                .asInstanceOf[
+                  org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.rootPaths.exists(_.toString.contains(root)) => lr
+        }.isDefined
+        require(scansMv, "MV rewrite did not fire")
+        val rows = out.collect().toSeq
+        import s0.implicits._
+        rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toDF("l_returnflag", "n", "qty", "max_qty")
+      }),
+
       "layout_result_cache" -> ((s, d) => {
         val root = Files.createTempDirectory("graft_rescache").toString
         def q = Tables(s, d, "orders")

@@ -484,4 +484,54 @@ class AnnSpec extends SparkSpec {
     assert(inc.agg(sum("n")).collect().head.getLong(0) ===
       Tables(spark, sf, "embeddings").count())
   }
+
+  test("MMR greedy picks the hand-computed diversity trade-off") {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    // candidates for one query: 1 and 2 are IDENTICAL vectors (both
+    // sim 1.0 — rank tie resolves to the smaller id), 3 is orthogonal
+    // with sim 0.2. λ = 0.5:
+    //  pick 1: score 0.5·1.0 = 0.5 (id tie-break over 2)
+    //  pick 2 candidates: #2 scores 0.5·1.0 − 0.5·cos(2,1)=1 → 0.0;
+    //    #3 scores 0.5·0.2 − 0.5·0 = 0.1 → DIVERSE #3 wins
+    //  pick 3: #2 at 0.0
+    val pool = Seq(
+      (0L, 1L, 1.0, Array(1.0f, 0.0f)),
+      (0L, 2L, 1.0, Array(1.0f, 0.0f)),
+      (0L, 3L, 0.2, Array(0.0f, 1.0f)))
+      .toDF("q_id", "vec_id", "sim", "embedding")
+    val got = SimilarityQueries.mmrSelect(pool, 3, 0.5)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(4)))
+    assert(got.toSeq === Seq((1L, 1, 0.5), (3L, 2, 0.1), (2L, 3, 0.0)))
+  }
+
+  test("MMR at λ = 1 degenerates to exact q25 top-k; entry is sane") {
+    import graft.queries.SimilarityQueries
+    val q25 = SimilarityQueries.queries("q25_ann_topk")(spark, sf)
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+    val pool = q25.join(e, col("neighbor_id") === col("cand_id"))
+      .select(col("q_id"), col("neighbor_id").as("vec_id"), col("sim"),
+        col("embedding"))
+    val ident = SimilarityQueries.mmrSelect(pool, 10, 1.0)
+      .select("q_id", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = q25.select("q_id", "neighbor_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ident === want)
+    // the shipped λ = 0.7 entry: 10 distinct picks per query drawn
+    // from the 50-deep pool, first pick = the exact top-1
+    val entry = SimilarityQueries.queries("q245_mmr_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val perQ = entry.groupBy(_._1)
+    val top1 = q25.filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perQ.foreach { case (q, rows) =>
+      assert(rows.length === 10)
+      assert(rows.map(_._2).distinct.length === 10)
+      assert(rows.map(_._3).sorted.toSeq === (1 to 10))
+      assert(rows.find(_._3 == 1).get._2 === top1(q))
+    }
+  }
 }

@@ -236,6 +236,18 @@ class DedupSpec extends SparkSpec {
       "evict must unpersist the pair list")
   }
 
+  test("prefix-filtered Jaccard equals q23 pair for pair, score for score") {
+    val got = SparkEntry.queries("dedup_jaccard_prefix")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2)
+        * 1e6))).toSet
+    val q23 = SparkEntry.queries("q23_ngram_jaccard")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2)
+        * 1e6))).toSet
+    assert(got === q23 && got.nonEmpty)
+  }
+
   test("incremental dedup: exact copies, edits, and uniques route correctly") {
     import spark.implicits._
     // doc_id branch map (q75 snapshot arithmetic):

@@ -327,4 +327,28 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got(2L) - (0.075 + 0.85 * 0.7)) < 1e-12)
     assert(math.abs(got(1L) - (0.075 + 0.85 * 0.5)) < 1e-12)
   }
+
+  test("q244 modularity matches the hand-computed nation partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mod").toString
+    def w(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    // trade edges (cust, supp): (c1,s1) i0, (c2,s2) x, (c3,s2) i1,
+    // (c1,s2) x, (c2,s1) i0 — plus a DUPLICATE (o1,s1) line that the
+    // distinct must fold. m = 5.
+    // n0: e=2, vol=6 → 2/5 − (6/10)² = 0.04
+    // n1: e=1, vol=4 → 1/5 − (4/10)² = 0.04
+    w("orders", Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 1L))
+      .toDF("o_orderkey", "o_custkey"))
+    w("lineitem", Seq((1L, 1L), (1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L),
+      (2L, 1L)).toDF("l_orderkey", "l_suppkey"))
+    w("customer", Seq((1L, 0), (2L, 0), (3L, 1))
+      .toDF("c_custkey", "c_nationkey"))
+    w("supplier", Seq((1L, 0), (2L, 1)).toDF("s_suppkey", "s_nationkey"))
+    val r = graft.queries.GraphQueries.queries("q244_modularity")(spark, dir)
+      .collect().map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(0) === ((2L, 6L, 0.04)))
+    assert(r(1) === ((1L, 4L, 0.04)))
+  }
 }

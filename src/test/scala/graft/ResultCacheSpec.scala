@@ -60,6 +60,34 @@ class ResultCacheSpec extends SparkSpec {
       ResultCache.cached(q, root)
     }
   }
+
+  test("snapshot-version key: hit at a version, miss after a commit") {
+    import graft.operators.VersionedTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rescache-v").toString
+    val vt = java.nio.file.Files
+      .createTempDirectory("graft-rescache-vt").toString
+    VersionedTable.write(Seq((1L, 2.0), (2L, 4.0)).toDF("k", "x"), vt)
+    def q = VersionedTable.read(spark, vt)
+      .agg(sum(col("x").cast("decimal(18,4)")).cast("double").as("sx"))
+    val (r1, h1) = ResultCache.cachedVersioned(q, root, Seq(vt))
+    assert(!h1 && r1.collect().head.getDouble(0) === 6.0)
+    val (r2, h2) = ResultCache.cachedVersioned(q, root, Seq(vt))
+    assert(h2, "same plan at the same table version must hit")
+    assert(r2.collect().head.getDouble(0) === 6.0)
+    // a new commit bumps the version — the SAME logical query re-keys
+    VersionedTable.write(Seq((1L, 2.0), (2L, 4.0), (3L, 10.0))
+      .toDF("k", "x"), vt)
+    val (r3, h3) = ResultCache.cachedVersioned(q, root, Seq(vt))
+    assert(!h3, "a committed version must invalidate")
+    assert(r3.collect().head.getDouble(0) === 16.0)
+    // an uncommitted table root is refused, not silently keyed
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-rescache-empty").toString
+    intercept[IllegalArgumentException] {
+      ResultCache.cachedVersioned(q, root, Seq(empty))
+    }
+  }
 }
 
 object ResultCacheSpec {

@@ -211,4 +211,54 @@ class TemporalOpsSpec extends SparkSpec {
       r("l_returnflag").getString(6) == "R")
     assert(r("l_shipdate").getString(5) == "2024-01-01 00:00:00")
   }
+
+  private def clampedLineitem(rows: Seq[(Long, Int, Long, Int, Double,
+      String)]): String =
+    dirWith("lineitem", rows.map { case (sk, day, ok, ln, qty, rf) =>
+      (sk, ts(day), ok, ln, qty, rf)
+    }.toDF("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+      "l_quantity", "l_returnflag"))
+
+  test("q243 clamped balance matches the hand-walked fold") {
+    // supplier 1: issue 5 (clamps, 5 lost), return 3, issue 2, issue 4
+    // (clamps, 3 lost), return 6 → B = [0, 3, 1, 0, 6]
+    // supplier 2: returns only → never clamps
+    val d = clampedLineitem(Seq(
+      (1L, 1, 10L, 1, 5.0, "N"), (1L, 2, 11L, 1, 3.0, "R"),
+      (1L, 3, 12L, 1, 2.0, "A"), (1L, 4, 13L, 1, 4.0, "N"),
+      (1L, 5, 14L, 1, 6.0, "R"),
+      (2L, 1, 20L, 1, 1.0, "R"), (2L, 2, 21L, 1, 2.0, "R")))
+    val r = TemporalOps.queries("q243_clamped_balance")(spark, d)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r(1L) === ((6.0, 8.0, 2L, 5L)))
+    assert(r(2L) === ((3.0, 0.0, 0L, 2L)))
+  }
+
+  test("q243 Lindley rewrite equals the direct per-row fold (seeded)") {
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 120).map { i =>
+      val sk = (i % 3 + 1).toLong
+      val qty = (rng.nextInt(9) + 1).toDouble
+      val rf = if (rng.nextBoolean()) "R" else "N"
+      (sk, i % 28 + 1, 100L + i, 1, qty, rf)
+    }
+    val d = clampedLineitem(rows)
+    val got = TemporalOps.queries("q243_clamped_balance")(spark, d)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    val want = rows.groupBy(_._1).map { case (sk, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3, r._4))
+      var bal = 0.0; var lost = 0.0; var stockouts = 0L
+      ordered.foreach { r =>
+        val delta = if (r._6 == "R") r._5 else -r._5
+        if (bal + delta < 0) { stockouts += 1; lost += -(bal + delta) }
+        bal = math.max(0.0, bal + delta)
+      }
+      sk -> ((bal, lost, stockouts, ordered.size.toLong))
+    }
+    assert(got === want)
+  }
 }
