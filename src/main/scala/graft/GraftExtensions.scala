@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // conf-gated logical rewrites (inert until their conf key is set)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // physical strategy for the native as-of join logical node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

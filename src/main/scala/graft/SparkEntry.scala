@@ -55,6 +55,7 @@ object SparkEntry {
     "layout_changelog" -> "VersionedTableSpec",
     "layout_result_cache" -> "ResultCacheSpec",
     "layout_mv_rewrite" -> "MvRewriteSpec",
+    "stream_clamped_balance" -> "ClampedBalanceSpec",
     "q238_forget_flow" -> "VersionedTableSpec",
     "layout_compact" -> "LayoutPruningSpec",
     "layout_merge_versioned" -> "VersionedTableSpec",

@@ -141,6 +141,52 @@ object EventQueries {
       s.table("stream_heavy_hitters")
     }),
 
+    // §2.10: streaming clamped balance (rows-only; pinned by
+    // ClampedBalanceSpec): q243's clamp-at-zero fold carried as per-key
+    // transformWithState — the recurrence windows can't express is ONE
+    // scalar of state. The entry replays lineitem through the file
+    // stream on an isolated RocksDB-provider session and REQUIRES the
+    // streamed result to equal the batch q243 before returning (both
+    // sides exact 1e4 fixed-point, so equality is bitwise).
+    "stream_clamped_balance" -> ((s0, d) => {
+      val iso = s0.newSession()
+      iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val raw = iso.read.parquet(s"$d/lineitem.parquet")
+      val moves = iso.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(d)
+        .select(col("l_suppkey").cast("long"),
+          unix_micros(col("l_shipdate")),
+          col("l_orderkey").cast("long"),
+          col("l_linenumber").cast("int"),
+          round(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(-col("l_quantity")) * 10000, 0).cast("long"))
+        .as[graft.streaming.ClampedBalance.Move](
+          org.apache.spark.sql.Encoders.product[
+            graft.streaming.ClampedBalance.Move])
+      val out = graft.streaming.ClampedBalance.runningBalances(moves)
+        .toDF("l_suppkey", "final_balance", "lost_qty",
+          "n_stockouts", "n_moves")
+      graft.streaming.EventStream.runToMemory(out,
+        "stream_clamped_balance",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val got = iso.table("stream_clamped_balance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (_, v) => v.maxBy(_._5) }.toSet
+      val batch = TemporalOps.queries("q243_clamped_balance")(iso, d)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSet
+      require(got == batch,
+        s"streamed balance diverged from batch q243: " +
+          s"${(got diff batch).take(3)} vs ${(batch diff got).take(3)}")
+      import s0.implicits._
+      got.toSeq.toDF("l_suppkey", "final_balance", "lost_qty",
+        "n_stockouts", "n_moves")
+    }),
+
     // §2.10: stream-stream join, batch twin — clicks matched to the same
     // user's purchases within 10 minutes (EventStreamSpec runs the same
     // plan as a watermarked MemoryStream join and pins equality).
