@@ -57,7 +57,14 @@ object ScaleSmoke {
       // are now O(delta) fragments, so the two-batch cost must stay
       // delta-bounded regardless of corpus size (the index build pays
       // the corpus once; the appends must not)
-      "sim_ann_stream_ingest")
+      "sim_ann_stream_ingest",
+      // round-6 additions that scale with the corpus: the prefix-
+      // filtered Jaccard (its index-shrink claim is the scale story),
+      // the Lindley balance (one full-table window pass), its
+      // streaming twin (state = 4 longs per key), the one-pass
+      // modularity, and the MMR pool-then-greedy shape
+      "dedup_jaccard_prefix", "q243_clamped_balance",
+      "stream_clamped_balance", "q244_modularity", "q245_mmr_rerank")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{sum, when}
 
 /** Minimal versioned-table layout: snapshot isolation + time travel on
   * plain parquet, the transaction-log idea (Delta/Iceberg's core) cut to
@@ -84,6 +85,33 @@ object VersionedTable {
 
   /** Write `df` as the next FULL version; returns the committed version. */
   def write(df: DataFrame, root: String): Long = commit(df, root, false)
+
+  /** [[write]] guarded by CHECK constraints (the Delta/warehouse
+    * `ALTER TABLE ADD CONSTRAINT CHECK` verb): every named predicate
+    * must hold on EVERY row or the commit is refused — validation runs
+    * BEFORE the marker is created, so a refused write leaves at most an
+    * invisible orphan under `data/` (the same crash invariant the
+    * write path already guarantees) and readers never observe a
+    * constraint-violating snapshot. One validation pass counts all
+    * violations together (one aggregate over the staged frame, not one
+    * scan per constraint); the error reports per-constraint counts.
+    * NULL predicate results PASS (SQL CHECK's UNKNOWN-is-satisfied
+    * rule, as Delta implements it) — guard nullable columns with an
+    * explicit IS NOT NULL constraint.
+    */
+  def writeChecked(df: DataFrame, root: String,
+      constraints: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(constraints.nonEmpty, "writeChecked needs ≥ 1 constraint")
+    val counts = df.select(constraints.map { case (n, c) =>
+      sum(when(c.isNull || c, 0L).otherwise(1L)).as(n)
+    }: _*).collect().head
+    val bad = constraints.zipWithIndex.collect {
+      case ((n, _), i) if counts.getLong(i) > 0 => s"$n=${counts.getLong(i)}"
+    }
+    require(bad.isEmpty,
+      s"constraint violations, commit refused: ${bad.mkString(", ")}")
+    commit(df, root, false)
+  }
 
   /** Commit `df` as the next version as a DELTA FRAGMENT: the version's
     * data directory holds ONLY these rows, and the version's logical

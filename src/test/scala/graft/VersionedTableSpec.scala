@@ -136,6 +136,32 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: violating commit refused, table unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vt-check").toString
+    val ok = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x")
+    val v1 = VersionedTable.writeChecked(ok, root,
+      Seq("k_positive" -> (col("k") > 0),
+        "x_nonnull" -> col("x").isNotNull))
+    assert(VersionedTable.read(spark, root).count() === 2L)
+    // two constraints violated at once → refused with BOTH counts, no
+    // new version, current data untouched
+    val bad = Seq((0L, 5.0), (3L, Double.NaN), (-1L, 1.0))
+      .toDF("k", "x")
+      .withColumn("x", when(col("k") === 3L, lit(null)).otherwise(col("x")))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.writeChecked(bad, root,
+        Seq("k_positive" -> (col("k") > 0),
+          "x_nonnull" -> col("x").isNotNull))
+    }
+    assert(e.getMessage.contains("k_positive=2")
+      && e.getMessage.contains("x_nonnull=1"))
+    assert(VersionedTable.versions(spark, root) === Seq(v1))
+    assert(VersionedTable.read(spark, root).count() === 2L)
+  }
+
   test("fragment appends: O(delta) bytes written, reads resolve the chain") {
     val root = freshRoot()
     VersionedTable.write(
