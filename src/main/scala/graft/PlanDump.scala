@@ -63,7 +63,7 @@ object PlanDump {
       "q148_seasonal_anomaly" -> "daily decimal aggregation + lag-7 window; per-type residual moments broadcast back over the series (the q102 outlier shape on time series)",
       "q155_survival" -> "per-customer gap window (one shuffle) collapses to DISTINCT-DURATION rows; KM risk-set/product windows run over that calendar-bounded set, 1-row horizon broadcast",
       "q158_profile" -> "ONE single-distinct aggregation per column, unioned — each branch's scan prunes to its column; the 11-distinct Expand alternative measured 26s vs 1.4s",
-      "q154_also_bought" -> "basket-cap window shuffles on the SAME cust key the pair self-join uses (shared exchange); pair volume bounded at C(cap,2)/customer; popularity (one row per catalog ITEM, linear in SF) broadcasts only under a size gate fed by the dimension-table count — <=4M items broadcast, beyond that the plain join lets AQE choose, so the driver is safe at 100x and the test-scale plan keeps the broadcast",
+      "q154_also_bought" -> "basket-ARRAY form: cap window + collect_list share ONE cust exchange into a pinned one-row-per-customer basket relation; pairs are codegen'd stacked explodes (narrow, <=C(cap,2)/customer) feeding the single pair-agg shuffle with map-side combine; popularity broadcasts only under the <=4M-item size gate fed by the dimension count, beyond it the plain join lets AQE choose",
       "q160_sorted_neighborhood" -> "GlobalRank: driver-sampled boundary literals -> pure-expression bucket id, per-bucket rank, broadcast prefix offsets (NO single-partition window on data, no checkpoint); neighbor pairing is an equi-join on rank",
       "q211_salted_hot_join" -> "profiled hot key scattered across 8 salts; ONLY hot rows replicate the 25-row dim side (cold keys ride salt 0); aggregate == plain join",
       "q212_chunk_sliding" -> "narrow per-row start-sequence explode — zero shuffles, map-only behind the scan",
@@ -211,7 +211,7 @@ object PlanDump {
       "q153_personalized_pr" ->
         "no hint (the q74 rule): links and the rank vector co-partition on the source key per round; the rank vector is SPARSE — reached nodes only — so early rounds join a frontier, not the graph; the seed teleport table rides as a bounded union branch",
       "q154_also_bought" ->
-        "basket CAP first (row_number window keeps the BasketCap=128 most recent parts per customer — bounds pair volume at C(128,2) per customer, closing the whale-basket quadratic worst case), then no hint on the basket self-join: both sides are the same capped (customer, part) relation keyed on the customer, and the cap window shuffles on the SAME customer key the join uses so the exchange is shared; item popularity is a map-side-combined one-row-per-item count BROADCAST onto the support-filtered pair table (NOT a window over the purchase relation — a hub item would become one giant sort group)",
+        "basket CAP first (row_number window keeps the BasketCap=128 most recent parts per customer), FUSED with the basket aggregation: window and collect_list partition on the same cust key, ONE exchange; the one-row-per-customer basket-array relation is pinned (localCheckpoint — its two consumers, pairs and popularity, are shapes Catalyst cannot share), pairs generate narrowly as two stacked codegen explodes bounded at C(128,2)/customer (no self-join, no second sort of the purchase relation), both orientations emit from ONE explode (never scored.union(scored)), and item popularity is a map-side-combined count BROADCAST under the catalog-size gate onto the support-filtered pair table",
       "q155_survival / q156_interpolate / q161_hits / q165_rfm" ->
         "explicit 1-ROW broadcasts only (dataset horizon, calendar span, score normalizers): the cross join against a single aggregate row is the intended plan; every corpus-scale reduction upstream is a grouped LONG/DECIMAL sum with map-side combine",
       "q160_sorted_neighborhood" ->

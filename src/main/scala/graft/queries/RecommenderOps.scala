@@ -61,36 +61,56 @@ object RecommenderOps {
   /** Broadcast the popularity table only below this many catalog items.
     * Popularity has one row per ITEM, linear in the catalog — an
     * unconditional broadcast is a driver hazard at 100×, while an
-    * unconditional shuffle join re-evaluates the whole basket pipeline
-    * twice more (measured 4.2 → 7.0 s at sf0.1 when the hint was
-    * dropped outright). 4M rows ≈ tens of MB broadcast — safely inside
-    * driver budgets; beyond it the shuffle join is the right plan.
+    * unconditional shuffle join adds two exchanges over the pair table.
+    * 4M rows ≈ tens of MB broadcast — safely inside driver budgets;
+    * beyond it the shuffle join is the right plan.
     */
   private val BroadcastCatalogMax = 4L * 1000 * 1000
 
   private[graft] def alsoBoughtFrom(boughtWithDate: DataFrame,
       basketCap: Int = BasketCap,
       itemCatalogSize: Option[Long] = None): DataFrame = {
-    // basket cap BEFORE the self-join: one row_number window on cust —
-    // the same key the pair join shuffles on, so the exchange is shared
+    // basket cap BEFORE pair generation: one row_number window on cust;
+    // the basket aggregation below partitions on the SAME cust key, so
+    // window + groupBy share one exchange
     val capW = Window.partitionBy(col("cust"))
       .orderBy(col("last").desc, col("part"))
-    val bought = boughtWithDate
+    // The basket-ARRAY form (the classic item-CF MapReduce shape
+    // [Linden et al. '03]): one row per customer holding the sorted
+    // capped basket. Pairs are then a NARROW explode over each array —
+    // no self-join at all. The previous bought-⋈-bought SortMergeJoin
+    // form re-sorted 2× the purchase relation and re-ran the upstream
+    // pipeline once per consumer (popularity + both join sides — 8.7 s
+    // at sf0.1); this form measures ~2 s. PINNED (rfm/kCore checkpoint
+    // discipline) because pairs and popularity are different downstream
+    // shapes Catalyst can't share; the pinned relation is one row per
+    // customer of ≤ cap ints — smaller than any relation it distills,
+    // executor-storage-sized at any SF.
+    val baskets = boughtWithDate
       .withColumn("__keep", row_number().over(capW))
       .filter(col("__keep") <= basketCap)
-      .select(col("cust"), col("part"))
-    // item popularity is a map-side-combined one-row-per-item count,
-    // joined onto the support-filtered pair table. Measured EQUAL
-    // to the previous window-count form at sf0.1 (5.9 vs 6.0 s — the
-    // pair shuffle dominates both); chosen for the 100× shape: the
-    // window form full-sorts the purchase relation by part, making a
-    // hub item one giant sort group, while this count stays partial-
-    // aggregated and the pair shuffle carries two fewer columns
-    val popularity = bought.groupBy(col("part")).agg(count(lit(1)).as("n"))
-    val pairs = bought.as("a").join(bought.as("b"),
-        col("a.cust") === col("b.cust")
-          && col("a.part") < col("b.part"))
-      .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
+      .groupBy(col("cust"))
+      .agg(sort_array(collect_list(col("part"))).as("ps"))
+      .localCheckpoint(true)
+    // item popularity: narrow explode + map-side-combined count —
+    // one row per item, never a window over the purchase relation
+    // (a hub item would become one giant sort group)
+    val popularity = baskets.select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
+    // ordered pairs from the sorted basket array: quadratic only in
+    // the CAPPED basket (≤ C(cap, 2) per customer), generated narrowly
+    // by two stacked codegen'd explodes (positions enforce p1 < p2 via
+    // the sorted array — NOT a higher-order-function fold, which runs
+    // interpreted per element) so the pair aggregate's partial
+    // (map-side combine) runs before the only shuffle
+    val pairs = baskets
+      .select(posexplode(col("ps")).as(Seq("i", "p1")), col("ps"))
+      .select(col("i"), col("p1"),
+        posexplode(col("ps")).as(Seq("j", "p2")))
+      // strict part inequality mirrors the old a.part < b.part join
+      // predicate exactly (guards a non-distinct (cust, part) feed)
+      .filter(col("j") > col("i") && col("p1") =!= col("p2"))
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n12"))
       .filter(col("n12") >= MinSupport)
     // SIZE-GATED broadcast on popularity: one row per ITEM, linear in
@@ -111,17 +131,29 @@ object RecommenderOps {
         col("n").as("n2"))), "p2")
       .select(col("p1"), col("p2"), col("n12"),
         round(col("n12") / sqrt(col("n1") * col("n2")), 6).as("sim"))
-    // both orientations so every item ranks its own neighbors
-    val directed = scored.select(col("p1").as("item"),
-        col("p2").as("neighbor"), col("n12"), col("sim"))
-      .union(scored.select(col("p2"), col("p1"), col("n12"), col("sim")))
+    // both orientations so every item ranks its own neighbors — as ONE
+    // narrow explode of the scored pair, not scored.union(scored): a
+    // self-union re-executes the whole pair pipeline per branch (the
+    // plan held two full copies of every exchange above)
+    val directed = scored.select(explode(array(
+        struct(col("p1").as("item"), col("p2").as("neighbor"),
+          col("n12"), col("sim")),
+        struct(col("p2").as("item"), col("p1").as("neighbor"),
+          col("n12"), col("sim")))).as("e"))
+      .select(col("e.item").as("item"), col("e.neighbor").as("neighbor"),
+        col("e.n12").as("n12"), col("e.sim").as("sim"))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("sim").desc, col("neighbor"))
-    directed.withColumn("rk", row_number().over(w))
+    val out = directed.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       // DuckDB's ROW_NUMBER is BIGINT, Spark's INT — align dtypes
       .select(col("item"), col("neighbor"), col("n12"), col("sim"),
         col("rk").cast("long").as("rk"))
+      // materialize (catalog × TopK rows — bounded) so the pinned
+      // basket relation can be released before returning
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(baskets)
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
