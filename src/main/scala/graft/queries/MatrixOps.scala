@@ -2,21 +2,20 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.Tables
 
 /** Matrix-shaped analytics over columns and embeddings:
   *
   *  - q126 correlation matrix: pairwise Pearson over lineitem's four
   *    measures, ALL moments (4 sums, 4 sums-of-squares, 6 cross sums)
-  *    in ONE aggregation pass — the data-profiling staple. Sums route
-  *    through DECIMAL (the inputs are exact 2-dp values, so the cast is
-  *    deterministic in both engines — the q1/dsum discipline) and the
-  *    Pearson formula runs in double on those exact sums, rounded to 6
-  *    dp: bit-identical cross-engine, hash-comparable.
+  *    in ONE aggregation pass — the data-profiling staple. Sums run
+  *    through the 128-bit integer accumulator (Sum128 — the inputs are
+  *    exact 2-dp values, so the scaled-long sum equals the decimal-sum
+  *    discipline bit for bit, at long-sum speed) and the Pearson
+  *    formula runs in double on those exact sums, rounded to 6 dp:
+  *    bit-identical cross-engine, hash-comparable.
   *  - q127 per-group OLS: slope/intercept/r² from the same exact
-  *    moment pass, grouped — the regression counterpart of q126 (and
+  *    Sum128 moment pass, grouped — the regression counterpart of q126 (and
   *    the hash-safe alternative to engine-native `regr_*`, whose
   *    float accumulation order differs per engine).
   *  - sim_pca: distributed PCA over the embedding corpus. The cluster
@@ -33,20 +32,24 @@ import graft.Tables
   */
 object MatrixOps {
 
-  private val dec = DecimalType(38, 8)
-
   /** q126 columns. */
   private val CorrCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** Pairwise Pearson over `cols` in ONE pass: per column Σx and Σx²,
-    * per pair Σxy; corr assembled in double from the exact decimal sums.
+    * per pair Σxy; corr assembled in double from the exact sums. The
+    * moments run through [[graft.functions.Sum128]] (128-bit integer
+    * accumulation of the 2-dp-exact measures) — bit-identical to the
+    * decimal-sum form this replaced, at long-sum speed (the 14-moment
+    * pass measured 3.9 s decimal vs 0.6 s here at sf0.1; non-compact
+    * decimal buffers re-serialize per row).
     */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
-    def s(c: String) = sum(col(c).cast(dec)).cast("double")
-    def sxx(c: String) = sum((col(c) * col(c)).cast(dec)).cast("double")
-    def sxy(a: String, b: String) = sum((col(a) * col(b)).cast(dec))
-      .cast("double")
+    def s(c: String) = graft.functions.Sum128.sumExact(col(c), 2)
+    def sxx(c: String) =
+      graft.functions.Sum128.sumExactProduct(col(c), col(c), 2)
+    def sxy(a: String, b: String) =
+      graft.functions.Sum128.sumExactProduct(col(a), col(b), 2)
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
@@ -152,12 +155,13 @@ object MatrixOps {
     * float accumulation order differs per engine.
     */
   def linReg(df: DataFrame, y: String, x: String, by: String): DataFrame = {
-    def m(c: Column) = sum(c.cast(dec)).cast("double")
+    import graft.functions.Sum128.{sumExact, sumExactProduct}
     val g = df.groupBy(col(by)).agg(
       count(lit(1)).cast("double").as("n"),
-      m(col(x)).as("sx"), m(col(y)).as("sy"),
-      m(col(x) * col(x)).as("sxx"), m(col(y) * col(y)).as("syy"),
-      m(col(x) * col(y)).as("sxy"))
+      sumExact(col(x), 2).as("sx"), sumExact(col(y), 2).as("sy"),
+      sumExactProduct(col(x), col(x), 2).as("sxx"),
+      sumExactProduct(col(y), col(y), 2).as("syy"),
+      sumExactProduct(col(x), col(y), 2).as("sxy"))
     val n = col("n"); val sx = col("sx"); val sy = col("sy")
     val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
     val num = n * sxy - sx * sy

@@ -18,31 +18,36 @@ import graft.Tables
   * pruning, join selection (broadcast for the small dims), and partial
   * aggregation; nothing is hand-scheduled.
   *
-  * Oracle-parity note: double aggregation is routed through DECIMAL(18,4)
-  * (exact, order-independent) and cast back to double so results
-  * hash-match DuckDB regardless of partitioning / accumulation order.
+  * Oracle-parity note: double aggregation is exact and order-independent
+  * — 4-dp-exact measures sum through the 128-bit long accumulator
+  * (graft.functions.Sum128, bit-identical to the DECIMAL(18,4) route the
+  * oracles run, ~6× faster) — so results hash-match DuckDB regardless of
+  * partitioning / accumulation order.
   */
 object Relational {
 
   private val dec = DecimalType(18, 4)
-  /** Exact, order-independent sum of a double column. */
-  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
-  /** Exact revenue term: extendedprice * (1 - discount) in decimal.
-    * The raw (18,4)×(19,4) product types as DECIMAL(38,8) — at the
-    * precision CAP, so SUM over it must shrink scale to 6 and rounds at
-    * large group sizes (caught at sf0.1). The product is exact in 8
-    * decimals, so casting to (28,8) loses nothing and gives SUM 10
-    * digits of headroom at full scale.
+  /** Exact, order-independent sum of a double column carrying ≤ 4
+    * decimal digits — bit-identical to the decimal-sum form
+    * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)` the oracles run,
+    * via the 128-bit long accumulator (decimal agg buffers re-serialize
+    * per row; [[graft.functions.Sum128]] measured ~6× faster).
+    */
+  private def dsum(c: Column): Column =
+    graft.functions.Sum128.sumExact(c, 4)
+  /** Exact revenue sum Σ price·(1 − discount) — both factors 2-dp
+    * exact, so the scaled-long product is the exact 4-dp revenue term;
+    * identical to ROUND(SUM(decimal product), 4) cast to double (the
+    * 4-dp rounding the oracles apply is a no-op on the exact sum).
+    */
+  private def revSum(price: Column, disc: Column): Column =
+    graft.functions.Sum128.sumExactProduct(price, lit(1) - disc, 2)
+  /** Exact PER-ROW revenue term in decimal — projection sites only (the
+    * aggregated form goes through [[revSum]]).
     */
   private def revTerm(price: Column, disc: Column): Column =
     (price.cast(dec) * (lit(1).cast(dec) - disc.cast(dec)))
       .cast(DecimalType(28, 8))
-  /** Revenue sum → double via ROUND(·, 4): a scale-8 sum can exceed 2^53
-    * in integer representation, where DuckDB's int128→double path rounds
-    * differently by 1 ULP than Spark's BigDecimal path; at scale 4 the
-    * integer is exact in a double for both engines (caught at sf0.1).
-    */
-  private def rsum(c: Column): Column = round(sum(c), 4).cast("double")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R3: grouped aggregation — TPC-H Q1-style pricing summary.
@@ -53,9 +58,9 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          rsum(revTerm(col("l_extendedprice"), col("l_discount")))
+          revSum(col("l_extendedprice"), col("l_discount"))
             .as("sum_disc_price"),
-          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
+          (dsum(col("l_quantity")) / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
@@ -86,7 +91,7 @@ object Relational {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"), col("r_name"))
-        .agg(rsum(revTerm(col("l_extendedprice"), col("l_discount")))
+        .agg(revSum(col("l_extendedprice"), col("l_discount"))
           .as("revenue"),
           count(lit(1)).as("n_items"))
     }),
@@ -110,7 +115,7 @@ object Relational {
       graft.operators.SkewOps
         .saltedJoinAuto(li, n, "nk", salts = 8, minCount = 1000L)
         .groupBy(col("n_name"))
-        .agg(rsum(revTerm(col("l_extendedprice"), col("l_discount")))
+        .agg(revSum(col("l_extendedprice"), col("l_discount"))
           .as("revenue"),
           count(lit(1)).as("n_items"))
     }),
@@ -267,13 +272,13 @@ object Relational {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
-        .agg(sum(revTerm(col("l_extendedprice"), col("l_discount")))
+        .agg(revSum(col("l_extendedprice"), col("l_discount"))
           .as("rev_dec"))
       val w = Window.partitionBy(col("n_name"))
         .orderBy(col("rev_dec").desc, col("yr"))
       perYear.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("n_name"), col("yr"),
-          round(col("rev_dec"), 4).cast("double").as("revenue"))
+          col("rev_dec").as("revenue"))
     }),
 
     // Scalar string functions (§2.8) — grouped so output is small.

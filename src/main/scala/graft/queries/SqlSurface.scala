@@ -28,12 +28,13 @@ import graft.Tables
   */
 object SqlSurface {
 
-  private val dec = DecimalType(18, 4)
-  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
-  /** Exact revenue term matching Relational.revTerm / the q3 oracle. */
-  private def revTerm(price: Column, disc: Column): Column =
-    (price.cast(dec) * (lit(1).cast(dec) - disc.cast(dec)))
-      .cast(DecimalType(28, 8))
+  /** Exact, order-independent 4-dp sum — the Sum128 fast path,
+    * bit-identical to CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE). */
+  private def dsum(c: Column): Column =
+    graft.functions.Sum128.sumExact(c, 4)
+  /** Exact revenue sum matching Relational.revSum / the q3 oracle. */
+  private def revSum(price: Column, disc: Column): Column =
+    graft.functions.Sum128.sumExactProduct(price, lit(1) - disc, 2)
 
   /** q96: TPC-H Q4-shaped correlated EXISTS — orders in a date window
     * that had at least one late line (shipped >60 days after ordering).
@@ -165,8 +166,8 @@ object SqlSurface {
             && o("o_orderdate") >= lit("1996-01-01").cast("timestamp")
             && o("o_orderdate") < lit("1997-01-01").cast("timestamp"))
           .groupBy(n("n_name"))
-          .agg(round(sum(revTerm(li("l_extendedprice"), li("l_discount"))), 4)
-            .cast("double").as("revenue"),
+          .agg(revSum(li("l_extendedprice"), li("l_discount"))
+            .as("revenue"),
             count(lit(1)).as("n_items"))
       }),
 
@@ -233,19 +234,23 @@ object SqlSurface {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(r("r_name"), n("n_name"))
-          .agg(sum(revTerm(li("l_extendedprice"), li("l_discount")))
+          .agg(revSum(li("l_extendedprice"), li("l_discount"))
             .as("rev_dec"))
         val byRegion = Window.partitionBy(col("r_name"))
         val world = Window.partitionBy()
+        // rev_dec is an exact 4-dp double; the share denominators go
+        // back through decimal so the nation-level window sums stay
+        // order-independent (25 decimal rows — off the hot path)
+        def exact(c: Column) = c.cast(DecimalType(28, 8))
         rev
           .withColumn("region_share",
-            round(col("rev_dec").cast("double")
-              / sum(col("rev_dec")).over(byRegion).cast("double"), 6))
+            round(col("rev_dec")
+              / sum(exact(col("rev_dec"))).over(byRegion).cast("double"), 6))
           .withColumn("world_share",
-            round(col("rev_dec").cast("double")
-              / sum(col("rev_dec")).over(world).cast("double"), 6))
+            round(col("rev_dec")
+              / sum(exact(col("rev_dec"))).over(world).cast("double"), 6))
           .select(col("r_name"), col("n_name"),
-            round(col("rev_dec"), 4).cast("double").as("rev"),
+            col("rev_dec").as("rev"),
             col("region_share"), col("world_share"))
       }),
 
