@@ -82,7 +82,13 @@ object GraftExtensions {
         (es: Seq[Expression]) => DamerauLevenshtein(es(0), es(1))),
       ("jaro_winkler", info("jaro_winkler",
         "jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1]"),
-        (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
+        (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
+      ("sum128", info("sum128",
+        "sum128(x) - exact 128-bit sum of a pre-scaled LONG column " +
+          "(decimal(38,0) result; the fast path of the exact-sum " +
+          "discipline)"),
+        (es: Seq[Expression]) =>
+          graft.functions.Sum128(es(0)).toAggregateExpression()))
 
   /** Constant int argument of a SQL call (e.g. the k in top_k(s, 3)). */
   private def intArg(e: Expression): Int = e.eval(null) match {

@@ -101,12 +101,65 @@ object StatsOps {
     val bnds = df.agg(expr(
       s"transform($pctAgg, x -> round(x, 4))").as("bnds"))
       .head().getSeq[Double](0)
+    bucketize(df, valueCol, bnds)
+  }
+
+  /** The shared q106 consumer: boundary literals → narrow bucket
+    * assignment → bounded-key aggregation.
+    */
+  private def bucketize(df: DataFrame, valueCol: String,
+      bnds: Seq[Double]): DataFrame =
     df.select(col(valueCol).as("v"),
         expr(s"size(filter(array(${bnds.mkString(",")}), " +
           s"x -> $valueCol > x))").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
         max(col("v")).as("mx"))
+
+  /** The EXACT 100 TB form of q106 (stats_eqdepth_rank — earns q106's
+    * oracle as its own hash row): decile boundaries from exact order
+    * statistics via [[graft.operators.GlobalRank]] instead of the
+    * `percentile` value-count buffer. The exact percentile aggregate
+    * concentrates a map of every distinct value in one final merge —
+    * the documented non-survivor at corpus scale; the approx twin
+    * (stats_approx_eqdepth) trades exactness for a bounded sketch. This
+    * form keeps EXACTNESS and scale: one range-partitioned rank pass
+    * (no single-partition window, no corpus-sized buffer), a narrow
+    * 18-rank filter, and the same driver-side interpolation
+    * `lower + (higher − lower) · frac` Spark's Percentile applies —
+    * boundaries equal the buffer form's bit for bit (StatsOpsSpec pins
+    * it), so the oracle transfers. Ties need no tiebreaker: rows with
+    * equal v are interchangeable at any rank, so rank→VALUE is
+    * well-defined even where rank→row is not.
+    */
+  def eqDepthHistogramRank(df: DataFrame, valueCol: String): DataFrame = {
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+    val n = vals.count()
+    require(n > 0, "eqDepthHistogramRank needs a non-empty input")
+    val ps = (1 until EqDepthBuckets).map(_.toDouble / EqDepthBuckets)
+    // 0-based fractional positions — Spark Percentile / DuckDB
+    // quantile_cont both interpolate at pos = p · (n − 1)
+    val positions = ps.map(p => p * (n - 1))
+    val wanted = positions
+      .flatMap(pos => Seq(math.floor(pos).toLong + 1,
+        math.ceil(pos).toLong + 1)).distinct
+    val ranked = graft.operators.GlobalRank.withRank(vals, "rk", col("v"))
+    val atRank = ranked.filter(col("rk").isin(wanted: _*))
+      .groupBy(col("rk")).agg(min(col("v")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bnds = positions.map { pos =>
+      val lo = atRank(math.floor(pos).toLong + 1)
+      val hi = atRank(math.ceil(pos).toLong + 1)
+      // Percentile.getPercentile's exact assembly, then the same 4-dp
+      // HALF_UP rounding the buffer form applies — via
+      // BigDecimal.valueOf (the shortest decimal representation), which
+      // is what Spark's round(double, d) rounds, NOT the exact binary
+      // expansion
+      BigDecimal(java.math.BigDecimal.valueOf(
+          lo + (hi - lo) * (pos - math.floor(pos))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    bucketize(df, valueCol, bnds)
   }
 
   /** q202 / stats_approx_winsorize shared body — see the queries-map
@@ -212,6 +265,12 @@ object StatsOps {
       "stats_approx_eqdepth" -> ((s, d) =>
         eqDepthHistogram(Tables(s, d, "lineitem"), "l_extendedprice",
           approx = true)),
+
+      // The EXACT scale form of q106 (see eqDepthHistogramRank): order
+      // statistics by GlobalRank — no corpus-sized percentile buffer,
+      // no accuracy trade. Same oracle as q106: exact == exact.
+      "stats_eqdepth_rank" -> ((s, d) =>
+        eqDepthHistogramRank(Tables(s, d, "lineitem"), "l_extendedprice")),
 
       // The 100 TB form of q47: same per-group (p50, p90, n) surface via
       // ONE shared approx_percentile sketch per group (array form), so
@@ -529,6 +588,25 @@ object StatsOps {
         |FROM events e JOIN mad m ON e.event_type = m.event_type
         |GROUP BY e.event_type""".stripMargin,
     "q106_eqdepth_hist" ->
+      """WITH b AS (SELECT [round(quantile_cont(l_extendedprice, 0.1), 4),
+        |  round(quantile_cont(l_extendedprice, 0.2), 4),
+        |  round(quantile_cont(l_extendedprice, 0.3), 4),
+        |  round(quantile_cont(l_extendedprice, 0.4), 4),
+        |  round(quantile_cont(l_extendedprice, 0.5), 4),
+        |  round(quantile_cont(l_extendedprice, 0.6), 4),
+        |  round(quantile_cont(l_extendedprice, 0.7), 4),
+        |  round(quantile_cont(l_extendedprice, 0.8), 4),
+        |  round(quantile_cont(l_extendedprice, 0.9), 4)] AS bnds
+        | FROM lineitem)
+        |SELECT CAST(len(list_filter(bnds, x -> l_extendedprice > x))
+        |    AS INTEGER) AS bucket,
+        |  COUNT(*) AS n, MIN(l_extendedprice) AS mn,
+        |  MAX(l_extendedprice) AS mx
+        |FROM lineitem, b GROUP BY 1""".stripMargin,
+    // the rank form is boundary-identical to q106 by construction (the
+    // StatsOpsSpec pin), so it earns the same oracle — a hash-checked
+    // row instead of rows-only
+    "stats_eqdepth_rank" ->
       """WITH b AS (SELECT [round(quantile_cont(l_extendedprice, 0.1), 4),
         |  round(quantile_cont(l_extendedprice, 0.2), 4),
         |  round(quantile_cont(l_extendedprice, 0.3), 4),

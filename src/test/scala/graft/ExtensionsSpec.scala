@@ -48,6 +48,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(hits.getBoolean(0) && hits.getBoolean(1))
   }
 
+  test("sum128 is usable from pure SQL and matches the decimal sum") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT sum128(CAST(v AS BIGINT)) AS s128,
+        |  SUM(CAST(v AS DECIMAL(38,0))) AS sdec
+        |FROM VALUES (9223372036854775800), (9223372036854775800),
+        |            (-7), (123) AS t(v)""".stripMargin).head()
+    assert(r.getDecimal(0) == r.getDecimal(1),
+      s"${r.getDecimal(0)} vs ${r.getDecimal(1)}")
+  }
+
   test("registered vec_cosine on the embeddings table via pure SQL") {
     GraftExtensions.register(spark)
     Tables(spark, sf, "embeddings").createOrReplaceTempView("emb")

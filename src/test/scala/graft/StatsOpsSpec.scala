@@ -51,6 +51,27 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("rank-based equi-depth is bit-identical to the percentile-buffer form") {
+    def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(Tables(spark, sf, "lineitem")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+    val buffer = run(StatsOps.eqDepthHistogram(_, "l_extendedprice"))
+    val rank = run(StatsOps.eqDepthHistogramRank(_, "l_extendedprice"))
+    assert(buffer.nonEmpty && rank == buffer,
+      s"rank form diverged:\n$rank\nvs\n$buffer")
+    // and on a crafted duplicate-heavy series where interpolation hits
+    // both the tie and the fractional-position paths
+    import spark.implicits._
+    val crafted = (1 to 101).map(i => math.min(i, 60).toDouble)
+      .toDF("l_extendedprice")
+    def run2(df: org.apache.spark.sql.DataFrame) =
+      (StatsOps.eqDepthHistogram(df, "l_extendedprice").collect().toSet,
+        StatsOps.eqDepthHistogramRank(df, "l_extendedprice").collect().toSet)
+    val b2 = run2(crafted)
+    assert(b2._1 == b2._2, s"crafted diverged: ${b2._1} vs ${b2._2}")
+  }
+
   test("two-pass weighted median is bit-identical to the sorted q171 form") {
     def run(name: String) =
       graft.queries.StatsOps.queries(name)(spark, sf).collect()
