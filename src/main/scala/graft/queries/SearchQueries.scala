@@ -59,10 +59,86 @@ object SearchQueries {
   /** q197 NEAR window: w2 at most this many positions after w1. */
   private val ProximitySlop = 3
 
+  /** q246 RRF fusion: query docs (ids below this), per-arm candidate
+    * depth, the RRF smoothing constant (60 per Cormack et al.,
+    * SIGIR'09), and the fused result depth.
+    */
+  private val RrfQueries = 10
+  private val RrfPool = 20
+  private val RrfC = 60
+  private val RrfOut = 10
+
+  /** Reciprocal-rank fusion of two per-query rank lists [Cormack,
+    * Clarke & Büttcher, SIGIR'09]: score(cand) = Σ_lists 1/(C + rank),
+    * absent-from-a-list contributes 0. Inputs are (q_id, cand, *_rk)
+    * relations already cut to a bounded pool per query, so the full
+    * outer join and the fused window both run over ≤ 2·pool rows per
+    * query — never the corpus. Factored out so SearchSpec can drive
+    * crafted rank lists through the exact shipped fusion.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame,
+      c: Int, outK: Int): DataFrame = {
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("cand"))
+    lex.join(sem, Seq("q_id", "cand"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("lex_rk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("sem_rk")), lit(0.0)), 6))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= outK)
+      .select(col("q_id"), col("cand"), col("lex_rk"), col("sem_rk"),
+        col("rrf"), col("rk").cast("long").as("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Distributed grep: the OSDI'04 §2.1 example workload. rlike pushes
     // into the scan filter; match count + first match are computed only
     // for surviving rows. Narrow end-to-end.
+    // q246 hybrid retrieval with reciprocal-rank fusion — the standard
+    // two-arm search stack [Cormack SIGIR'09]: a LEXICAL arm (token-set
+    // Jaccard of each query doc against the corpus — intersection from
+    // ONE postings equi-join against the broadcast query-token table,
+    // so candidate volume is postings-of-the-query-terms, never the
+    // corpus) and a SEMANTIC arm (q25's exact cosine top-k over the
+    // aligned embeddings), each cut to a RrfPool-deep rank list per
+    // query, fused by rrfFuse. Every arithmetic step is either integer
+    // (ranks, intersections) or a single IEEE division of exact ints —
+    // hash-comparable cross-engine.
+    "q246_rrf_fusion" -> ((s, d) => {
+      import graft.functions.vectors._
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      val sizes = docs.select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).as("nd"))
+      val qt = toks.filter(col("doc_id") < RrfQueries)
+        .select(col("doc_id").as("q_id"), col("w"))
+      val qsz = sizes.filter(col("doc_id") < RrfQueries)
+        .select(col("doc_id").as("q_id"), col("nd").as("nq"))
+      val inter = toks.join(broadcast(qt), "w")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("ni"))
+      val wl = Window.partitionBy(col("q_id"))
+        .orderBy(col("jac").desc, col("doc_id"))
+      val lex = inter.join(sizes, "doc_id").join(broadcast(qsz), "q_id")
+        .withColumn("jac", col("ni") / (col("nd") + col("nq") - col("ni")))
+        .withColumn("lex_rk", row_number().over(wl))
+        .filter(col("lex_rk") <= RrfPool)
+        .select(col("q_id"), col("doc_id").as("cand"), col("lex_rk"))
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < RrfQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val ws = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val sem = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", vec_cosine(col("qe"), col("embedding")))
+        .withColumn("sem_rk", row_number().over(ws))
+        .filter(col("sem_rk") <= RrfPool)
+        .select(col("q_id"), col("vec_id").as("cand"), col("sem_rk"))
+      rrfFuse(lex, sem, RrfC, RrfOut)
+    }),
+
     "q71_grep" -> ((s, d) =>
       Tables(s, d, "documents")
         .filter(col("text").rlike(GrepPattern))
@@ -222,6 +298,45 @@ object SearchQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q246_rrf_fusion" -> {
+      val cos = graft.queries.SimilarityQueries.cosSql("q", "e")
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(list_distinct(string_split(text, ' '))) AS w
+         |  FROM documents),
+         |sizes AS (SELECT doc_id,
+         |    len(list_distinct(string_split(text, ' '))) AS nd
+         |  FROM documents),
+         |inter AS (SELECT q.doc_id AS q_id, t.doc_id AS cand,
+         |    COUNT(*) AS ni
+         |  FROM toks t JOIN toks q USING (w)
+         |  WHERE q.doc_id < $RrfQueries AND t.doc_id <> q.doc_id
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT q_id, cand, lex_rk FROM (
+         |  SELECT q_id, cand, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY (CAST(ni AS DOUBLE)
+         |        / (sd.nd + sq.nd - ni)) DESC, cand) AS lex_rk
+         |  FROM inter JOIN sizes sd ON sd.doc_id = cand
+         |    JOIN sizes sq ON sq.doc_id = q_id) z
+         |  WHERE lex_rk <= $RrfPool),
+         |sem AS (SELECT q_id, cand, sem_rk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS cand,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $cos DESC, e.vec_id) AS sem_rk
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $RrfQueries) z
+         |  WHERE sem_rk <= $RrfPool),
+         |f AS (SELECT COALESCE(lex.q_id, sem.q_id) AS q_id,
+         |    COALESCE(lex.cand, sem.cand) AS cand, lex_rk, sem_rk,
+         |    round(COALESCE(1.0 / ($RrfC + lex_rk), 0)
+         |      + COALESCE(1.0 / ($RrfC + sem_rk), 0), 6) AS rrf
+         |  FROM lex FULL OUTER JOIN sem
+         |    ON lex.q_id = sem.q_id AND lex.cand = sem.cand)
+         |SELECT q_id, cand, CAST(lex_rk AS INTEGER) AS lex_rk,
+         |  CAST(sem_rk AS INTEGER) AS sem_rk, rrf, rk
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY rrf DESC, cand) AS rk FROM f) z
+         |WHERE rk <= $RrfOut""".stripMargin
+    },
     "q109_tfidf_topterms" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
         |            FROM documents),

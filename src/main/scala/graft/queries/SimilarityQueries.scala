@@ -1022,7 +1022,7 @@ object SimilarityQueries {
         NumPlanes, ProbeHamming))
   )
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"""(list_sum([CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)
        |           FOR i IN range(1, len($a.embedding) + 1)])
        | / (sqrt(list_sum([CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE)

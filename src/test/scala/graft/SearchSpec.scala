@@ -167,4 +167,39 @@ class SearchSpec extends SparkSpec {
     assert(ubiquitousTop.forall(_._4 == 0.0),
       s"zero-idf terms can only surface with score 0: ${ubiquitousTop.take(3).toSeq}")
   }
+
+  test("RRF fusion: hand-computed scores, single-list candidates, ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // q1: doc 10 is rank 1 in BOTH arms → 2/61; doc 11 lex-only rank 2
+    // → 1/62; doc 12 sem-only rank 2 → 1/62 (tie with 11, broken by
+    // cand asc); doc 13 sem-only rank 3 → 1/63
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "cand", "lex_rk")
+    val sem = Seq((1L, 10L, 1), (1L, 12L, 2), (1L, 13L, 3))
+      .toDF("q_id", "cand", "sem_rk")
+    val fused = graft.queries.SearchQueries.rrfFuse(lex, sem, 60, 10)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getDouble(4), r.getLong(5)))
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fused.toSeq == Seq(
+      (10L, r6(1.0 / 61 + 1.0 / 61), 1L),
+      (11L, r6(1.0 / 62), 2L),
+      (12L, r6(1.0 / 62), 3L),
+      (13L, r6(1.0 / 63), 4L)), fused.mkString(","))
+  }
+
+  test("q246 entry: every query fused, ranks dense, both arms surface") {
+    val rows = SparkEntry.queries("q246_rrf_fusion")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(5)).sorted.toSeq == (1L to rs.length),
+        s"query $q ranks not dense")
+    }
+    // at corpus scale both arms contribute somewhere: some fused row
+    // carries a lexical rank and some carries a semantic rank
+    assert(rows.exists(!_.isNullAt(2)) && rows.exists(!_.isNullAt(3)),
+      "both retrieval arms must surface in the fused lists")
+  }
 }
