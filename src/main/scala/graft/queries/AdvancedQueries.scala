@@ -322,18 +322,18 @@ object AdvancedQueries {
     // math is plain double arithmetic on identical inputs. Same cost
     // shape as any grouped agg: one map-side-combined shuffle.
     "q61_moment_stats" -> ((s, d) => {
-      val x = col("value").cast(dec)
-      val y = col("user_id").cast(dec)
-      val xx = (col("value") * col("value")).cast(dec)
-      val yy = (col("user_id") * col("user_id")).cast(dec)
-      val xy = (col("value") * col("user_id")).cast(dec)
+      // moments through the Sum128 fast path (value is 2-dp exact,
+      // user_id integer — products exact at 4 dp, matching the oracle's
+      // DECIMAL(18,4) quantization bit for bit)
+      import graft.functions.Sum128.{sumExact, sumExactProduct}
       Tables(s, d, "events")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
-          sum(xx).cast("double").as("sxx"),
-          sum(yy).cast("double").as("syy"),
-          sum(xy).cast("double").as("sxy"))
+          sumExact(col("value"), 4).as("sx"),
+          sumExact(col("user_id"), 4).as("sy"),
+          sumExactProduct(col("value"), col("value"), 2).as("sxx"),
+          sumExactProduct(col("user_id"), col("user_id"), 2).as("syy"),
+          sumExactProduct(col("value"), col("user_id"), 2).as("sxy"))
         .select(col("event_type"), col("n"),
           round(col("sx") / col("n"), 6).as("mean_value"),
           round((col("sxx") - col("sx") * col("sx") / col("n"))

@@ -246,7 +246,7 @@ object BehaviorOps {
   private[graft] def ewmaOf(e: DataFrame): DataFrame = {
     val daily = e
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+      .agg(graft.functions.Sum128.sumExact(col("value"), 4).as("v"))
       .select(col("event_type"), col("day"),
         round(col("v"), 0).cast("long").as("x"))
     val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))

@@ -85,7 +85,7 @@ object EventQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("event_type")).as("n_types"),
-          sum(col("value").cast("decimal(18,4)")).cast("double")
+          graft.functions.Sum128.sumExact(col("value"), 4)
             .as("sum_value"),
           max(col("ts")).as("last_ts"))),
 

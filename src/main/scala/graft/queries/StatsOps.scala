@@ -38,12 +38,16 @@ object StatsOps {
   /** q103 trailing frame width in microseconds (7 days). */
   val FrameMicros = 7L * 24 * 3600 * 1000000
 
-  /** Per-group z-score outliers; moments from exact decimal sums. */
+  /** Per-group z-score outliers; moments from exact Sum128 sums
+    * (value is 2-dp exact — the scaled-long route equals the decimal
+    * cast bit for bit).
+    */
   def outliers(ev: DataFrame): DataFrame = {
+    import graft.functions.Sum128.{sumExact, sumExactProduct}
     val m = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
-      sum(col("value").cast(dec)).cast("double").as("sx"),
-      sum((col("value") * col("value")).cast(dec)).cast("double").as("sxx"))
+      sumExact(col("value"), 4).as("sx"),
+      sumExactProduct(col("value"), col("value"), 2).as("sxx"))
       .filter(col("n") > 1)
       .select(col("event_type"), (col("sx") / col("n")).as("mean"),
         sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
