@@ -45,7 +45,63 @@ object TrendOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_mann_kendall" -> ((s, d) => mannKendall(Tables(s, d, "events"))),
-    "q224_isotonic" -> ((s, d) => isotonic(Tables(s, d, "events"))))
+    "q224_isotonic" -> ((s, d) => isotonic(Tables(s, d, "events"))),
+    "q247_holt" -> ((s, d) => holt(Tables(s, d, "events"))))
+
+  /** Holt smoothing constants — EXACT binary fractions (0.5, 0.25), so
+    * every fold step is the same IEEE operation sequence in both
+    * engines and the recurrence is bit-reproducible cross-engine.
+    */
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.25
+
+  /** q247 Holt linear-trend (double exponential) smoothing [Holt 1957;
+    * Hyndman & Athanasopoulos, fpp3 §8.2] of the daily value series per
+    * event_type — the trend-aware counterpart of q135's EWMA:
+    *   level_t = α·x_t + (1−α)(level_{t−1} + trend_{t−1})
+    *   trend_t = β(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+    * init level₁ = x₁, trend₁ = 0; one-step forecast = level + trend.
+    *
+    * The recurrence is a per-key SEQUENTIAL fold (coupled linear state —
+    * no window/prefix-sum closed form like q243's Lindley reflection),
+    * so it runs as a typed flatMapGroups over the daily series — which
+    * is CALENDAR-bounded (≤366 rows/key/year) regardless of corpus
+    * size, the same boundedness argument as q224's PAVA. The corpus
+    * itself reduces in ONE map-side-combined (type, day) aggregation
+    * through the Sum128 exact path. Oracle: a DuckDB recursive CTE
+    * walking the identical IEEE op sequence (x is an exact 2-dp double
+    * both sides; α, β exact binary) — rounded to 6 dp, hash-compared.
+    */
+  def holt(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.Sum128.sumExact(col("value"), 4).as("x"))
+    val out = daily
+      .select(col("event_type").as[String], col("day").as[java.sql.Date],
+        col("x").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2.getTime) // calendar-bounded
+        var level = 0.0
+        var trend = 0.0
+        rows.iterator.zipWithIndex.map { case ((_, day, x), i) =>
+          if (i == 0) { level = x; trend = 0.0 }
+          else {
+            val nl = HoltAlpha * x + (1 - HoltAlpha) * (level + trend)
+            trend = HoltBeta * (nl - level) + (1 - HoltBeta) * trend
+            level = nl
+          }
+          (k, day, x, level, trend, level + trend)
+        }
+      }
+      .toDF("event_type", "day", "x", "level", "trend", "forecast_next")
+    out.select(col("event_type"), col("day"), col("x"),
+      round(col("level"), 6).as("level"),
+      round(col("trend"), 6).as("trend"),
+      round(col("forecast_next"), 6).as("forecast_next"))
+  }
 
   /** Daily decimal-exact sums per (event_type, day-of-month). */
   private def daily(events: DataFrame): DataFrame =
@@ -162,6 +218,30 @@ object TrendOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q247_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn
+        |  FROM daily),
+        |holt AS (
+        |  SELECT event_type, day, x, rn,
+        |    x AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.day, s.x, s.rn,
+        |    0.5 * s.x + 0.5 * (h.level + h.trend) AS level,
+        |    0.25 * ((0.5 * s.x + 0.5 * (h.level + h.trend)) - h.level)
+        |      + 0.75 * h.trend AS trend
+        |  FROM holt h JOIN seq s
+        |    ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+        |SELECT event_type, day, x, round(level, 6) AS level,
+        |  round(trend, 6) AS trend,
+        |  round(level + trend, 6) AS forecast_next
+        |FROM holt""".stripMargin,
     "q222_mann_kendall" ->
       """WITH dly AS (
         |  SELECT event_type, EXTRACT(day FROM ts) AS day,

@@ -110,4 +110,31 @@ class TrendSpec extends SparkSpec {
     }
     assert(math.abs(fitMean - rawMean) < 1e-4)
   }
+
+  test("Holt smoothing: hand-computed fold, constant-series identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-01-$i%02d")
+    // crafted rising series x = 10, 20, 30 (one event per day, value
+    // carries the whole daily sum)
+    val ev = Seq((1, 10.0), (2, 20.0), (3, 30.0))
+      .map { case (i, v) => ("a", java.sql.Timestamp.valueOf(
+        f"2024-01-$i%02d 12:00:00"), v) }
+      .toDF("event_type", "ts", "value")
+    val got = graft.queries.TrendOps.holt(ev)
+      .orderBy("day").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // fold by hand: l1=10 b1=0; l2=.5*20+.5*10=15, b2=.25*5=1.25;
+    // l3=.5*30+.5*16.25=23.125, b3=.25*8.125+.75*1.25=2.96875
+    assert(got.toSeq == Seq(
+      (10.0, 0.0, 10.0),
+      (15.0, 1.25, 16.25),
+      (23.125, 2.96875, 26.09375)), got.mkString(","))
+    // constant series: level tracks x exactly, trend stays 0
+    val const = (1 to 5).map(i => ("b", java.sql.Timestamp.valueOf(
+        f"2024-01-$i%02d 12:00:00"), 7.0))
+      .toDF("event_type", "ts", "value")
+    val g2 = graft.queries.TrendOps.holt(const).collect()
+    assert(g2.forall(r => r.getDouble(3) == 7.0 && r.getDouble(4) == 0.0))
+  }
 }
