@@ -66,6 +66,33 @@ object VersionedTable {
       .sortBy(_._1).toSeq
   }
 
+  /** Commit wall-clock instants (marker modification times), ascending
+    * by version: (version, epochMillis). The marker IS the commit, so
+    * its mtime is the commit time — no separate metadata write.
+    */
+  def versionTimes(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val dir = new Path(root, "_commits")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir)
+      .map(s => (s.getPath.getName.toLong, s.getModificationTime))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Timestamp time travel (Delta's `AS OF TIMESTAMP` rule): the newest
+    * version committed at or before `tsMillis`. Versions are monotonic,
+    * so among time-eligible commits the max VERSION wins (robust to
+    * sub-granularity mtime ties). Fails loudly when the table has no
+    * commit that old — same contract as reading a missing version.
+    */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long)
+      : DataFrame = {
+    val eligible = versionTimes(spark, root).filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version of $root committed at or before $tsMillis")
+    read(spark, root, Some(eligible.map(_._1).max))
+  }
+
   private def commit(df: DataFrame, root: String,
       fragment: Boolean): Long = {
     val spark = df.sparkSession

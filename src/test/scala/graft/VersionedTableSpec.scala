@@ -136,6 +136,30 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("timestamp travel: AS OF picks the newest commit at-or-before") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vt-asof").toString
+    val v1 = VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
+    val v2 = VersionedTable.write(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val times = VersionedTable.versionTimes(spark, root).toMap
+    // exactly at v1's instant → v1; at v2's instant → v2; far future →
+    // latest; before everything → loud failure
+    assert(VersionedTable.readAsOf(spark, root, times(v1)).count() === 1L
+      || times(v1) == times(v2)) // same-millisecond commits: max wins
+    if (times(v1) == times(v2))
+      assert(VersionedTable.readAsOf(spark, root, times(v1)).count() === 2L)
+    assert(VersionedTable.readAsOf(spark, root, times(v2)).count() === 2L)
+    assert(VersionedTable
+      .readAsOf(spark, root, System.currentTimeMillis() + 60000)
+      .count() === 2L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, root, times(v1) - 60000)
+    }
+    assert(e.getMessage.contains("no version"))
+  }
+
   test("CHECK constraints: violating commit refused, table unchanged") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
