@@ -64,7 +64,11 @@ object ScaleSmoke {
       // streaming twin (state = 4 longs per key), the one-pass
       // modularity, and the MMR pool-then-greedy shape
       "dedup_jaccard_prefix", "q243_clamped_balance",
-      "stream_clamped_balance", "q244_modularity", "q245_mmr_rerank")
+      "stream_clamped_balance", "q244_modularity", "q245_mmr_rerank",
+      // round-6 batch 2: the rank-based exact equi-depth (its whole
+      // point is the 100x story), the two-arm RRF fusion, and the Holt
+      // fold + its O(delta) streaming twin
+      "stats_eqdepth_rank", "q246_rrf_fusion", "q247_holt", "stream_holt")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

@@ -56,6 +56,7 @@ object SparkEntry {
     "layout_result_cache" -> "ResultCacheSpec",
     "layout_mv_rewrite" -> "MvRewriteSpec",
     "stream_clamped_balance" -> "ClampedBalanceSpec",
+    "stream_holt" -> "HoltStreamSpec",
     "q238_forget_flow" -> "VersionedTableSpec",
     "layout_compact" -> "LayoutPruningSpec",
     "layout_merge_versioned" -> "VersionedTableSpec",

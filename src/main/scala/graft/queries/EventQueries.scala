@@ -187,6 +187,60 @@ object EventQueries {
         "n_stockouts", "n_moves")
     }),
 
+    // §2.10: streaming Holt smoothing (rows-only; pinned by
+    // HoltStreamSpec): q247's coupled (level, trend) recurrence carried
+    // as per-key transformWithState — TWO DOUBLES of state, O(delta)
+    // per batch. The entry runs the calendar-bounded daily series
+    // through a REAL two-batch MemoryStream split at the median day on
+    // an isolated RocksDB session and REQUIRES streamed == batch q247
+    // before returning (exact binary α/β + exact 2-dp x → bitwise).
+    "stream_holt" -> ((s0, d) => {
+      val iso = s0.newSession()
+      iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = iso.sqlContext
+      implicit val pointEnc
+          : org.apache.spark.sql.Encoder[(String, Int, Double)] =
+        org.apache.spark.sql.Encoders.product[(String, Int, Double)]
+      // q247's one corpus aggregation; the series itself is calendar-
+      // bounded, so collecting it for the fixture feed is KB metadata
+      val daily = graft.Tables(iso, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(graft.functions.Sum128.sumExact(col("value"), 4).as("x"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("int").as("ed"), col("x"))
+        .as[(String, Int, Double)].collect().toSeq
+      val mid = daily.map(_._2).sorted.apply(daily.size / 2)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Int, Double)]
+      val out = graft.streaming.HoltStream.smoothed(stream.toDS())
+        .toDF("event_type", "ed", "x", "level", "trend", "forecast_next")
+      val q = out.writeStream.format("memory").queryName("stream_holt")
+        .outputMode("update").start()
+      stream.addData(daily.filter(_._2 < mid)); q.processAllAvailable()
+      stream.addData(daily.filter(_._2 >= mid)); q.processAllAvailable()
+      q.stop()
+      def keyed(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      val got = keyed(iso.table("stream_holt")
+        .select(col("event_type"),
+          date_add(lit("1970-01-01").cast("date"), col("ed")).as("day"),
+          col("x"), round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("forecast_next"), 6).as("forecast_next")).collect())
+      val batch = keyed(
+        TrendOps.queries("q247_holt")(iso, d).collect())
+      require(got == batch,
+        s"streamed Holt diverged from batch q247: " +
+          s"${(got diff batch).take(3)} vs ${(batch diff got).take(3)}")
+      import s0.implicits._
+      got.toSeq.toDF("event_type", "day", "x", "level", "trend",
+        "forecast_next")
+    }),
+
     // §2.10: stream-stream join, batch twin — clicks matched to the same
     // user's purchases within 10 minutes (EventStreamSpec runs the same
     // plan as a watermarked MemoryStream join and pins equality).
