@@ -68,7 +68,8 @@ object ScaleSmoke {
       // round-6 batch 2: the rank-based exact equi-depth (its whole
       // point is the 100x story), the two-arm RRF fusion, and the Holt
       // fold + its O(delta) streaming twin
-      "stats_eqdepth_rank", "q246_rrf_fusion", "q247_holt", "stream_holt")
+      "stats_eqdepth_rank", "q246_rrf_fusion", "q247_holt", "stream_holt",
+      "stream_index_inc")
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

@@ -57,6 +57,7 @@ object SparkEntry {
     "layout_mv_rewrite" -> "MvRewriteSpec",
     "stream_clamped_balance" -> "ClampedBalanceSpec",
     "stream_holt" -> "HoltStreamSpec",
+    "stream_index_inc" -> "IndexStreamSpec",
     "q238_forget_flow" -> "VersionedTableSpec",
     "layout_compact" -> "LayoutPruningSpec",
     "layout_merge_versioned" -> "VersionedTableSpec",

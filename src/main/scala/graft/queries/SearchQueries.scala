@@ -156,6 +156,53 @@ object SearchQueries {
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("cf"))),
 
+    // §2.10: incremental inverted-index maintenance (rows-only; pinned
+    // by IndexStreamSpec): q72's dictionary folded per micro-batch as
+    // vocabulary-bounded per-term state — O(delta postings) per batch
+    // vs the full corpus re-aggregation. The entry streams the corpus
+    // in a REAL two-batch split (doc_id parity) through an isolated
+    // RocksDB session and REQUIRES the final index to equal batch q72
+    // exactly (integer counts → bitwise) before returning.
+    "stream_index_inc" -> ((s0, d) => {
+      val iso = s0.newSession()
+      iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = iso.sqlContext
+      implicit val docEnc: org.apache.spark.sql.Encoder[(Long, String)] =
+        org.apache.spark.sql.Encoders.product[(Long, String)]
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val postings = stream.toDS().toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
+        .as[(String, Long)](
+          org.apache.spark.sql.Encoders.product[(String, Long)])
+      val out = graft.streaming.IndexStream.maintained(postings)
+        .toDF("term", "df", "cf")
+      val q = out.writeStream.format("memory").queryName("stream_index_inc")
+        .outputMode("update").start()
+      val docs = graft.Tables(iso, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val (even, odd) = docs.partition(_._1 % 2 == 0)
+      stream.addData(even); q.processAllAvailable()
+      stream.addData(odd); q.processAllAvailable()
+      q.stop()
+      // counts are monotone, so the latest update per term is the max
+      val got = iso.table("stream_index_inc")
+        .groupBy(col("term"))
+        .agg(max(col("df")).as("df"), max(col("cf")).as("cf"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val batch = queries("q72_inverted_index")(iso, d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      require(got == batch,
+        s"incremental index diverged from batch q72: " +
+          s"${(got diff batch).take(3)} vs ${(batch diff got).take(3)}")
+      import s0.implicits._
+      got.toSeq.toDF("term", "df", "cf")
+    }),
+
     // TF-IDF top terms per document — the doc-REPRESENTATION dual of
     // q73's query-scoring: the 3 most characteristic terms of every
     // document, the feature extraction behind keyword tagging and the
