@@ -136,11 +136,28 @@ object StatsOps {
     * equal v are interchangeable at any rank, so rank→VALUE is
     * well-defined even where rank→row is not.
     */
-  def eqDepthHistogramRank(df: DataFrame, valueCol: String): DataFrame = {
+  def eqDepthHistogramRank(df: DataFrame, valueCol: String): DataFrame =
+    bucketize(df, valueCol, exactQuantilesByRank(df, valueCol,
+      (1 until EqDepthBuckets).map(_.toDouble / EqDepthBuckets)))
+
+  /** Exact percentiles of a double column via GLOBAL RANK — the shared
+    * machinery behind the rank twins (stats_eqdepth_rank /
+    * stats_winsorize_rank): one range-partitioned rank pass, a narrow
+    * filter to the ≤ 2·|ps| order-statistic ranks, and Spark
+    * Percentile's own interpolation `lower + (higher − lower) · frac`
+    * assembled on the driver — then the same 4-dp HALF_UP rounding the
+    * buffer forms apply, via BigDecimal.valueOf (the shortest decimal
+    * representation Spark's round(double, d) rounds, NOT the exact
+    * binary expansion). Bit-identical to
+    * `round(percentile(v, ps), 4)` with NO corpus-sized value-count
+    * buffer anywhere. Ties need no tiebreaker: rows holding equal v are
+    * interchangeable at any rank, so rank→VALUE is well-defined.
+    */
+  private[graft] def exactQuantilesByRank(df: DataFrame, valueCol: String,
+      ps: Seq[Double]): Seq[Double] = {
     val vals = df.select(col(valueCol).cast("double").as("v"))
     val n = vals.count()
-    require(n > 0, "eqDepthHistogramRank needs a non-empty input")
-    val ps = (1 until EqDepthBuckets).map(_.toDouble / EqDepthBuckets)
+    require(n > 0, "exactQuantilesByRank needs a non-empty input")
     // 0-based fractional positions — Spark Percentile / DuckDB
     // quantile_cont both interpolate at pos = p · (n − 1)
     val positions = ps.map(p => p * (n - 1))
@@ -151,19 +168,13 @@ object StatsOps {
     val atRank = ranked.filter(col("rk").isin(wanted: _*))
       .groupBy(col("rk")).agg(min(col("v")).as("v"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val bnds = positions.map { pos =>
+    positions.map { pos =>
       val lo = atRank(math.floor(pos).toLong + 1)
       val hi = atRank(math.ceil(pos).toLong + 1)
-      // Percentile.getPercentile's exact assembly, then the same 4-dp
-      // HALF_UP rounding the buffer form applies — via
-      // BigDecimal.valueOf (the shortest decimal representation), which
-      // is what Spark's round(double, d) rounds, NOT the exact binary
-      // expansion
       BigDecimal(java.math.BigDecimal.valueOf(
           lo + (hi - lo) * (pos - math.floor(pos))))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    bucketize(df, valueCol, bnds)
   }
 
   /** q202 / stats_approx_winsorize shared body — see the queries-map
@@ -177,7 +188,15 @@ object StatsOps {
       else "percentile(l_extendedprice, array(0.05, 0.95))"
     val bnds = li.agg(expr(s"transform($pctAgg, x -> round(x, 4))").as("b"))
       .head().getSeq[Double](0)
-    val (lo, hi) = (bnds(0), bnds(1))
+    winsorizeWith(li, bnds(0), bnds(1))
+  }
+
+  /** The shared q202 clip consumer: boundary literals → narrow clip →
+    * per-flag aggregation (clipped values are exact at 4 dp — the
+    * boundaries' precision — so the means run the Sum128 fast path).
+    */
+  private def winsorizeWith(li: DataFrame, lo: Double, hi: Double)
+      : DataFrame =
     li.select(col("l_returnflag"), col("l_extendedprice").as("x"))
       .withColumn("clipped",
         least(greatest(col("x"), lit(lo)), lit(hi)))
@@ -185,11 +204,10 @@ object StatsOps {
       .agg(count(lit(1)).as("n"),
         sum(when(col("x") < lo, 1L).otherwise(0L)).as("n_clip_lo"),
         sum(when(col("x") > hi, 1L).otherwise(0L)).as("n_clip_hi"),
-        round(sum(col("x").cast(dec)).cast("double")
+        round(graft.functions.Sum128.sumExact(col("x"), 4)
           / count(lit(1)), 6).as("mean_raw"),
-        round(sum(col("clipped").cast(dec)).cast("double")
+        round(graft.functions.Sum128.sumExact(col("clipped"), 4)
           / count(lit(1)), 6).as("mean_wins"))
-  }
 
   /** Count-Min sketch dimensions: 4 rows × 2048 counters = 64 KB of
     * state regardless of vocabulary size.
@@ -275,6 +293,16 @@ object StatsOps {
       // no accuracy trade. Same oracle as q106: exact == exact.
       "stats_eqdepth_rank" -> ((s, d) =>
         eqDepthHistogramRank(Tables(s, d, "lineitem"), "l_extendedprice")),
+
+      // The EXACT scale form of q202: the same [p05, p95] clip with
+      // boundaries from rank-based order statistics instead of the
+      // percentile buffer. Same oracle as q202: exact == exact.
+      "stats_winsorize_rank" -> ((s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val b = exactQuantilesByRank(li, "l_extendedprice",
+          Seq(0.05, 0.95))
+        winsorizeWith(li, b(0), b(1))
+      }),
 
       // The 100 TB form of q47: same per-group (p50, p90, n) surface via
       // ONE shared approx_percentile sketch per group (array form), so
@@ -516,6 +544,23 @@ object StatsOps {
 
   def oracle: Map[String, String] = Map(
     "q202_winsorize" ->
+      """WITH b AS (SELECT
+        |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(COUNT(*) FILTER (l_extendedprice < lo) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(COUNT(*) FILTER (l_extendedprice > hi) AS BIGINT)
+        |    AS n_clip_hi,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+        |  round(CAST(SUM(CAST(least(greatest(l_extendedprice, lo), hi)
+        |    AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS mean_wins
+        |FROM lineitem, b GROUP BY l_returnflag""".stripMargin,
+    // the rank form's boundaries are bit-identical to q202's by
+    // construction (the StatsOpsSpec pin), so it earns the same oracle
+    "stats_winsorize_rank" ->
       """WITH b AS (SELECT
         |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
         |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi

@@ -72,6 +72,16 @@ class StatsOpsSpec extends SparkSpec {
     assert(b2._1 == b2._2, s"crafted diverged: ${b2._1} vs ${b2._2}")
   }
 
+  test("rank-based winsorize is bit-identical to the percentile-buffer form") {
+    def run(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    val buffer = run("q202_winsorize")
+    val rank = run("stats_winsorize_rank")
+    assert(buffer.nonEmpty && rank == buffer,
+      s"rank winsorize diverged: $rank vs $buffer")
+  }
+
   test("two-pass weighted median is bit-identical to the sorted q171 form") {
     def run(name: String) =
       graft.queries.StatsOps.queries(name)(spark, sf).collect()
