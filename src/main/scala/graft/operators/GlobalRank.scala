@@ -154,4 +154,34 @@ object GlobalRank {
       .withColumn(rankCol, col("__gr_lrn") + col("__gr_off"))
       .drop("__gr_pid", "__gr_lrn", "__gr_opid", "__gr_off")
   }
+
+  /** PER-GROUP gap-free rank without `row_number() OVER (PARTITION BY
+    * group)` — the scale form when the group column has FEW values
+    * (q187's three return flags): a coarse-grouped window makes each
+    * group one giant sort task (corpus/|groups| rows in one partition
+    * at 100 TB), while this form ranks GLOBALLY with the group as the
+    * leading key (range-partitioned — the [[withRank]] machinery) and
+    * subtracts each group's exclusive prefix count. The offsets table
+    * is |groups| rows (bounded metadata, broadcast; its single-
+    * partition window is the same bounded-window argument as
+    * withRank's own offsets). Equals the PARTITION BY form exactly
+    * whenever (group, keys) is unique — same contract as withRank.
+    */
+  def withRankInGroups(df: DataFrame, rankCol: String, group: Column,
+      keys: Column*): DataFrame = {
+    val g = withRank(df, s"__gr_grank", (group +: keys): _*)
+    val counts = df.groupBy(group.as("__gr_g"))
+      .agg(count(lit(1)).as("__gr_n"))
+    val offs = counts
+      .withColumn("__gr_goff",
+        coalesce(
+          sum(col("__gr_n")).over(
+            Window.orderBy(col("__gr_g"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__gr_g"), col("__gr_goff"))
+    g.join(broadcast(offs), group === col("__gr_g"))
+      .withColumn(rankCol, col("__gr_grank") - col("__gr_goff"))
+      .drop("__gr_g", "__gr_goff", "__gr_grank")
+  }
 }

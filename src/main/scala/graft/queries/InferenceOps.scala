@@ -159,29 +159,48 @@ object InferenceOps {
           col("l_linenumber"))
         .withColumn("rnq", row_number().over(
           Window.partitionBy(col("f"))
-            .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))))
+            .orderBy(col("q"), col("l_orderkey"), col("l_linenumber")))
+          .cast("long"))
         .withColumn("rnp", row_number().over(
           Window.partitionBy(col("f"))
-            .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))))
-      val r = rn.select(col("f"),
-        avg(col("rnq").cast(DecimalType(18, 2))).over(
-          Window.partitionBy(col("f"), col("q")))
-          .cast(DecimalType(18, 2)).as("rq"),
-        avg(col("rnp").cast(DecimalType(18, 2))).over(
-          Window.partitionBy(col("f"), col("p")))
-          .cast(DecimalType(18, 2)).as("rp"))
-      r.groupBy(col("f"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("rq")).cast("double").as("sx"),
-          sum(col("rp")).cast("double").as("sy"),
-          sum(col("rq") * col("rq")).cast("double").as("sxx"),
-          sum(col("rp") * col("rp")).cast("double").as("syy"),
-          sum(col("rq") * col("rp")).cast("double").as("sxy"))
-        .select(col("f").as("l_returnflag"), col("n"),
-          round((col("sxy") - col("sx") * col("sy") / col("n"))
-            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
-              * (col("syy") - col("sy") * col("sy") / col("n"))), 6)
-            .as("spearman"))
+            .orderBy(col("p"), col("l_orderkey"), col("l_linenumber")))
+          .cast("long"))
+      spearmanFromRanks(rn)
+    }),
+
+    // The 100 TB form of q187 — same oracle (bit-identical ranks):
+    // PARTITION BY l_returnflag has THREE values, so each window
+    // partition is corpus/3 rows sorted in ONE task — the same
+    // coarse-group hazard rfm's ntile had. Here both rank columns come
+    // from GlobalRank.withRankInGroups (range-partitioned global rank
+    // with the flag as leading key, minus |groups|-row broadcast prefix
+    // offsets) and join back on the row key — co-partitioned corpus
+    // shuffles, never a giant sort group. The mean-rank windows
+    // partition by (f, value) — fine-grained keys, scale-safe.
+    "stats_spearman_rank" -> ((s, d) => {
+      val base = Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("f"), col("l_quantity").as("q"),
+          col("l_extendedprice").as("p"), col("l_orderkey"),
+          col("l_linenumber"))
+      // the two rank passes CHAIN (rank the already-rnq-ranked
+      // relation for rnp) — a join-back on a row key is unavailable
+      // because (l_orderkey, l_linenumber) is not unique in the
+      // synthetic data; the intermediate is pinned (the rfm/q154
+      // checkpoint discipline) so the second pass's 4 branch
+      // evaluations read the checkpoint, not the first rank pipeline.
+      // Rank ties among duplicate key tuples are neutralized by the
+      // tie-AVERAGING in spearmanFromRanks, exactly as in q187's
+      // window form.
+      val r1 = graft.operators.GlobalRank
+        .withRankInGroups(base, "rnq", col("f"),
+          col("q"), col("l_orderkey"), col("l_linenumber"))
+        .localCheckpoint(true)
+      val rn = graft.operators.GlobalRank
+        .withRankInGroups(r1, "rnp", col("f"),
+          col("p"), col("l_orderkey"), col("l_linenumber"))
+      val out = spearmanFromRanks(rn).localCheckpoint(true) // 3 rows
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(r1)
+      out
     }),
 
     // q205 one-way ANOVA — the k-group generalization of q136's
@@ -328,6 +347,36 @@ object InferenceOps {
     })
   )
 
+  /** Shared q187 tail: mean (tie-averaged) ranks per (flag, value),
+    * then Pearson over the decimal-exact rank moments. Ranks arrive as
+    * LONGs from either provider (PARTITION BY window or grouped global
+    * rank) — tie-averaging makes the result independent of which rank a
+    * tied row drew, which is exactly why the two providers agree.
+    * Rank moments stay DECIMAL (not Sum128): rank products grow with
+    * n², past the scaled-long per-row bound at extreme scale.
+    */
+  private def spearmanFromRanks(rn: DataFrame): DataFrame = {
+    val r = rn.select(col("f"),
+      avg(col("rnq").cast(DecimalType(18, 2))).over(
+        Window.partitionBy(col("f"), col("q")))
+        .cast(DecimalType(18, 2)).as("rq"),
+      avg(col("rnp").cast(DecimalType(18, 2))).over(
+        Window.partitionBy(col("f"), col("p")))
+        .cast(DecimalType(18, 2)).as("rp"))
+    r.groupBy(col("f"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rq")).cast("double").as("sx"),
+        sum(col("rp")).cast("double").as("sy"),
+        sum(col("rq") * col("rq")).cast("double").as("sxx"),
+        sum(col("rp") * col("rp")).cast("double").as("syy"),
+        sum(col("rq") * col("rp")).cast("double").as("sxy"))
+      .select(col("f").as("l_returnflag"), col("n"),
+        round((col("sxy") - col("sx") * col("sy") / col("n"))
+          / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            * (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+          .as("spearman"))
+  }
+
   def oracle: Map[String, String] = Map(
     "q225_bootstrap_ci" ->
       """WITH dly AS (
@@ -417,6 +466,34 @@ object InferenceOps {
         |    / sqrt(na * nb * (na + nb + 1.0) / 12), 6) AS z
         |FROM g""".stripMargin,
     "q187_spearman" ->
+      """WITH t AS (SELECT l_returnflag AS f, l_quantity AS q,
+        |    l_extendedprice AS p, l_orderkey, l_linenumber FROM lineitem),
+        |rn AS (SELECT f, q, p,
+        |  row_number() OVER (PARTITION BY f
+        |    ORDER BY q, l_orderkey, l_linenumber) AS rnq,
+        |  row_number() OVER (PARTITION BY f
+        |    ORDER BY p, l_orderkey, l_linenumber) AS rnp
+        | FROM t),
+        |r AS (SELECT f,
+        |  CAST(AVG(CAST(rnq AS DECIMAL(18,2))) OVER (PARTITION BY f, q)
+        |    AS DECIMAL(18,2)) AS rq,
+        |  CAST(AVG(CAST(rnp AS DECIMAL(18,2))) OVER (PARTITION BY f, p)
+        |    AS DECIMAL(18,2)) AS rp
+        | FROM rn),
+        |m AS (SELECT f, COUNT(*) AS n,
+        |  CAST(SUM(rq) AS DOUBLE) AS sx, CAST(SUM(rp) AS DOUBLE) AS sy,
+        |  CAST(SUM(rq * rq) AS DOUBLE) AS sxx,
+        |  CAST(SUM(rp * rp) AS DOUBLE) AS syy,
+        |  CAST(SUM(rq * rp) AS DOUBLE) AS sxy
+        | FROM r GROUP BY f)
+        |SELECT f AS l_returnflag, n,
+        |  round((sxy - sx * sy / n)
+        |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+        |    AS spearman
+        |FROM m""".stripMargin,
+    // the grouped-global-rank form produces bit-identical ranks (the
+    // InferenceSpec pin), so it earns the same oracle
+    "stats_spearman_rank" ->
       """WITH t AS (SELECT l_returnflag AS f, l_quantity AS q,
         |    l_extendedprice AS p, l_orderkey, l_linenumber FROM lineitem),
         |rn AS (SELECT f, q, p,

@@ -279,4 +279,13 @@ class InferenceSpec extends SparkSpec {
     events.write.mode("overwrite").parquet(s"$d/events.parquet")
     InferenceOps.queries("q225_bootstrap_ci")(spark, d)
   }
+
+  test("grouped-rank Spearman is bit-identical to the window form") {
+    def run(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val window = run("q187_spearman")
+    val rank = run("stats_spearman_rank")
+    assert(window.nonEmpty && rank == window,
+      s"grouped-rank form diverged: $rank vs $window")
+  }
 }

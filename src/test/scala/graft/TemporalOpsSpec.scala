@@ -136,6 +136,19 @@ class TemporalOpsSpec extends SparkSpec {
       ("first_touch", "direct", 1L, 7.0)))
   }
 
+  test("withRankInGroups equals the PARTITION BY row_number") {
+    val df = spark.range(0, 2000).repartition(7)
+      .select((col("id") % 3).cast("string").as("g"),
+        (col("id") * 2654435761L % 1000003L).as("k"), col("id"))
+    val got = GlobalRank.withRankInGroups(df, "rn", col("g"),
+      col("k"), col("id"))
+    val want = df.withColumn("rn",
+      row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("k"), col("id"))).cast("long"))
+    assert(got.select("g", "k", "id", "rn").except(want).isEmpty)
+    assert(want.except(got.select("g", "k", "id", "rn")).isEmpty)
+  }
+
   test("GlobalRank equals the single-partition row_number") {
     val df = spark.range(0, 1000).repartition(7)
       .select((col("id") * 2654435761L % 1000003L).as("k"), col("id"))
