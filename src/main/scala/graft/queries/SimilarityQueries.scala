@@ -433,6 +433,31 @@ object SimilarityQueries {
     def evict(s: SparkSession, d: String): Unit =
       cache.synchronized { cache.remove((s, d)) }
     def clear(): Unit = cache.synchronized { cache.clear() }
+
+    /** Byte-level clone of the cached index snapshot tree into `dest` —
+      * the production "branch an index for maintenance" move: entries
+      * that MUTATE (append/delete/expire) get their own root without
+      * retraining quantizers the cache already trained on the same
+      * corpus. Copies data before commit markers per directory walk
+      * order is irrelevant here: the source is quiescent (fully
+      * committed) and the copy is private until returned.
+      */
+    def cloneTo(s: SparkSession, d: String, dest: String): Unit = {
+      val src = java.nio.file.Paths.get(root(s, d))
+      val dst = java.nio.file.Paths.get(dest)
+      val it = java.nio.file.Files.walk(src).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
   }
 
   /** Per-centroid (sim, idx) struct array for argmax assignment. */
@@ -989,7 +1014,10 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding"))
       val root = java.nio.file.Files
         .createTempDirectory("graft-annforget").toString
-      persistAnnIndex(e, root)
+      // branch the SHARED index snapshot (byte clone — same corpus,
+      // same artifacts) instead of retraining quantizers: the entry
+      // measures the FORGET flow, not a second index build
+      AnnIndexCache.cloneTo(s, d, root)
       val clone = e.filter(col("vec_id") === 0L)
         .select(lit(990000L).as("vec_id"), col("embedding"))
       appendToAnnIndex(clone, root)
