@@ -266,6 +266,39 @@ object VersionedTable {
     doomed
   }
 
+  /** VACUUM the table's ORPHANS — data directories with NO commit
+    * marker (a crashed/refused write's invisible residue; the commit
+    * protocol guarantees readers never see them, but their bytes stay
+    * on disk forever without this). Only orphans whose newest file is
+    * older than `olderThanMs` are removed: an IN-FLIGHT write is also
+    * marker-less, and the age horizon is what keeps VACUUM safe to run
+    * next to live writers (Delta's VACUUM retention rule). Committed
+    * versions are never touched — that is [[expire]]'s job. Returns the
+    * removed version directories' numbers.
+    */
+  def vacuumOrphans(spark: SparkSession, root: String,
+      olderThanMs: Long): Seq[Long] = {
+    val f = fs(spark, root)
+    val dataDir = new Path(root, "data")
+    if (!f.exists(dataDir)) return Seq.empty
+    val committed = versions(spark, root).toSet
+    val horizon = System.currentTimeMillis() - olderThanMs
+    def newestMtime(p: Path): Long = {
+      val st = f.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        f.listStatus(p).map(s => newestMtime(s.getPath)).toSeq).max
+    }
+    f.listStatus(dataDir).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .map(p => (p, p.getName.stripPrefix("v=").toLong))
+      .filter { case (_, v) => !committed.contains(v) }
+      .filter { case (p, _) => newestMtime(p) < horizon }
+      .map { case (p, v) => f.delete(p, true); v }
+      .sorted
+  }
+
   /** CHANGELOG between two committed versions — the inverse of CDC
     * apply (q123): keys only in `to` emit I, keys only in `from` emit
     * D, keys in both whose non-key content differs emit U (carrying the

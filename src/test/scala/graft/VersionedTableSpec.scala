@@ -136,6 +136,28 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("vacuum removes aged orphans only; committed and fresh survive") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vt-vacuum").toString
+    val v1 = VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
+    // a CRASHED write's residue: data staged at v2, no commit marker
+    Seq((-1L, "crashed")).toDF("k", "v")
+      .write.parquet(s"$root/data/v=${v1 + 1}")
+    val orphan = new java.io.File(s"$root/data/v=${v1 + 1}")
+    assert(orphan.exists, "the crashed write's data dir is the fixture")
+    // horizon in the future of the orphan's mtime → not yet collectable
+    assert(VersionedTable.vacuumOrphans(spark, root, 60000L).isEmpty)
+    assert(orphan.exists)
+    // horizon 0 → aged out; the orphan goes, the committed version stays
+    assert(VersionedTable.vacuumOrphans(spark, root, -1L) === Seq(v1 + 1))
+    assert(!orphan.exists)
+    assert(VersionedTable.read(spark, root).count() === 1L)
+    assert(VersionedTable.versions(spark, root) === Seq(v1))
+    // idempotent on a clean table
+    assert(VersionedTable.vacuumOrphans(spark, root, -1L).isEmpty)
+  }
+
   test("timestamp travel: AS OF picks the newest commit at-or-before") {
     import spark.implicits._
     val root = java.nio.file.Files
