@@ -58,6 +58,7 @@ object SparkEntry {
     "stream_clamped_balance" -> "ClampedBalanceSpec",
     "stream_holt" -> "HoltStreamSpec",
     "stream_index_inc" -> "IndexStreamSpec",
+    "text_bpe_fertility" -> "BpeSpec",
     "q238_forget_flow" -> "VersionedTableSpec",
     "layout_compact" -> "LayoutPruningSpec",
     "layout_merge_versioned" -> "VersionedTableSpec",

@@ -237,6 +237,26 @@ object BpeOps {
     def clear(): Unit = cache.synchronized { cache.clear() }
   }
 
+  /** Per-language tokenizer FERTILITY audit [Rust et al., ACL'21's
+    * multilingual-tokenizer metric]: subwords per whitespace word and
+    * characters per subword, aggregated from the per-doc encode pass —
+    * the standard screen for "this tokenizer fragments language X".
+    * All sums are integer-exact; one bounded-key (per-language)
+    * aggregation over the encode output.
+    */
+  def fertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    encode(docs, merges)
+      .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        round(sum(col("n_subwords")) / sum(col("n_words")).cast("double"),
+          4).as("fertility"),
+        round(sum(col("n_chars")) / sum(col("n_subwords")).cast("double"),
+          4).as("chars_per_subword"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> ((s, d) => {
       import s.implicits._
@@ -245,7 +265,11 @@ object BpeOps {
         .toDF("rank", "left", "right", "merged")
     }),
     "text_bpe_encode" -> ((s, d) =>
-      encode(Tables(s, d, "documents"), MergeCache.merges(s, d)))
+      encode(Tables(s, d, "documents"), MergeCache.merges(s, d))),
+    // rows-only (the BPE merge table is engine-specific); BpeSpec pins
+    // a hand-computed fertility on a crafted two-language corpus
+    "text_bpe_fertility" -> ((s, d) =>
+      fertility(Tables(s, d, "documents"), MergeCache.merges(s, d)))
   )
 
   def oracle: Map[String, String] = Map.empty

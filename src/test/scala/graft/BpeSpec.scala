@@ -104,4 +104,34 @@ class BpeSpec extends SparkSpec {
     }
     BpeOps.MergeCache.evict(spark, sf)
   }
+
+  test("fertility: hand-computed per-language subword/char ratios") {
+    import spark.implicits._
+    // crafted merges: ("a","b") then ("ab","c"); every word carries the
+    // end-of-word marker symbol — "abc" → [abc, </w>] (2 subwords),
+    // "abd" → [ab, d, </w>] (3), "xy" → [x, y, </w>] (3)
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq(
+      (1L, "abc abd", "en", 7L),   // words 2, subwords 2+3=5
+      (2L, "abc", "en", 3L),       // words 1, subwords 2
+      (3L, "xy xy xy", "fr", 8L))  // words 3, subwords 9
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = graft.queries.BpeOps.fertility(docs, merges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == Set(
+      ("en", 2L, 3L, 7L, 2.3333, 1.4286),  // 7/3 subwords/word, 10/7
+      ("fr", 1L, 3L, 9L, 3.0, 0.8889)),    // 9/3, 8/9
+      got.toString)
+  }
+
+  test("fertility entry: every language covered, ratios positive") {
+    val rows = SparkEntry.queries("text_bpe_fertility")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 1.0,
+        "a whitespace word is at least one subword")
+      assert(r.getDouble(5) > 0.0)
+    }
+  }
 }
