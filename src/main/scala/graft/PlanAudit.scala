@@ -92,7 +92,11 @@ object PlanAudit {
       "q239_heldout_ppl", "q240_k_anonymity", "q241_bloom_ref_dedup",
       "q242_feature_auc", "q243_clamped_balance", "q244_modularity",
       "q245_mmr_rerank", "layout_result_cache", "layout_mv_rewrite",
-      "sim_ann_forget")
+      "sim_ann_forget",
+      // round-6 batch 2
+      "q246_rrf_fusion", "q247_holt", "stream_holt", "stream_index_inc",
+      "stats_eqdepth_rank", "stats_winsorize_rank", "stats_spearman_rank",
+      "text_bpe_fertility")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
@@ -125,6 +129,11 @@ object PlanAudit {
     // plan is one corpus scan per batch of queries — the exact work any
     // engine must do for an exact top-k baseline
     "q25_ann_topk" -> "query-set broadcast, corpus scanned once by definition",
+    // q245/q246 ride q25's candidate generation: the ≠-id join of the
+    // bounded broadcast query set against the corpus IS the exact
+    // brute-force pass (q25's rationale, one hop downstream)
+    "q245_mmr_rerank" -> "q25's query-set broadcast candidate pass",
+    "q246_rrf_fusion" -> "q25's query-set broadcast semantic arm",
     "q149_knn_classify" -> "query-set broadcast, corpus scanned once by definition",
     // both join predicates are inequalities (≠ id, ≠ label), so the
     // broadcast of the bounded query set cannot hash — the scan-once
@@ -153,6 +162,8 @@ object PlanAudit {
     // customer × the PopPool(=50)-row popular-item pool, then anti-join
     "q182_negative_sample" -> "bounded candidate-pool (50-row) broadcast",
     "rfm_globalrank" -> "1-row recency-horizon broadcast",
-    // q226 rides q189's scoring: the same |classes|-row grid broadcast
-    "q226_calibration" -> "|classes|-row model-constant grid broadcast")
+    // q226/q237 ride q189's scoring: the same |classes|-row grid
+    // broadcast (q237 five times, once per CV fold)
+    "q226_calibration" -> "|classes|-row model-constant grid broadcast",
+    "q237_nb_crossval" -> "|classes|-row grid broadcast per CV fold")
 }
