@@ -96,7 +96,14 @@ object PlanDump {
       "q230_homoglyph_dedup" -> "builtin translate (codegen'd) folds confusables in the scan projection; ONE map-side-combined group on the 16-byte skeleton hash — q20's exact-dedup shape",
       "q232_pack_bins" -> "FFD runs per md5 shard inside flatMapGroups after ONE shuffle on the shard key; bin state never leaves its task; output re-aggregates shard-locally",
       "q235_dedup_impact" -> "hash-group for global keepers + co-partitioned join back on fp + source rollup — two map-side-combined shuffles, all counting integer-exact",
-      "q237_nb_crossval" -> "5 independent q189-shaped passes (CV retraining is 5x train cost BY DEFINITION), each vocab-bounded; fold results union to 5 rows")
+      "q237_nb_crossval" -> "5 independent q189-shaped passes (CV retraining is 5x train cost BY DEFINITION), each vocab-bounded; fold results union to 5 rows",
+      "q126_corr_matrix" -> "ONE aggregation pass carrying all 14 moments as Sum128 (two-long 128-bit buffer slots — fixed-width, codegen-friendly; the decimal(38,8) buffers this replaced re-serialized per row: 3.9s -> 0.6s at sf0.1); corr assembly is scalar math on the 1-row result",
+      "q1_agg" -> "map-side-combined grouped agg; every measure sums through Sum128 (bit-identical to the decimal route, long-add speed); 2 grouping keys -> tiny shuffle",
+      "q246_rrf_fusion" -> "lexical arm: postings equi-join against the BROADCAST query-token table (candidates = query-term postings, never the corpus) + per-query jaccard window over the bounded candidate set; semantic arm: q25's query-set broadcast cosine top-k; fusion: full-outer join of two <=pool-deep rank lists per query",
+      "q247_holt" -> "ONE Sum128 daily reduction (map-side combined); the coupled fold runs as flatMapGroups over the CALENDAR-bounded series — the imperative step never sees data volume",
+      "stats_eqdepth_rank" -> "exact deciles with NO percentile value-count buffer: one GlobalRank range-partitioned rank pass + an 18-rank narrow filter; the bucket consumer is identical to q106's",
+      "stats_spearman_rank" -> "per-flag ranks WITHOUT the 3-giant-partition window: two chained grouped GlobalRank passes (range-partitioned, |groups|-row offset broadcast), intermediate pinned; mean-rank windows key on (flag, value) — fine-grained",
+      "stream_index_inc" -> "per-term ValueState (2 longs x vocabulary) folds each micro-batch's postings partials — O(delta postings)/batch; the additive index row makes the fold exact")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
