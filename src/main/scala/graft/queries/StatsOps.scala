@@ -177,6 +177,46 @@ object StatsOps {
     }
   }
 
+  /** Per-GROUP exact percentiles via GROUPED global rank — the q47
+    * counterpart of [[exactQuantilesByRank]]: one
+    * `GlobalRank.withRankInGroups` pass (range-partitioned, no
+    * per-group value-count buffer, no giant per-group sort task), a
+    * broadcast join against the |groups|·2·|ps|-row wanted-rank table,
+    * and the same Percentile interpolation per group on the driver.
+    * Returns group → rounded boundaries. Group cardinality is assumed
+    * bounded (the boundaries are driver metadata) — the q47 shape.
+    */
+  private[graft] def exactGroupQuantilesByRank(df: DataFrame,
+      groupCol: String, valueCol: String, ps: Seq[Double])
+      : Map[String, (Long, Seq[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).cast("double").as("v"))
+    val counts = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ranked = graft.operators.GlobalRank
+      .withRankInGroups(base, "rk", col("g"), col("v"))
+    def posOf(n: Long) = ps.map(p => p * (n - 1))
+    val wantedDf = counts.toSeq.flatMap { case (g, n) =>
+      posOf(n).flatMap(pos => Seq(math.floor(pos).toLong + 1,
+        math.ceil(pos).toLong + 1)).distinct.map(g -> _)
+    }.toDF("g", "rk")
+    val atRank = ranked.join(broadcast(wantedDf), Seq("g", "rk"))
+      .groupBy(col("g"), col("rk")).agg(min(col("v")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    counts.map { case (g, n) =>
+      g -> (n, posOf(n).map { pos =>
+        val lo = atRank((g, math.floor(pos).toLong + 1))
+        val hi = atRank((g, math.ceil(pos).toLong + 1))
+        BigDecimal(java.math.BigDecimal.valueOf(
+            lo + (hi - lo) * (pos - math.floor(pos))))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      })
+    }
+  }
+
   /** q202 / stats_approx_winsorize shared body — see the queries-map
     * comments; `approx` swaps the exact percentile boundary buffer for
     * the bounded approx_percentile sketch.
@@ -293,6 +333,19 @@ object StatsOps {
       // no accuracy trade. Same oracle as q106: exact == exact.
       "stats_eqdepth_rank" -> ((s, d) =>
         eqDepthHistogramRank(Tables(s, d, "lineitem"), "l_extendedprice")),
+
+      // The EXACT scale form of q47 (per-GROUP percentiles): boundaries
+      // from ONE grouped global-rank pass instead of a per-group
+      // value-count buffer. Same oracle as q47: exact == exact. The
+      // bounded-group boundaries are driver metadata assembled to the
+      // same (priority, p50, p90, n) surface.
+      "stats_pctl_rank" -> ((s, d) => {
+        import s.implicits._
+        val b = exactGroupQuantilesByRank(Tables(s, d, "orders"),
+          "o_orderpriority", "o_totalprice", Seq(0.5, 0.9))
+        b.toSeq.map { case (g, (n, qs)) => (g, qs(0), qs(1), n) }
+          .toDF("o_orderpriority", "p50", "p90", "n")
+      }),
 
       // The EXACT scale form of q202: the same [p05, p95] clip with
       // boundaries from rank-based order statistics instead of the
@@ -558,6 +611,14 @@ object StatsOps {
         |  round(CAST(SUM(CAST(least(greatest(l_extendedprice, lo), hi)
         |    AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS mean_wins
         |FROM lineitem, b GROUP BY l_returnflag""".stripMargin,
+    // the grouped-rank form is boundary-identical to q47 by
+    // construction (the StatsOpsSpec pin), so it earns the same oracle
+    "stats_pctl_rank" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // the rank form's boundaries are bit-identical to q202's by
     // construction (the StatsOpsSpec pin), so it earns the same oracle
     "stats_winsorize_rank" ->

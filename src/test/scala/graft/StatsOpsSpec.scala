@@ -72,6 +72,16 @@ class StatsOpsSpec extends SparkSpec {
     assert(b2._1 == b2._2, s"crafted diverged: ${b2._1} vs ${b2._2}")
   }
 
+  test("rank-based per-group percentiles are bit-identical to q47") {
+    def run(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val buffer = run("q47_percentiles")
+    val rank = run("stats_pctl_rank")
+    assert(buffer.nonEmpty && rank == buffer,
+      s"grouped rank percentiles diverged: $rank vs $buffer")
+  }
+
   test("rank-based winsorize is bit-identical to the percentile-buffer form") {
     def run(name: String) = SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
