@@ -96,7 +96,7 @@ object PlanAudit {
       // round-6 batch 2
       "q246_rrf_fusion", "q247_holt", "stream_holt", "stream_index_inc",
       "stats_eqdepth_rank", "stats_winsorize_rank", "stats_spearman_rank",
-      "text_bpe_fertility", "stats_pctl_rank")
+      "text_bpe_fertility", "stats_pctl_rank", "stats_mwu_rank")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

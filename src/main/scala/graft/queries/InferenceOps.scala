@@ -123,30 +123,26 @@ object InferenceOps {
     // (consecutive integers), so the DECIMAL(18,2) rank sums are exact
     // and the U statistic hash-compares. One rank window + one grouped
     // pass; the normal approximation's z is one rounded division.
-    "q186_mann_whitney" -> ((s, d) => {
-      val armA = col("user_id") % 2 === 0
-      val rn = Tables(s, d, "events")
-        .select(col("event_type"), col("value"), armA.as("arm_a"),
-          col("event_id"))
+    "q186_mann_whitney" -> ((s, d) =>
+      mannWhitneyFromRanks(Tables(s, d, "events")
+        .select(col("event_type"), col("value"),
+          (col("user_id") % 2 === 0).as("arm_a"), col("event_id"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("event_type"))
-            .orderBy(col("value"), col("event_id"))))
-      val mr = rn.withColumn("mean_rank",
-        avg(col("rn").cast(DecimalType(18, 2))).over(
-          Window.partitionBy(col("event_type"), col("value")))
-          .cast(DecimalType(18, 2)))
-      mr.groupBy(col("event_type"))
-        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
-          sum(when(col("arm_a"), 0L).otherwise(1L)).as("nb"),
-          sum(when(col("arm_a"), col("mean_rank"))).cast("double").as("ra"))
-        .select(col("event_type"), col("na"), col("nb"),
-          round(col("ra") - col("na") * (col("na") + lit(1.0)) / 2, 2)
-            .as("u_stat"),
-          round((col("ra") - col("na") * (col("na") + lit(1.0)) / 2
-            - col("na") * col("nb") / lit(2.0))
-            / sqrt(col("na") * col("nb")
-              * (col("na") + col("nb") + lit(1.0)) / 12), 6).as("z"))
-    }),
+            .orderBy(col("value"), col("event_id"))).cast("long")))),
+
+    // The 100 TB form of q186 — same oracle (identical ranks: the
+    // (value, event_id) tiebreak is unique, so the grouped global rank
+    // equals the PARTITION BY row_number exactly): event_type has ~5
+    // values, so q186's window sorts corpus/5 rows in one task at
+    // scale; one withRankInGroups pass removes that. Tie-mean windows
+    // stay keyed on (type, value) — fine-grained.
+    "stats_mwu_rank" -> ((s, d) =>
+      mannWhitneyFromRanks(graft.operators.GlobalRank.withRankInGroups(
+        Tables(s, d, "events")
+          .select(col("event_type"), col("value"),
+            (col("user_id") % 2 === 0).as("arm_a"), col("event_id")),
+        "rn", col("event_type"), col("value"), col("event_id")))),
 
     // q187 Spearman rank correlation per return flag: Pearson over the
     // two columns' mean ranks (same .0/.5-exact rank discipline as
@@ -347,6 +343,30 @@ object InferenceOps {
     })
   )
 
+  /** Shared q186 tail: tie-mean ranks per (type, value), then the U
+    * statistic and its normal-approximation z from one grouped pass —
+    * ranks arrive as LONGs from either provider (PARTITION BY window or
+    * grouped global rank; the unique (value, event_id) tiebreak makes
+    * them identical, not merely tie-equivalent).
+    */
+  private def mannWhitneyFromRanks(rn: DataFrame): DataFrame = {
+    val mr = rn.withColumn("mean_rank",
+      avg(col("rn").cast(DecimalType(18, 2))).over(
+        Window.partitionBy(col("event_type"), col("value")))
+        .cast(DecimalType(18, 2)))
+    mr.groupBy(col("event_type"))
+      .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm_a"), 0L).otherwise(1L)).as("nb"),
+        sum(when(col("arm_a"), col("mean_rank"))).cast("double").as("ra"))
+      .select(col("event_type"), col("na"), col("nb"),
+        round(col("ra") - col("na") * (col("na") + lit(1.0)) / 2, 2)
+          .as("u_stat"),
+        round((col("ra") - col("na") * (col("na") + lit(1.0)) / 2
+          - col("na") * col("nb") / lit(2.0))
+          / sqrt(col("na") * col("nb")
+            * (col("na") + col("nb") + lit(1.0)) / 12), 6).as("z"))
+  }
+
   /** Shared q187 tail: mean (tie-averaged) ranks per (flag, value),
     * then Pearson over the decimal-exact rank moments. Ranks arrive as
     * LONGs from either provider (PARTITION BY window or grouped global
@@ -444,6 +464,30 @@ object InferenceOps {
         |    / (MAX(na) * MAX(nb)), 6) AS ks_d
         |FROM c GROUP BY event_type""".stripMargin,
     "q186_mann_whitney" ->
+      """WITH e AS (SELECT event_type, value, user_id % 2 = 0 AS arm_a,
+        |    event_id FROM events),
+        |rn AS (SELECT event_type, value, arm_a,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS rn FROM e),
+        |mr AS (SELECT event_type, arm_a,
+        |  CAST(AVG(CAST(rn AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY event_type, value) AS DECIMAL(18,2))
+        |    AS mean_rank
+        | FROM rn),
+        |g AS (SELECT event_type,
+        |  COUNT(*) FILTER (arm_a) AS na,
+        |  COUNT(*) FILTER (NOT arm_a) AS nb,
+        |  CAST(SUM(mean_rank) FILTER (arm_a) AS DOUBLE) AS ra
+        | FROM mr GROUP BY event_type)
+        |SELECT event_type, CAST(na AS BIGINT) AS na,
+        |  CAST(nb AS BIGINT) AS nb,
+        |  round(ra - na * (na + 1.0) / 2, 2) AS u_stat,
+        |  round((ra - na * (na + 1.0) / 2 - na * nb / 2.0)
+        |    / sqrt(na * nb * (na + nb + 1.0) / 12), 6) AS z
+        |FROM g""".stripMargin,
+    // the grouped-global-rank form produces IDENTICAL ranks (unique
+    // tiebreak; InferenceSpec pin), so it earns the same oracle
+    "stats_mwu_rank" ->
       """WITH e AS (SELECT event_type, value, user_id % 2 = 0 AS arm_a,
         |    event_id FROM events),
         |rn AS (SELECT event_type, value, arm_a,

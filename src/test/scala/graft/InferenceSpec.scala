@@ -288,4 +288,14 @@ class InferenceSpec extends SparkSpec {
     assert(window.nonEmpty && rank == window,
       s"grouped-rank form diverged: $rank vs $window")
   }
+
+  test("grouped-rank Mann-Whitney is bit-identical to the window form") {
+    def run(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val window = run("q186_mann_whitney")
+    val rank = run("stats_mwu_rank")
+    assert(window.nonEmpty && rank == window,
+      s"grouped-rank MWU diverged: $rank vs $window")
+  }
 }
