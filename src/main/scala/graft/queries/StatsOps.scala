@@ -70,8 +70,12 @@ object StatsOps {
     * entries per group REGARDLESS of input size and merges
     * associatively, vs the exact `percentile`'s value→count map of the
     * WHOLE input concentrated in one final merge — the one buffer in
-    * this codebase that does not survive a 100× scale-up. 10000 bounds
-    * rank error at 1/accuracy = 0.01% of rows.
+    * this codebase that does not survive a 100× scale-up. Two escape
+    * paths exist: these approx twins (bounded sketch, bounded error)
+    * and the EXACT rank twins (stats_eqdepth_rank /
+    * stats_winsorize_rank / stats_pctl_rank — order statistics via
+    * GlobalRank, no buffer, no error). 10000 bounds rank error at
+    * 1/accuracy = 0.01% of rows.
     */
   val ApproxAccuracy = 10000
 
