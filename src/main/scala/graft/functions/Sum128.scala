@@ -129,16 +129,40 @@ object Sum128 {
     (total / BigDecimal(factor)).cast("double")
   }
 
+  /** Largest scaled-factor magnitude whose pairwise product provably
+    * fits a signed 64-bit long: floor(sqrt(2^63 − 1)). The 128-bit
+    * accumulator protects the SUM; the per-row product is still a
+    * 64-bit multiply, so each factor is bounds-checked against this.
+    */
+  private val ProductFactorBound = 3037000499L
+
   /** [[sumExact]] over the product of two columns each carrying at most
     * `dp` decimal digits (the moment-matrix workhorse: Σxy with x, y
-    * exact at dp digits is exact at 2·dp digits; the product of the two
-    * scaled longs stays far inside 64 bits for any real measure).
+    * exact at dp digits is exact at 2·dp digits). The per-row product
+    * is a 64-bit multiply, which would WRAP silently in legacy eval for
+    * large-magnitude inputs — so each scaled factor is guarded against
+    * [[ProductFactorBound]] (|x·10^dp| ≤ ~3.04e9, i.e. |x| ≤ ~3e5 at
+    * dp=4) and the row RAISES with a diagnostic instead of corrupting
+    * the exact sum. The guard is one codegen'd compare per row; callers
+    * with larger magnitudes should lower dp or pre-scale.
     */
   def sumExactProduct(x: Column, y: Column, dp: Int): Column = {
     require(dp >= 0 && dp <= 4, s"dp must be in [0, 4], got $dp")
     val factor = math.pow(10, dp).toLong
-    val sx = sround(x * factor, 0).cast("long")
-    val sy = sround(y * factor, 0).cast("long")
+    def scaled(c: Column, n: String): Column = {
+      val s = sround(c * factor, 0).cast("long")
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.abs(s) > ProductFactorBound,
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit(
+              s"sumExactProduct: |$n|*10^$dp exceeds the exact 64-bit " +
+                s"product bound $ProductFactorBound, got "),
+            s.cast("string"))).cast("long")
+      ).otherwise(s)
+    }
+    val sx = scaled(x, "x")
+    val sy = scaled(y, "y")
     val total = ColumnBridge.column(
       Sum128(ColumnBridge.expression(sx * sy)).toAggregateExpression())
     (total / BigDecimal(factor * factor)).cast("double")

@@ -166,9 +166,18 @@ object GlobalRank {
     * partition window is the same bounded-window argument as
     * withRank's own offsets). Equals the PARTITION BY form exactly
     * whenever (group, keys) is unique — same contract as withRank.
+    * NULL group values are a legitimate group (the offsets join is
+    * null-safe); direction-wrapped group columns are rejected — sort
+    * direction belongs on the key columns.
     */
   def withRankInGroups(df: DataFrame, rankCol: String, group: Column,
       keys: Column*): DataFrame = {
+    // A direction-wrapped group (`col.desc`) would break the ascending
+    // offsets window below (the prefix counts assume the same order the
+    // rank pass used) — reject it explicitly; direction belongs on keys.
+    require(!ColumnBridge.isSortOrderNode(group),
+      "withRankInGroups: group column must be bare (no .asc/.desc); " +
+        "sort direction applies to the key columns only")
     val g = withRank(df, s"__gr_grank", (group +: keys): _*)
     val counts = df.groupBy(group.as("__gr_g"))
       .agg(count(lit(1)).as("__gr_n"))
@@ -180,7 +189,9 @@ object GlobalRank {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__gr_g"), col("__gr_goff"))
-    g.join(broadcast(offs), group === col("__gr_g"))
+    // null-safe equality: a NULL group value is a legitimate group (the
+    // counts pass above keeps it); plain === would silently drop its rows
+    g.join(broadcast(offs), group <=> col("__gr_g"))
       .withColumn(rankCol, col("__gr_grank") - col("__gr_goff"))
       .drop("__gr_g", "__gr_goff", "__gr_grank")
   }

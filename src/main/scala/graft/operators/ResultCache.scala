@@ -21,12 +21,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    per table — the VersionedTable lineage) instead of file listings;
   *    the file form is the general fallback for plain directories.
   *
-  * Storage reuses the commit-marker recipe ([[VersionedTable]]): the
-  * result parquet is staged under `data/<key>/` first and the marker
-  * `_commits/<key>` is created last with `overwrite = false`, so a
-  * crashed writer leaves an invisible orphan and two racing writers of
-  * the same key cannot both win — the loser serves the winner's
-  * (identical) result.
+  * Storage reuses the commit-marker recipe ([[VersionedTable]]) with a
+  * write-then-claim publish: the result parquet is staged under a
+  * UNIQUE temp dir (`data/.<key>.<uuid>`), RENAMED into `data/<key>`
+  * (an atomic directory move that fails if the destination exists), and
+  * only then is the marker `_commits/<key>` created with
+  * `overwrite = false`. A crashed writer leaves an invisible temp/
+  * orphan; two racing writers of the same key cannot clobber each
+  * other — whichever rename lands first owns the destination, the
+  * loser deletes its temp dir and serves the winner's (identical)
+  * result. Writing `data/<key>` in place with mode(overwrite) would
+  * let the loser delete the winner's files AFTER the winner's marker
+  * became visible — readers could then hit missing/partial parquet.
   *
   * Non-deterministic plans (rand(), current_timestamp()) are REFUSED:
   * caching one would freeze a value the query contract says varies.
@@ -103,7 +109,21 @@ object ResultCache {
     val dataDir = new Path(root, s"data/$key")
     if (f.exists(marker)) (spark.read.parquet(dataDir.toString), true)
     else {
-      df.write.mode("overwrite").parquet(dataDir.toString)
+      // Write-then-claim: stage under a unique temp dir, then rename into
+      // place. rename() refuses an existing destination, so a racing loser
+      // cannot delete or rewrite files a winner already published — it just
+      // drops its temp dir and serves the winner's (identical) result.
+      val tmp = new Path(
+        root, s"data/.${key}.${java.util.UUID.randomUUID().toString}")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (f.exists(dataDir) || !f.rename(tmp, dataDir))
+        f.delete(tmp, true) // racer won the dir; drop our staging copy
+      // local FS rename moves the source INTO an existing destination
+      // dir (instead of failing, as HDFS does) — if a racer's rename
+      // landed between the exists check and ours, sweep the nested
+      // (dot-hidden, so invisible to readers) stray copy
+      val nested = new Path(dataDir, tmp.getName)
+      if (f.exists(nested)) f.delete(nested, true)
       f.mkdirs(marker.getParent)
       try { f.create(marker, false).close() }
       catch { case _: java.io.IOException => () } // racer won; same bytes

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{sum, when}
+import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
 
 /** Minimal versioned-table layout: snapshot isolation + time travel on
   * plain parquet, the transaction-log idea (Delta/Iceberg's core) cut to
@@ -129,8 +129,10 @@ object VersionedTable {
   def writeChecked(df: DataFrame, root: String,
       constraints: Seq[(String, org.apache.spark.sql.Column)]): Long = {
     require(constraints.nonEmpty, "writeChecked needs ≥ 1 constraint")
+    // coalesce: sum() over ZERO rows is NULL — an empty commit satisfies
+    // every constraint vacuously and must land, not NPE on getLong.
     val counts = df.select(constraints.map { case (n, c) =>
-      sum(when(c.isNull || c, 0L).otherwise(1L)).as(n)
+      coalesce(sum(when(c.isNull || c, 0L).otherwise(1L)), lit(0L)).as(n)
     }: _*).collect().head
     val bad = constraints.zipWithIndex.collect {
       case ((n, _), i) if counts.getLong(i) > 0 => s"$n=${counts.getLong(i)}"

@@ -104,6 +104,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     for {
       (filters, lr) <- dig(child)
       if scansPath(lr, src)
+      // Global aggregates (empty GROUP BY) are refused: COUNT(*) over an
+      // empty fact table is 0, but SUM(cnt) over the (empty) MV is NULL —
+      // re-merging cannot honor Count's zero-row contract there.
+      if group.nonEmpty
       groupAttrs <- Some(group.collect { case a: AttributeReference => a })
       if groupAttrs.length == group.length
       if groupAttrs.forall(a => keys.contains(a.name))
@@ -113,6 +117,10 @@ object MvRewrite extends Rule[LogicalPlan] {
       mvPlan <- Some(
         SparkSession.active.read.parquet(tgt).queryExecution.analyzed)
       mvAttr <- Some(mvPlan.output.map(a => a.name -> a).toMap)
+      // A misconfigured key set (conf names a column the MV parquet lacks)
+      // must degrade to no-rewrite, not throw inside the optimizer.
+      if groupAttrs.forall(a => mvAttr.contains(a.name))
+      if filters.forall(_.references.forall(a => mvAttr.contains(a.name)))
       newAggExprs <- mapAll(aggExprs, mvAttr)
     } yield {
       val mappedFilters = filters.map(_.transform {

@@ -50,6 +50,13 @@ object ColumnBridge {
     * lazily), so the split has to happen at the node level; bridged
     * here for [[graft.operators.GlobalRank]]'s boundary bucketing.
     */
+  /** Is this column a direction-wrapped sort node (`col.asc`/`col.desc`)?
+    * Bridged for callers that must REJECT directions on a value column
+    * (e.g. [[graft.operators.GlobalRank.withRankInGroups]]'s group key).
+    */
+  def isSortOrderNode(c: Column): Boolean =
+    c.node.isInstanceOf[org.apache.spark.sql.internal.SortOrder]
+
   def splitSortOrder(c: Column): (Column, Boolean) = c.node match {
     case so: org.apache.spark.sql.internal.SortOrder =>
       (Column(so.child),

@@ -105,6 +105,78 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("global aggregate (empty GROUP BY) keeps the fact scan") {
+    // COUNT(*) over an empty fact is 0; SUM(cnt) over the empty MV would
+    // be NULL — the rewrite must refuse so Count's contract holds
+    withRule {
+      val g = fact.agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      assert(scans(g, s"$root/base") && !scans(g, s"$root/mv"))
+      assert(g.collect().head.getLong(0) === 6L)
+    }
+    // and the zero-row contract itself, on an empty base + empty MV
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvrw-e").toString
+    val empty = Seq.empty[(String, String, Long, Double)]
+      .toDF("k1", "k2", "v", "w")
+    empty.write.mode("overwrite").parquet(s"$dir/base")
+    empty.groupBy("k1", "k2")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .write.mode("overwrite").parquet(s"$dir/mv")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite
+    spark.conf.set(MvRewrite.SourceKey, s"$dir/base")
+    spark.conf.set(MvRewrite.TargetKey, s"$dir/mv")
+    spark.conf.set(MvRewrite.KeysKey, "k1,k2")
+    try {
+      val n = spark.read.parquet(s"$dir/base")
+        .agg(count(lit(1)).as("n")).collect().head
+      assert(!n.isNullAt(0) && n.getLong(0) === 0L,
+        "COUNT(*) over an empty table must be 0, never NULL")
+    } finally {
+      Seq(MvRewrite.SourceKey, MvRewrite.TargetKey, MvRewrite.KeysKey)
+        .foreach(spark.conf.unset)
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("misconfigured key set degrades to no-rewrite, not an optimizer throw") {
+    // MV grouped by k1 ONLY, but the conf (mis)declares keys = k1,k2:
+    // k2 passes the key check yet is absent from the MV parquet — the
+    // old mvAttr(name) lookup threw NoSuchElementException inside the
+    // optimizer for both the grouping and the filter form
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvrw-k").toString
+    val base = Seq(("a", "F", 1L), ("a", "O", 2L), ("b", "F", 4L))
+      .toDF("k1", "k2", "v")
+    base.write.mode("overwrite").parquet(s"$dir/base")
+    spark.read.parquet(s"$dir/base").groupBy("k1")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .write.mode("overwrite").parquet(s"$dir/mv")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite
+    spark.conf.set(MvRewrite.SourceKey, s"$dir/base")
+    spark.conf.set(MvRewrite.TargetKey, s"$dir/mv")
+    spark.conf.set(MvRewrite.KeysKey, "k1,k2")
+    try {
+      val f2 = spark.read.parquet(s"$dir/base")
+      // grouping on the phantom key: decline, stay on the fact scan
+      val qg = f2.groupBy("k1", "k2").agg(sum("v").as("sv"))
+      assert(scans(qg, s"$dir/base") && !scans(qg, s"$dir/mv"))
+      assert(qg.collect().length === 3)
+      // filtering on the phantom key: decline likewise
+      val qf = f2.filter(col("k2") === "F").groupBy("k1")
+        .agg(sum("v").as("sv"))
+      assert(scans(qf, s"$dir/base") && !scans(qf, s"$dir/mv"))
+      assert(qf.collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet === Set(("a", 1L), ("b", 4L)))
+      // the well-configured key still rewrites on the same session
+      val ok = f2.groupBy("k1").agg(sum("v").as("sv"))
+      assert(scans(ok, s"$dir/mv"), "present key must still rewrite")
+    } finally {
+      Seq(MvRewrite.SourceKey, MvRewrite.TargetKey, MvRewrite.KeysKey)
+        .foreach(spark.conf.unset)
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("inert without the confs; result unchanged by registration") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ MvRewrite

@@ -52,6 +52,55 @@ class ResultCacheSpec extends SparkSpec {
       === Set((9L, 90L)))
   }
 
+  test("write-then-claim: a racing loser never disturbs published files") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rescache-race").toString
+    def q = spark.range(1, 100).select(
+      col("id"), (col("id") * 2).as("dbl"))
+    val (r1, h1) = ResultCache.cached(q, root)
+    assert(!h1 && r1.count() === 99)
+    val dataRoot = new java.io.File(root, "data")
+    val published = dataRoot.listFiles().filter(_.getName.head != '.')
+    assert(published.length === 1)
+    val keyDir = published.head
+    val before = keyDir.listFiles().map(f =>
+      f.getName -> (f.lastModified(), f.length())).toMap
+    // Simulate the losing racer: the winner's rename landed but (from
+    // this writer's view) the marker check already passed — delete the
+    // marker so the next call takes the miss path against an existing
+    // destination. The loser must stage to a temp dir, FAIL the rename,
+    // drop its temp, and serve the winner's files untouched — the old
+    // in-place mode(overwrite) would rewrite them here.
+    val marker = new java.io.File(root, s"_commits/${keyDir.getName}")
+    assert(marker.delete())
+    val (r2, h2) = ResultCache.cached(q, root)
+    assert(!h2 && r2.count() === 99)
+    val after = keyDir.listFiles().map(f =>
+      f.getName -> (f.lastModified(), f.length())).toMap
+    assert(after === before,
+      "published parquet files must survive a losing writer byte-for-byte")
+    assert(marker.exists(), "the loser still publishes the marker")
+    // no orphaned temp staging dirs remain
+    assert(dataRoot.listFiles().count(_.getName.head == '.') === 0)
+  }
+
+  test("concurrent writers of one key: both serve, one data dir, no temps") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rescache-conc").toString
+    def q = spark.range(1, 501).select(col("id"), (col("id") % 7).as("m"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val runs = Seq(Future(ResultCache.cached(q, root)),
+      Future(ResultCache.cached(q, root)))
+    val results = Await.result(Future.sequence(runs), 120.seconds)
+    results.foreach { case (df, _) => assert(df.count() === 500) }
+    val dataRoot = new java.io.File(root, "data")
+    assert(dataRoot.listFiles().count(_.getName.head != '.') === 1)
+    assert(dataRoot.listFiles().count(_.getName.head == '.') === 0,
+      "losing racer must clean its temp staging dir")
+  }
+
   test("non-deterministic plans are refused") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-rescache-nd").toString

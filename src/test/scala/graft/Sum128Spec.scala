@@ -77,6 +77,26 @@ class Sum128Spec extends SparkSpec {
       s"got $gotNeg expected $negExpected")
   }
 
+  test("sumExactProduct: factors past the 64-bit product bound raise") {
+    import spark.implicits._
+    // |x·10^dp| > floor(sqrt(2^63-1)) would silently wrap the per-row
+    // 64-bit multiply — regression: the guard must raise, not corrupt
+    val big = 4e9 // scaled by 10^0 still exceeds the ~3.04e9 bound
+    val df = Seq((big, big)).toDF("x", "y")
+    val e = intercept[Exception] {
+      df.agg(Sum128.sumExactProduct(col("x"), col("y"), 0)).head()
+    }
+    assert(e.getMessage.contains("product bound")
+      || Option(e.getCause).exists(_.getMessage.contains("product bound")),
+      s"wanted the product-bound diagnostic, got: ${e.getMessage}")
+    // in-bounds magnitudes keep the exact contract
+    val ok = Seq((3.0e9, 2.0), (-2.9e9, 3.0)).toDF("x", "y")
+    val r = ok.agg(Sum128.sumExactProduct(col("x"), col("y"), 0).as("p"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 8)))
+        .cast("double").as("q")).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
   test("mixed-sign stream crossing zero keeps exactness") {
     import spark.implicits._
     val vals = Seq(Long.MaxValue / 3, -(Long.MaxValue / 3) - 7L,

@@ -149,6 +149,29 @@ class TemporalOpsSpec extends SparkSpec {
     assert(want.except(got.select("g", "k", "id", "rn")).isEmpty)
   }
 
+  test("withRankInGroups: NULL groups rank, direction-wrapped group refused") {
+    // null-safe offsets join — rows whose group is NULL are a real
+    // group, not silently dropped (regression: === dropped them)
+    val df = spark.range(0, 300).repartition(5)
+      .select(when(col("id") % 3 === 0, lit(null).cast("string"))
+        .otherwise((col("id") % 3).cast("string")).as("g"),
+        (col("id") * 2654435761L % 1000003L).as("k"), col("id"))
+    val got = GlobalRank.withRankInGroups(df, "rn", col("g"),
+      col("k"), col("id"))
+    assert(got.count() === 300L, "NULL-group rows must survive the join")
+    val want = df.withColumn("rn",
+      row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("k"), col("id"))).cast("long"))
+    assert(got.select("g", "k", "id", "rn").except(want).isEmpty)
+    assert(want.except(got.select("g", "k", "id", "rn")).isEmpty)
+    // a .desc-wrapped group would break the ascending offsets window —
+    // rejected loudly instead of mis-ranking
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withRankInGroups(df, "rn", col("g").desc, col("k"))
+    }
+    assert(e.getMessage.contains("bare"))
+  }
+
   test("GlobalRank equals the single-partition row_number") {
     val df = spark.range(0, 1000).repartition(7)
       .select((col("id") * 2654435761L % 1000003L).as("k"), col("id"))

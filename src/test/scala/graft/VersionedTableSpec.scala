@@ -208,6 +208,20 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 2L)
   }
 
+  test("CHECK constraints: an empty commit lands (vacuously satisfied)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vt-check-empty").toString
+    // sum(when(...)) over zero rows is NULL — regression: this NPE'd on
+    // getLong instead of committing the (vacuously valid) empty snapshot
+    val empty = Seq.empty[(Long, Double)].toDF("k", "x")
+    val v1 = VersionedTable.writeChecked(empty, root,
+      Seq("k_positive" -> (col("k") > 0)))
+    assert(VersionedTable.versions(spark, root) === Seq(v1))
+    assert(VersionedTable.read(spark, root).count() === 0L)
+  }
+
   test("fragment appends: O(delta) bytes written, reads resolve the chain") {
     val root = freshRoot()
     VersionedTable.write(
