@@ -52,7 +52,13 @@ object Bench {
             .getOrElse("").takeWhile(_ != '\n').take(120)}"))
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just
+    // those entries (the driver never sets it — full run by default)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (cold, err) = timeOne(fn)
       val steady =
         if (err.isDefined) -1.0

@@ -73,6 +73,50 @@ object CurationOps {
           lit(ChunkW.toLong)).as("chunk_tokens"),
         md5(col("col.chunk")).as("chunk_hash"))
 
+  /** q249 t-closeness over (quasi-ID = nation × segment, sensitive =
+    * acctbal in four fixed buckets). See the queries-map entry for the
+    * contract; factored out so CurationOpsSpec can drive crafted
+    * distributions through the same plan.
+    */
+  private[graft] def tCloseness(cust: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    val m = 4
+    val bucket = when(col("c_acctbal") < 0, 0)
+      .when(col("c_acctbal") < 3000, 1)
+      .when(col("c_acctbal") < 6000, 2).otherwise(3)
+    val cell = cust
+      .groupBy(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"), bucket.as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    // dense |groups|×m grid so empty buckets still carry cumulatives
+    val grid = cell.select(col("nation"), col("segment")).distinct()
+      .crossJoin(s.range(0, m).select(col("id").cast("int").as("b")))
+      .join(cell, Seq("nation", "segment", "b"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val wg = Window.partitionBy(col("nation"), col("segment"))
+      .orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val glob = grid.groupBy(col("b")).agg(sum(col("cnt")).as("gcnt"))
+      .withColumn("gcum", sum(col("gcnt")).over(
+        Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = glob.agg(sum(col("gcnt")).as("bigN"))
+    grid
+      .withColumn("cum", sum(col("cnt")).over(wg))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("nation"), col("segment"))))
+      .join(glob.select(col("b"), col("gcum")), "b")
+      .crossJoin(broadcast(tot))
+      .filter(col("b") < m - 1) // EMD sums the first m−1 cumulatives
+      .groupBy(col("nation"), col("segment"))
+      .agg(max(col("n")).as("n"),
+        round(sum(abs(col("cum") * col("bigN") - col("gcum") * col("n")))
+          .cast("double") /
+          (lit((m - 1).toDouble) * max(col("n")) * max(col("bigN"))), 6)
+          .as("t_close"))
+      .withColumn("at_risk", col("t_close") > 0.2)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q240 k-anonymity / l-diversity audit [Sweeney '02; Machanavajjhala
     // '07] — the privacy gate a dataset release runs BEFORE training:
@@ -92,6 +136,23 @@ object CurationOps {
           (count(lit(1)) < 10).cast("long").as("at_risk"),
           countDistinct((col("c_acctbal") < 0).cast("int"))
             .as("l_div"))),
+
+    // q249 t-closeness audit [Li, Li & Venkatasubramanian, ICDE'07] —
+    // the distributional complement of q240: a group can pass k-anonymity
+    // AND l-diversity yet still leak (its sensitive distribution skewed
+    // far from the table's). t-closeness bounds the ordered-EMD between
+    // each quasi-ID group's sensitive distribution (account balance in
+    // four fixed buckets) and the global one:
+    //   EMD = (1/(m−1)) · Σ_{i<m} |CumP_i − CumQ_i|
+    // computed INTEGER-EXACTLY as |cumcnt_i·N − gcum_i·n| summed in
+    // longs with ONE double division at the end — order-independent,
+    // so both engines hash-agree without a float-summation contract.
+    // Scale: one map-side-combined aggregation on (quasi-ID, bucket)
+    // reduces the corpus; everything after runs on the bounded
+    // |groups|×4 grid (the fold-grid discipline). Long bound: counts
+    // fit 32 bits through ~2·10⁹ rows per side; beyond that the same
+    // formula lifts to DECIMAL.
+    "q249_t_closeness" -> ((s, d) => tCloseness(Tables(s, d, "customer"))),
 
     // q230 homoglyph-skeleton dedup — the adversarial-duplicate pass:
     // spam/SEO corpora evade exact dedup by swapping Latin letters for
@@ -451,6 +512,41 @@ object CurationOps {
       .stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q249_t_closeness" ->
+      """WITH cell AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |    CASE WHEN c_acctbal < 0 THEN 0 WHEN c_acctbal < 3000 THEN 1
+        |         WHEN c_acctbal < 6000 THEN 2 ELSE 3 END AS b,
+        |    COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT g.nation, g.segment, bb.b,
+        |    COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT nation, segment FROM cell) g
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb
+        |  LEFT JOIN cell c ON c.nation = g.nation
+        |    AND c.segment = g.segment AND c.b = bb.b),
+        |glob AS (
+        |  SELECT b, SUM(cnt) AS gcnt,
+        |    SUM(SUM(cnt)) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum
+        |  FROM grid GROUP BY b),
+        |tot AS (SELECT SUM(gcnt) AS bigN FROM glob),
+        |cums AS (
+        |  SELECT nation, segment, b,
+        |    SUM(cnt) OVER (PARTITION BY nation, segment ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY nation, segment) AS n
+        |  FROM grid),
+        |emd AS (
+        |  SELECT nation, segment, CAST(MAX(n) AS BIGINT) AS n,
+        |    round(CAST(SUM(ABS(cum * bigN - gcum * n)) AS DOUBLE)
+        |      / (3.0 * MAX(n) * MAX(bigN)), 6) AS t_close
+        |  FROM cums JOIN glob USING (b), tot
+        |  WHERE b < 3
+        |  GROUP BY nation, segment)
+        |SELECT nation, segment, n, t_close, t_close > 0.2 AS at_risk
+        |FROM emd""".stripMargin,
     "q240_k_anonymity" ->
       """SELECT c_nationkey AS nation, c_mktsegment AS segment,
         |  count(*) AS n,

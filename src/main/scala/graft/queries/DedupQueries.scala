@@ -347,27 +347,45 @@ object DedupQueries {
     // posting list explodes; df=1 singletons pruned — they cannot form
     // a pair but would inflate norms identically in both engines only
     // if kept, so they are EXCLUDED from the vector space by
-    // definition). Weights are idf rounded to 6 dp and cast to
-    // DECIMAL(18,6); dot products and norms accumulate in EXACT
-    // decimal, so the only float ops (ln, sqrt, final divide) run on
-    // identical values in both engines — hash-comparable despite the
-    // self-join's nondeterministic accumulation order.
+    // definition). Weights are idf rounded to 6 dp; dot products and
+    // norms accumulate EXACTLY, so the only float ops (ln, sqrt, final
+    // divide) run on identical values in both engines —
+    // hash-comparable despite the self-join's nondeterministic
+    // accumulation order. The exact accumulation runs on MICRO-SCALED
+    // LONGS through [[graft.functions.Sum128]] (w·10^6 as a long;
+    // products are exact integers ≤ ~3·10^14, summed in 128 bits, one
+    // decimal divide per group) — bit-identical to the DECIMAL(18,6)
+    // oracle arithmetic at long-multiply speed: the pair table is the
+    // biggest relation this family aggregates, and a non-compact
+    // decimal(38,12) sum buffer paid a BigDecimal allocation per pair
+    // row (measured ~10× on this query at sf0.1).
     "q129_shingle_cosine" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      import graft.functions.Sum128
+      def sum128(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+        Sum128(ColumnBridge.expression(c)).toAggregateExpression())
+      val micro = 1000000L // w is idf rounded to 6 dp: exact in micros
+      val micro2 = java.math.BigDecimal.valueOf(micro * micro)
       val nDocs = ShingleCache.arrays(s, d).count().toDouble
       val post = ShingleCache.hashed(s, d)
       val dfT = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, ShingleFreqCap))
       val w = post.join(dfT.hint("shuffle_hash"), "h")
         .select(col("doc_id"), col("h"),
-          round(log(lit(nDocs) / col("df").cast("double")), 6)
-            .cast(DecimalType(18, 6)).as("w"))
+          // decimal cast FIRST (same 6-dp value the oracle computes),
+          // then an exact decimal·10^6 scale-up to integer micros —
+          // scaling the raw double could truncate one ulp differently
+          (round(log(lit(nDocs) / col("df").cast("double")), 6)
+            .cast(DecimalType(18, 6)) * micro).cast("long").as("wm"))
       val nrm = w.groupBy(col("doc_id"))
-        .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+        .agg(sqrt((sum128(col("wm") * col("wm")) / micro2).cast("double"))
+          .as("nrm"))
       val dots = w.as("a")
         .join(w.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(sum(col("a.w") * col("b.w")).cast("double").as("dot"))
+        .agg((sum128(col("a.wm") * col("b.wm")) / micro2).cast("double")
+          .as("dot"))
       val cosine = round(col("dot") / (col("na") * col("nb")), 6)
       dots
         .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")),

@@ -241,6 +241,59 @@ object EventQueries {
         "forecast_next")
     }),
 
+    // §2.10: streaming Holt-Winters (rows-only; HoltWintersStreamSpec):
+    // q248's seasonal recurrence carried as per-key transformWithState —
+    // level + trend + the 7-slot season ring, O(m) scalars of state,
+    // O(delta) per batch. Same two-batch real-stream drive and
+    // streamed == batch REQUIRE gate as stream_holt.
+    "stream_holt_winters" -> ((s0, d) => {
+      val iso = s0.newSession()
+      iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = iso.sqlContext
+      implicit val pointEnc
+          : org.apache.spark.sql.Encoder[(String, Int, Double)] =
+        org.apache.spark.sql.Encoders.product[(String, Int, Double)]
+      val daily = graft.Tables(iso, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(graft.functions.Sum128.sumExact(col("value"), 4).as("x"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("int").as("ed"), col("x"))
+        .as[(String, Int, Double)].collect().toSeq
+      val mid = daily.map(_._2).sorted.apply(daily.size / 2)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Int, Double)]
+      val out = graft.streaming.HoltWintersStream.smoothed(stream.toDS())
+        .toDF("event_type", "ed", "x", "level", "trend", "season",
+          "forecast_next")
+      val q = out.writeStream.format("memory")
+        .queryName("stream_holt_winters").outputMode("update").start()
+      stream.addData(daily.filter(_._2 < mid)); q.processAllAvailable()
+      stream.addData(daily.filter(_._2 >= mid)); q.processAllAvailable()
+      q.stop()
+      def keyed(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toSet
+      val got = keyed(iso.table("stream_holt_winters")
+        .select(col("event_type"),
+          date_add(lit("1970-01-01").cast("date"), col("ed")).as("day"),
+          col("x"), round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("season"), 6).as("season"),
+          round(col("forecast_next"), 6).as("forecast_next")).collect())
+      val batch = keyed(
+        TrendOps.queries("q248_holt_winters")(iso, d).collect())
+      require(got == batch,
+        s"streamed Holt-Winters diverged from batch q248: " +
+          s"${(got diff batch).take(3)} vs ${(batch diff got).take(3)}")
+      import s0.implicits._
+      got.toSeq.toDF("event_type", "day", "x", "level", "trend",
+        "season", "forecast_next")
+    }),
+
     // §2.10: stream-stream join, batch twin — clicks matched to the same
     // user's purchases within 10 minutes (EventStreamSpec runs the same
     // plan as a watermarked MemoryStream join and pins equality).

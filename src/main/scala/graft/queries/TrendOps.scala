@@ -46,7 +46,8 @@ object TrendOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_mann_kendall" -> ((s, d) => mannKendall(Tables(s, d, "events"))),
     "q224_isotonic" -> ((s, d) => isotonic(Tables(s, d, "events"))),
-    "q247_holt" -> ((s, d) => holt(Tables(s, d, "events"))))
+    "q247_holt" -> ((s, d) => holt(Tables(s, d, "events"))),
+    "q248_holt_winters" -> ((s, d) => holtWinters(Tables(s, d, "events"))))
 
   /** Holt smoothing constants — EXACT binary fractions (0.5, 0.25), so
     * every fold step is the same IEEE operation sequence in both
@@ -100,6 +101,86 @@ object TrendOps {
     out.select(col("event_type"), col("day"), col("x"),
       round(col("level"), 6).as("level"),
       round(col("trend"), 6).as("trend"),
+      round(col("forecast_next"), 6).as("forecast_next"))
+  }
+
+  /** Holt-Winters constants — exact binary fractions (see HoltAlpha)
+    * and a weekly season, the natural period of the daily event series.
+    */
+  val HwAlpha = 0.5
+  val HwBeta = 0.25
+  val HwGamma = 0.25
+  val HwPeriod = 7
+
+  /** One additive Holt-Winters step: given the day's value `x`, the
+    * carried (level, trend) and the season factor from one period ago
+    * `sOld`, returns (newLevel, newTrend, newSeason). Shared verbatim
+    * by the batch fold and [[graft.streaming.HoltWintersStream]] so
+    * streamed == batch holds BITWISE (same IEEE op sequence).
+    */
+  def hwStep(x: Double, level: Double, trend: Double, sOld: Double)
+      : (Double, Double, Double) = {
+    val nl = HwAlpha * (x - sOld) + (1 - HwAlpha) * (level + trend)
+    val nt = HwBeta * (nl - level) + (1 - HwBeta) * trend
+    val ns = HwGamma * (x - nl) + (1 - HwGamma) * sOld
+    (nl, nt, ns)
+  }
+
+  /** q248 additive Holt-Winters (triple exponential) smoothing
+    * [Winters 1960; Hyndman & Athanasopoulos, fpp3 §8.3] of the daily
+    * value series per event_type — the SEASONAL extension of q247:
+    *   level_t = α(x_t − s_{t−m}) + (1−α)(level_{t−1} + trend_{t−1})
+    *   trend_t = β(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+    *   s_t     = γ(x_t − level_t) + (1−γ)·s_{t−m}
+    *   one-step forecast = level_t + trend_t + s_{t+1−m}
+    * Warm-up over the first m = 7 days: level = their LEFT-ASSOCIATIVE
+    * mean (explicit fold order, so both engines add in the same IEEE
+    * sequence), trend = 0, s_i = x_i − mean; smoothed rows emit from
+    * day m+1 on. A purely week-periodic series is reproduced exactly
+    * (forecast_next == next x) — the TrendSpec invariant.
+    *
+    * Scale shape: identical to q247 — ONE map-side-combined (type, day)
+    * corpus aggregation through the Sum128 exact path; the fold walks a
+    * CALENDAR-bounded series per key inside flatMapGroups. Oracle: a
+    * DuckDB recursive CTE carrying the 7-slot season ring as a LIST
+    * column — same IEEE sequence, rounded to 6 dp, hash-compared.
+    */
+  def holtWinters(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val m = HwPeriod
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.Sum128.sumExact(col("value"), 4).as("x"))
+    val out = daily
+      .select(col("event_type").as[String], col("day").as[java.sql.Date],
+        col("x").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2.getTime) // calendar-bounded
+        if (rows.length <= m) Iterator.empty
+        else {
+          var bar = 0.0
+          rows.take(m).foreach(r => bar += r._3) // explicit left fold
+          bar /= m
+          val ring = scala.collection.mutable.Queue(
+            rows.take(m).map(_._3 - bar).toSeq: _*)
+          var level = bar
+          var trend = 0.0
+          rows.iterator.drop(m).map { case (_, day, x) =>
+            val sOld = ring.dequeue()
+            val (nl, nt, ns) = hwStep(x, level, trend, sOld)
+            level = nl; trend = nt; ring.enqueue(ns)
+            (k, day, x, level, trend, ns, level + trend + ring.head)
+          }
+        }
+      }
+      .toDF("event_type", "day", "x", "level", "trend", "season",
+        "forecast_next")
+    out.select(col("event_type"), col("day"), col("x"),
+      round(col("level"), 6).as("level"),
+      round(col("trend"), 6).as("trend"),
+      round(col("season"), 6).as("season"),
       round(col("forecast_next"), 6).as("forecast_next"))
   }
 
@@ -242,6 +323,48 @@ object TrendOps {
         |  round(trend, 6) AS trend,
         |  round(level + trend, 6) AS forecast_next
         |FROM holt""".stripMargin,
+    "q248_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn
+        |  FROM daily),
+        |init AS (
+        |  SELECT event_type, list(x ORDER BY rn) AS xs
+        |  FROM seq WHERE rn <= 7 GROUP BY event_type
+        |  HAVING COUNT(*) = 7),
+        |base AS (
+        |  SELECT event_type, 7 AS rn,
+        |    CAST(NULL AS DATE) AS day, CAST(NULL AS DOUBLE) AS x,
+        |    bar AS level, CAST(0 AS DOUBLE) AS trend,
+        |    CAST(NULL AS DOUBLE) AS season,
+        |    [xs[1]-bar, xs[2]-bar, xs[3]-bar, xs[4]-bar,
+        |     xs[5]-bar, xs[6]-bar, xs[7]-bar] AS seas
+        |  FROM (SELECT event_type, xs,
+        |          ((((((xs[1]+xs[2])+xs[3])+xs[4])+xs[5])+xs[6])+xs[7])/7
+        |            AS bar
+        |        FROM init)),
+        |hw AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT s.event_type, s.rn, s.day, s.x,
+        |    0.5*(s.x - h.seas[1]) + 0.5*(h.level + h.trend) AS level,
+        |    0.25*((0.5*(s.x - h.seas[1]) + 0.5*(h.level + h.trend))
+        |      - h.level) + 0.75*h.trend AS trend,
+        |    0.25*(s.x - (0.5*(s.x - h.seas[1])
+        |      + 0.5*(h.level + h.trend))) + 0.75*h.seas[1] AS season,
+        |    list_append(h.seas[2:7],
+        |      0.25*(s.x - (0.5*(s.x - h.seas[1])
+        |        + 0.5*(h.level + h.trend))) + 0.75*h.seas[1]) AS seas
+        |  FROM hw h JOIN seq s
+        |    ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+        |SELECT event_type, day, x, round(level, 6) AS level,
+        |  round(trend, 6) AS trend, round(season, 6) AS season,
+        |  round(level + trend + seas[1], 6) AS forecast_next
+        |FROM hw WHERE rn > 7""".stripMargin,
     "q222_mann_kendall" ->
       """WITH dly AS (
         |  SELECT event_type, EXTRACT(day FROM ts) AS day,

@@ -235,4 +235,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(got((1L, "A")) === ((12L, 0L, 1L)))
     assert(got((2L, "B")) === ((3L, 1L, 2L)))
   }
+
+  test("q249 t-closeness: hand-computed EMD on a uniform global") {
+    import spark.implicits._
+    // four groups of 4, each concentrated in ONE balance bucket
+    // (-5 -> b0, 100 -> b1, 4000 -> b2, 7000 -> b3); the global
+    // distribution is uniform (.25 each). Ordered EMD:
+    //  bucket 0 group: |1-.25|+|1-.5|+|1-.75| / 3 = 1.5/3 = 0.5
+    //  bucket 1 group: |0-.25|+|1-.5|+|1-.75| / 3 = 1.0/3 = 0.333333
+    //  bucket 2 group: 1.0/3 ; bucket 3 group: 1.5/3
+    val bal = Map(0 -> -5.0, 1 -> 100.0, 2 -> 4000.0, 3 -> 7000.0)
+    val rows = for {
+      g <- 0 to 3; i <- 1 to 4
+    } yield ((g * 4 + i).toLong, g.toLong, s"S$g", bal(g))
+    val df = rows.toDF("c_custkey", "c_nationkey", "c_mktsegment",
+      "c_acctbal")
+    val got = CurationOps.tCloseness(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(0L) === ((4L, 0.5, true)))
+    assert(got(1L) === ((4L, 0.333333, true)))
+    assert(got(2L) === ((4L, 0.333333, true)))
+    assert(got(3L) === ((4L, 0.5, true)))
+    // a group matching the global distribution exactly scores 0
+    val balanced = rows ++ (0 to 3).map(b =>
+      ((100 + b).toLong, 9L, "BAL", bal(b)))
+    val g2 = CurationOps.tCloseness(balanced.toDF("c_custkey",
+      "c_nationkey", "c_mktsegment", "c_acctbal")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // global is still uniform (each bucket gains one), so BAL = uniform
+    assert(g2(9L) === 0.0)
+    assert(!CurationOps.tCloseness(balanced.toDF("c_custkey",
+      "c_nationkey", "c_mktsegment", "c_acctbal")).collect()
+      .find(_.getLong(0) == 9L).get.getBoolean(4))
+  }
 }

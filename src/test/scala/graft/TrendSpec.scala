@@ -137,4 +137,51 @@ class TrendSpec extends SparkSpec {
     val g2 = graft.queries.TrendOps.holt(const).collect()
     assert(g2.forall(r => r.getDouble(3) == 7.0 && r.getDouble(4) == 0.0))
   }
+
+  test("Holt-Winters: hand fold after warm-up; short series emits nothing") {
+    import spark.implicits._
+    def mk(et: String, xs: Seq[Double]) = xs.zipWithIndex.map {
+      case (v, i) => (et, java.sql.Timestamp.valueOf(
+        f"2024-01-${i + 1}%02d 12:00:00"), v)
+    }
+    // 9 days: warm-up over days 1-7 (bar = 28/7 = 4), then two steps
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 9.0, 4.0)
+    val ev = mk("a", xs).toDF("event_type", "ts", "value")
+    val got = graft.queries.TrendOps.holtWinters(ev)
+      .orderBy("day").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+    // bar = 4, seas = [-3,-2,-1,0,1,2,3]; day 8: sOld = -3
+    // l = .5*(9+3)+.5*4 = 8; t = .25*4 = 1; s = .25*(9-8)+.75*(-3) = -2
+    // fc = 8+1+(-2 ring head = s for day 2 = -2) = 7
+    // day 9: sOld = -2; l = .5*(4+2)+.5*9 = 7.5;
+    // t = .25*(-.5)+.75*1 = .625; s = .25*(4-7.5)+.75*(-2) = -2.375;
+    // fc = 7.5+.625+(-1) = 7.125
+    assert(got.toSeq == Seq(
+      (8.0, 1.0, -2.0, 7.0),
+      (7.5, 0.625, -2.375, 7.125)), got.mkString(","))
+    // ≤ 7 days: warm-up never completes, nothing emits
+    val short = mk("s", Seq(1.0, 2.0, 3.0)).toDF("event_type", "ts", "value")
+    assert(graft.queries.TrendOps.holtWinters(short).count() === 0L)
+  }
+
+  test("Holt-Winters reproduces a week-periodic series exactly") {
+    import spark.implicits._
+    val week = Seq(10.0, 20.0, 15.0, 30.0, 25.0, 5.0, 35.0)
+    val xs = week ++ week ++ week
+    val ev = xs.zipWithIndex.map { case (v, i) =>
+      ("p", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"), v)
+    }.toDF("event_type", "ts", "value")
+    val bar = week.sum / 7
+    val got = graft.queries.TrendOps.holtWinters(ev)
+      .orderBy("day").collect()
+    got.zipWithIndex.foreach { case (r, j) =>
+      val i = j + 7 // first emitted day index
+      assert(r.getDouble(3) == bar, s"level drifted at $i")
+      assert(r.getDouble(4) == 0.0, s"trend nonzero at $i")
+      if (i + 1 < xs.length)
+        assert(r.getDouble(6) == xs(i + 1),
+          s"forecast at day $i: ${r.getDouble(6)} != ${xs(i + 1)}")
+    }
+  }
 }
