@@ -55,7 +55,16 @@ object Bench {
     // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just
     // those entries (the driver never sets it — full run by default)
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"WARN: SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+            unknown.mkString(", "))
+    }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

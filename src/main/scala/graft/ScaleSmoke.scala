@@ -70,6 +70,8 @@ object ScaleSmoke {
       // fold + its O(delta) streaming twin
       "stats_eqdepth_rank", "q246_rrf_fusion", "q247_holt", "stream_holt",
       "stream_index_inc")
+      // optional 2nd arg: comma-separated entry filter (local iteration)
+      .filter(n => args.lift(1).forall(_.split(',').map(_.trim).contains(n)))
       .foreach { n =>
       // construction INSIDE the timer (the Bench discipline): iterative
       // operators (components) materialize eagerly while the plan is

@@ -1,51 +1,91 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.Sum128
+import graft.operators.GlobalRank
 
+/** Throwaway experiment harness (round 8): bisect the withRankInGroups
+  * null-safe-join regression — `<=>` vs `===` vs struct-key equi-join on
+  * the offsets broadcast.
+  */
 object Scratch {
+
+  // withRankInGroups with a pluggable offsets-join condition
+  private def rankInGroupsWith(mode: String)(df: DataFrame, rankCol: String,
+      group: Column, keys: Column*): DataFrame = {
+    val g = GlobalRank.withRank(df, "__gr_grank", (group +: keys): _*)
+    val counts = df.groupBy(group.as("__gr_g"))
+      .agg(count(lit(1)).as("__gr_n"))
+    val offs = counts
+      .withColumn("__gr_goff",
+        coalesce(
+          sum(col("__gr_n")).over(
+            Window.orderBy(col("__gr_g"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__gr_g"), col("__gr_goff"))
+    val cond = mode match {
+      case "nullsafe" => group <=> col("__gr_g")
+      case "plain"    => group === col("__gr_g")
+      case "struct"   => struct(group) === struct(col("__gr_g"))
+    }
+    g.join(broadcast(offs), cond)
+      .withColumn(rankCol, col("__gr_grank") - col("__gr_goff"))
+      .drop("__gr_g", "__gr_goff", "__gr_grank")
+  }
+
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val li = Tables(spark, d, "lineitem")
-    li.count()
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
-    def t[A](name: String)(f: => A): Unit =
-      (1 to 3).foreach { _ =>
-        val t0 = System.nanoTime(); f
-        println(f"STEP $name%-14s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
-    val dec = DecimalType(38, 8)
-    t("decimal38") {
-      val aggs = cols.map(c => sum(col(c).cast(dec))) ++
-        cols.map(c => sum((col(c) * col(c)).cast(dec))) ++
-        pairs.map { case (a, b) => sum((col(a) * col(b)).cast(dec)) }
-      li.agg(count(lit(1)), aggs: _*).collect()
+
+    // struct null-equality sanity
+    val nullEq = spark.range(1).select(
+      (struct(lit(null).cast("string")) === struct(lit(null).cast("string")))
+        .as("eq")).head.getBoolean(0)
+    println(s"STRUCT_NULL_EQ $nullEq")
+
+    val base = Tables(spark, d, "lineitem")
+      .select(col("l_returnflag").as("f"), col("l_quantity").as("q"),
+        col("l_extendedprice").as("p"), col("l_orderkey"),
+        col("l_linenumber"))
+    base.count() // warm file index
+
+    def once(mode: String): Double = {
+      val t0 = System.nanoTime()
+      rankInGroupsWith(mode)(base, "rn", col("f"),
+        col("q"), col("l_orderkey"), col("l_linenumber"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    t("sum128") {
-      val aggs = cols.map(c => Sum128.sumExact(col(c), 2)) ++
-        cols.map(c => Sum128.sumExactProduct(col(c), col(c), 2)) ++
-        pairs.map { case (a, b) => Sum128.sumExactProduct(col(a), col(b), 2) }
-      li.agg(count(lit(1)), aggs: _*).collect()
+    val modes = Seq("plain", "nullsafe", "struct")
+    modes.foreach(once) // warm all three code paths
+    val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to 5).foreach { _ =>
+      modes.foreach(m => acc(m) = once(m) :: acc(m))
     }
-    // value parity across the full moment set
-    val both = li.agg(count(lit(1)).as("n"),
-      (cols.map(c => sum(col(c).cast(dec)).cast("double")) ++
-        cols.map(c => Sum128.sumExact(col(c), 2)) ++
-        pairs.map { case (a, b) => sum((col(a) * col(b)).cast(dec)).cast("double") } ++
-        pairs.map { case (a, b) => Sum128.sumExactProduct(col(a), col(b), 2) }): _*).head()
-    val k = cols.size
-    val ok1 = (0 until k).forall(i => both.getDouble(1 + i) == both.getDouble(1 + k + i))
-    val ok2 = (0 until pairs.size).forall(i => both.getDouble(1 + 2 * k + i) == both.getDouble(1 + 2 * k + pairs.size + i))
-    println(s"PARITY sums=$ok1 products=$ok2")
+    modes.foreach { m =>
+      val ts = acc(m).sorted
+      println(f"MODE $m%-9s min ${ts.head}%.2f med ${ts(ts.size / 2)}%.2f " +
+        ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
+    }
+
+    // plans
+    Seq("plain", "nullsafe", "struct").foreach { m =>
+      println(s"==== PLAN $m ====")
+      println(rankInGroupsWith(m)(base, "rn", col("f"),
+        col("q"), col("l_orderkey"), col("l_linenumber"))
+        .queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange") ||
+          l.contains("Window") || l.contains("Filter"))
+        .mkString("\n"))
+    }
     spark.stop()
   }
 }

@@ -150,16 +150,21 @@ object Sum128 {
     require(dp >= 0 && dp <= 4, s"dp must be in [0, 4], got $dp")
     val factor = math.pow(10, dp).toLong
     def scaled(c: Column, n: String): Column = {
-      val s = sround(c * factor, 0).cast("long")
+      // guard the PRE-CAST double: the legacy double→long cast CLAMPS
+      // out-of-range values, and abs(Long.MinValue) is Long.MinValue
+      // (negative) — a post-cast abs() check would wave the extreme
+      // negative end straight through the bound
+      val r = sround(c * factor, 0)
       org.apache.spark.sql.functions.when(
-        org.apache.spark.sql.functions.abs(s) > ProductFactorBound,
+        org.apache.spark.sql.functions.abs(r)
+          > ProductFactorBound.toDouble,
         org.apache.spark.sql.functions.raise_error(
           org.apache.spark.sql.functions.concat(
             org.apache.spark.sql.functions.lit(
               s"sumExactProduct: |$n|*10^$dp exceeds the exact 64-bit " +
                 s"product bound $ProductFactorBound, got "),
-            s.cast("string"))).cast("long")
-      ).otherwise(s)
+            r.cast("string"))).cast("long")
+      ).otherwise(r.cast("long"))
     }
     val sx = scaled(x, "x")
     val sy = scaled(y, "y")

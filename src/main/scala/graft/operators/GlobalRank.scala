@@ -58,6 +58,57 @@ object GlobalRank {
     */
   private val SamplePerBucket = 64
 
+  /** The shared range-bucketing core: sampled boundaries (ONE count + ONE
+    * bounded sample, driver-side KB metadata) folded into a PURE bucket-id
+    * expression of the row — `#boundaries this row is lexicographically ≥
+    * of` under the key directions. Every consumer branch recomputes the
+    * same deterministic id; boundary quality only affects bucket BALANCE,
+    * never correctness. Rows with NULL key values bucket to 0.
+    */
+  private def bucketExpr(df: DataFrame,
+      parts: Seq[(Column, Boolean)]): Column = {
+    val spark = df.sparkSession
+    val buckets = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val n = df.count()
+    val boundaries: Seq[Seq[Any]] =
+      if (n <= 1 || buckets == 1) Seq.empty
+      else {
+        val fraction =
+          math.min(1.0, (buckets.toLong * SamplePerBucket).toDouble / n)
+        val plain = parts.zipWithIndex.map { case ((c, _), i) =>
+          c.as(s"__gr_b$i") }
+        val order = parts.zipWithIndex.map { case ((_, asc), i) =>
+          if (asc) col(s"__gr_b$i") else col(s"__gr_b$i").desc }
+        // the sort runs over the SAMPLE only (≤ 64 × buckets rows)
+        val sample = df.select(plain: _*)
+          .sample(withReplacement = false, fraction, seed = 42L)
+          .sort(order: _*)
+          .collect()
+        val m = sample.length
+        if (m == 0) Seq.empty
+        else (1 until buckets)
+          .map(i => ((i.toLong * m) / buckets).toInt.min(m - 1))
+          .distinct
+          .map(sample(_).toSeq)
+          .filter(_.forall(_ != null)) // null boundary values can't lit()
+          .distinct
+      }
+    // lexicographic (row >= boundary) under the key directions; since
+    // boundaries ascend in key order, the sum is the bucket index
+    def geBoundary(b: Seq[Any]): Column = {
+      val eqs = parts.zip(b).map { case ((c, _), v) => c === lit(v) }
+      val gts = parts.zip(b).map { case ((c, asc), v) =>
+        if (asc) c > lit(v) else c < lit(v) }
+      val lexGt = parts.indices
+        .map(i => (eqs.take(i) :+ gts(i)).reduce(_ && _))
+        .reduce(_ || _)
+      lexGt || eqs.reduce(_ && _)
+    }
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(geBoundary(b), 1).otherwise(0) }
+  }
+
   /** Append a 1-based dense global row number named `rankCol`, ordered by
     * `keys` (which must be unique as a tuple for a deterministic result).
     */
@@ -87,51 +138,7 @@ object GlobalRank {
     // SortOrder-wrapped columns (col.desc); the split happens at the
     // column-node level (Spark 4 wraps catalyst conversion lazily)
     val parts: Seq[(Column, Boolean)] = keys.map(ColumnBridge.splitSortOrder)
-    val buckets = math.max(1,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-
-    // ---- boundaries: ONE count + ONE bounded sample, driver-side ----
-    val n = df.count()
-    val boundaries: Seq[Seq[Any]] =
-      if (n <= 1 || buckets == 1) Seq.empty
-      else {
-        val fraction =
-          math.min(1.0, (buckets.toLong * SamplePerBucket).toDouble / n)
-        val plain = parts.zipWithIndex.map { case ((c, _), i) =>
-          c.as(s"__gr_b$i") }
-        val order = parts.zipWithIndex.map { case ((_, asc), i) =>
-          if (asc) col(s"__gr_b$i") else col(s"__gr_b$i").desc }
-        // the sort runs over the SAMPLE only (≤ 64 × buckets rows)
-        val sample = df.select(plain: _*)
-          .sample(withReplacement = false, fraction, seed = 42L)
-          .sort(order: _*)
-          .collect()
-        val m = sample.length
-        if (m == 0) Seq.empty
-        else (1 until buckets)
-          .map(i => ((i.toLong * m) / buckets).toInt.min(m - 1))
-          .distinct
-          .map(sample(_).toSeq)
-          .filter(_.forall(_ != null)) // null boundary values can't lit()
-          .distinct
-      }
-
-    // ---- pure-expression bucket id: #boundaries this row is ≥ of ----
-    // lexicographic (row >= boundary) under the key directions; since
-    // boundaries ascend in key order, the sum is the bucket index
-    def geBoundary(b: Seq[Any]): Column = {
-      val eqs = parts.zip(b).map { case ((c, _), v) => c === lit(v) }
-      val gts = parts.zip(b).map { case ((c, asc), v) =>
-        if (asc) c > lit(v) else c < lit(v) }
-      val lexGt = parts.indices
-        .map(i => (eqs.take(i) :+ gts(i)).reduce(_ && _))
-        .reduce(_ || _)
-      lexGt || eqs.reduce(_ && _)
-    }
-    val pid = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(geBoundary(b), 1).otherwise(0) }
-
-    val bucketed = df.withColumn("__gr_pid", pid)
+    val bucketed = df.withColumn("__gr_pid", bucketExpr(df, parts))
     val local = bucketed.withColumn("__gr_lrn",
       row_number().over(
         Window.partitionBy(col("__gr_pid")).orderBy(keys: _*)))
@@ -189,10 +196,84 @@ object GlobalRank {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__gr_g"), col("__gr_goff"))
-    // null-safe equality: a NULL group value is a legitimate group (the
-    // counts pass above keeps it); plain === would silently drop its rows
-    g.join(broadcast(offs), group <=> col("__gr_g"))
-      .withColumn(rankCol, col("__gr_grank") - col("__gr_goff"))
+    // NULL groups are a legitimate group, but the join stays a PLAIN ===
+    // equi-join: round 7 used `<=>` here and every caller slowed 59-84%
+    // (EqualNullSafe rewrites both keys to coalesce+isnull pairs, which
+    // defeats downstream exchange reuse). Instead: the rank pass and the
+    // offsets window BOTH order the group ASC NULLS FIRST, so the NULL
+    // group — when present — is always the FIRST group and its exclusive
+    // prefix count is 0 by construction. A left join + coalesce(off, 0)
+    // therefore gives NULL-group rows exactly the offset the null-safe
+    // join would have (0), and every non-null group's offset already
+    // includes the NULL group's row count via the NULLS FIRST prefix
+    // window. Pinned by TemporalOpsSpec "NULL groups rank".
+    g.join(broadcast(offs), group === col("__gr_g"), "left")
+      .withColumn(rankCol,
+        col("__gr_grank") - coalesce(col("__gr_goff"), lit(0L)))
       .drop("__gr_g", "__gr_goff", "__gr_grank")
+  }
+
+  /** PER-GROUP distributed EXCLUSIVE prefix sum of `weight` (cast to
+    * long) in `keys` order — `sum(w) OVER (PARTITION BY group ORDER BY
+    * keys ROWS UNBOUNDED PRECEDING TO -1)` without the coarse-group
+    * window hazard: the same sampled-boundary bucketing as [[withRank]]
+    * (group as leading key), a local exclusive running sum inside each
+    * bucket, bucket-total offsets (≤ numShufflePartitions rows,
+    * broadcast), and |groups|-row group-total offsets subtracted the
+    * same NULLS FIRST way as [[withRankInGroups]]. Deterministic
+    * whenever (group, keys) is unique — same contract as withRank
+    * (withRank IS the weight≡1 inclusive special case, off by the row's
+    * own weight). Built for cumulative-distribution work: tie-mean rank
+    * classes (stats_spearman_rank / stats_mwu_rank rank a GROUPED value
+    * table instead of the corpus), ogives, weighted ECDFs.
+    */
+  def withPrefixSumInGroups(df: DataFrame, sumCol: String, weight: Column,
+      group: Column, keys: Column*): DataFrame = {
+    require(!ColumnBridge.isSortOrderNode(group),
+      "withPrefixSumInGroups: group column must be bare (no .asc/.desc); " +
+        "sort direction applies to the key columns only")
+    val w = weight.cast("long")
+    val parts: Seq[(Column, Boolean)] =
+      (group +: keys).map(ColumnBridge.splitSortOrder)
+    val bucketed = df.withColumn("__gp_pid", bucketExpr(df, parts))
+    val local = bucketed.withColumn("__gp_lps",
+      coalesce(
+        sum(w).over(
+          Window.partitionBy(col("__gp_pid"))
+            .orderBy((group +: keys): _*)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    // bucket totals derived from the windowed branch so both consumers
+    // share the identical Exchange(__gp_pid) subtree (the withRank
+    // ReuseExchange discipline)
+    val offsets = local.groupBy(col("__gp_pid"))
+      .agg(sum(w).as("__gp_cnt"))
+      .withColumn("__gp_off",
+        coalesce(
+          sum(col("__gp_cnt")).over(
+            Window.orderBy(col("__gp_pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__gp_pid").as("__gp_opid"), col("__gp_off"))
+    val glob = local
+      .join(broadcast(offsets), col("__gp_pid") === col("__gp_opid"))
+    // group totals → exclusive group offsets; NULL group ranks first
+    // (offset 0 by the NULLS FIRST argument of withRankInGroups), so the
+    // join stays a plain === equi-join + left/coalesce
+    val goffs = df.groupBy(group.as("__gp_g"))
+      .agg(sum(w).as("__gp_n"))
+      .withColumn("__gp_goff",
+        coalesce(
+          sum(col("__gp_n")).over(
+            Window.orderBy(col("__gp_g"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__gp_g"), col("__gp_goff"))
+    glob.join(broadcast(goffs), group === col("__gp_g"), "left")
+      .withColumn(sumCol,
+        col("__gp_lps") + col("__gp_off")
+          - coalesce(col("__gp_goff"), lit(0L)))
+      .drop("__gp_pid", "__gp_lps", "__gp_opid", "__gp_off",
+        "__gp_g", "__gp_goff")
   }
 }

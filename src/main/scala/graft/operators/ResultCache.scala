@@ -23,16 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Storage reuses the commit-marker recipe ([[VersionedTable]]) with a
   * write-then-claim publish: the result parquet is staged under a
-  * UNIQUE temp dir (`data/.<key>.<uuid>`), RENAMED into `data/<key>`
-  * (an atomic directory move that fails if the destination exists), and
-  * only then is the marker `_commits/<key>` created with
-  * `overwrite = false`. A crashed writer leaves an invisible temp/
-  * orphan; two racing writers of the same key cannot clobber each
-  * other — whichever rename lands first owns the destination, the
-  * loser deletes its temp dir and serves the winner's (identical)
-  * result. Writing `data/<key>` in place with mode(overwrite) would
-  * let the loser delete the winner's files AFTER the winner's marker
-  * became visible — readers could then hit missing/partial parquet.
+  * UNIQUE temp dir (`data/.<key>.<uuid>`), RENAMED into `data/<key>`,
+  * and only then is the marker `_commits/<key>` created with
+  * `overwrite = false`. When the destination already exists, rename on
+  * BOTH local FS and HDFS moves the source INTO it as a nested child
+  * (POSIX `mv` semantics) rather than replacing it — so a racing loser
+  * can never clobber a winner's published files; its staging copy lands
+  * dot-hidden inside the winner's dir and is swept (on the publish path
+  * immediately, and on every later HIT for the crashed-loser case). A
+  * crashed writer leaves only invisible temp/stray orphans. Writing
+  * `data/<key>` in place with mode(overwrite) would let the loser
+  * delete the winner's files AFTER the winner's marker became visible —
+  * readers could then hit missing/partial parquet.
   *
   * Non-deterministic plans (rand(), current_timestamp()) are REFUSED:
   * caching one would freeze a value the query contract says varies.
@@ -107,23 +109,34 @@ object ResultCache {
     val f = fs(spark, root)
     val marker = new Path(root, s"_commits/$key")
     val dataDir = new Path(root, s"data/$key")
-    if (f.exists(marker)) (spark.read.parquet(dataDir.toString), true)
-    else {
+    // dot-hidden stray staging dirs nested under the published result
+    // (a loser that crashed between its nested rename and its own
+    // sweep) are invisible to the parquet reader but never reclaimed
+    // by the publish path once the marker exists — sweep them on hits
+    def sweepStrays(): Unit =
+      if (f.exists(dataDir))
+        f.listStatus(dataDir).filter(_.getPath.getName.startsWith("."))
+          .filter(_.isDirectory) // keep _SUCCESS-style dot/underscore FILES
+          .foreach(s => f.delete(s.getPath, true))
+    if (f.exists(marker)) {
+      sweepStrays()
+      (spark.read.parquet(dataDir.toString), true)
+    } else {
       // Write-then-claim: stage under a unique temp dir, then rename into
-      // place. rename() refuses an existing destination, so a racing loser
-      // cannot delete or rewrite files a winner already published — it just
-      // drops its temp dir and serves the winner's (identical) result.
+      // place. With an existing destination, rename (local FS and HDFS
+      // alike — POSIX mv semantics) nests the source INSIDE it instead of
+      // replacing it, so a racing loser cannot delete or rewrite files a
+      // winner already published — it drops its temp/stray copy and
+      // serves the winner's (identical) result.
       val tmp = new Path(
         root, s"data/.${key}.${java.util.UUID.randomUUID().toString}")
       df.write.mode("overwrite").parquet(tmp.toString)
       if (f.exists(dataDir) || !f.rename(tmp, dataDir))
         f.delete(tmp, true) // racer won the dir; drop our staging copy
-      // local FS rename moves the source INTO an existing destination
-      // dir (instead of failing, as HDFS does) — if a racer's rename
-      // landed between the exists check and ours, sweep the nested
-      // (dot-hidden, so invisible to readers) stray copy
-      val nested = new Path(dataDir, tmp.getName)
-      if (f.exists(nested)) f.delete(nested, true)
+      // if a racer's rename landed between the exists check and ours,
+      // our copy nested into the winner's dir — sweep it (and any other
+      // crashed racer's stray while here)
+      sweepStrays()
       f.mkdirs(marker.getParent)
       try { f.create(marker, false).close() }
       catch { case _: java.io.IOException => () } // racer won; same bytes

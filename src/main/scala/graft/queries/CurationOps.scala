@@ -526,12 +526,12 @@ object CurationOps {
         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb
         |  LEFT JOIN cell c ON c.nation = g.nation
         |    AND c.segment = g.segment AND c.b = bb.b),
-        |glob AS (
+        |gdist AS (
         |  SELECT b, SUM(cnt) AS gcnt,
         |    SUM(SUM(cnt)) OVER (ORDER BY b
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum
         |  FROM grid GROUP BY b),
-        |tot AS (SELECT SUM(gcnt) AS bigN FROM glob),
+        |tot AS (SELECT SUM(gcnt) AS bigN FROM gdist),
         |cums AS (
         |  SELECT nation, segment, b,
         |    SUM(cnt) OVER (PARTITION BY nation, segment ORDER BY b
@@ -542,7 +542,7 @@ object CurationOps {
         |  SELECT nation, segment, CAST(MAX(n) AS BIGINT) AS n,
         |    round(CAST(SUM(ABS(cum * bigN - gcum * n)) AS DOUBLE)
         |      / (3.0 * MAX(n) * MAX(bigN)), 6) AS t_close
-        |  FROM cums JOIN glob USING (b), tot
+        |  FROM cums JOIN gdist USING (b), tot
         |  WHERE b < 3
         |  GROUP BY nation, segment)
         |SELECT nation, segment, n, t_close, t_close > 0.2 AS at_risk

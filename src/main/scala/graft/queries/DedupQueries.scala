@@ -617,6 +617,29 @@ object DedupQueries {
     * construction at any scale. Cost: one df aggregation (map-side
     * combinable on the shingle key) + one per-document window to rank
     * the set (the shuffle q23 pays for its own dedup anyway).
+    *
+    * Round 8 adds PPJoin's candidate pruning [Xiao, Wang, Lin & Yu,
+    * WWW'08] — the fix for the disclosed dup-SATURATED profile, where
+    * AllPairs candidate volume grows with true-pair density: carry each
+    * prefix token's POSITION and the document SIZE into the bucket
+    * join, and bound every candidate's best-possible overlap BEFORE
+    * the array-verify join. With α = ⌈t/(1+t)·(na+nb)⌉ (the minimum
+    * overlap Jaccard ≥ t demands):
+    *
+    *  - length filter: overlap ≤ min(na, nb), so min(na, nb) < α
+    *    kills the pair outright;
+    *  - positional filter: let w₀ be the smallest shared prefix token
+    *    in the global rare-first order. Any shared token u < w₀ would
+    *    sit at positions below w₀'s in BOTH documents — hence inside
+    *    both prefixes, contradicting w₀'s minimality. So every shared
+    *    token is ≥ w₀ and overlap ≤ 1 + min(na − pos_a(w₀),
+    *    nb − pos_b(w₀)); positions are monotone in the global order,
+    *    so pos(w₀) = MIN(pos) over the pair's bucket hits — one
+    *    min-aggregate where the dedup groupBy already ran.
+    *
+    * Both are pure pruning (upper bounds on the true overlap), so the
+    * verified output — and q23's oracle hash — is unchanged by
+    * theorem; ScaleSmoke measures the dup-saturated win.
     */
   private[graft] def jaccardPrefixJoin(s: SparkSession, d: String)
     : DataFrame = {
@@ -630,8 +653,37 @@ object DedupQueries {
       .withColumn("n",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("pos") <= col("n") - ceil(col("n") * lit(t)) + 1)
-      .select(col("h"), col("doc_id"))
-    val cand = bucketPairs(prefix, Seq("h"), "doc_id").distinct()
+      .select(col("h"), col("doc_id"), col("pos"), col("n"))
+    // bucket-grouped pair generation (the bucketPairs shape, carrying
+    // (pos, n) per member); struct sort orders by doc_id first, so
+    // doc_a < doc_b as before
+    val pairs = prefix
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("pos"), col("n")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |                a.pos AS pos_a, b.pos AS pos_b,
+          |                a.n AS na, b.n AS nb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.*"))
+    // dedup + w₀ positions in ONE aggregate (n is constant per doc, so
+    // min() just picks it). α = ⌈t/(1+t)·(na+nb)⌉, nudged DOWN by 1e-9
+    // before the ceil so a one-ulp-high double product can only ever
+    // RELAX the prune — an upper-bound filter must never tighten past
+    // the exact value (the verify join restores exact scores anyway).
+    val alpha = ceil(lit(t / (1 + t)) * (col("na") + col("nb"))
+      - lit(1e-9))
+    val cand = pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("pos_a")).as("pa"), min(col("pos_b")).as("pb"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .filter(least(col("na"), col("nb")) >= alpha &&
+        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
+          >= alpha)
+      .select(col("doc_a"), col("doc_b"))
     verifyExact(cand, shingles(s, d))
   }
 

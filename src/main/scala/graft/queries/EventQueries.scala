@@ -212,7 +212,11 @@ object EventQueries {
           datediff(col("day"), lit("1970-01-01").cast("date"))
             .cast("int").as("ed"), col("x"))
         .as[(String, Int, Double)].collect().toSeq
-      val mid = daily.map(_._2).sorted.apply(daily.size / 2)
+      // an empty aggregated series must degrade to an empty result,
+      // not an IndexOutOfBounds on the median split
+      val mid =
+        if (daily.isEmpty) 0
+        else daily.map(_._2).sorted.apply(daily.size / 2)
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Int, Double)]
       val out = graft.streaming.HoltStream.smoothed(stream.toDS())
@@ -262,7 +266,11 @@ object EventQueries {
           datediff(col("day"), lit("1970-01-01").cast("date"))
             .cast("int").as("ed"), col("x"))
         .as[(String, Int, Double)].collect().toSeq
-      val mid = daily.map(_._2).sorted.apply(daily.size / 2)
+      // an empty aggregated series must degrade to an empty result,
+      // not an IndexOutOfBounds on the median split
+      val mid =
+        if (daily.isEmpty) 0
+        else daily.map(_._2).sorted.apply(daily.size / 2)
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Int, Double)]
       val out = graft.streaming.HoltWintersStream.smoothed(stream.toDS())

@@ -131,18 +131,47 @@ object InferenceOps {
           Window.partitionBy(col("event_type"))
             .orderBy(col("value"), col("event_id"))).cast("long")))),
 
-    // The 100 TB form of q186 — same oracle (identical ranks: the
-    // (value, event_id) tiebreak is unique, so the grouped global rank
-    // equals the PARTITION BY row_number exactly): event_type has ~5
-    // values, so q186's window sorts corpus/5 rows in one task at
-    // scale; one withRankInGroups pass removes that. Tie-mean windows
-    // stay keyed on (type, value) — fine-grained.
-    "stats_mwu_rank" -> ((s, d) =>
-      mannWhitneyFromRanks(graft.operators.GlobalRank.withRankInGroups(
-        Tables(s, d, "events")
-          .select(col("event_type"), col("value"),
-            (col("user_id") % 2 === 0).as("arm_a"), col("event_id")),
-        "rn", col("event_type"), col("value"), col("event_id")))),
+    // The 100 TB form of q186 — same oracle: the U statistic only ever
+    // consumes ranks through their TIE-MEAN over (type, value), and the
+    // mean rank of a value class is pure arithmetic on the class counts
+    // (exclusive prefix count C + (cnt+1)/2 — the average of the
+    // consecutive ranks C+1..C+cnt, whatever tiebreak dealt them). So
+    // no per-row ranking at all: ONE map-side-combined aggregation to
+    // the (type, value) class table (with per-arm counts), a
+    // distributed prefix sum over that table (withPrefixSumInGroups —
+    // never a corpus/|types| single-task window), and a class-weighted
+    // fold. Rank sums are the same exact decimals the per-row form
+    // produced, so the hash matches q186's oracle bit-for-bit.
+    "stats_mwu_rank" -> ((s, d) => {
+      // the class table is pinned (rfm checkpoint discipline): the
+      // prefix-sum machinery evaluates its input 4× (count, sample, two
+      // branches) — each would re-run the corpus aggregation otherwise
+      val cls = Tables(s, d, "events")
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("ca"))
+        .localCheckpoint(true)
+      val mr = graft.operators.GlobalRank
+        .withPrefixSumInGroups(cls, "cum", col("cnt"),
+          col("event_type"), col("value"))
+        .withColumn("mean_rank",
+          ((col("cum") * 2 + col("cnt") + 1).cast(DecimalType(18, 2)) / 2)
+            .cast(DecimalType(18, 2)))
+      val out = mr.groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("na"),
+          sum(col("cnt") - col("ca")).as("nb"),
+          sum(col("ca") * col("mean_rank")).cast("double").as("ra"))
+        .select(col("event_type"), col("na"), col("nb"),
+          round(col("ra") - col("na") * (col("na") + lit(1.0)) / 2, 2)
+            .as("u_stat"),
+          round((col("ra") - col("na") * (col("na") + lit(1.0)) / 2
+            - col("na") * col("nb") / lit(2.0))
+            / sqrt(col("na") * col("nb")
+              * (col("na") + col("nb") + lit(1.0)) / 12), 6).as("z"))
+        .localCheckpoint(true) // |types| rows
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cls)
+      out
+    }),
 
     // q187 Spearman rank correlation per return flag: Pearson over the
     // two columns' mean ranks (same .0/.5-exact rank discipline as
@@ -164,38 +193,46 @@ object InferenceOps {
       spearmanFromRanks(rn)
     }),
 
-    // The 100 TB form of q187 — same oracle (bit-identical ranks):
-    // PARTITION BY l_returnflag has THREE values, so each window
-    // partition is corpus/3 rows sorted in ONE task — the same
-    // coarse-group hazard rfm's ntile had. Here both rank columns come
-    // from GlobalRank.withRankInGroups (range-partitioned global rank
-    // with the flag as leading key, minus |groups|-row broadcast prefix
-    // offsets) and join back on the row key — co-partitioned corpus
-    // shuffles, never a giant sort group. The mean-rank windows
-    // partition by (f, value) — fine-grained keys, scale-safe.
+    // The 100 TB form of q187 — same oracle: Spearman only ever sees
+    // ranks through their TIE-MEAN over (f, value), and a value class's
+    // mean rank is pure arithmetic on class counts (exclusive prefix
+    // count C + (cnt+1)/2). So neither per-row rank pass survives: each
+    // value column reduces to its (f, value, cnt) class table (ONE
+    // map-side-combined aggregation), a distributed prefix sum over
+    // that table assigns the mean ranks (withPrefixSumInGroups — never
+    // a corpus/3 single-task window, and never the round-7 shape of two
+    // CHAINED corpus rank passes with an eager localCheckpoint between
+    // them), and one corpus join-back on the fine (f, value) keys pairs
+    // rq with rp per row for the decimal moments. The per-row mean
+    // ranks are the exact decimals the rank+window form produced, so
+    // the moments — summed decimally, order-independent — hash-match
+    // q187's oracle.
     "stats_spearman_rank" -> ((s, d) => {
       val base = Tables(s, d, "lineitem")
         .select(col("l_returnflag").as("f"), col("l_quantity").as("q"),
-          col("l_extendedprice").as("p"), col("l_orderkey"),
-          col("l_linenumber"))
-      // the two rank passes CHAIN (rank the already-rnq-ranked
-      // relation for rnp) — a join-back on a row key is unavailable
-      // because (l_orderkey, l_linenumber) is not unique in the
-      // synthetic data; the intermediate is pinned (the rfm/q154
-      // checkpoint discipline) so the second pass's 4 branch
-      // evaluations read the checkpoint, not the first rank pipeline.
-      // Rank ties among duplicate key tuples are neutralized by the
-      // tie-AVERAGING in spearmanFromRanks, exactly as in q187's
-      // window form.
-      val r1 = graft.operators.GlobalRank
-        .withRankInGroups(base, "rnq", col("f"),
-          col("q"), col("l_orderkey"), col("l_linenumber"))
-        .localCheckpoint(true)
-      val rn = graft.operators.GlobalRank
-        .withRankInGroups(r1, "rnp", col("f"),
-          col("p"), col("l_orderkey"), col("l_linenumber"))
-      val out = spearmanFromRanks(rn).localCheckpoint(true) // 3 rows
-      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(r1)
+          col("l_extendedprice").as("p"))
+      // each class table is pinned (rfm checkpoint discipline): the
+      // prefix-sum machinery evaluates its input 4× (count, sample, two
+      // branches) — each would re-run the corpus aggregation otherwise
+      def classTable(v: String): DataFrame =
+        base.groupBy(col("f"), col(v))
+          .agg(count(lit(1)).as("__cnt"))
+          .localCheckpoint(true)
+      def meanRanks(cls: DataFrame, v: String, out: String): DataFrame =
+        graft.operators.GlobalRank
+          .withPrefixSumInGroups(cls, "__cum", col("__cnt"),
+            col("f"), col(v))
+          .select(col("f"), col(v),
+            ((col("__cum") * 2 + col("__cnt") + 1)
+              .cast(DecimalType(18, 2)) / 2)
+              .cast(DecimalType(18, 2)).as(out))
+      val (cq, cp) = (classTable("q"), classTable("p"))
+      val rn = base
+        .join(meanRanks(cq, "q", "rq"), Seq("f", "q"))
+        .join(meanRanks(cp, "p", "rp"), Seq("f", "p"))
+      val out = spearmanMoments(rn).localCheckpoint(true) // 3 rows
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cq)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cp)
       out
     }),
 
@@ -375,14 +412,20 @@ object InferenceOps {
     * Rank moments stay DECIMAL (not Sum128): rank products grow with
     * n², past the scaled-long per-row bound at extreme scale.
     */
-  private def spearmanFromRanks(rn: DataFrame): DataFrame = {
-    val r = rn.select(col("f"),
+  private def spearmanFromRanks(rn: DataFrame): DataFrame =
+    spearmanMoments(rn.select(col("f"),
       avg(col("rnq").cast(DecimalType(18, 2))).over(
         Window.partitionBy(col("f"), col("q")))
         .cast(DecimalType(18, 2)).as("rq"),
       avg(col("rnp").cast(DecimalType(18, 2))).over(
         Window.partitionBy(col("f"), col("p")))
-        .cast(DecimalType(18, 2)).as("rp"))
+        .cast(DecimalType(18, 2)).as("rp")))
+
+  /** The decimal-exact Pearson-over-mean-ranks tail shared by q187 (per-
+    * row ranks + tie-mean windows) and stats_spearman_rank (class-count
+    * mean ranks joined back) — both feed the same per-row (f, rq, rp).
+    */
+  private def spearmanMoments(r: DataFrame): DataFrame =
     r.groupBy(col("f"))
       .agg(count(lit(1)).as("n"),
         sum(col("rq")).cast("double").as("sx"),
@@ -395,7 +438,6 @@ object InferenceOps {
           / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
             * (col("syy") - col("sy") * col("sy") / col("n"))), 6)
           .as("spearman"))
-  }
 
   def oracle: Map[String, String] = Map(
     "q225_bootstrap_ci" ->

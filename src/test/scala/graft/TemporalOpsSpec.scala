@@ -172,6 +172,53 @@ class TemporalOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("bare"))
   }
 
+  test("withRankInGroups offsets join stays a plain equi-join " +
+      "(no EqualNullSafe key rewrite)") {
+    // round 7 pinned NULL-group correctness with `<=>`, which rewrote
+    // both offsets-join keys to coalesce+isnull pairs and slowed every
+    // caller 59-84%; the left-join + NULLS FIRST form keeps plain keys.
+    // Pin the shape: every broadcast-hash-join key in the plan is free
+    // of the EqualNullSafe artifacts (Coalesce / IsNull wrappers).
+    val df = spark.range(0, 500).repartition(5)
+      .select((col("id") % 3).cast("string").as("g"),
+        (col("id") * 2654435761L % 1000003L).as("k"), col("id"))
+    val out = GlobalRank.withRankInGroups(df, "rn", col("g"), col("k"),
+      col("id"))
+    out.collect() // resolve the AQE final plan (the PlanAudit recipe)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bhj = plan.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(bhj.nonEmpty, s"expected broadcast hash joins in:\n$plan")
+    assert(bhj.forall(l => !l.contains("coalesce(") &&
+        !l.contains("isnull(")),
+      s"EqualNullSafe key rewrite crept back into the offsets join:\n" +
+        bhj.mkString("\n"))
+  }
+
+  test("withPrefixSumInGroups equals the windowed running sum, " +
+      "NULL group included; direction-wrapped group refused") {
+    val df = spark.range(0, 900).repartition(7)
+      .select(when(col("id") % 4 === 0, lit(null).cast("string"))
+        .otherwise((col("id") % 4).cast("string")).as("g"),
+        (col("id") * 2654435761L % 1000003L).as("k"),
+        (col("id") % 7 + 1).as("w"))
+    val got = GlobalRank.withPrefixSumInGroups(df, "ps", col("w"),
+      col("g"), col("k"))
+    val want = df.withColumn("ps",
+      coalesce(sum(col("w")).over(Window.partitionBy(col("g"))
+        .orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assert(got.count() === 900L, "NULL-group rows must survive")
+    assert(got.select("g", "k", "w", "ps").except(want).isEmpty)
+    assert(want.except(got.select("g", "k", "w", "ps")).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withPrefixSumInGroups(df, "ps", col("w"),
+        col("g").desc, col("k"))
+    }
+    assert(e.getMessage.contains("bare"))
+  }
+
   test("GlobalRank equals the single-partition row_number") {
     val df = spark.range(0, 1000).repartition(7)
       .select((col("id") * 2654435761L % 1000003L).as("k"), col("id"))
