@@ -81,7 +81,44 @@ object Bench {
     val errs = jmap { case (k, (_, _, e)) => e.map(m =>
       s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") }
     val total = results.values.collect { case (t, _, None) => t }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"n_failed":${results.count(_._2._3.isDefined)},"sf":"$sfDir"}"""
+    // Regression guard (round-8): compare against the newest stamped
+    // BENCH_r*.json in the repo root and flag every query that got
+    // > 1.5x slower while costing > 1 s — the round-7 GlobalRank
+    // cluster would have surfaced at commit time, not at judging.
+    // Flagged in the JSON (and stderr) rather than failing the run: a
+    // failed bench would leave the round with NO timing artifact.
+    val regressions: Map[String, (Double, Double)] = {
+      val prev = new java.io.File(".").listFiles()
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName).lastOption
+      prev.toSeq.flatMap { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // only compare like-for-like scale factors (a local sf0.01 run
+        // against the stamped sf0.1 artifact would flag nothing real)
+        val sameSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .forall(_.group(1) == sfDir)
+        // minimal parse of the flat "queries":{"name":sec,...} object
+        val qsec = if (!sameSf) ""
+        else "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(qsec).flatMap { m =>
+          val (name, old) = (m.group(1), m.group(2).toDouble)
+          results.get(name).collect {
+            case (now, _, None)
+                if old > 0 && now > 1.0 && now > old * 1.5 =>
+              name -> (old, now)
+          }
+        }
+      }.toMap
+    }
+    regressions.foreach { case (n, (old, now)) =>
+      System.err.println(
+        f"WARN bench regression $n: $old%.2fs -> $now%.2fs (>1.5x)")
+    }
+    val regJson = regressions.toSeq.sortBy(_._1).map { case (n, (o, c)) =>
+      s"\"$n\":{\"prev\":$o,\"now\":$c}" }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"n_failed":${results.count(_._2._3.isDefined)},"regressions":$regJson,"sf":"$sfDir"}"""
     println(json)
     // stdout capture buffers have truncated this line before (122 queries
     // ≈ 10 KB of JSON); the file copy is the canonical artifact

@@ -1,91 +1,72 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.GlobalRank
-
-/** Throwaway experiment harness (round 8): bisect the withRankInGroups
-  * null-safe-join regression — `<=>` vs `===` vs struct-key equi-join on
-  * the offsets broadcast.
+/** Throwaway experiment harness (round 8): stage-by-stage timing of
+  * jaccardPrefixJoin on the dup-saturated corpus.
   */
 object Scratch {
-
-  // withRankInGroups with a pluggable offsets-join condition
-  private def rankInGroupsWith(mode: String)(df: DataFrame, rankCol: String,
-      group: Column, keys: Column*): DataFrame = {
-    val g = GlobalRank.withRank(df, "__gr_grank", (group +: keys): _*)
-    val counts = df.groupBy(group.as("__gr_g"))
-      .agg(count(lit(1)).as("__gr_n"))
-    val offs = counts
-      .withColumn("__gr_goff",
-        coalesce(
-          sum(col("__gr_n")).over(
-            Window.orderBy(col("__gr_g"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__gr_g"), col("__gr_goff"))
-    val cond = mode match {
-      case "nullsafe" => group <=> col("__gr_g")
-      case "plain"    => group === col("__gr_g")
-      case "struct"   => struct(group) === struct(col("__gr_g"))
-    }
-    g.join(broadcast(offs), cond)
-      .withColumn(rankCol, col("__gr_grank") - col("__gr_goff"))
-      .drop("__gr_g", "__gr_goff", "__gr_grank")
-  }
-
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val d = args.headOption.getOrElse("/tmp/sfbig")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // struct null-equality sanity
-    val nullEq = spark.range(1).select(
-      (struct(lit(null).cast("string")) === struct(lit(null).cast("string")))
-        .as("eq")).head.getBoolean(0)
-    println(s"STRUCT_NULL_EQ $nullEq")
-
-    val base = Tables(spark, d, "lineitem")
-      .select(col("l_returnflag").as("f"), col("l_quantity").as("q"),
-        col("l_extendedprice").as("p"), col("l_orderkey"),
-        col("l_linenumber"))
-    base.count() // warm file index
-
-    def once(mode: String): Double = {
+    def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      rankInGroupsWith(mode)(base, "rn", col("f"),
-        col("q"), col("l_orderkey"), col("l_linenumber"))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val modes = Seq("plain", "nullsafe", "struct")
-    modes.foreach(once) // warm all three code paths
-    val acc = scala.collection.mutable.Map.empty[String, List[Double]]
-      .withDefaultValue(Nil)
-    (1 to 5).foreach { _ =>
-      modes.foreach(m => acc(m) = once(m) :: acc(m))
-    }
-    modes.foreach { m =>
-      val ts = acc(m).sorted
-      println(f"MODE $m%-9s min ${ts.head}%.2f med ${ts(ts.size / 2)}%.2f " +
-        ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
+      val r = f
+      println(f"STAGE $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
     }
 
-    // plans
-    Seq("plain", "nullsafe", "struct").foreach { m =>
-      println(s"==== PLAN $m ====")
-      println(rankInGroupsWith(m)(base, "rn", col("f"),
-        col("q"), col("l_orderkey"), col("l_linenumber"))
-        .queryExecution.executedPlan.toString.linesIterator
-        .filter(l => l.contains("Join") || l.contains("Exchange") ||
-          l.contains("Window") || l.contains("Filter"))
-        .mkString("\n"))
-    }
+    val tcap = 0.5
+    val ex = graft.queries.ShingleCache.hashed(spark, d)
+    t("warm-cache") { ex.count() }
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("n") - ceil(col("n") * lit(tcap)) + 1)
+      .select(col("h"), col("doc_id"), col("pos"), col("n"))
+    t("prefix-index") { println("  prefix rows=" + prefix.count()) }
+    val pairs = prefix
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("pos"), col("n")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |                a.pos AS pos_a, b.pos AS pos_b,
+          |                a.n AS na, b.n AS nb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.*"))
+    t("pair-gen") { println("  pair rows=" + pairs.count()) }
+    val alpha = ceil(lit(tcap / (1 + tcap)) * (col("na") + col("nb")) - lit(1e-9))
+    val cand = pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("pos_a")).as("pa"), min(col("pos_b")).as("pb"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .filter(least(col("na"), col("nb")) >= alpha &&
+        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
+      .select(col("doc_a"), col("doc_b"))
+    t("candidates") { println("  cand rows=" + cand.count()) }
+    val sh = graft.queries.ShingleCache.arrays(spark, d)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val out = cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    t("verify") { println("  out rows=" + out.count()) }
     spark.stop()
   }
 }

@@ -84,6 +84,7 @@ object SparkEntry {
     "q78_compress_ratio" -> "TextKernelsSpec",
     "sim_ann_ivf" -> "AnnSpec",
     "sim_ann_ivfpq" -> "AnnSpec",
+    "sim_ann_serve" -> "AnnSpec",
     "sim_ann_lsh" -> "AnnSpec",
     "sim_ann_stream_ingest" -> "AnnIngestSpec",
     "sim_ann_forget" -> "AnnSpec",

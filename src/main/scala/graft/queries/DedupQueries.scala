@@ -101,17 +101,28 @@ object DedupQueries {
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
 
-  /** Exact-Jaccard verification of candidate pairs: join back the shingle
-    * arrays and keep pairs at/above the threshold. Candidates are few, so
-    * the array_intersect here is off the hot path.
+  /** Exact-Jaccard verification of candidate pairs: join back the
+    * per-doc SORTED 64-bit shingle hashes and keep pairs at/above the
+    * threshold. The intersection is a codegen merge walk
+    * ([[graft.functions.SortedIntersectCount]]) over long arrays —
+    * `array_intersect` on the string arrays built a hash set and
+    * re-hashed every shingle string per CANDIDATE (measured: the
+    * dominant stage of the dup-saturated prefix-join smoke), and the
+    * long arrays also shuffle ~3× narrower. Counting common shingles by
+    * 64-bit-hash equality is the same identity q23's inverted index is
+    * oracle-green under (distinct-per-doc xxhash64; a collision would
+    * need ~2³² shingles per doc to matter).
     */
-  private def verifyExact(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+  private def verifyExact(cand: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
+    val hs = ShingleCache.sortedHashes(s, d)
+    val a = hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common",
+        graft.functions.SortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+        (size(col("hs_a")) + size(col("hs_b")) - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -228,7 +239,7 @@ object DedupQueries {
       // this is the step that replaces the O(n²) cross join, and it
       // computes the signature pipeline exactly once.
       val cand = bucketPairs(bands, Seq("band", "bh"), "doc_id").distinct()
-      verifyExact(cand, sh)
+      verifyExact(cand, s, d)
     }),
 
     // Keeper assignment WITHOUT pair materialization — the output shape
@@ -274,7 +285,7 @@ object DedupQueries {
       simhashPairs(
         hashedShingles(s, d).groupBy(col("doc_id"))
           .agg(element_at(simhash_sig(col("h")), 1).as("sig")),
-        shingles(s, d))),
+        s, d)),
 
     // Weighted SimHash near-dup: idf-weighted bit sums (w = ln(1+N/df)),
     // so ubiquitous shingles barely move the signature — the noise that
@@ -293,7 +304,7 @@ object DedupQueries {
         .withColumn("w", log(lit(1.0) + lit(nDocs.toDouble) / col("df")))
         .groupBy(col("doc_id"))
         .agg(element_at(simhash_sig_w(col("h"), col("w")), 1).as("sig"))
-      simhashPairs(sigs, shingles(s, d))
+      simhashPairs(sigs, s, d)
     }),
 
     // EXACT n-gram Jaccard similarity join (see ngramJaccard below);
@@ -552,8 +563,9 @@ object DedupQueries {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  private def simhashPairs(sigs: DataFrame, sh: DataFrame): DataFrame =
-    verifyExact(hammingBandPairs(sigs, 15).drop("hamming"), sh)
+  private def simhashPairs(sigs: DataFrame, s: SparkSession,
+      d: String): DataFrame =
+    verifyExact(hammingBandPairs(sigs, 15).drop("hamming"), s, d)
 
   /** EXACT n-gram Jaccard similarity join via inverted shingle index:
     * explode → df-cap filter → self-equi-join on the shingle → count
@@ -684,7 +696,7 @@ object DedupQueries {
         lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
           >= alpha)
       .select(col("doc_a"), col("doc_b"))
-    verifyExact(cand, shingles(s, d))
+    verifyExact(cand, s, d)
   }
 
   /** q108: shingle CONTAINMENT join — |A∩B| / |A| ≥ threshold, the
@@ -1018,12 +1030,12 @@ private[graft] object ShingleCache {
   import org.apache.spark.storage.StorageLevel
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]
 
   /** Unpersist and drop one (session, dataset) entry (no-op if absent). */
   def evict(s: SparkSession, d: String): Unit = {
     val e = cache.remove((s, d))
-    if (e != null) { e._1.unpersist(); e._2.unpersist() }
+    if (e != null) { e._1.unpersist(); e._2.unpersist(); e._3.unpersist() }
   }
 
   /** Unpersist and drop every entry (session teardown / test cleanup). */
@@ -1032,7 +1044,8 @@ private[graft] object ShingleCache {
     keys.foreach { case (s, d) => evict(s, d) }
   }
 
-  private def entry(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private def entry(s: SparkSession, d: String)
+    : (DataFrame, DataFrame, DataFrame) =
     cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
       val arrays = graft.Tables(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -1046,11 +1059,24 @@ private[graft] object ShingleCache {
         .select(col("doc_id"),
           explode(expr("transform(sh, v -> xxhash64(v))")).as("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      (arrays, hashed)
+      // sorted 64-bit shingle hashes per doc: the verify-join feed — a
+      // long array merges in one allocation-free codegen walk
+      // (SortedIntersectCount) and shuffles ~3× narrower than the
+      // string form on ~3-word shingles
+      val sorted = arrays
+        .select(col("doc_id"),
+          expr("array_sort(transform(sh, v -> xxhash64(v)))").as("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (arrays, hashed, sorted)
     })
 
   def arrays(s: SparkSession, d: String): DataFrame = entry(s, d)._1
   def hashed(s: SparkSession, d: String): DataFrame = entry(s, d)._2
+
+  /** (doc_id, hs): ascending-sorted distinct xxhash64 shingle hashes —
+    * [[graft.functions.SortedIntersectCount]]'s input contract.
+    */
+  def sortedHashes(s: SparkSession, d: String): DataFrame = entry(s, d)._3
 }
 
 /** Session-scoped materialization of the exact near-dup PAIR LIST — the

@@ -55,6 +55,9 @@ object DriftOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q220_psi_drift" -> ((s, d) => psiDrift(Tables(s, d, "events"))),
+    // q250 ordered-EMD drift — see [[emdDrift]]: the distance-aware
+    // alternative to PSI over the identical reference-decile grid.
+    "q250_emd_drift" -> ((s, d) => emdDrift(Tables(s, d, "events"))),
     "q221_target_encode" -> ((s, d) => targetEncode(
       Tables(s, d, "orders"), Tables(s, d, "customer"),
       Tables(s, d, "nation"))),
@@ -86,6 +89,58 @@ object DriftOps {
     * days 16+. Returns (event_type, n_ref, n_cur, psi).
     */
   def psiDrift(events: DataFrame): DataFrame = {
+    val full = psiGrid(events)
+    // Smoothed proportions; each term rounded once then summed as
+    // DECIMAL so the reduction order cannot move the hash.
+    val pr = (col("cr") + lit(0.5)) / (col("nr") + lit(5.0))
+    val pc = (col("cc") + lit(0.5)) / (col("nc") + lit(5.0))
+    full
+      .withColumn("term",
+        round((pc - pr) * log(pc / pr), 8).cast(DecimalType(18, 8)))
+      .groupBy(col("event_type"))
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+  }
+
+  /** Ordered EMD per event_type over the SAME reference-decile buckets
+    * as [[psiDrift]] — the q249 t-closeness distance generalized to the
+    * drift audit [Li, Li & Venkatasubramanian, ICDE'07 §3]: PSI is a
+    * per-bucket divergence and cannot see WHERE displaced mass went
+    * (moving 10% of rows one bucket over scores the same as moving them
+    * nine buckets over), while the cumulative walk
+    *   EMD = (1/(B−1)) · Σ_{i<B−1} |CumP_i − CumQ_i|
+    * charges mass by the DISTANCE it travels — the alarm that separates
+    * benign jitter from a regime change (DriftOpsSpec pins a PSI-blind
+    * pair). Computed INTEGER-EXACTLY as |cumcr·Nc − cumcc·Nr| summed in
+    * longs with one double division (the q249 discipline), so both
+    * engines hash-agree. Same scale shape as PSI: everything after the
+    * one corpus aggregation runs on the |types|×B grid. Long bound:
+    * counts fit 32 bits through ~2·10⁹ rows per arm; beyond that the
+    * same formula lifts to DECIMAL. Returns
+    * (event_type, n_ref, n_cur, emd, drifted).
+    */
+  def emdDrift(events: DataFrame): DataFrame = {
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    psiGrid(events)
+      .withColumn("cumr", sum(col("cr")).over(wcum))
+      .withColumn("cumc", sum(col("cc")).over(wcum))
+      .filter(col("bucket") < PsiBuckets - 1) // EMD sums B−1 cumulatives
+      .groupBy(col("event_type"))
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        round(sum(abs(col("cumr") * col("nc") - col("cumc") * col("nr")))
+          .cast("double") /
+          (lit((PsiBuckets - 1).toDouble) * max(col("nr")) * max(col("nc"))),
+          6).as("emd"))
+      .withColumn("drifted", col("emd") > 0.1)
+  }
+
+  /** The shared drift scaffold: per-(type, bucket) reference/current
+    * counts over reference-decile buckets, all B buckets scaffolded so
+    * empty ones still carry their term, with per-type arm totals.
+    * Returns (event_type, bucket, cr, cc, nr, nc).
+    */
+  private[graft] def psiGrid(events: DataFrame): DataFrame = {
     val arm = events.select(col("event_type"), col("value"),
       (dayofmonth(col("ts")) <= 15).as("is_ref"))
     // ONE map-side-combined shuffle: per-(type, value) arm counts.
@@ -121,20 +176,10 @@ object DriftOps {
       .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc"))
     val grid = bounds.select(col("event_type"))
       .withColumn("bucket", explode(sequence(lit(0), lit(PsiBuckets - 1))))
-    val full = grid.join(bucketed, Seq("event_type", "bucket"), "left")
+    grid.join(bucketed, Seq("event_type", "bucket"), "left")
       .na.fill(0L, Seq("cr", "cc"))
       .withColumn("nr", sum(col("cr")).over(tw))
       .withColumn("nc", sum(col("cc")).over(tw))
-    // Smoothed proportions; each term rounded once then summed as
-    // DECIMAL so the reduction order cannot move the hash.
-    val pr = (col("cr") + lit(0.5)) / (col("nr") + lit(5.0))
-    val pc = (col("cc") + lit(0.5)) / (col("nc") + lit(5.0))
-    full
-      .withColumn("term",
-        round((pc - pr) * log(pc / pr), 8).cast(DecimalType(18, 8)))
-      .groupBy(col("event_type"))
-      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
-        round(sum(col("term")).cast("double"), 6).as("psi"))
   }
 
   /** m-estimate target encoding: customer nation → smoothed mean order
@@ -228,6 +273,63 @@ object DriftOps {
         |    ln(((cc + 0.5) / (nc + 5.0)) / ((cr + 0.5) / (nr + 5.0))), 8)
         |    AS DECIMAL(18, 8))) AS DOUBLE), 6) AS psi
         |FROM tot GROUP BY 1""".stripMargin,
+    // identical grid CTEs as q220, then the q249 cumulative walk —
+    // integer-exact cross products, one double division
+    "q250_emd_drift" ->
+      s"""WITH arm AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN EXTRACT(day FROM ts) <= 15 THEN TRUE ELSE FALSE END
+        |      AS is_ref
+        |  FROM events),
+        |vc AS (
+        |  SELECT event_type, value,
+        |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+        |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+        |  FROM arm GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, value,
+        |    SUM(cr) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+        |    SUM(cr) OVER (PARTITION BY event_type) AS nr
+        |  FROM vc),
+        |bnd AS (
+        |  SELECT event_type, k, MIN(value) AS bk
+        |  FROM cum, (SELECT UNNEST(range(1, ${PsiBuckets})) AS k)
+        |  WHERE cum * ${PsiBuckets} >= k * nr
+        |  GROUP BY 1, 2),
+        |bl AS (
+        |  SELECT event_type, list(bk ORDER BY k) AS bnds
+        |  FROM bnd GROUP BY 1),
+        |bucketed AS (
+        |  SELECT vc.event_type,
+        |    len(list_filter(bl.bnds, b -> vc.value > b)) AS bucket,
+        |    SUM(cr) AS cr, SUM(cc) AS cc
+        |  FROM vc JOIN bl ON vc.event_type = bl.event_type
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, k AS bucket
+        |  FROM bl, (SELECT UNNEST(range(0, ${PsiBuckets})) AS k)),
+        |full_g AS (
+        |  SELECT g.event_type, g.bucket,
+        |    COALESCE(b.cr, 0) AS cr, COALESCE(b.cc, 0) AS cc
+        |  FROM grid g LEFT JOIN bucketed b
+        |    ON g.event_type = b.event_type AND g.bucket = b.bucket),
+        |walk AS (
+        |  SELECT event_type, bucket, cr, cc,
+        |    SUM(cr) OVER (PARTITION BY event_type ORDER BY bucket) AS cumr,
+        |    SUM(cc) OVER (PARTITION BY event_type ORDER BY bucket) AS cumc,
+        |    SUM(cr) OVER (PARTITION BY event_type) AS nr,
+        |    SUM(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM full_g),
+        |emd AS (
+        |  SELECT event_type, CAST(MAX(nr) AS BIGINT) AS n_ref,
+        |    CAST(MAX(nc) AS BIGINT) AS n_cur,
+        |    round(CAST(SUM(ABS(cumr * nc - cumc * nr)) AS DOUBLE)
+        |      / (${PsiBuckets - 1}.0 * MAX(nr) * MAX(nc)), 6) AS emd
+        |  FROM walk
+        |  WHERE bucket < ${PsiBuckets - 1}
+        |  GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur, emd, emd > 0.1 AS drifted
+        |FROM emd""".stripMargin,
     "q221_target_encode" ->
       s"""WITH j AS (
         |  SELECT c.c_nationkey, o.o_totalprice

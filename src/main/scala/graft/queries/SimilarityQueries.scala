@@ -966,6 +966,22 @@ object SimilarityQueries {
       annIvfPqFrom(indexed, arts)
     }),
 
+    // STEADY-STATE SERVING latency — the FAISS build/serve split made
+    // measurable: every other ANN entry amortizes the one-time index
+    // build into its own timing, so this entry is the serving shape
+    // alone — load the newest COMMITTED snapshot (the session cache
+    // guarantees it exists; Bench's min-of-2 guarantees at least one
+    // fully-warm serve) and answer a 5× larger query batch (100
+    // queries) through the IVF-PQ path: coarse probe → ADC scan over
+    // the code column → exact re-rank. Rows-only (approximate floats);
+    // AnnSpec pins the job-count split — serving from a committed
+    // snapshot launches NO quantizer/codebook training jobs (build ran
+    // k-means Lloyd rounds; serve is scan+join jobs only).
+    "sim_ann_serve" -> ((s, d) => {
+      val (indexed, arts) = loadAnnIndex(s, AnnIndexCache.root(s, d))
+      annIvfPqFrom(indexed, arts, numQueries = 100)
+    }),
+
     // STREAMING index ingest: quantizers train on the corpus MINUS a
     // held-out slice, the held-out vectors then ARRIVE as two real
     // micro-batches through AnnIngest (exactly-once append with

@@ -217,6 +217,37 @@ class AnnSpec extends SparkSpec {
     assert(oldIdx.count() == indexed.count())
   }
 
+  test("sim_ann_serve: snapshot serving launches no training jobs") {
+    import graft.queries.SimilarityQueries
+    val sc = spark.sparkContext
+    // fresh build, measured under its own job group
+    SimilarityQueries.AnnIndexCache.evict(spark, sf)
+    sc.setJobGroup("ann-build", "index build", interruptOnCancel = false)
+    val root = try SimilarityQueries.AnnIndexCache.root(spark, sf)
+      finally sc.clearJobGroup()
+    val buildJobs = sc.statusTracker.getJobIdsForGroup("ann-build").length
+    // steady-state serve from the committed snapshot
+    sc.setJobGroup("ann-serve", "steady-state serve",
+      interruptOnCancel = false)
+    val rows = try SparkEntry.queries("sim_ann_serve")(spark, sf).collect()
+      finally sc.clearJobGroup()
+    val serveJobs = sc.statusTracker.getJobIdsForGroup("ann-serve").length
+    // functional sanity: the larger serve batch answers with ranked k-NN
+    assert(rows.nonEmpty && rows.forall(_.getInt(2) <= 10))
+    // the pin: the build pays the quantizer training (Lloyd rounds,
+    // PQ codebooks, snapshot commits — many jobs); serving is a scan +
+    // probe-join + re-rank and must stay a small constant WELL below it
+    assert(buildJobs > serveJobs,
+      s"build=$buildJobs serve=$serveJobs — serving re-trained?")
+    // observed steady state: 11 jobs (snapshot reads + AQE stages for
+    // the probe-join and two rank windows); Lloyd alone adds ~2 jobs
+    // per round plus codebook collects, so 16 is a real tripwire
+    assert(serveJobs <= 16,
+      s"serve ran $serveJobs jobs — training crept into the serve path")
+    assert(root == SimilarityQueries.AnnIndexCache.root(spark, sf),
+      "cache must keep serving the same committed root")
+  }
+
   test("ANN index append: encode-with-existing-codebooks, no retrain") {
     import graft.queries.SimilarityQueries
     import org.apache.spark.sql.functions.{col, lit}

@@ -65,6 +65,42 @@ class DriftSpec extends SparkSpec {
     assert(psi > 1.0)
   }
 
+  test("EMD sees the displacement distance PSI is blind to") {
+    // ref: uniform 1..200 → deciles of 20 values each. Both currents
+    // empty decile 0 and double exactly one other decile, so their
+    // per-bucket (cr, cc) MULTISETS are identical — PSI, a per-bucket
+    // divergence, scores them the same. EMD charges mass by how far it
+    // moved: one decile over (near) vs nine deciles over (far).
+    val ref = (1 to 200).map(_.toDouble)
+    val near = (21 to 200).map(_.toDouble) ++ (21 to 40).map(_.toDouble)
+    val far = (21 to 200).map(_.toDouble) ++ (181 to 200).map(_.toDouble)
+    def psi(cur: Seq[Double]) = DriftOps.psiDrift(
+      twoPeriod("x", ref, cur)).collect().head.getAs[Double]("psi")
+    def emd(cur: Seq[Double]) = DriftOps.emdDrift(
+      twoPeriod("x", ref, cur)).collect().head.getAs[Double]("emd")
+    assert(psi(near) === psi(far), "PSI cannot rank these by design")
+    assert(emd(far) > 5 * emd(near),
+      s"EMD must charge the nine-decile move: ${emd(far)} vs ${emd(near)}")
+    // exact by construction: 10% of mass over 9 of 9 vs 1 of 9 buckets
+    assert(emd(far) === 0.1)
+    assert(math.abs(emd(near) - 0.011111) < 1e-6)
+  }
+
+  test("EMD is zero for identical distributions and bounded by 1") {
+    val vals = (1 to 200).map(_.toDouble)
+    val same = DriftOps.emdDrift(twoPeriod("same", vals, vals))
+      .collect().head
+    assert(same.getAs[Double]("emd") === 0.0)
+    assert(!same.getAs[Boolean]("drifted"))
+    // all current mass beyond the top boundary: a uniform reference
+    // displaced entirely to the end travels a MEAN distance of half the
+    // grid — EMD exactly 0.5 (deciles i pay (i+1)/10 each, i = 0..8)
+    val ext = DriftOps.emdDrift(
+      twoPeriod("e", vals, Seq.fill(100)(1000.0))).collect().head
+    assert(ext.getAs[Double]("emd") === 0.5)
+    assert(ext.getAs[Boolean]("drifted"))
+  }
+
   test("target encoding shrinks small groups toward the global mean") {
     val orders = Seq(
       // nation 0 via cust 1: many orders at 100

@@ -134,4 +134,47 @@ class TextKernelsSpec extends SparkSpec {
     val mean = rows.map(_.getAs[Double]("ratio")).sum / rows.length
     assert(mean < 0.95, s"word corpus should compress on average: $mean")
   }
+
+  test("sorted_intersect_count equals array_intersect on sorted arrays") {
+    import spark.implicits._
+    import graft.functions.SortedIntersectCount
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size)
+    }
+    val df = rows.toDF("a", "b", "want")
+    val got = df.select(
+      SortedIntersectCount(col("a"), col("b")).as("got"), col("want"))
+    assert(got.filter(col("got") =!= col("want")).isEmpty)
+    // empty and disjoint edges
+    val edge = Seq(
+      (Seq.empty[Long], Seq(1L, 2L), 0),
+      (Seq(1L, 3L), Seq.empty[Long], 0),
+      (Seq(1L, 2L), Seq(3L, 4L), 0),
+      (Seq(Long.MinValue, 0L, Long.MaxValue),
+        Seq(Long.MinValue, Long.MaxValue), 2)).toDF("a", "b", "want")
+    assert(edge.select(SortedIntersectCount(col("a"), col("b"))
+      .as("got"), col("want"))
+      .filter(col("got") =!= col("want")).isEmpty)
+  }
+
+  test("sorted_intersect_count agrees across codegen and interpreted") {
+    import spark.implicits._
+    import graft.functions.SortedIntersectCount
+    val df = Seq(
+      (Seq(1L, 5L, 9L, 12L), Seq(2L, 5L, 9L, 20L)),
+      (Seq(-4L, 0L, 7L), Seq(-4L, 0L, 7L))).toDF("a", "b")
+    val cg = df.select(SortedIntersectCount(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(SortedIntersectCount(col("a"), col("b")))
+        .collect().map(_.getInt(0)).toSeq
+      assert(cg == interp && cg == Seq(2, 3))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
