@@ -97,6 +97,7 @@ object SparkEntry {
     "stream_dedup_inc" -> "StreamingDedupSpec",
     "stream_heavy_hitters" -> "EventStreamSpec",
     "stream_psi_drift" -> "StreamingDriftSpec",
+    "stream_emd_drift" -> "StreamingDriftSpec",
     "stream_scd2_enrich" -> "EventStreamSpec",
     "text_bpe_encode" -> "BpeSpec",
     "text_bpe_train" -> "BpeSpec",

@@ -178,17 +178,51 @@ object BusinessOps {
         .select(col("c_nationkey").as("nk"), col("x"), col("o_custkey"))
       val ranked = j.withColumn("i", row_number().over(
         Window.partitionBy(col("nk")).orderBy(col("x"), col("o_custkey"))))
-      ranked.groupBy(col("nk"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x")).cast("double").as("sx"),
-          sum(col("x") * col("i")).cast("double").as("sxi"),
-          sum(col("x") * col("x")).cast("double").as("sxx"))
-        .select(col("nk").as("nationkey"), col("n"),
-          round(lit(2.0) * col("sxi") / (col("n") * col("sx"))
-            - (col("n") + lit(1.0)) / col("n"), 6).as("gini"),
-          round(col("sxx") / (col("sx") * col("sx")), 6).as("hhi"))
+      concentrationFromRanks(ranked)
+    }),
+
+    // The 100 TB form of q172 — same oracle (identical ranks: the
+    // (x, custkey) tiebreak is unique): PARTITION BY nationkey has ~25
+    // values, so q172's rank window sorts customers/25 rows in ONE task
+    // at scale — the coarse-group hazard the grouped global rank
+    // removes (the rfm_globalrank / stats_*_rank discipline). The
+    // per-customer aggregate is pinned (checkpoint discipline: the rank
+    // machinery evaluates its input 4×, and this input carries a
+    // join + aggregation); the Gini/HHI fold is unchanged and decimal-
+    // exact, so the oracle hash carries over.
+    "conc_globalrank" -> ((s, d) => {
+      val rev = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("x"))
+      val j = rev.join(broadcast(Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"), col("x"), col("o_custkey"))
+        .localCheckpoint(true)
+      val ranked = graft.operators.GlobalRank.withRankInGroups(
+        j, "i", col("nk"), col("x"), col("o_custkey"))
+      val out = concentrationFromRanks(ranked)
+        .localCheckpoint(true) // |nations| rows
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(j)
+      out
     })
   )
+
+  /** Shared q172 tail: Gini (discrete Lorenz, 2Σi·xᵢ/(nΣx) − (n+1)/n)
+    * and HHI from decimal rank moments — ranks arrive as ints/longs
+    * from either provider (PARTITION BY window or grouped global rank;
+    * the unique (x, custkey) tiebreak makes them identical).
+    */
+  private def concentrationFromRanks(ranked: DataFrame): DataFrame =
+    ranked.groupBy(col("nk"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("i")).cast("double").as("sxi"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("nk").as("nationkey"), col("n"),
+        round(lit(2.0) * col("sxi") / (col("n") * col("sx"))
+          - (col("n") + lit(1.0)) / col("n"), 6).as("gini"),
+        round(col("sxx") / (col("sx") * col("sx")), 6).as("hhi"))
 
   def oracle: Map[String, String] = Map(
     "q195_entropy_mix" ->
@@ -259,6 +293,27 @@ object BusinessOps {
         |  round(CAST(revd - prev_y AS DOUBLE) / prev_y, 6) AS yoy_pct
         |FROM w""".stripMargin,
     "q172_concentration" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT c_nationkey AS nk, x, o_custkey
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT nk, x,
+        |  row_number() OVER (PARTITION BY nk ORDER BY x, o_custkey) AS i
+        | FROM j),
+        |g AS (SELECT nk, COUNT(*) AS n,
+        |   CAST(SUM(x) AS DOUBLE) AS sx,
+        |   CAST(SUM(x * i) AS DOUBLE) AS sxi,
+        |   CAST(SUM(x * x) AS DOUBLE) AS sxx
+        | FROM r GROUP BY nk)
+        |SELECT nk AS nationkey, n,
+        |  round(2.0 * sxi / (n * sx) - (n + 1.0) / n, 6) AS gini,
+        |  round(sxx / (sx * sx), 6) AS hhi
+        |FROM g""".stripMargin,
+    // the grouped-global-rank form produces IDENTICAL ranks (unique
+    // (x, custkey) tiebreak; BusinessOpsSpec pin), so it earns the
+    // same oracle
+    "conc_globalrank" ->
       """WITH rev AS (SELECT o_custkey,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS x
         |  FROM orders GROUP BY o_custkey),

@@ -83,6 +83,24 @@ object DriftOps {
       graft.streaming.EventStream.runToMemory(out, "stream_psi_drift",
         org.apache.spark.sql.streaming.OutputMode.Complete())
       s.table("stream_psi_drift")
+    }),
+
+    // Streaming EMD monitor (rows-only; pinned by StreamingDriftSpec):
+    // the q250 cumulative walk per arriving window — same reference
+    // model, same fixed-width histogram state as stream_psi_drift,
+    // distance-aware fold. See DriftMonitor.emd.
+    "stream_emd_drift" -> ((s, d) => {
+      val batch = Tables(s, d, "events")
+      val model = graft.streaming.DriftMonitor.refModel(
+        batch.filter(dayofmonth(col("ts")) <= 15)
+          .select(col("event_type"), col("value")))
+      val cur = graft.streaming.EventStream.readEventsStream(s, d)
+        .filter(dayofmonth(col("ts")) > 15)
+        .select(col("ts"), col("event_type"), col("value"))
+      val out = graft.streaming.DriftMonitor.emd(cur, model, "5 days")
+      graft.streaming.EventStream.runToMemory(out, "stream_emd_drift",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table("stream_emd_drift")
     }))
 
   /** PSI per event_type: reference = calendar days 1-15, current =

@@ -98,19 +98,7 @@ object DriftMonitor {
     */
   def psi(events: DataFrame, model: DataFrame, windowDur: String,
       watermark: String = "0 seconds"): DataFrame = {
-    val withBucket = events
-      .withWatermark("ts", watermark)
-      .join(broadcast(model), "event_type")
-      .withColumn("bucket", expr("size(filter(bnds, b -> value > b))"))
-    val hist = withBucket
-      .groupBy(window(col("ts"), windowDur), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_cur"),
-        array((0 until Buckets).map(k =>
-          sum(when(col("bucket") === k, 1L).otherwise(0L))): _*)
-          .as("cur_counts"),
-        first(col("ref_counts")).as("ref_counts"),
-        first(col("n_ref")).as("n_ref"))
+    val hist = histogram(events, model, windowDur, watermark)
     hist.select(col("window.start").as("ws"), col("event_type"),
       col("n_cur"),
       round(expr(
@@ -128,4 +116,50 @@ object DriftMonitor {
           |  (acc, x) -> CAST(acc + x AS DECIMAL(28, 8))) AS DOUBLE)"""
           .stripMargin), 6).as("psi"))
   }
+
+  /** Windowed ordered EMD against the same [[refModel]] — the streaming
+    * twin of q250's batch form (the distance-aware alarm PSI cannot
+    * give: see DriftOps.emdDrift). Identical state shape to [[psi]] —
+    * the SAME fixed-width per-(window, type) histogram aggregation,
+    * only the fold differs: the cumulative walk
+    * Σ|cumc·n_ref − cumr·n_cur| runs integer-exactly over the two
+    * 10-slot arrays in the post-agg projection (the O(B²) slice-sums
+    * are 100 long adds per emitted row). Same inner-join model
+    * contract as psi.
+    */
+  def emd(events: DataFrame, model: DataFrame, windowDur: String,
+      watermark: String = "0 seconds"): DataFrame = {
+    val hist = histogram(events, model, windowDur, watermark)
+    hist.select(col("window.start").as("ws"), col("event_type"),
+      col("n_cur"),
+      round(expr(
+        s"""CAST(aggregate(
+           |  transform(sequence(1, ${Buckets - 1}), i ->
+           |    abs(aggregate(slice(cur_counts, 1, i), 0L,
+           |          (a, x) -> a + x) * n_ref
+           |      - aggregate(slice(ref_counts, 1, i), 0L,
+           |          (a, x) -> a + x) * n_cur)),
+           |  0L, (a, x) -> a + x) AS DOUBLE)
+           |  / (${Buckets - 1}.0D * CAST(n_ref AS DOUBLE)
+           |     * CAST(n_cur AS DOUBLE))""".stripMargin), 6).as("emd"))
+  }
+
+  /** The shared windowed bucket histogram: one streaming aggregation
+    * with fixed-width state per (window, type) — 10 conditional sums
+    * against the broadcast reference boundaries.
+    */
+  private def histogram(events: DataFrame, model: DataFrame,
+      windowDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(model), "event_type")
+      .withColumn("bucket", expr("size(filter(bnds, b -> value > b))"))
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_cur"),
+        array((0 until Buckets).map(k =>
+          sum(when(col("bucket") === k, 1L).otherwise(0L))): _*)
+          .as("cur_counts"),
+        first(col("ref_counts")).as("ref_counts"),
+        first(col("n_ref")).as("n_ref"))
 }

@@ -343,4 +343,38 @@ class BusinessOpsSpec extends SparkSpec {
       assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
     } finally graft.queries.ShingleCache.evict(spark, d)
   }
+
+  test("conc_globalrank equals q172 row-for-row and a hand-computed Gini") {
+    // grouped-global-rank twin == window form on the driver tables
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getDouble(2), r.getDouble(3))).toSet
+    val a = canon(BusinessOps.queries("q172_concentration")(spark, sf)
+      .collect())
+    val b = canon(BusinessOps.queries("conc_globalrank")(spark, sf)
+      .collect())
+    assert(a == b)
+    // hand case: nation 0 equal spends -> gini 0, hhi 1/n;
+    // nation 1 one-customer-takes-(almost)-all -> gini near (n-1)/n
+    val orders = (
+      (1L to 4L).map(c => (c * 10, c, "O", 100.0)) ++
+      Seq((100L, 10L, "O", 0.0001), (101L, 11L, "O", 0.0001),
+        (102L, 12L, "O", 9999.0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("o_orderdate",
+        lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+    val customer = ((1L to 4L).map(c => (c, 0L)) ++
+      Seq((10L, 1L), (11L, 1L), (12L, 1L)))
+      .toDF("c_custkey", "c_nationkey")
+    val d = dirWith("orders" -> orders, "customer" -> customer)
+    val got = BusinessOps.queries("conc_globalrank")(spark, d).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getAs[Number](1).longValue, r.getDouble(2),
+          r.getDouble(3)))).toMap
+    assert(got(0L)._1 == 4L && got(0L)._2 == 0.0 && got(0L)._3 == 0.25)
+    // gini = 2*(1*e + 2*e + 3*S)/(3*(2e+S)) - 4/3 with e << S -> ~2/3
+    assert(math.abs(got(1L)._2 - 2.0 / 3) < 1e-4)
+    assert(got(1L)._3 > 0.99) // HHI ~ 1: one customer holds the market
+  }
 }

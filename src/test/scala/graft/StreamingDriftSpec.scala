@@ -36,6 +36,56 @@ class StreamingDriftSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streamed windowed EMD equals batch; distance separates " +
+      "PSI-equal shifts") {
+    val batch = Tables(spark, sf, "events")
+    val model = DriftMonitor.refModel(
+      batch.filter(dayofmonth(col("ts")) <= 15)
+        .select(col("event_type"), col("value")))
+    val curBatch = batch.filter(dayofmonth(col("ts")) > 15)
+      .select(col("ts"), col("event_type"), col("value"))
+    val expected = DriftMonitor.emd(curBatch, model, "5 days")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(expected.nonEmpty)
+    val cur = EventStream.readEventsStream(spark, sf)
+      .filter(dayofmonth(col("ts")) > 15)
+      .select(col("ts"), col("event_type"), col("value"))
+    EventStream.runToMemory(
+      DriftMonitor.emd(cur, model, "5 days"), "sds_emd_twin",
+      OutputMode.Complete())
+    val got = spark.table("sds_emd_twin").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === expected)
+
+    // the DriftSpec PSI-blind pair, streamed: one decile over vs nine —
+    // windowed EMD ranks them 9:1 while PSI scores them identically
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = (1 to 200).map(v => ("m", v.toDouble))
+      .toDF("event_type", "value")
+    val m2 = DriftMonitor.refModel(ref)
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val outE = DriftMonitor.emd(
+      stream.toDF().toDF("ts", "event_type", "value"), m2, "1 hour")
+    val q = outE.writeStream.format("memory").queryName("sds_emd_pair")
+      .outputMode(OutputMode.Complete()).start()
+    val near = (21 to 200).map(_.toDouble) ++ (21 to 40).map(_.toDouble)
+    val far = (21 to 200).map(_.toDouble) ++ (181 to 200).map(_.toDouble)
+    stream.addData(near.map(v =>
+      (Timestamp.valueOf("2024-02-01 10:30:00"), "m", v)))
+    stream.addData(far.map(v =>
+      (Timestamp.valueOf("2024-02-01 11:30:00"), "m", v)))
+    q.processAllAvailable()
+    q.stop()
+    val emds = spark.table("sds_emd_pair").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(3)).toMap
+    val eNear = emds("2024-02-01 10:00:00.0")
+    val eFar = emds("2024-02-01 11:00:00.0")
+    assert(eFar === 0.1 && math.abs(eNear - 0.011111) < 1e-6)
+  }
+
   test("a planted shift fires the alarm in its window only") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // reference: values 1..200 for one type
