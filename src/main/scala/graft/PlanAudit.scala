@@ -96,7 +96,11 @@ object PlanAudit {
       // round-6 batch 2
       "q246_rrf_fusion", "q247_holt", "stream_holt", "stream_index_inc",
       "stats_eqdepth_rank", "stats_winsorize_rank", "stats_spearman_rank",
-      "text_bpe_fertility", "stats_pctl_rank", "stats_mwu_rank")
+      "text_bpe_fertility", "stats_pctl_rank", "stats_mwu_rank",
+      // round-7/8 additions
+      "q248_holt_winters", "stream_holt_winters", "q249_t_closeness",
+      "q250_emd_drift", "stream_emd_drift", "conc_globalrank",
+      "sim_ann_serve", "dedup_jaccard_prefix")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -102,8 +102,14 @@ object PlanDump {
       "q246_rrf_fusion" -> "lexical arm: postings equi-join against the BROADCAST query-token table (candidates = query-term postings, never the corpus) + per-query jaccard window over the bounded candidate set; semantic arm: q25's query-set broadcast cosine top-k; fusion: full-outer join of two <=pool-deep rank lists per query",
       "q247_holt" -> "ONE Sum128 daily reduction (map-side combined); the coupled fold runs as flatMapGroups over the CALENDAR-bounded series — the imperative step never sees data volume",
       "stats_eqdepth_rank" -> "exact deciles with NO percentile value-count buffer: one GlobalRank range-partitioned rank pass + an 18-rank narrow filter; the bucket consumer is identical to q106's",
-      "stats_spearman_rank" -> "per-flag ranks WITHOUT the 3-giant-partition window: two chained grouped GlobalRank passes (range-partitioned, |groups|-row offset broadcast), intermediate pinned; mean-rank windows key on (flag, value) — fine-grained",
-      "stream_index_inc" -> "per-term ValueState (2 longs x vocabulary) folds each micro-batch's postings partials — O(delta postings)/batch; the additive index row makes the fold exact")
+      "stats_spearman_rank" -> "NO per-row rank pass at all: each value column reduces to its (flag, value, cnt) class table (map-side combined), withPrefixSumInGroups assigns tie-mean ranks over the CLASS table, and one fine-key join-back pairs rq/rp per row for the decimal moments",
+      "stream_index_inc" -> "per-term ValueState (2 longs x vocabulary) folds each micro-batch's postings partials — O(delta postings)/batch; the additive index row makes the fold exact",
+      "q248_holt_winters" -> "ONE Sum128 daily reduction; the level/trend/season fold runs as flatMapGroups over the CALENDAR-bounded series — O(m) state, data volume never reaches the imperative step",
+      "q249_t_closeness" -> "one map-side-combined (quasi-ID, bucket) aggregation reduces the corpus; the dense |groups|x4 grid, cumulative windows and EMD fold all run on bounded metadata",
+      "q250_emd_drift" -> "q220's grid verbatim (one arm-count shuffle, broadcast decile boundaries); the cumulative walk is a bounded window over |types|x10 rows — integer-exact cross products, one division",
+      "conc_globalrank" -> "per-customer spend agg pinned once; grouped GlobalRank replaces the 25-coarse-group rank window; Gini/HHI fold is one map-side-combined pass over ranked rows",
+      "dedup_jaccard_prefix" -> "rare-first prefix index (one df agg + per-doc window); bucket-grouped pair generation carries (pos, n); PPJoin length + positional prunes run IN the candidate aggregate before the verify join; verify is a codegen sorted-merge intersect over long arrays",
+      "sim_ann_serve" -> "serve-only shape: snapshot scan (code column for ADC) + broadcast 100-query probe join + two bounded rank windows — zero training jobs, the build amortized into the committed snapshot")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -262,7 +268,15 @@ object PlanDump {
       "q234_retrieval_eval / stream_scd2_enrich" ->
         "q234's ground-truth side inherits q25's query-set broadcast; the metric join is K x |queries| vs K x |queries| (AQE's call). scd2Enrich: equality conjunct on the key keeps the stream-static join a hash join with the validity range as residual — never a BNLJ",
       "q235_dedup_impact / q236_profile_drift / q237_nb_crossval" ->
-        "q235 joins corpus-to-keepers co-partitioned on the content hash (both sides derive from the same aggregation); q236 has NO joins (unioned single-distinct branches); q237 repeats q189's decisions per fold")
+        "q235 joins corpus-to-keepers co-partitioned on the content hash (both sides derive from the same aggregation); q236 has NO joins (unioned single-distinct branches); q237 repeats q189's decisions per fold",
+      "q249_t_closeness / q250_emd_drift / stream_emd_drift" ->
+        "explicit broadcast of the 1-row total (q249) and the per-type boundary/ref-count arrays (q250/stream — the q220 rule): everything after the one corpus arm-count aggregation is bounded-grid metadata",
+      "conc_globalrank" ->
+        "explicit broadcast(customer dim) into the spend join (bounded catalog, the q172 rule); GlobalRank's offset tables broadcast at bucket/|nations| size; the ranked corpus-side fold is map-side combined",
+      "dedup_jaccard_prefix" ->
+        "no join on the candidate path (bucket-grouped pair generation, the q21/q23 rule); the verify join's per-doc sorted-hash arrays are corpus-sized and un-hinted — AQE broadcasts at test scale, shuffles at 10^9 docs",
+      "sim_ann_serve" ->
+        "explicit broadcast(query probe set): 100 queries x probes, caller-bounded (the q25 rule); the snapshot's code column streams through the ADC scan partitioned — serving never moves the corpus")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"

@@ -69,7 +69,10 @@ object ScaleSmoke {
       // point is the 100x story), the two-arm RRF fusion, and the Holt
       // fold + its O(delta) streaming twin
       "stats_eqdepth_rank", "q246_rrf_fusion", "q247_holt", "stream_holt",
-      "stream_index_inc")
+      "stream_index_inc",
+      // round-8 additions: the grouped-rank Gini twin and the
+      // steady-state ANN serving shape both exist FOR their scale story
+      "conc_globalrank", "sim_ann_serve")
       // optional 2nd arg: comma-separated entry filter (local iteration)
       .filter(n => args.lift(1).forall(_.split(',').map(_.trim).contains(n)))
       .foreach { n =>
