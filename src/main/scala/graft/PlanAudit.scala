@@ -158,6 +158,7 @@ object PlanAudit {
     "q156_interpolate" -> "1-row calendar-span broadcast",
     "q161_hits" -> "1-row score-normalizer broadcasts",
     "q165_rfm" -> "1-row recency-horizon broadcast",
+    "q249_t_closeness" -> "1-row global-total broadcast (bigN normalizer)",
     // the |classes|-row (≤5) model-constants grid attached to each test
     // doc — bounded metadata, the q161 normalizer pattern one row wider
     "q189_naive_bayes" -> "|classes|-row model-constant grid broadcast",

@@ -181,35 +181,49 @@ object StatsOps {
     }
   }
 
-  /** Per-GROUP exact percentiles via GROUPED global rank — the q47
-    * counterpart of [[exactQuantilesByRank]]: one
-    * `GlobalRank.withRankInGroups` pass (range-partitioned, no
-    * per-group value-count buffer, no giant per-group sort task), a
-    * broadcast join against the |groups|·2·|ps|-row wanted-rank table,
-    * and the same Percentile interpolation per group on the driver.
-    * Returns group → rounded boundaries. Group cardinality is assumed
-    * bounded (the boundaries are driver metadata) — the q47 shape.
+  /** Per-GROUP exact percentiles from VALUE-CLASS order statistics —
+    * the q47 counterpart of [[exactQuantilesByRank]]: rank→value is a
+    * CLASS property (every row of a tied value is interchangeable at
+    * any rank), so the order statistic at rank r is simply the class
+    * whose exclusive prefix count C satisfies C < r ≤ C + cnt. ONE
+    * map-side-combined aggregation reduces the corpus to the
+    * (group, value, cnt) class table; a
+    * `GlobalRank.withPrefixSumInGroups` pass over THAT table (pinned —
+    * the machinery evaluates its input 4×) assigns the prefix counts
+    * with no per-group value-count buffer and no giant per-group sort;
+    * a broadcast wanted-rank range join picks the ≤ |groups|·2·|ps|
+    * classes holding the order statistics; Percentile's own
+    * interpolation runs on the driver. (The previous form ranked every
+    * ROW — a corpus-wide rank pass and 5 corpus evaluations per call;
+    * this touches the corpus once.) Returns group → rounded boundaries.
+    * Group cardinality is assumed bounded (the boundaries are driver
+    * metadata) — the q47 shape.
     */
   private[graft] def exactGroupQuantilesByRank(df: DataFrame,
       groupCol: String, valueCol: String, ps: Seq[Double])
       : Map[String, (Long, Seq[Double])] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(groupCol).cast("string").as("g"),
-      col(valueCol).cast("double").as("v"))
-    val counts = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val cls = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val counts = cls.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ranked = graft.operators.GlobalRank
-      .withRankInGroups(base, "rk", col("g"), col("v"))
+    val pre = graft.operators.GlobalRank
+      .withPrefixSumInGroups(cls, "c", col("cnt"), col("g"), col("v"))
     def posOf(n: Long) = ps.map(p => p * (n - 1))
     val wantedDf = counts.toSeq.flatMap { case (g, n) =>
       posOf(n).flatMap(pos => Seq(math.floor(pos).toLong + 1,
         math.ceil(pos).toLong + 1)).distinct.map(g -> _)
-    }.toDF("g", "rk")
-    val atRank = ranked.join(broadcast(wantedDf), Seq("g", "rk"))
-      .groupBy(col("g"), col("rk")).agg(min(col("v")).as("v"))
+    }.toDF("wg", "rk")
+    val atRank = pre.join(broadcast(wantedDf),
+        col("g") === col("wg") && col("rk") > col("c") &&
+          col("rk") <= col("c") + col("cnt"))
+      .select(col("g"), col("rk"), col("v"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cls)
     counts.map { case (g, n) =>
       g -> (n, posOf(n).map { pos =>
         val lo = atRank((g, math.floor(pos).toLong + 1))
