@@ -1,72 +1,100 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Throwaway experiment harness (round 8): stage-by-stage timing of
-  * jaccardPrefixJoin on the dup-saturated corpus.
+/** Throwaway experiment (round 8): A/B the per-row grouped-rank
+  * percentile form vs the value-class prefix-sum form on sf0.1.
   */
 object Scratch {
+
+  // the pre-round-8 per-row form
+  private def perRow(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): Map[String, (Long, Seq[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).cast("double").as("v"))
+    val counts = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ranked = graft.operators.GlobalRank
+      .withRankInGroups(base, "rk", col("g"), col("v"))
+    def posOf(n: Long) = ps.map(p => p * (n - 1))
+    val wantedDf = counts.toSeq.flatMap { case (g, n) =>
+      posOf(n).flatMap(pos => Seq(math.floor(pos).toLong + 1,
+        math.ceil(pos).toLong + 1)).distinct.map(g -> _)
+    }.toDF("g", "rk")
+    val atRank = ranked.join(broadcast(wantedDf), Seq("g", "rk"))
+      .groupBy(col("g"), col("rk")).agg(min(col("v")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    counts.map { case (g, n) =>
+      g -> (n, posOf(n).map { pos =>
+        val lo = atRank((g, math.floor(pos).toLong + 1))
+        val hi = atRank((g, math.ceil(pos).toLong + 1))
+        BigDecimal(java.math.BigDecimal.valueOf(
+            lo + (hi - lo) * (pos - math.floor(pos))))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      })
+    }
+  }
+
+  // pre-round-8 ungrouped per-row form
+  private def perRowU(df: DataFrame, valueCol: String,
+      ps: Seq[Double]): Seq[Double] = {
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+    val n = vals.count()
+    val positions = ps.map(p => p * (n - 1))
+    val wanted = positions
+      .flatMap(pos => Seq(math.floor(pos).toLong + 1,
+        math.ceil(pos).toLong + 1)).distinct
+    val ranked = graft.operators.GlobalRank.withRank(vals, "rk", col("v"))
+    val atRank = ranked.filter(col("rk").isin(wanted: _*))
+      .groupBy(col("rk")).agg(min(col("v")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    positions.map { pos =>
+      val lo = atRank(math.floor(pos).toLong + 1)
+      val hi = atRank(math.ceil(pos).toLong + 1)
+      BigDecimal(java.math.BigDecimal.valueOf(
+          lo + (hi - lo) * (pos - math.floor(pos))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/tmp/sfbig")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val d = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    def t[A](name: String)(f: => A): A = {
+    val li = Tables(spark, d, "lineitem")
+    li.count()
+    def once(mode: String): Double = {
       val t0 = System.nanoTime()
-      val r = f
-      println(f"STAGE $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+      val r = mode match {
+        case "perRowU" => perRowU(li, "l_extendedprice", Seq(0.05, 0.95))
+        case "classU" => graft.queries.StatsOps
+          .exactQuantilesByRank(li, "l_extendedprice", Seq(0.05, 0.95))
+      }
+      require(r.nonEmpty)
+      (System.nanoTime() - t0) / 1e9
     }
-
-    val tcap = 0.5
-    val ex = graft.queries.ShingleCache.hashed(spark, d)
-    t("warm-cache") { ex.count() }
-    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val prefix = ex.join(dfreq, "h")
-      .withColumn("pos", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("pos") <= col("n") - ceil(col("n") * lit(tcap)) + 1)
-      .select(col("h"), col("doc_id"), col("pos"), col("n"))
-    t("prefix-index") { println("  prefix rows=" + prefix.count()) }
-    val pairs = prefix
-      .groupBy(col("h"))
-      .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("pos"), col("n")))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |                a.pos AS pos_a, b.pos AS pos_b,
-          |                a.n AS na, b.n AS nb))))""".stripMargin))
-        .as("p"))
-      .select(col("p.*"))
-    t("pair-gen") { println("  pair rows=" + pairs.count()) }
-    val alpha = ceil(lit(tcap / (1 + tcap)) * (col("na") + col("nb")) - lit(1e-9))
-    val cand = pairs.groupBy(col("doc_a"), col("doc_b"))
-      .agg(min(col("pos_a")).as("pa"), min(col("pos_b")).as("pb"),
-        min(col("na")).as("na"), min(col("nb")).as("nb"))
-      .filter(least(col("na"), col("nb")) >= alpha &&
-        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
-      .select(col("doc_a"), col("doc_b"))
-    t("candidates") { println("  cand rows=" + cand.count()) }
-    val sh = graft.queries.ShingleCache.arrays(spark, d)
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val out = cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    t("verify") { println("  out rows=" + out.count()) }
+    val modes = Seq("perRowU", "classU")
+    modes.foreach(once)
+    val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to 5).foreach(_ => modes.foreach(m => acc(m) = once(m) :: acc(m)))
+    val pa = perRowU(li, "l_extendedprice", Seq(0.05, 0.95))
+    val pb = graft.queries.StatsOps.exactQuantilesByRank(
+      li, "l_extendedprice", Seq(0.05, 0.95))
+    println(s"PARITY ${pa == pb}")
+    modes.foreach { m =>
+      val ts = acc(m).sorted
+      println(f"MODE $m%-8s min ${ts.head}%.2f med ${ts(ts.size / 2)}%.2f " +
+        ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
+    }
     spark.stop()
   }
 }

@@ -233,14 +233,42 @@ object GlobalRank {
       "withPrefixSumInGroups: group column must be bare (no .asc/.desc); " +
         "sort direction applies to the key columns only")
     val w = weight.cast("long")
-    val parts: Seq[(Column, Boolean)] =
-      (group +: keys).map(ColumnBridge.splitSortOrder)
+    val g = withPrefixSum(df, "__gp_gps", weight, (group +: keys): _*)
+    // group totals → exclusive group offsets; NULL group ranks first
+    // (offset 0 by the NULLS FIRST argument of withRankInGroups), so the
+    // join stays a plain === equi-join + left/coalesce
+    val goffs = df.groupBy(group.as("__gp_g"))
+      .agg(sum(w).as("__gp_n"))
+      .withColumn("__gp_goff",
+        coalesce(
+          sum(col("__gp_n")).over(
+            Window.orderBy(col("__gp_g"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__gp_g"), col("__gp_goff"))
+    g.join(broadcast(goffs), group === col("__gp_g"), "left")
+      .withColumn(sumCol,
+        col("__gp_gps") - coalesce(col("__gp_goff"), lit(0L)))
+      .drop("__gp_g", "__gp_goff", "__gp_gps")
+  }
+
+  /** GLOBAL distributed EXCLUSIVE prefix sum of `weight` (cast to long)
+    * in `keys` order — `sum(w) OVER (ORDER BY keys ROWS UNBOUNDED
+    * PRECEDING TO -1)` without the single-partition window: the
+    * [[withRank]] machinery with running sums instead of row numbers
+    * (withRank IS the weight≡1 inclusive special case, off by the
+    * row's own weight). Same determinism contract (unique key tuples).
+    */
+  def withPrefixSum(df: DataFrame, sumCol: String, weight: Column,
+      keys: Column*): DataFrame = {
+    val w = weight.cast("long")
+    val parts: Seq[(Column, Boolean)] = keys.map(ColumnBridge.splitSortOrder)
     val bucketed = df.withColumn("__gp_pid", bucketExpr(df, parts))
     val local = bucketed.withColumn("__gp_lps",
       coalesce(
         sum(w).over(
           Window.partitionBy(col("__gp_pid"))
-            .orderBy((group +: keys): _*)
+            .orderBy(keys: _*)
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
     // bucket totals derived from the windowed branch so both consumers
@@ -255,25 +283,8 @@ object GlobalRank {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__gp_pid").as("__gp_opid"), col("__gp_off"))
-    val glob = local
-      .join(broadcast(offsets), col("__gp_pid") === col("__gp_opid"))
-    // group totals → exclusive group offsets; NULL group ranks first
-    // (offset 0 by the NULLS FIRST argument of withRankInGroups), so the
-    // join stays a plain === equi-join + left/coalesce
-    val goffs = df.groupBy(group.as("__gp_g"))
-      .agg(sum(w).as("__gp_n"))
-      .withColumn("__gp_goff",
-        coalesce(
-          sum(col("__gp_n")).over(
-            Window.orderBy(col("__gp_g"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__gp_g"), col("__gp_goff"))
-    glob.join(broadcast(goffs), group === col("__gp_g"), "left")
-      .withColumn(sumCol,
-        col("__gp_lps") + col("__gp_off")
-          - coalesce(col("__gp_goff"), lit(0L)))
-      .drop("__gp_pid", "__gp_lps", "__gp_opid", "__gp_off",
-        "__gp_g", "__gp_goff")
+    local.join(broadcast(offsets), col("__gp_pid") === col("__gp_opid"))
+      .withColumn(sumCol, col("__gp_lps") + col("__gp_off"))
+      .drop("__gp_pid", "__gp_lps", "__gp_opid", "__gp_off")
   }
 }

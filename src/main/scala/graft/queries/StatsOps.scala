@@ -159,8 +159,18 @@ object StatsOps {
     */
   private[graft] def exactQuantilesByRank(df: DataFrame, valueCol: String,
       ps: Seq[Double]): Seq[Double] = {
-    val vals = df.select(col(valueCol).cast("double").as("v"))
-    val n = vals.count()
+    // VALUE-CLASS order statistics (round 8, the stats_pctl_rank
+    // argument): rank→value is a class property, so one
+    // map-side-combined (value, cnt) aggregation + a prefix-sum pass
+    // over the CLASS table + a narrow wanted-rank filter replace the
+    // per-row corpus rank pass — the corpus is touched once.
+    val cls = df.select(col(valueCol).cast("double").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val n = cls.agg(sum(col("cnt"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     require(n > 0, "exactQuantilesByRank needs a non-empty input")
     // 0-based fractional positions — Spark Percentile / DuckDB
     // quantile_cont both interpolate at pos = p · (n − 1)
@@ -168,10 +178,19 @@ object StatsOps {
     val wanted = positions
       .flatMap(pos => Seq(math.floor(pos).toLong + 1,
         math.ceil(pos).toLong + 1)).distinct
-    val ranked = graft.operators.GlobalRank.withRank(vals, "rk", col("v"))
-    val atRank = ranked.filter(col("rk").isin(wanted: _*))
-      .groupBy(col("rk")).agg(min(col("v")).as("v"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pre = graft.operators.GlobalRank
+      .withPrefixSum(cls, "c", col("cnt"), col("v"))
+    // the class holding rank r satisfies c < r ≤ c + cnt
+    val hit = wanted.map(r =>
+      col("c") < lit(r) && lit(r) <= col("c") + col("cnt"))
+      .reduce(_ || _)
+    val classes = pre.filter(hit)
+      .select(col("v"), col("c"), col("cnt")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cls)
+    val atRank = wanted.map { r =>
+      r -> classes.find { case (_, c, cnt) => c < r && r <= c + cnt }.get._1
+    }.toMap
     positions.map { pos =>
       val lo = atRank(math.floor(pos).toLong + 1)
       val hi = atRank(math.ceil(pos).toLong + 1)

@@ -196,6 +196,18 @@ class TemporalOpsSpec extends SparkSpec {
         bhj.mkString("\n"))
   }
 
+  test("withPrefixSum equals the global windowed running sum") {
+    val df = spark.range(0, 700).repartition(6)
+      .select((col("id") * 2654435761L % 1000003L).as("k"),
+        (col("id") % 5 + 1).as("w"))
+    val got = GlobalRank.withPrefixSum(df, "ps", col("w"), col("k"))
+    val want = df.withColumn("ps",
+      coalesce(sum(col("w")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assert(got.select("k", "w", "ps").except(want).isEmpty)
+    assert(want.except(got.select("k", "w", "ps")).isEmpty)
+  }
+
   test("withPrefixSumInGroups equals the windowed running sum, " +
       "NULL group included; direction-wrapped group refused") {
     val df = spark.range(0, 900).repartition(7)
