@@ -99,7 +99,7 @@ object PlanAudit {
       "text_bpe_fertility", "stats_pctl_rank", "stats_mwu_rank",
       // round-7/8 additions
       "q248_holt_winters", "stream_holt_winters", "q249_t_closeness",
-      "q250_emd_drift", "stream_emd_drift", "conc_globalrank",
+      "q250_emd_drift", "stream_emd_drift", "conc_globalrank", "q252_hill_tail",
       "sim_ann_serve", "dedup_jaccard_prefix")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)

@@ -32,6 +32,11 @@ object StatsOps {
 
   private val dec = DecimalType(18, 4)
 
+  /** Order statistics the q252 Hill estimator averages over (the top
+    * k+1 values per group feed the estimate).
+    */
+  private[graft] val HillK = 50
+
   /** q102 cutoff: |z| above this is an outlier. */
   val ZCutoff = 2.5
 
@@ -331,6 +336,45 @@ object StatsOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "q102_outliers" -> ((s, d) => outliers(Tables(s, d, "events"))),
+
+      // q252 Hill tail-index per event type [Hill, Ann. Stat. 1975] —
+      // the heavy-tail detector a corpus pipeline runs on length/value
+      // distributions before trusting means and budgets: γ̂ = (1/k)
+      // Σ_{i≤k} (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) over the k+1 LARGEST values,
+      // tail exponent α = 1/γ̂ (α ≤ 2 → infinite variance). Scale
+      // shape: the ONLY corpus work is one TopKAgg aggregation —
+      // (k+1)-bounded sorted buffers with map-side combine, shuffle
+      // carries ≤ k+1 rows per (type, mapper), no per-group sort, no
+      // window (q6's window form would single-task each type at 100
+      // TB). Everything after runs on |types|·(k+1) values. Ties are
+      // harmless (the top-(k+1) VALUE multiset is deterministic);
+      // ln terms are rounded once to 8 dp then summed DECIMALLY, so
+      // the fold is order-independent and both engines hash-agree.
+      // Types with ≤ k positive values carry no tail estimate and are
+      // excluded (both engines).
+      "q252_hill_tail" -> ((s, d) => {
+        val k = HillK
+        val top = Tables(s, d, "events")
+          .filter(col("value") > 0)
+          .select(col("event_type"), col("value"))
+          .groupBy(col("event_type"))
+          .agg(graft.functions.topk.top_k(
+            struct((-col("value")).as("nv")), k + 1).as("t"))
+        top
+          .select(col("event_type"),
+            expr("transform(t, x -> -x.nv)").as("vs"))
+          .filter(size(col("vs")) === k + 1)
+          .withColumn("g",
+            expr(s"""CAST(aggregate(slice(vs, 1, $k),
+                 |  CAST(0 AS DECIMAL(28, 8)),
+                 |  (acc, v) -> CAST(acc + CAST(round(
+                 |      ln(v) - ln(element_at(vs, ${k + 1})), 8)
+                 |    AS DECIMAL(18, 8)) AS DECIMAL(28, 8)))
+                 |AS DOUBLE)""".stripMargin) / k)
+          .select(col("event_type"),
+            round(col("g"), 6).as("hill_gamma"),
+            round(lit(1.0) / col("g"), 6).as("tail_alpha"))
+      }),
 
       "q106_eqdepth_hist" -> ((s, d) =>
         eqDepthHistogram(Tables(s, d, "lineitem"), "l_extendedprice")),
@@ -633,6 +677,29 @@ object StatsOps {
       }))
 
   def oracle: Map[String, String] = Map(
+    // row_number's tiebreak at the boundary is arbitrary in BOTH
+    // engines, but the top-(k+1) VALUE multiset it selects is not —
+    // ties are interchangeable, so the estimate hash-agrees
+    "q252_hill_tail" ->
+      s"""WITH pos AS (SELECT event_type, value FROM events
+         |  WHERE value > 0),
+         |r AS (SELECT event_type, value, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY value DESC) AS rk
+         |  FROM pos),
+         |t AS (SELECT event_type, value, rk FROM r
+         |  WHERE rk <= ${HillK + 1}),
+         |n AS (SELECT event_type, COUNT(*) AS nt,
+         |    MAX(CASE WHEN rk = ${HillK + 1} THEN value END) AS xk
+         |  FROM t GROUP BY 1),
+         |h AS (SELECT t.event_type,
+         |    CAST(SUM(CAST(round(ln(t.value) - ln(n.xk), 8)
+         |      AS DECIMAL(18, 8))) AS DOUBLE) / ${HillK} AS g
+         |  FROM t JOIN n USING (event_type)
+         |  WHERE t.rk <= ${HillK} AND n.nt = ${HillK + 1}
+         |  GROUP BY t.event_type)
+         |SELECT event_type, round(g, 6) AS hill_gamma,
+         |  round(1.0 / g, 6) AS tail_alpha
+         |FROM h""".stripMargin,
     "q202_winsorize" ->
       """WITH b AS (SELECT
         |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,

@@ -255,4 +255,39 @@ class StatsOpsSpec extends SparkSpec {
         s"pair $k: estimate $er vs exact $ex")
     }
   }
+
+  test("q252 Hill estimator recovers the exact geometric-tail slope") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // top values geometric: v_i = 2^(51-i) -> ln v_i - ln v_51 =
+    // (51-i)ln2; gamma = ln2 * (50+...+1)/50 = 25.5*ln2. Pad each type
+    // with sub-1 values that lose the top-51 race but keep value > 0.
+    val k = 50
+    val rows =
+      (1 to k + 1).map(i => math.pow(2.0, (k + 1 - i).toDouble)) ++
+      (1 to 20).map(i => 0.5 / i)
+    val ev = rows.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 08:00:00"), i.toLong,
+        "t", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hill")
+      .toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = StatsOps.queries("q252_hill_tail")(spark, dir).collect()
+    assert(r.length === 1)
+    val gamma = r.head.getAs[Double]("hill_gamma")
+    val want = 25.5 * math.log(2.0)
+    assert(math.abs(gamma - want) < 1e-5, s"$gamma vs $want")
+    assert(math.abs(r.head.getAs[Double]("tail_alpha") - 1.0 / gamma)
+      < 1e-6)
+    // a type with <= k positive values carries no estimate
+    val few = (1 to 30).map(i =>
+      (100L + i, Timestamp.valueOf("2024-01-05 08:00:00"), i.toLong,
+        "few", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.unionByName(few).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val r2 = StatsOps.queries("q252_hill_tail")(spark, dir).collect()
+    assert(r2.map(_.getString(0)).toSet === Set("t"))
+  }
 }
