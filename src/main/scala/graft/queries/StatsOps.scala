@@ -172,37 +172,41 @@ object StatsOps {
     val cls = df.select(col(valueCol).cast("double").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val n = cls.agg(sum(col("cnt"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-    require(n > 0, "exactQuantilesByRank needs a non-empty input")
-    // 0-based fractional positions — Spark Percentile / DuckDB
-    // quantile_cont both interpolate at pos = p · (n − 1)
-    val positions = ps.map(p => p * (n - 1))
-    val wanted = positions
-      .flatMap(pos => Seq(math.floor(pos).toLong + 1,
-        math.ceil(pos).toLong + 1)).distinct
-    val pre = graft.operators.GlobalRank
-      .withPrefixSum(cls, "c", col("cnt"), col("v"))
-    // the class holding rank r satisfies c < r ≤ c + cnt
-    val hit = wanted.map(r =>
-      col("c") < lit(r) && lit(r) <= col("c") + col("cnt"))
-      .reduce(_ || _)
-    val classes = pre.filter(hit)
-      .select(col("v"), col("c"), col("cnt")).collect()
-      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cls)
-    val atRank = wanted.map { r =>
-      r -> classes.find { case (_, c, cnt) => c < r && r <= c + cnt }.get._1
-    }.toMap
-    positions.map { pos =>
-      val lo = atRank(math.floor(pos).toLong + 1)
-      val hi = atRank(math.ceil(pos).toLong + 1)
-      BigDecimal(java.math.BigDecimal.valueOf(
-          lo + (hi - lo) * (pos - math.floor(pos))))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
+    // try/finally so the pinned class table is released even when the
+    // empty-input require (or any downstream failure) throws — the
+    // checkpoint otherwise leaks executor storage for the session
+    try {
+      val n = cls.agg(sum(col("cnt"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      require(n > 0, "exactQuantilesByRank needs a non-empty input")
+      // 0-based fractional positions — Spark Percentile / DuckDB
+      // quantile_cont both interpolate at pos = p · (n − 1)
+      val positions = ps.map(p => p * (n - 1))
+      val wanted = positions
+        .flatMap(pos => Seq(math.floor(pos).toLong + 1,
+          math.ceil(pos).toLong + 1)).distinct
+      val pre = graft.operators.GlobalRank
+        .withPrefixSum(cls, "c", col("cnt"), col("v"))
+      // the class holding rank r satisfies c < r ≤ c + cnt
+      val hit = wanted.map(r =>
+        col("c") < lit(r) && lit(r) <= col("c") + col("cnt"))
+        .reduce(_ || _)
+      val classes = pre.filter(hit)
+        .select(col("v"), col("c"), col("cnt")).collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      val atRank = wanted.map { r =>
+        r -> classes.find { case (_, c, cnt) => c < r && r <= c + cnt }.get._1
+      }.toMap
+      positions.map { pos =>
+        val lo = atRank(math.floor(pos).toLong + 1)
+        val hi = atRank(math.ceil(pos).toLong + 1)
+        BigDecimal(java.math.BigDecimal.valueOf(
+            lo + (hi - lo) * (pos - math.floor(pos))))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    } finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cls)
   }
 
   /** Per-GROUP exact percentiles from VALUE-CLASS order statistics —
@@ -232,31 +236,33 @@ object StatsOps {
         col(valueCol).cast("double").as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val counts = cls.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val pre = graft.operators.GlobalRank
-      .withPrefixSumInGroups(cls, "c", col("cnt"), col("g"), col("v"))
-    def posOf(n: Long) = ps.map(p => p * (n - 1))
-    val wantedDf = counts.toSeq.flatMap { case (g, n) =>
-      posOf(n).flatMap(pos => Seq(math.floor(pos).toLong + 1,
-        math.ceil(pos).toLong + 1)).distinct.map(g -> _)
-    }.toDF("wg", "rk")
-    val atRank = pre.join(broadcast(wantedDf),
-        col("g") === col("wg") && col("rk") > col("c") &&
-          col("rk") <= col("c") + col("cnt"))
-      .select(col("g"), col("rk"), col("v"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cls)
-    counts.map { case (g, n) =>
-      g -> (n, posOf(n).map { pos =>
-        val lo = atRank((g, math.floor(pos).toLong + 1))
-        val hi = atRank((g, math.ceil(pos).toLong + 1))
-        BigDecimal(java.math.BigDecimal.valueOf(
-            lo + (hi - lo) * (pos - math.floor(pos))))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      })
-    }
+    // try/finally: release the pinned class table on ANY exit path
+    try {
+      val counts = cls.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val pre = graft.operators.GlobalRank
+        .withPrefixSumInGroups(cls, "c", col("cnt"), col("g"), col("v"))
+      def posOf(n: Long) = ps.map(p => p * (n - 1))
+      val wantedDf = counts.toSeq.flatMap { case (g, n) =>
+        posOf(n).flatMap(pos => Seq(math.floor(pos).toLong + 1,
+          math.ceil(pos).toLong + 1)).distinct.map(g -> _)
+      }.toDF("wg", "rk")
+      val atRank = pre.join(broadcast(wantedDf),
+          col("g") === col("wg") && col("rk") > col("c") &&
+            col("rk") <= col("c") + col("cnt"))
+        .select(col("g"), col("rk"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      counts.map { case (g, n) =>
+        g -> (n, posOf(n).map { pos =>
+          val lo = atRank((g, math.floor(pos).toLong + 1))
+          val hi = atRank((g, math.ceil(pos).toLong + 1))
+          BigDecimal(java.math.BigDecimal.valueOf(
+              lo + (hi - lo) * (pos - math.floor(pos))))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        })
+      }
+    } finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cls)
   }
 
   /** q202 / stats_approx_winsorize shared body — see the queries-map

