@@ -85,19 +85,35 @@ object SortedBoundaryBucket {
     */
   def apply(parts: Seq[(Column, Boolean)], schema: StructType,
       boundaries: Seq[Seq[Any]]): Column = {
+    val conv = internalConverter(schema)
+    val rows: Array[InternalRow] = boundaries.map(conv).toArray
+    ColumnBridge.column(SortedBoundaryBucket(
+      CreateStruct(parts.map(p => ColumnBridge.expression(p._1))),
+      rows, internalOrdering(schema, parts.map(_._2))))
+  }
+
+  /** External key tuple → InternalRow under `schema` (driver-side). */
+  private[graft] def internalConverter(schema: StructType)
+      : Seq[Any] => InternalRow = {
     val convs = schema.fields
       .map(f => CatalystTypeConverters.createToCatalystConverter(f.dataType))
-    val rows: Array[InternalRow] = boundaries.map { b =>
-      new GenericInternalRow(
-        b.zip(convs).map { case (v, c) => c(v) }.toArray)
-    }.toArray
+    b => new GenericInternalRow(
+      b.zip(convs).map { case (v, c) => c(v) }.toArray)
+  }
+
+  /** The bucketing ordering: per-field direction, NULLS FIRST on every
+    * field regardless of direction (the when-chain null corner — see
+    * the class scaladoc). Shared between the expression and GlobalRank's
+    * driver-side sample sort so boundaries and bucket ids agree by
+    * construction.
+    */
+  private[graft] def internalOrdering(schema: StructType,
+      ascending: Seq[Boolean]): BaseOrdering = {
     val sortOrders = schema.fields.toIndexedSeq.zipWithIndex.map {
       case (f, i) =>
         SortOrder(BoundReference(i, f.dataType, nullable = true),
-          if (parts(i)._2) Ascending else Descending, NullsFirst, Seq.empty)
+          if (ascending(i)) Ascending else Descending, NullsFirst, Seq.empty)
     }
-    ColumnBridge.column(SortedBoundaryBucket(
-      CreateStruct(parts.map(p => ColumnBridge.expression(p._1))),
-      rows, new InterpretedOrdering(sortOrders)))
+    new InterpretedOrdering(sortOrders)
   }
 }

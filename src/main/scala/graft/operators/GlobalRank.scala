@@ -65,12 +65,12 @@ object GlobalRank {
     * same deterministic id; boundary quality only affects bucket BALANCE,
     * never correctness. Rows with NULL key values bucket to 0.
     */
-  private def bucketExpr(df: DataFrame,
-      parts: Seq[(Column, Boolean)]): Column = {
+  private def bucketExpr(df: DataFrame, parts: Seq[(Column, Boolean)],
+      knownCount: Option[Long] = None): Column = {
     val spark = df.sparkSession
     val buckets = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val n = df.count()
+    val n = knownCount.getOrElse(df.count())
     val plain = parts.zipWithIndex.map { case ((c, _), i) =>
       c.as(s"__gr_b$i") }
     val keyed = df.select(plain: _*)
@@ -79,19 +79,26 @@ object GlobalRank {
       else {
         val fraction =
           math.min(1.0, (buckets.toLong * SamplePerBucket).toDouble / n)
-        val order = parts.zipWithIndex.map { case ((_, asc), i) =>
-          if (asc) col(s"__gr_b$i") else col(s"__gr_b$i").desc }
-        // the sort runs over the SAMPLE only (≤ 64 × buckets rows)
+        // the sample is ≤ 64 × buckets rows of KB metadata — sorted on
+        // the DRIVER (round 9: the previous `.sort(order).collect()`
+        // paid a whole range exchange + distributed sort job for a
+        // KB-sized sample), under the SAME ordering the bucket-id
+        // expression applies, so boundaries and ids agree by
+        // construction
         val sample = keyed
           .sample(withReplacement = false, fraction, seed = 42L)
-          .sort(order: _*)
           .collect()
-        val m = sample.length
+        val ord = graft.functions.SortedBoundaryBucket
+          .internalOrdering(keyed.schema, parts.map(_._2))
+        val conv = graft.functions.SortedBoundaryBucket
+          .internalConverter(keyed.schema)
+        val sorted = sample.map(_.toSeq).sortBy(conv)(ord)
+        val m = sorted.length
         if (m == 0) Seq.empty
         else (1 until buckets)
           .map(i => ((i.toLong * m) / buckets).toInt.min(m - 1))
           .distinct
-          .map(sample(_).toSeq)
+          .map(sorted(_))
           .filter(_.forall(_ != null)) // null boundaries can't compare
           .distinct
       }
@@ -106,27 +113,41 @@ object GlobalRank {
     else graft.functions.SortedBoundaryBucket(parts, keyed.schema, boundaries)
   }
 
-  /** Append a 1-based dense global row number named `rankCol`, ordered by
-    * `keys` (which must be unique as a tuple for a deterministic result).
+  /** Is re-evaluating this input cheap — a narrow scan, a cache hit, or
+    * a (lineage-truncating) checkpoint? Decides the offsets-branch shape
+    * below and gates the multiple-evaluation advisory.
     */
-  def withRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
-    val spark = df.sparkSession
-    // advisory: the input plan is evaluated up to four times (count,
-    // sample, rank branch, offsets branch). For a narrow scan that is
-    // the cheap case by definition; for a derived relation with a
-    // shuffle in its lineage the upstream cost multiplies — warn unless
-    // the caller pinned it (cache/persist or a checkpoint, which both
-    // collapse the lineage). rfm_globalrank pins; q160 ranks a scan.
+  private def reEvalCheap(df: DataFrame): Boolean = {
     val hasShuffleWork = df.queryExecution.optimizedPlan.collectFirst {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }.isDefined
-    lazy val cached = spark.sharedState.cacheManager
+    !hasShuffleWork || df.sparkSession.sharedState.cacheManager
       .lookupCachedData(
         df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
       .isDefined
-    if (hasShuffleWork && !cached)
+  }
+
+  /** Append a 1-based dense global row number named `rankCol`, ordered by
+    * `keys` (which must be unique as a tuple for a deterministic result).
+    */
+  def withRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame =
+    withRankN(df, rankCol, None, keys: _*)
+
+  /** [[withRank]] with a caller-known row count — skips the machinery's
+    * own count job (rfm_globalrank already counted its pinned base).
+    */
+  private[graft] def withRankN(df: DataFrame, rankCol: String,
+      knownCount: Option[Long], keys: Column*): DataFrame = {
+    // advisory: the input plan is evaluated several times (count,
+    // sample, rank branch, offsets branch). For a narrow scan that is
+    // the cheap case by definition; for a derived relation with a
+    // shuffle in its lineage the upstream cost multiplies — warn unless
+    // the caller pinned it (cache/persist or a checkpoint, which both
+    // collapse the lineage). rfm_globalrank pins; q160 ranks a scan.
+    val cheap = reEvalCheap(df)
+    if (!cheap)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn("GlobalRank.withRank input has a shuffle in its plan and " +
           "is not cached; it will be evaluated up to 4x — persist or " +
@@ -135,18 +156,29 @@ object GlobalRank {
     // SortOrder-wrapped columns (col.desc); the split happens at the
     // column-node level (Spark 4 wraps catalyst conversion lazily)
     val parts: Seq[(Column, Boolean)] = keys.map(ColumnBridge.splitSortOrder)
-    val bucketed = df.withColumn("__gr_pid", bucketExpr(df, parts))
+    val bucketed = df.withColumn("__gr_pid",
+      bucketExpr(df, parts, knownCount))
     val local = bucketed.withColumn("__gr_lrn",
       row_number().over(
         Window.partitionBy(col("__gr_pid")).orderBy(keys: _*)))
-    // bucket sizes DERIVED FROM THE RANKED BRANCH (max local rank ==
-    // bucket row count): both consumers then share the identical
-    // Exchange(__gr_pid) subtree, so ReuseExchange evaluates the input
-    // plan ONCE for the joined result — deriving sizes from `bucketed`
-    // directly would put a partial aggregate under the second exchange
-    // and force a full upstream re-evaluation
-    val offsets = local.groupBy(col("__gr_pid"))
-      .agg(max(col("__gr_lrn")).cast("long").as("__gr_cnt"))
+    // bucket sizes: when the input re-evaluates cheaply (scan / cache /
+    // checkpoint — every pinned caller), derive them from the UNRANKED
+    // branch: a map-side-combined count per bucket whose exchange is
+    // ≤ buckets² cells, instead of a SECOND full Sort+Window over the
+    // reused exchange output (round 9: this was the grouped-rank
+    // family's constant-factor regression). When re-evaluation is
+    // expensive (unpinned shuffle-bearing input), keep the round-8
+    // ranked-branch form: both consumers then share the identical
+    // Exchange(__gr_pid) subtree and ReuseExchange evaluates the input
+    // plan ONCE for the joined result.
+    val sizes =
+      if (cheap)
+        bucketed.groupBy(col("__gr_pid"))
+          .agg(count(lit(1)).as("__gr_cnt"))
+      else
+        local.groupBy(col("__gr_pid"))
+          .agg(max(col("__gr_lrn")).cast("long").as("__gr_cnt"))
+    val offsets = sizes
       .withColumn("__gr_off",
         coalesce(
           sum(col("__gr_cnt")).over(
@@ -271,11 +303,15 @@ object GlobalRank {
             .orderBy(keys: _*)
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    // bucket totals derived from the windowed branch so both consumers
-    // share the identical Exchange(__gp_pid) subtree (the withRank
-    // ReuseExchange discipline)
-    val offsets = local.groupBy(col("__gp_pid"))
-      .agg(sum(w).as("__gp_cnt"))
+    // bucket totals: unranked-branch aggregation when the input
+    // re-evaluates cheaply, windowed-branch (ReuseExchange) otherwise —
+    // the withRankN offsets rationale verbatim
+    val sizes =
+      if (reEvalCheap(df))
+        bucketed.groupBy(col("__gp_pid")).agg(sum(w).as("__gp_cnt"))
+      else
+        local.groupBy(col("__gp_pid")).agg(sum(w).as("__gp_cnt"))
+    val offsets = sizes
       .withColumn("__gp_off",
         coalesce(
           sum(col("__gp_cnt")).over(
@@ -286,5 +322,37 @@ object GlobalRank {
     local.join(broadcast(offsets), col("__gp_pid") === col("__gp_opid"))
       .withColumn(sumCol, col("__gp_lps") + col("__gp_off"))
       .drop("__gp_pid", "__gp_lps", "__gp_opid", "__gp_off")
+  }
+
+  /** [[withPrefixSumInGroups]] when the per-group totals are ALREADY
+    * driver metadata (bounded-group callers that collected them anyway:
+    * exactGroupQuantilesByRank's counts, the drift scaffold's per-type
+    * totals): the group offsets become per-row LITERAL arithmetic — a
+    * bounded when-chain on the group column — removing the goffs
+    * aggregation, its single-partition window, and its broadcast join
+    * from the plan entirely.
+    *
+    * `sortedTotals` must cover every group and be sorted ascending by
+    * group value with a NULL group (if any) FIRST — the same NULLS-FIRST
+    * order the rank pass uses, so exclusive prefix offsets line up (the
+    * withRankInGroups argument). A NULL group needs no chain arm: its
+    * offset is 0 by construction, which is what the chain's terminal
+    * otherwise(0) yields.
+    */
+  private[graft] def withPrefixSumInGroupsKnownTotals(df: DataFrame,
+      sumCol: String, weight: Column, group: Column,
+      sortedTotals: Seq[(Any, Long)], keys: Column*): DataFrame = {
+    require(!ColumnBridge.isSortOrderNode(group),
+      "withPrefixSumInGroupsKnownTotals: group column must be bare; " +
+        "sort direction applies to the key columns only")
+    val g = withPrefixSum(df, "__gp_gps", weight, (group +: keys): _*)
+    val offs = sortedTotals.map(_._2).scanLeft(0L)(_ + _).init
+    val offExpr = sortedTotals.zip(offs).foldLeft(lit(0L)) {
+      case (acc, ((gv, _), off)) =>
+        if (gv == null) acc // NULL group offset is 0 — the terminal arm
+        else when(group === lit(gv), lit(off)).otherwise(acc)
+    }
+    g.withColumn(sumCol, col("__gp_gps") - offExpr)
+      .drop("__gp_gps")
   }
 }

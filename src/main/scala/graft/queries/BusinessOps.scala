@@ -93,9 +93,11 @@ object BusinessOps {
       // the joins co-partition on o_custkey
       def rankOf(name: String, score: String, desc: Boolean) = {
         val key = if (desc) col(score).desc else col(score)
-        graft.operators.GlobalRank.withRank(
+        // n is already counted above — skip the machinery's count job
+        // (3 ranks × 1 job on the pinned base)
+        graft.operators.GlobalRank.withRankN(
           base.select(col("o_custkey"), col(score)),
-          name, key, col("o_custkey"))
+          name, Some(n), key, col("o_custkey"))
           .select(col("o_custkey"), col(name))
       }
       val ranked = base

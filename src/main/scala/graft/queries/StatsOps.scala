@@ -240,8 +240,15 @@ object StatsOps {
     try {
       val counts = cls.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // group totals are ALREADY driver metadata (bounded groups — the
+      // q47 contract), so the prefix pass takes them as literals instead
+      // of re-aggregating + broadcasting them (round-9 constant-factor
+      // recovery); NULL group (none here) would sort first
+      val sortedTotals: Seq[(Any, Long)] = counts.toSeq
+        .sortWith((a, b) => a._1 == null || (b._1 != null && a._1 < b._1))
       val pre = graft.operators.GlobalRank
-        .withPrefixSumInGroups(cls, "c", col("cnt"), col("g"), col("v"))
+        .withPrefixSumInGroupsKnownTotals(cls, "c", col("cnt"), col("g"),
+          sortedTotals, col("v"))
       def posOf(n: Long) = ps.map(p => p * (n - 1))
       val wantedDf = counts.toSeq.flatMap { case (g, n) =>
         posOf(n).flatMap(pos => Seq(math.floor(pos).toLong + 1,

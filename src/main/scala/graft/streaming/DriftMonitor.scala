@@ -59,12 +59,26 @@ object DriftMonitor {
     * input several times. Appends `cum` (inclusive) and `nr`.
     */
   private[graft] def cumulativeByValue(vc: DataFrame): DataFrame = {
-    val totals = vc.groupBy(col("event_type")).agg(sum(col("cr")).as("nr"))
-    graft.operators.GlobalRank.withPrefixSumInGroups(
-        vc, "__cum_pre", col("cr"), col("event_type"), col("value"))
+    // per-type totals are |types| rows — the same bounded-metadata
+    // contract as the broadcast boundary arrays — so collect them ONCE
+    // and feed both the prefix pass (literal group offsets, no goffs
+    // aggregation/window/broadcast join) and the `nr` column (literal
+    // chain, no totals broadcast join). NULL types (none in the events
+    // schema) sort first, matching the rank pass's NULLS FIRST order.
+    val totals: Seq[(Any, Long)] = vc.groupBy(col("event_type"))
+      .agg(sum(col("cr")).as("nr"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toSeq
+      .sortWith((a, b) => a._1 == null ||
+        (b._1 != null && a._1.asInstanceOf[String] < b._1.asInstanceOf[String]))
+    val nrExpr = totals.foldLeft(lit(0L)) { case (acc, (g, n)) =>
+      if (g == null) acc // NULL-type arm handled by when's null semantics
+      else when(col("event_type") === lit(g), lit(n)).otherwise(acc)
+    }
+    graft.operators.GlobalRank.withPrefixSumInGroupsKnownTotals(
+        vc, "__cum_pre", col("cr"), col("event_type"), totals, col("value"))
       .withColumn("cum", col("__cum_pre") + col("cr"))
       .drop("__cum_pre")
-      .join(broadcast(totals), "event_type")
+      .withColumn("nr", nrExpr)
   }
 
   /** Reference model: (event_type, bnds array[9], ref_counts array[10],

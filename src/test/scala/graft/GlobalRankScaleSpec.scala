@@ -71,6 +71,29 @@ class GlobalRankScaleSpec extends SparkSpec {
     assert(got((Some(3L), "m")) === 1)
   }
 
+  test("withPrefixSumInGroupsKnownTotals equals the aggregated-offsets " +
+      "form, NULL group included") {
+    import spark.implicits._
+    val df = spark.range(0, 900).repartition(7)
+      .select(when(col("id") % 4 === 0, lit(null).cast("string"))
+        .otherwise((col("id") % 4).cast("string")).as("g"),
+        (col("id") * 2654435761L % 1000003L).as("k"),
+        (col("id") % 7 + 1).as("w"))
+    val want = GlobalRank.withPrefixSumInGroups(df, "ps", col("w"),
+      col("g"), col("k")).select("g", "k", "w", "ps")
+    // totals collected the way a bounded-group caller would, sorted
+    // ascending with the NULL group first (the NULLS-FIRST contract)
+    val totals: Seq[(Any, Long)] = df.groupBy(col("g"))
+      .agg(sum(col("w")).as("n")).collect()
+      .map(r => (r.get(0), r.getLong(1))).toSeq
+      .sortWith((a, b) => a._1 == null || (b._1 != null &&
+        a._1.asInstanceOf[String] < b._1.asInstanceOf[String]))
+    val got = GlobalRank.withPrefixSumInGroupsKnownTotals(df, "ps",
+      col("w"), col("g"), totals, col("k")).select("g", "k", "w", "ps")
+    assert(got.count() === 900L)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("interpreted eval agrees with codegen for SortedBoundaryBucket") {
     import spark.implicits._
     val df = (0 until 500)
