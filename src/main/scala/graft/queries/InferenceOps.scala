@@ -94,9 +94,10 @@ object InferenceOps {
     // (|cumA·nB − cumB·nA|, exact — the division to a double happens
     // once, after the max), so the oracle hash-compares without any
     // float-accumulation discipline. Scale: the window sorts each
-    // type's distinct values in one task — at 100 TB on continuous
-    // values, pre-bucket to the q106 histogram grid (D error bounded
-    // by one bucket's mass); the exact form stays the gate.
+    // type's distinct values in one task on continuous values — the
+    // EXACT 100 TB form is stats_ks_rank below (packed two-arm prefix
+    // sum, bit-identical, same oracle); this window form stays as the
+    // oracle-shaped original, the q186/q187 twin discipline.
     "q188_ks_test" -> ((s, d) => {
       val vc = Tables(s, d, "events")
         .groupBy(col("event_type"), col("value"))
@@ -115,6 +116,61 @@ object InferenceOps {
         .select(col("event_type"), col("na"), col("nb"),
           round(col("dnum").cast("double") / (col("na") * col("nb")), 6)
             .as("ks_d"))
+    }),
+
+    // The 100 TB form of q188 — same oracle: the supremum only ever
+    // consumes the two INCLUSIVE cumulatives at each distinct value,
+    // and both ride ONE range-partitioned prefix pass by packing the
+    // per-class arm counts into a single long (w = ca·2^32 + cb): each
+    // arm's running count stays < 2^31 through ~2·10⁹ rows per arm —
+    // the q250 long-bound argument — so the packed running sum never
+    // carries between the two 32-bit fields and unpacks exactly
+    // (shift/mask). No per-type corpus-sized sort task anywhere; the
+    // per-type totals ride the same withPrefixSumInGroupsKnownTotals
+    // literals the drift scaffold uses. Bit-identical to q188
+    // (InferenceSpec) and hash-shares its oracle.
+    "stats_ks_rank" -> ((s, d) => {
+      // class table pinned (rfm checkpoint discipline): the prefix
+      // machinery evaluates its input several times
+      val cls = Tables(s, d, "events")
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint(true)
+      val packedW = col("ca") * lit(1L << 32) + col("cb")
+      val totals: Seq[(Any, Long)] = cls.groupBy(col("event_type"))
+        .agg(sum(packedW).as("t")).collect()
+        .map(r => r.get(0) -> r.getLong(1)).toSeq
+        .sortWith((a, b) => a._1 == null || (b._1 != null &&
+          a._1.asInstanceOf[String] < b._1.asInstanceOf[String]))
+      val naExpr = totals.foldLeft(lit(0L)) { case (acc, (g, t)) =>
+        if (g == null) acc
+        else when(col("event_type") === lit(g), lit(t >>> 32)).otherwise(acc)
+      }
+      val nbExpr = totals.foldLeft(lit(0L)) { case (acc, (g, t)) =>
+        if (g == null) acc
+        else when(col("event_type") === lit(g),
+          lit(t & ((1L << 32) - 1))).otherwise(acc)
+      }
+      val out = graft.operators.GlobalRank
+        .withPrefixSumInGroupsKnownTotals(cls, "ps", packedW,
+          col("event_type"), totals, col("value"))
+        // inclusive cumulatives: exclusive prefix + the class's own arm
+        // counts, unpacked by shift/mask
+        .withColumn("cuma", shiftright(col("ps"), 32) + col("ca"))
+        .withColumn("cumb",
+          col("ps").bitwiseAND(lit((1L << 32) - 1)) + col("cb"))
+        .withColumn("na", naExpr).withColumn("nb", nbExpr)
+        .groupBy(col("event_type"))
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+            .as("dnum"))
+        .select(col("event_type"), col("na"), col("nb"),
+          round(col("dnum").cast("double") / (col("na") * col("nb")), 6)
+            .as("ks_d"))
+        .localCheckpoint(true) // |types| rows
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cls)
+      out
     }),
 
     // q186 Mann-Whitney U (the nonparametric twin of q136's t-test):
@@ -489,6 +545,24 @@ object InferenceOps {
         |  round(((a - s * s / n) / (k - 1)) / ((q - a) / (n - k)), 6)
         |    AS f_stat
         |FROM t""".stripMargin,
+    // the scale twin shares q188's oracle verbatim — identical
+    // inclusive cumulatives (packed prefix unpacks exactly)
+    "stats_ks_rank" ->
+      """WITH vc AS (SELECT event_type, value,
+        |    COUNT(*) FILTER (user_id % 2 = 0) AS ca,
+        |    COUNT(*) FILTER (user_id % 2 <> 0) AS cb
+        |  FROM events GROUP BY event_type, value),
+        |c AS (SELECT event_type,
+        |    SUM(ca) OVER (PARTITION BY event_type ORDER BY value) AS cuma,
+        |    SUM(cb) OVER (PARTITION BY event_type ORDER BY value) AS cumb,
+        |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+        |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM vc)
+        |SELECT event_type, CAST(MAX(na) AS BIGINT) AS na,
+        |  CAST(MAX(nb) AS BIGINT) AS nb,
+        |  round(CAST(MAX(ABS(cuma * nb - cumb * na)) AS DOUBLE)
+        |    / (MAX(na) * MAX(nb)), 6) AS ks_d
+        |FROM c GROUP BY event_type""".stripMargin,
     "q188_ks_test" ->
       """WITH vc AS (SELECT event_type, value,
         |    COUNT(*) FILTER (user_id % 2 = 0) AS ca,

@@ -429,12 +429,18 @@ object TextAnalysis {
   /** Capstone 2: the FULL curation chain in one Catalyst plan — quality
     * scoring → filter → exact-dedup keeper selection → deterministic
     * 50% sample (md5 threshold, q50's primitive) → per-language token
-    * budget (q40's primitive). Stage costs: one narrow scoring pass, one
-    * dedup shuffle + keeper join, a free filter, one per-lang window —
-    * at 100 TB this is 3 shuffles end-to-end, each on a bounded key.
+    * budget via the q56 TWO-PASS form (histogram threshold estimate +
+    * exact boundary trim): the budget window runs over the
+    * budget-bounded candidate set, never the corpus — a plain per-lang
+    * cumulative here was the q40 coarse-group hazard (few langs → each
+    * lang one corpus-sized sort task at 100 TB; round 9). Stage costs:
+    * one narrow scoring pass, one dedup shuffle + keeper join, a free
+    * filter, one bounded-histogram shuffle, one window over ≤ budget +
+    * one-straddling-group rows.
     */
   private[graft] def fullCuration(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val budget = 4000L
     val scored = Tables(s, d, "documents")
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("tk"))
@@ -457,11 +463,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
     val sampled = deduped
       .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
+    // q56's threshold trick: the per-(lang, n_tokens) histogram is
+    // bounded by distinct doc lengths; its prefix walk finds the token
+    // count at which each lang's budget crosses, and only docs at or
+    // above that threshold (≤ budget tokens + the one straddling
+    // group) reach the exact cumulative window
+    val hist = sampled.groupBy(col("lang"), col("n_tokens"))
+      .agg(sum(col("n_tokens")).as("grp_tokens"))
+    val wHist = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thresholds = hist
+      .withColumn("prefix",
+        sum(col("grp_tokens")).over(wHist) - col("grp_tokens"))
+      .filter(col("prefix") < budget)
+      .groupBy(col("lang")).agg(min(col("n_tokens")).as("thr"))
+      .withColumnRenamed("lang", "t_lang")
+    val candidates = sampled
+      .join(broadcast(thresholds),
+        col("lang") === col("t_lang") && col("n_tokens") >= col("thr"))
+      .drop("t_lang", "thr")
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n_tokens").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sampled.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= 4000)
+    candidates.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
   }
 
   private def markerList(ws: Seq[String]): String =

@@ -298,4 +298,16 @@ class InferenceSpec extends SparkSpec {
     assert(window.nonEmpty && rank == window,
       s"grouped-rank MWU diverged: $rank vs $window")
   }
+
+  test("packed-prefix KS twin is bit-identical to the window form") {
+    // the packed ca·2^32 + cb running sum must unpack to the exact
+    // inclusive cumulatives the per-type window computed
+    def run(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val window = run("q188_ks_test")
+    val rank = run("stats_ks_rank")
+    assert(window.nonEmpty && rank == window,
+      s"packed-prefix KS diverged: $rank vs $window")
+  }
 }
