@@ -198,25 +198,41 @@ object ClassifyOps {
     * probability a random positive outranks a random negative
     * (Mann-Whitney U / (n⁺·n⁻), ties at half credit — exactly ROC-AUC
     * of the raw feature as a score). Cost shape: one melt (3 narrow
-    * unions of the same scan), one (feature, value) aggregation, one
-    * window over VALUE-GROUPS per feature (never rows), one rollup —
-    * value cardinality, not corpus, bounds the window. Every term is
-    * an integer or half-integer < 2⁵³, so the double sums are exact
-    * and order-independent — hash-comparable cross-engine with no
-    * decimal scaffolding. The cust_mod7 feature is a planted
-    * known-noise control (AUC ≈ 0.5), the spec's sanity anchor.
+    * unions of the same scan), one (feature, value) aggregation, then
+    * the exclusive "negatives below" count per class. On a CONTINUOUS
+    * feature the class table is ~corpus-sized and only ~3 features
+    * partition it, so a per-feature cumulative window would be the
+    * coarse-group single-task hazard (the psiGrid/q188 story, round 9)
+    * — the count rides GlobalRank's range-partitioned prefix sum
+    * instead, with the per-feature totals (bounded driver metadata,
+    * collected for the final agg's denominator anyway) as literal
+    * offsets. Every term is an integer or half-integer < 2⁵³, so the
+    * double sums are exact and order-independent — hash-comparable
+    * cross-engine with no decimal scaffolding. The cust_mod7 feature is
+    * a planted known-noise control (AUC ≈ 0.5), the spec's sanity
+    * anchor.
     */
   private[graft] def featureAuc(labeled: DataFrame): DataFrame = {
+    // pinned: the prefix machinery evaluates its input several times
     val g = labeled.groupBy(col("feature"), col("value"))
       .agg(sum(col("label")).as("np"),
         sum(lit(1L) - col("label")).as("nn"))
-    val w = Window.partitionBy(col("feature")).orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("nn_less", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .localCheckpoint(true)
+    val totals: Seq[(Any, Long)] = g.groupBy(col("feature"))
+      .agg(sum(col("nn")).as("t")).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toSeq
+      .sortWith((a, b) => a._1 == null || (b._1 != null &&
+        a._1.asInstanceOf[String] < b._1.asInstanceOf[String]))
+    val out = graft.operators.GlobalRank
+      .withPrefixSumInGroupsKnownTotals(g, "nn_less", col("nn"),
+        col("feature"), totals, col("value"))
       .groupBy(col("feature"))
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         round(sum(col("np") * (col("nn_less") + col("nn") / 2.0)) /
           (sum(col("np")) * sum(col("nn"))), 6).as("auc"))
+      .localCheckpoint(true) // |features| rows
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(g)
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
