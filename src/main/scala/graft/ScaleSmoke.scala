@@ -72,7 +72,14 @@ object ScaleSmoke {
       "stream_index_inc",
       // round-8 additions: the grouped-rank Gini twin and the
       // steady-state ANN serving shape both exist FOR their scale story
-      "conc_globalrank", "sim_ann_serve")
+      "conc_globalrank", "sim_ann_serve",
+      // round-9: the drift family and KS/AUC walks moved off their
+      // coarse-group windows onto the range-partitioned prefix sum —
+      // smoke the new shape; drift_qnorm_rank and the capstone's
+      // bounded budget window ride the 10x documents
+      "q220_psi_drift", "q250_emd_drift", "stats_ks_rank",
+      "q242_feature_auc", "drift_qnorm_rank", "q54_full_curation",
+      "stats_pctl_rank")
       // optional 2nd arg: comma-separated entry filter (local iteration)
       .filter(n => args.lift(1).forall(_.split(',').map(_.trim).contains(n)))
       .foreach { n =>
