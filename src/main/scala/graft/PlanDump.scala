@@ -74,7 +74,9 @@ object PlanDump {
       "q171_weighted_median" -> "DECIMAL cumulative-weight window ordered by (value, row key); the 2·cw ≥ tw cut replaces any global sort-and-pick",
       "q176_asof_native" -> "custom AsOfJoinExec: ClusteredDistribution + (keys, time) sort on both children, one O(|L|+|R|) merge per co-partition pair — the plan SortMergeJoin gets, with as-of semantics",
       "q175_overlap_score" -> "probe shingles broadcast (benchmark-suite-bounded); corpus side is one explode + left-outer count — the q57 shape emitting a fraction instead of a verdict",
-      "q188_ks_test" -> "corpus reduces to per-(type, value) arm counts in one pass; the CDF walk + integer supremum run over the value-cardinality table",
+      "q188_ks_test" -> "corpus reduces to per-(type, value) arm counts in one pass; the CDF walk + integer supremum run over the value-cardinality table (oracle-shaped original; stats_ks_rank is the scale form)",
+      "stats_ks_rank" -> "BOTH arm cumulatives ride one range-partitioned prefix pass: per-class counts packed into a single long (ca*2^32+cb, carry-free through ~2e9 rows/arm), per-type totals as literals — no per-type distinct-value sort task",
+      "drift_qnorm_rank" -> "q223's per-source rank windows replaced by grouped GlobalRank passes (range-partitioned); the BIGINT rank-profile agg and join-back unchanged",
       "q189_naive_bayes" -> "training = two grouped counting passes (vocab-bounded model); scoring joins test tf with the model on w + the 5-row class grid; per-doc argmax window",
       "q192_kcore" -> "round 1 is a plain degree filter; peels 2-3 are induced-subgraph semi-joins + map-side-combined counts — frontier-proportional, never the whole graph after round 1",
       "q193_mv_join_maintain" -> "only the DELTA rides the 3-table join pipeline; base + delta merge by summing aggregate state — the Gupta-Mumick rule as one plan",
@@ -83,10 +85,10 @@ object PlanDump {
       "q201_ctfidf" -> "one tokenize pass; tf/class-df/score aggregates all vocab-bounded; per-class top-10 window over vocab-sized input",
       "q204_quantize" -> "narrow per-row array fold (fixed left-to-right order) — map-only work fused behind the scan",
       "stats_wmedian_2pass" -> "pass 1: 64-bucket weight histogram (map-side combined); bucket walk over flags x 64 rows; pass 2 re-scans ONLY the located buckets and refines — exact q171 answer, no per-group corpus sort",
-      "rfm_globalrank" -> "three sampled-boundary GlobalRank passes + closed-form ntile from the gap-free rank — NO whole-relation single-partition window, no checkpoint pinning",
+      "rfm_globalrank" -> "three sampled-boundary GlobalRank passes (binary-search bucket ids, round 9) + closed-form ntile from the gap-free rank — NO whole-relation single-partition window; bucket sizes from the unranked branch (map-side-combined) on the pinned base",
       "q207_freq_triples" -> "Apriori L2 ⋈ L1 candidate join on the doc key — support-filtered pair hits bound the triple volume (anti-monotonicity), never tokens³",
       "q209_dsir_weights" -> "both n-gram distributions reduce to 256-row bounded tables; per-bucket log-ratios broadcast over ONE corpus feature pass — the whole selection model is KB metadata",
-      "q220_psi_drift" -> "one (type, value) arm-count shuffle; decile boundaries from the integer cum-walk over the distinct-value table; 9-double boundary arrays broadcast — bucketing is a narrow array filter, no join multiplier",
+      "q220_psi_drift" -> "one (type, value) arm-count shuffle (pinned); the reference cumulative rides the range-partitioned prefix sum (round 9 — the per-type window was each type as ONE corpus-sized sort task); 9-double boundary arrays broadcast — bucketing is a narrow array filter, no join multiplier",
       "q221_target_encode" -> "one grouped pass over orders⋈broadcast(customer); global-mean prior is a 1-row driver scalar; nation names broadcast",
       "q222_mann_kendall" -> "corpus reduces to the calendar-bounded daily table in ONE map-side-combined shuffle; the C(days,2) pair self-join and the Sen order-statistic window touch only that metadata",
       "q225_bootstrap_ci" -> "200-replica explode over the DAILY table (types x days x 200 rows of metadata, never the corpus); md5 day-inclusion is a narrow filter; CI is an integer ceil-rank pick",
@@ -106,7 +108,7 @@ object PlanDump {
       "stream_index_inc" -> "per-term ValueState (2 longs x vocabulary) folds each micro-batch's postings partials — O(delta postings)/batch; the additive index row makes the fold exact",
       "q248_holt_winters" -> "ONE Sum128 daily reduction; the level/trend/season fold runs as flatMapGroups over the CALENDAR-bounded series — O(m) state, data volume never reaches the imperative step",
       "q249_t_closeness" -> "one map-side-combined (quasi-ID, bucket) aggregation reduces the corpus; the dense |groups|x4 grid, cumulative windows and EMD fold all run on bounded metadata",
-      "q250_emd_drift" -> "q220's grid verbatim (one arm-count shuffle, broadcast decile boundaries); the cumulative walk is a bounded window over |types|x10 rows — integer-exact cross products, one division",
+      "q250_emd_drift" -> "q220's grid verbatim (one arm-count shuffle, prefix-sum boundary pass, broadcast decile boundaries); the cumulative walk is a bounded window over |types|x10 rows — integer-exact cross products, one guarded division",
       "conc_globalrank" -> "per-customer spend agg pinned once; grouped GlobalRank replaces the 25-coarse-group rank window; Gini/HHI fold is one map-side-combined pass over ranked rows",
       "dedup_jaccard_prefix" -> "rare-first prefix index (one df agg + per-doc window); bucket-grouped pair generation carries (pos, n); PPJoin length + positional prunes run IN the candidate aggregate before the verify join; verify is a codegen sorted-merge intersect over long arrays",
       "sim_ann_serve" -> "serve-only shape: snapshot scan (code column for ADC) + broadcast 100-query probe join + two bounded rank windows — zero training jobs, the build amortized into the committed snapshot")
@@ -276,7 +278,9 @@ object PlanDump {
       "dedup_jaccard_prefix" ->
         "no join on the candidate path (bucket-grouped pair generation, the q21/q23 rule); the verify join's per-doc sorted-hash arrays are corpus-sized and un-hinted — AQE broadcasts at test scale, shuffles at 10^9 docs",
       "sim_ann_serve" ->
-        "explicit broadcast(query probe set): 100 queries x probes, caller-bounded (the q25 rule); the snapshot's code column streams through the ADC scan partitioned — serving never moves the corpus")
+        "explicit broadcast(query probe set): 100 queries x probes, caller-bounded (the q25 rule); the snapshot's code column streams through the ADC scan partitioned — serving never moves the corpus",
+      "stats_ks_rank / drift_qnorm_rank / q242_feature_auc" ->
+        "GlobalRank prefix/rank passes (round 9): bucket-offset tables broadcast at <=buckets rows; per-group totals are LITERALS (bounded groups, collected driver-side — no goffs broadcast join at all); the corpus contributes one class-table aggregation (ks/auc) or a narrow 3-column scan (qnorm)")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"
