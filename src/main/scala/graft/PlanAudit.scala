@@ -100,7 +100,9 @@ object PlanAudit {
       // round-7/8 additions
       "q248_holt_winters", "stream_holt_winters", "q249_t_closeness",
       "q250_emd_drift", "stream_emd_drift", "conc_globalrank", "q252_hill_tail",
-      "sim_ann_serve", "dedup_jaccard_prefix")
+      "sim_ann_serve", "dedup_jaccard_prefix",
+      // round-9 additions
+      "stats_ks_rank", "drift_qnorm_rank", "q54_full_curation")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
