@@ -102,7 +102,8 @@ object PlanAudit {
       "q250_emd_drift", "stream_emd_drift", "conc_globalrank", "q252_hill_tail",
       "sim_ann_serve", "dedup_jaccard_prefix",
       // round-9 additions
-      "stats_ks_rank", "drift_qnorm_rank", "q54_full_curation")
+      "stats_ks_rank", "drift_qnorm_rank", "q54_full_curation",
+      "q254_conformal")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -173,6 +173,28 @@ object InferenceOps {
       out
     }),
 
+    // q254 split conformal prediction intervals [Vovk et al. 2005;
+    // Lei et al., JASA 2018] — the distribution-free uncertainty
+    // quantifier an ML-serving pipeline wraps around ANY point model:
+    // train an OLS on slice 0 (the q127 Sum128 moment pass, grouped by
+    // return flag), take the ⌈(n+1)(1−α)⌉-th smallest absolute
+    // residual on the DISJOINT calibration slice 1 as the interval
+    // half-width q̂ (a finite-sample ≥1−α coverage guarantee needing
+    // only exchangeability), then AUDIT the guarantee empirically on
+    // held-out slice 2. Slices are a deterministic key mod (the q50
+    // family). Exactness: slope/intercept round at 6 dp off exact
+    // moments (q127's proven parity), residuals are then the identical
+    // IEEE expression in both engines, q̂ is a pure ORDER-STATISTIC
+    // pick (comparison-only — no float accumulation; rounded once at
+    // 6 dp before the coverage compare so both engines gate on the
+    // same literal), and coverage is an integer count over one double
+    // division. Scale: train is one moment pass; the per-group k-th
+    // order statistic rides the residual CLASS table + the
+    // range-partitioned prefix sum (never a per-group corpus sort —
+    // the stats_pctl_rank machinery); test is a broadcast-model narrow
+    // pass with q̂ as literals.
+    "q254_conformal" -> ((s, d) => conformal(Tables(s, d, "lineitem"))),
+
     // q186 Mann-Whitney U (the nonparametric twin of q136's t-test):
     // ranks come from a per-type row_number with unique tiebreaks, tied
     // VALUES then share their mean rank — which is always .0 or .5
@@ -442,6 +464,83 @@ object InferenceOps {
     * grouped global rank; the unique (value, event_id) tiebreak makes
     * them identical, not merely tie-equivalent).
     */
+  /** q254 body — split conformal per return flag, α = 0.1 (see the
+    * queries-map comment). Returns
+    * (l_returnflag, n_cal, n_test, q_hat, coverage).
+    */
+  private[graft] def conformal(li: DataFrame): DataFrame = {
+    import graft.functions.Sum128.{sumExact, sumExactProduct}
+    val base = li.select(col("l_returnflag").as("f"),
+      col("l_quantity").cast("double").as("x"),
+      col("l_extendedprice").cast("double").as("y"),
+      pmod(col("l_orderkey") + col("l_linenumber"), lit(3)).as("slice"))
+    // train: q127's exact moment pass on slice 0; coefficients round at
+    // 6 dp so the residual arithmetic below is identical cross-engine
+    val m = base.filter(col("slice") === 0)
+      .groupBy(col("f")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sumExact(col("x"), 2).as("sx"), sumExact(col("y"), 2).as("sy"),
+        sumExactProduct(col("x"), col("x"), 2).as("sxx"),
+        sumExactProduct(col("x"), col("y"), 2).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val model = m.select(col("f"), round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+    def resid(df: DataFrame): DataFrame = df.join(broadcast(model), "f")
+      .select(col("f"),
+        abs(col("y") - (col("intercept") + col("slope") * col("x")))
+          .as("r"))
+    // calibration residual CLASS table, pinned — the prefix machinery
+    // re-reads it; the k-th order statistic is a class property (the
+    // exactGroupQuantilesByRank argument), never a per-group sort
+    val cls = resid(base.filter(col("slice") === 1))
+      .groupBy(col("f"), col("r")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // (g → n_cal, k = ⌈(n_cal+1)(1−α)⌉ clamped, q̂): everything the
+    // returned plan needs from the calibration slice is DRIVER
+    // metadata, so the pinned class table releases in finally — the
+    // returned plan never references it
+    val (ks, picked) =
+      try {
+        val totals: Seq[(Any, Long)] = cls.groupBy(col("f"))
+          .agg(sum(col("cnt")).as("n")).collect()
+          .map(row => row.get(0) -> row.getLong(1)).toSeq
+          .sortWith((a, b) => a._1 == null || (b._1 != null &&
+            a._1.asInstanceOf[String] < b._1.asInstanceOf[String]))
+        val ks = totals.map { case (g, n) =>
+          (g, n, math.min((9L * (n + 1) + 9) / 10, n)) }
+        val pre = graft.operators.GlobalRank
+          .withPrefixSumInGroupsKnownTotals(cls, "c", col("cnt"), col("f"),
+            totals, col("r"))
+        val hit = ks.map { case (g, _, k) =>
+          col("f") === lit(g) && lit(k) > col("c") &&
+            lit(k) <= col("c") + col("cnt") }.reduce(_ || _)
+        // Spark's round(double, 6) semantics (BigDecimal.valueOf →
+        // HALF_UP) so the literal equals what round(r, 6) yields in
+        // both engines — the coverage compare gates on the SAME value
+        val picked: Map[Any, Double] = pre.filter(hit)
+          .select(col("f"), col("r")).collect()
+          .map(row => row.get(0) ->
+            BigDecimal(java.math.BigDecimal.valueOf(row.getDouble(1)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+        (ks, picked)
+      } finally org.apache.spark.sql.graft.ColumnBridge
+        .unpersistCheckpoint(cls)
+    val nCalExpr = ks.foldLeft(lit(0L)) { case (acc, (g, n, _)) =>
+      when(col("f") === lit(g), lit(n)).otherwise(acc) }
+    val qExpr = ks.foldLeft(lit(Double.NaN)) { case (acc, (g, _, _)) =>
+      when(col("f") === lit(g), lit(picked(g))).otherwise(acc) }
+    resid(base.filter(col("slice") === 2))
+      .filter(col("f").isin(ks.map(_._1): _*))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= qExpr, 1L).otherwise(0L)).as("covered"))
+      .select(col("f").as("l_returnflag"), nCalExpr.as("n_cal"),
+        col("n_test"), qExpr.as("q_hat"),
+        round(col("covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+  }
+
   private def mannWhitneyFromRanks(rn: DataFrame): DataFrame = {
     val mr = rn.withColumn("mean_rank",
       avg(col("rn").cast(DecimalType(18, 2))).over(
@@ -545,6 +644,43 @@ object InferenceOps {
         |  round(((a - s * s / n) / (k - 1)) / ((q - a) / (n - k)), 6)
         |    AS f_stat
         |FROM t""".stripMargin,
+    "q254_conformal" ->
+      """WITH base AS (SELECT l_returnflag AS f,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    (l_orderkey + l_linenumber) % 3 AS slice
+        |  FROM lineitem),
+        |m AS (SELECT f, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+        |  FROM base WHERE slice = 0 GROUP BY f),
+        |model AS (SELECT f,
+        |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |      / n, 6) AS intercept
+        |  FROM m),
+        |cal AS (SELECT b.f,
+        |    abs(b.y - (model.intercept + model.slope * b.x)) AS r
+        |  FROM base b JOIN model ON b.f = model.f WHERE b.slice = 1),
+        |nc AS (SELECT f, COUNT(*) AS n_cal FROM cal GROUP BY f),
+        |ranked AS (SELECT f, r,
+        |    row_number() OVER (PARTITION BY f ORDER BY r) AS rk
+        |  FROM cal),
+        |q AS (SELECT ranked.f, nc.n_cal, round(ranked.r, 6) AS q_hat
+        |  FROM ranked JOIN nc ON ranked.f = nc.f
+        |  WHERE ranked.rk =
+        |    least((9 * (nc.n_cal + 1) + 9) // 10, nc.n_cal)),
+        |test AS (SELECT b.f,
+        |    abs(b.y - (model.intercept + model.slope * b.x)) AS r
+        |  FROM base b JOIN model ON b.f = model.f WHERE b.slice = 2)
+        |SELECT t.f AS l_returnflag, q.n_cal, COUNT(*) AS n_test,
+        |  q.q_hat,
+        |  round(CAST(SUM(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS coverage
+        |FROM test t JOIN q ON t.f = q.f
+        |GROUP BY 1, 2, 4""".stripMargin,
     // the scale twin shares q188's oracle verbatim — identical
     // inclusive cumulatives (packed prefix unpacks exactly)
     "stats_ks_rank" ->

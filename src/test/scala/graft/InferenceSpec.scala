@@ -299,6 +299,46 @@ class InferenceSpec extends SparkSpec {
       s"grouped-rank MWU diverged: $rank vs $window")
   }
 
+  test("conformal: hand-computed q_hat and coverage on a crafted table") {
+    import spark.implicits._
+    // slice = (l_orderkey + l_linenumber) % 3 with l_linenumber = 1:
+    // ok ≡ 2 (mod 3) → train, ok ≡ 0 → calibration, ok ≡ 1 → test.
+    // train: y = 10x exactly → slope 10, intercept 0.
+    val train = Seq((2L, 1.0, 10.0), (5L, 2.0, 20.0), (8L, 3.0, 30.0),
+      (11L, 4.0, 40.0))
+    // calibration: residuals 0..9 (n_cal = 10 → k = min(⌈11·0.9⌉,10) =
+    // 10 → q_hat = 9.0, the largest)
+    val cal = (0 until 10).map(i => (3L * i, 1.0 + i, 10.0 * (1 + i) + i))
+    // test: residuals 5 (covered) and 9.5 (not) → coverage 0.5
+    val test = Seq((1L, 2.0, 25.0), (4L, 3.0, 39.5))
+    val li = (train ++ cal ++ test).map { case (ok, x, y) =>
+      (ok, 1L, "A", x, y) }
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft-conf").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    val r = InferenceOps.queries("q254_conformal")(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "A")
+    assert(row.getLong(1) === 10L) // n_cal
+    assert(row.getLong(2) === 2L) // n_test
+    assert(row.getDouble(3) === 9.0) // q_hat
+    assert(row.getDouble(4) === 0.5) // coverage
+  }
+
+  test("conformal coverage lands near the 0.9 target on real data") {
+    val rows = InferenceOps.queries("q254_conformal")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getDouble(4)
+      // finite-sample guarantee is ≥ 0.9 in expectation over splits;
+      // a fixed split on real data should still land in a sane band
+      assert(cov > 0.8 && cov <= 1.0,
+        s"coverage out of band for ${r.getString(0)}: $cov")
+    }
+  }
+
   test("packed-prefix KS twin is bit-identical to the window form") {
     // the packed ca·2^32 + cb running sum must unpack to the exact
     // inclusive cumulatives the per-type window computed
