@@ -56,6 +56,7 @@ object SparkEntry {
     "layout_result_cache" -> "ResultCacheSpec",
     "layout_mv_rewrite" -> "MvRewriteSpec",
     "stream_clamped_balance" -> "ClampedBalanceSpec",
+    "stream_conformal" -> "StreamingDriftSpec",
     "stream_holt" -> "HoltStreamSpec",
     "stream_holt_winters" -> "HoltWintersStreamSpec",
     "stream_index_inc" -> "IndexStreamSpec",

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -194,6 +194,56 @@ object InferenceOps {
     // the stats_pctl_rank machinery); test is a broadcast-model narrow
     // pass with q̂ as literals.
     "q254_conformal" -> ((s, d) => conformal(Tables(s, d, "lineitem"))),
+
+    // q255 conformal-coverage drift — q254's fixed interval audited
+    // per ship month on the held-out slice: coverage collapsing in a
+    // period means the feature/label relationship moved (the
+    // MODEL-centric drift alarm beside q220/q250's data-centric ones).
+    // Same fit, same exactness; degraded gates at 1 − α − 0.05.
+    "q255_conformal_drift" -> ((s, d) =>
+      conformalDrift(Tables(s, d, "lineitem"))),
+
+    // STREAMING conformal coverage (rows-only; StreamingDriftSpec):
+    // the q255 audit per ARRIVING window — the batch fit's model/q̂
+    // broadcast into one windowed aggregation with 2 counters of state
+    // per (window, flag). The entry feeds the held-out slice through a
+    // REAL two-batch MemoryStream split at the median ship date and
+    // REQUIRES streamed == the same aggregation run batch-side before
+    // returning (plain DataFrame code — the DriftMonitor contract).
+    "stream_conformal" -> ((s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val (base, model, ks, picked) = conformalFit(Tables(s, d, "lineitem"))
+      val mdf = model.collect().map(r =>
+          (r.getString(0), r.getDouble(1), r.getDouble(2),
+            picked(r.getString(0))))
+        .toSeq.toDF("f", "slope", "intercept", "q_hat")
+      val feed = base.filter(col("slice") === 2)
+        .filter(col("f").isin(ks.map(_._1): _*))
+        .select(col("ship"), col("f"), col("x"), col("y"))
+        .as[(java.sql.Timestamp, String, Double, Double)].collect().toSeq
+      val mid =
+        if (feed.isEmpty) new java.sql.Timestamp(0L)
+        else feed.map(_._1).sortBy(_.getTime).apply(feed.size / 2)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double, Double)]
+      val out = graft.streaming.ConformalMonitor.coverage(
+        stream.toDF().toDF("ts", "f", "x", "y"), mdf, "30 days")
+      val q = out.writeStream.format("memory")
+        .queryName("stream_conformal").outputMode("complete").start()
+      stream.addData(feed.filter(_._1.getTime < mid.getTime))
+      q.processAllAvailable()
+      stream.addData(feed.filter(_._1.getTime >= mid.getTime))
+      q.processAllAvailable()
+      q.stop()
+      val got = s.table("stream_conformal").collect().toSet
+      val batch = graft.streaming.ConformalMonitor.coverage(
+        feed.toDF("ts", "f", "x", "y"), mdf, "30 days").collect().toSet
+      require(got == batch,
+        s"streamed conformal coverage diverged from batch: " +
+          s"${(got diff batch).take(3)} vs ${(batch diff got).take(3)}")
+      s.table("stream_conformal")
+    }),
 
     // q186 Mann-Whitney U (the nonparametric twin of q136's t-test):
     // ranks come from a per-type row_number with unique tiebreaks, tied
@@ -464,15 +514,19 @@ object InferenceOps {
     * grouped global rank; the unique (value, event_id) tiebreak makes
     * them identical, not merely tie-equivalent).
     */
-  /** q254 body — split conformal per return flag, α = 0.1 (see the
-    * queries-map comment). Returns
-    * (l_returnflag, n_cal, n_test, q_hat, coverage).
+  /** Shared q254/q255/stream_conformal fit — slice assignment, the
+    * trained per-flag model, and the calibration order statistic as
+    * driver metadata. Returns (base with (f, x, y, ship, slice), model
+    * frame (f, slope, intercept), per-group (g, n_cal, k), per-group
+    * q̂). See the q254 queries-map comment for the exactness argument.
     */
-  private[graft] def conformal(li: DataFrame): DataFrame = {
+  private[graft] def conformalFit(li: DataFrame): (DataFrame, DataFrame,
+      Seq[(Any, Long, Long)], Map[Any, Double]) = {
     import graft.functions.Sum128.{sumExact, sumExactProduct}
     val base = li.select(col("l_returnflag").as("f"),
       col("l_quantity").cast("double").as("x"),
       col("l_extendedprice").cast("double").as("y"),
+      col("l_shipdate").as("ship"),
       pmod(col("l_orderkey") + col("l_linenumber"), lit(3)).as("slice"))
     // train: q127's exact moment pass on slice 0; coefficients round at
     // 6 dp so the residual arithmetic below is identical cross-engine
@@ -486,14 +540,10 @@ object InferenceOps {
       (col("n") * col("sxx") - col("sx") * col("sx"))
     val model = m.select(col("f"), round(slope, 6).as("slope"),
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
-    def resid(df: DataFrame): DataFrame = df.join(broadcast(model), "f")
-      .select(col("f"),
-        abs(col("y") - (col("intercept") + col("slope") * col("x")))
-          .as("r"))
     // calibration residual CLASS table, pinned — the prefix machinery
     // re-reads it; the k-th order statistic is a class property (the
     // exactGroupQuantilesByRank argument), never a per-group sort
-    val cls = resid(base.filter(col("slice") === 1))
+    val cls = residualsAgainst(model)(base.filter(col("slice") === 1))
       .groupBy(col("f"), col("r")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     // (g → n_cal, k = ⌈(n_cal+1)(1−α)⌉ clamped, q̂): everything the
@@ -526,11 +576,33 @@ object InferenceOps {
         (ks, picked)
       } finally org.apache.spark.sql.graft.ColumnBridge
         .unpersistCheckpoint(cls)
-    val nCalExpr = ks.foldLeft(lit(0L)) { case (acc, (g, n, _)) =>
-      when(col("f") === lit(g), lit(n)).otherwise(acc) }
-    val qExpr = ks.foldLeft(lit(Double.NaN)) { case (acc, (g, _, _)) =>
-      when(col("f") === lit(g), lit(picked(g))).otherwise(acc) }
-    resid(base.filter(col("slice") === 2))
+    (base, model, ks, picked)
+  }
+
+  /** Append `r` = |y − (intercept + slope·x)| against a (f, slope,
+    * intercept) model frame (broadcast — ≤ |flags| rows).
+    */
+  private def residualsAgainst(model: DataFrame)(df: DataFrame): DataFrame =
+    df.join(broadcast(model), "f")
+      .withColumn("r",
+        abs(col("y") - (col("intercept") + col("slope") * col("x"))))
+
+  /** Bounded when-chain literals for (n_cal, q̂) keyed on `f`. */
+  private def conformalLits(ks: Seq[(Any, Long, Long)],
+      picked: Map[Any, Double]): (Column, Column) = (
+    ks.foldLeft(lit(0L)) { case (acc, (g, n, _)) =>
+      when(col("f") === lit(g), lit(n)).otherwise(acc) },
+    ks.foldLeft(lit(Double.NaN)) { case (acc, (g, _, _)) =>
+      when(col("f") === lit(g), lit(picked(g))).otherwise(acc) })
+
+  /** q254 body — split conformal per return flag, α = 0.1 (see the
+    * queries-map comment). Returns
+    * (l_returnflag, n_cal, n_test, q_hat, coverage).
+    */
+  private[graft] def conformal(li: DataFrame): DataFrame = {
+    val (base, model, ks, picked) = conformalFit(li)
+    val (nCalExpr, qExpr) = conformalLits(ks, picked)
+    residualsAgainst(model)(base.filter(col("slice") === 2))
       .filter(col("f").isin(ks.map(_._1): _*))
       .groupBy(col("f"))
       .agg(count(lit(1)).as("n_test"),
@@ -539,6 +611,29 @@ object InferenceOps {
         col("n_test"), qExpr.as("q_hat"),
         round(col("covered").cast("double") / col("n_test"), 6)
           .as("coverage"))
+  }
+
+  /** q255 body — the per-ship-month coverage audit of q254's FIXED
+    * interval: is the distribution-free guarantee eroding over time?
+    * (coverage collapse in a period = the feature/label relationship
+    * moved — the model-centric drift alarm next to q220/q250's
+    * data-centric ones). Same fit, same exactness discipline; the
+    * degraded flag gates at 1 − α − 0.05. Returns
+    * (l_returnflag, month, n_test, q_hat, coverage, degraded).
+    */
+  private[graft] def conformalDrift(li: DataFrame): DataFrame = {
+    val (base, model, ks, picked) = conformalFit(li)
+    val (_, qExpr) = conformalLits(ks, picked)
+    residualsAgainst(model)(base.filter(col("slice") === 2))
+      .filter(col("f").isin(ks.map(_._1): _*))
+      .groupBy(col("f"), date_trunc("month", col("ship")).as("month"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= qExpr, 1L).otherwise(0L)).as("covered"))
+      .select(col("f").as("l_returnflag"), col("month"),
+        col("n_test"), qExpr.as("q_hat"),
+        round(col("covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+      .withColumn("degraded", col("coverage") < lit(0.85))
   }
 
   private def mannWhitneyFromRanks(rn: DataFrame): DataFrame = {
@@ -681,6 +776,47 @@ object InferenceOps {
         |    AS DOUBLE) / COUNT(*), 6) AS coverage
         |FROM test t JOIN q ON t.f = q.f
         |GROUP BY 1, 2, 4""".stripMargin,
+    "q255_conformal_drift" ->
+      """WITH base AS (SELECT l_returnflag AS f,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    l_shipdate AS ship,
+        |    (l_orderkey + l_linenumber) % 3 AS slice
+        |  FROM lineitem),
+        |m AS (SELECT f, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+        |  FROM base WHERE slice = 0 GROUP BY f),
+        |model AS (SELECT f,
+        |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |      / n, 6) AS intercept
+        |  FROM m),
+        |cal AS (SELECT b.f,
+        |    abs(b.y - (model.intercept + model.slope * b.x)) AS r
+        |  FROM base b JOIN model ON b.f = model.f WHERE b.slice = 1),
+        |nc AS (SELECT f, COUNT(*) AS n_cal FROM cal GROUP BY f),
+        |ranked AS (SELECT f, r,
+        |    row_number() OVER (PARTITION BY f ORDER BY r) AS rk
+        |  FROM cal),
+        |q AS (SELECT ranked.f, round(ranked.r, 6) AS q_hat
+        |  FROM ranked JOIN nc ON ranked.f = nc.f
+        |  WHERE ranked.rk =
+        |    least((9 * (nc.n_cal + 1) + 9) // 10, nc.n_cal)),
+        |test AS (SELECT b.f, date_trunc('month', b.ship) AS month,
+        |    abs(b.y - (model.intercept + model.slope * b.x)) AS r
+        |  FROM base b JOIN model ON b.f = model.f WHERE b.slice = 2),
+        |cov AS (SELECT t.f AS l_returnflag, t.month,
+        |    COUNT(*) AS n_test, q.q_hat,
+        |    round(CAST(SUM(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 6) AS coverage
+        |  FROM test t JOIN q ON t.f = q.f
+        |  GROUP BY 1, 2, 4)
+        |SELECT l_returnflag, month, n_test, q_hat, coverage,
+        |  coverage < 0.85 AS degraded
+        |FROM cov""".stripMargin,
     // the scale twin shares q188's oracle verbatim — identical
     // inclusive cumulatives (packed prefix unpacks exactly)
     "stats_ks_rank" ->

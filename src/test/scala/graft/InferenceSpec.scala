@@ -312,9 +312,9 @@ class InferenceSpec extends SparkSpec {
     // test: residuals 5 (covered) and 9.5 (not) → coverage 0.5
     val test = Seq((1L, 2.0, 25.0), (4L, 3.0, 39.5))
     val li = (train ++ cal ++ test).map { case (ok, x, y) =>
-      (ok, 1L, "A", x, y) }
+      (ok, 1L, "A", x, y, Timestamp.valueOf("2024-01-15 00:00:00")) }
       .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
-        "l_extendedprice")
+        "l_extendedprice", "l_shipdate")
     val dir = java.nio.file.Files.createTempDirectory("graft-conf").toString
     li.write.parquet(s"$dir/lineitem.parquet")
     val r = InferenceOps.queries("q254_conformal")(spark, dir).collect()

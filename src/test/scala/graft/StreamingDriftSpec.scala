@@ -160,4 +160,58 @@ class StreamingDriftSpec extends SparkSpec {
       .getAs[scala.collection.Seq[Long]]("ref_counts")
     assert(constCounts.count(_ > 0) === 1)
   }
+
+  test("streamed conformal coverage equals batch on the same split") {
+    // model: y ≈ 10x with interval half-width 2
+    val model = Seq(("A", 10.0, 0.0, 2.0))
+      .toDF("f", "slope", "intercept", "q_hat")
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // two 5-day windows: days 1-5 all within the interval, days 6-10
+    // half outside
+    val rows = (1 to 5).map(d => (t(d), "A", d.toDouble, 10.0 * d + 1)) ++
+      (6 to 10).map(d => (t(d), "A", d.toDouble,
+        if (d % 2 == 0) 10.0 * d + 1 else 10.0 * d + 5))
+    val expected = graft.streaming.ConformalMonitor
+      .coverage(rows.toDF("ts", "f", "x", "y"), model, "5 days")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(expected.nonEmpty)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double, Double)]
+    val q = graft.streaming.ConformalMonitor.coverage(
+        stream.toDF().toDF("ts", "f", "x", "y"), model, "5 days")
+      .writeStream.format("memory").queryName("sds_conf")
+      .outputMode("complete").start()
+    val (b1, b2) = rows.partition(_._1.getTime < t(6).getTime)
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sds_conf").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got === expected)
+  }
+
+  test("a planted coverage collapse flags degraded in its window only") {
+    val model = Seq(("A", 10.0, 0.0, 2.0))
+      .toDF("f", "slope", "intercept", "q_hat")
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // days 1-5: residual 1 ≤ q̂; days 16-20: residual 50 ≫ q̂ — the two
+    // bands sit 11 days apart, so no epoch-aligned 5-day window mixes
+    // them: every window is either fully covered (1.0, quiet) or fully
+    // collapsed (0.0, degraded) — the feature/label relationship moved,
+    // caught label-free
+    val rows = (1 to 5).map(d => (t(d), "A", d.toDouble, 10.0 * d + 1)) ++
+      (16 to 20).map(d => (t(d), "A", d.toDouble, 10.0 * d + 50))
+    val out = graft.streaming.ConformalMonitor
+      .coverage(rows.toDF("ts", "f", "x", "y"), model, "5 days")
+      .collect().map(r => r.getTimestamp(0).getTime ->
+        (r.getDouble(3), r.getBoolean(4)))
+    val (quiet, degraded) = out.partition(_._2 == ((1.0, false)))
+    assert(degraded.forall(_._2 == ((0.0, true))),
+      s"windows must be all-or-nothing here: ${out.toSeq}")
+    assert(quiet.nonEmpty && degraded.nonEmpty)
+    // the collapse is LATER than every quiet window
+    assert(quiet.map(_._1).max < degraded.map(_._1).min)
+  }
 }
