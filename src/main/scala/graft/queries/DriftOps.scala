@@ -61,6 +61,10 @@ object DriftOps {
     "q221_target_encode" -> ((s, d) => targetEncode(
       Tables(s, d, "orders"), Tables(s, d, "customer"),
       Tables(s, d, "nation"))),
+    // q256 embedding-space drift — see [[embeddingDrift]]: the
+    // EMBEDDING counterpart to q220/q250's scalar-feature audits.
+    "q256_emb_drift" -> ((s, d) =>
+      embeddingDrift(Tables(s, d, "embeddings"))),
     "q223_quantile_norm" -> ((s, d) =>
       quantileNorm(Tables(s, d, "documents"))),
     // The 100 TB form of q223 — same oracle (identical ranks: the
@@ -232,6 +236,55 @@ object DriftOps {
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(bounds)
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(vc)
     out
+  }
+
+  /** q256 embedding-space drift: per-DIMENSION Welch two-sample test
+    * between two deterministic corpus arms (vec_id parity) — the
+    * embedding counterpart to q220/q250's scalar audits: a retrained
+    * encoder or a shifted upstream corpus moves the embedding
+    * DISTRIBUTION long before any scalar metadata notices, and the
+    * mean embedding (the linear-kernel mean map) shifts per dimension.
+    * One posexplode + ONE map-side-combined (dim)-keyed aggregation —
+    * |dims| rows of output regardless of corpus size; the q136 Welch
+    * discipline (conditional decimal sums cast double once) makes the
+    * hash cross-engine. Constant dimensions (se² = 0) report NULL t —
+    * mirrored in the oracle — rather than a cross-engine ±inf.
+    * Returns (dim, na, nb, mean_a, mean_b, t_stat, shifted).
+    */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    // MICRO-LONG discipline (the q189/q195 pattern, 1e8 here): each
+    // element and its square round ONCE to integer 1e-8 units and sum
+    // as exact longs — a float→DECIMAL cast at scale 10 diverged by one
+    // ulp cross-engine (measured at sf0.01). Long bound: |e| ≤ ~10 →
+    // Σ|xm| ≤ 1e9·n — safe through ~10⁹ rows per arm; lift to Sum128
+    // beyond.
+    val M = 1e8
+    val e = col("col").cast("double")
+    val cells = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("pos").as("dim"),
+        (col("vec_id") % 2 === 0).as("arm_a"),
+        round(e * lit(M), 0).cast("long").as("xm"),
+        round(e * e * lit(M), 0).cast("long").as("xxm"))
+    def csum(cond: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column) =
+      sum(when(cond, v).otherwise(lit(null))).cast("double")
+    val a = col("arm_a")
+    val g = cells.groupBy(col("dim"))
+      .agg(count(when(a, 1)).as("na"), count(when(!a, 1)).as("nb"),
+        csum(a, col("xm")).as("sa"), csum(!a, col("xm")).as("sb"),
+        csum(a, col("xxm")).as("ssa"), csum(!a, col("xxm")).as("ssb"))
+    val ma = col("sa") / M / col("na")
+    val mb = col("sb") / M / col("nb")
+    val va = (col("ssa") / M - col("sa") / M * (col("sa") / M) /
+      col("na")) / (col("na") - 1)
+    val vb = (col("ssb") / M - col("sb") / M * (col("sb") / M) /
+      col("nb")) / (col("nb") - 1)
+    val se2 = va / col("na") + vb / col("nb")
+    val t = (ma - mb) / sqrt(se2)
+    g.select(col("dim"), col("na"), col("nb"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      when(se2 > 0, round(t, 6)).as("t_stat"),
+      when(se2 > 0, abs(round(t, 6)) > 3.0).as("shifted"))
   }
 
   /** m-estimate target encoding: customer nation → smoothed mean order
@@ -406,6 +459,41 @@ object DriftOps {
         |  FROM emd)
         |SELECT event_type, n_ref, n_cur, emd, emd > 0.1 AS drifted
         |FROM guarded""".stripMargin,
+    "q256_emb_drift" ->
+      """WITH cells AS (
+        |  SELECT gs - 1 AS dim, vec_id % 2 = 0 AS arm_a,
+        |    CAST(round(CAST(e AS DOUBLE) * 100000000.0, 0) AS BIGINT)
+        |      AS xm,
+        |    CAST(round(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+        |      * 100000000.0, 0) AS BIGINT) AS xxm
+        |  FROM (SELECT vec_id, unnest(embedding) AS e,
+        |          generate_subscripts(embedding, 1) AS gs
+        |        FROM embeddings)),
+        |g AS (
+        |  SELECT dim,
+        |    COUNT(*) FILTER (arm_a) AS na,
+        |    COUNT(*) FILTER (NOT arm_a) AS nb,
+        |    CAST(SUM(xm) FILTER (arm_a) AS DOUBLE) AS sa,
+        |    CAST(SUM(xm) FILTER (NOT arm_a) AS DOUBLE) AS sb,
+        |    CAST(SUM(xxm) FILTER (arm_a) AS DOUBLE) AS ssa,
+        |    CAST(SUM(xxm) FILTER (NOT arm_a) AS DOUBLE) AS ssb
+        |  FROM cells GROUP BY dim),
+        |w AS (
+        |  SELECT dim, na, nb,
+        |    sa / 100000000.0 / na AS ma, sb / 100000000.0 / nb AS mb,
+        |    (ssa / 100000000.0 - sa / 100000000.0 * (sa / 100000000.0)
+        |        / na) / (na - 1) / na
+        |      + (ssb / 100000000.0 - sb / 100000000.0
+        |        * (sb / 100000000.0) / nb) / (nb - 1) / nb AS se2
+        |  FROM g)
+        |SELECT CAST(dim AS INTEGER) AS dim, na, nb,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  CASE WHEN se2 > 0 THEN round((ma - mb) / sqrt(se2), 6) END
+        |    AS t_stat,
+        |  CASE WHEN se2 > 0
+        |    THEN abs(round((ma - mb) / sqrt(se2), 6)) > 3.0 END
+        |    AS shifted
+        |FROM w""".stripMargin,
     "q221_target_encode" ->
       s"""WITH j AS (
         |  SELECT c.c_nationkey, o.o_totalprice

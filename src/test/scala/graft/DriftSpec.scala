@@ -180,6 +180,28 @@ class DriftSpec extends SparkSpec {
     assert(exact.nonEmpty && twin === exact)
   }
 
+  test("embedding drift: shifted dim flags, same-dist dim quiet, " +
+      "constant dim NULL t") {
+    // dim 0: constant in both arms → se² = 0 → NULL t (not ±inf)
+    // dim 1: arms 10/12 vs 0/1 → |t| ≫ 3 → shifted
+    // dim 2: identical distribution both arms → |t| ≈ 0 → quiet
+    val emb = (0 until 8).map { i =>
+      val armA = i % 2 == 0
+      val d1 = if (armA) { if (i < 4) 10.0f else 12.0f }
+               else { if (i < 4) 0.0f else 1.0f }
+      val d2 = if (i < 4) 2.0f else 4.0f
+      (i.toLong, Array(7.5f, d1, d2))
+    }.toDF("vec_id", "embedding")
+    val out = graft.queries.DriftOps.embeddingDrift(emb).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(0).isNullAt(5) && out(0).isNullAt(6)) // constant dim
+    assert(out(1).getBoolean(6)) // planted shift fires
+    assert(!out(2).getBoolean(6)) // same distribution stays quiet
+    assert(math.abs(out(2).getDouble(5)) < 1.0)
+    assert(out.values.forall(r =>
+      r.getLong(1) === 4L && r.getLong(2) === 4L))
+  }
+
   test("quantile norm preserves within-source ordering") {
     val out = DriftOps.quantileNorm(Tables(spark, sf, "documents"))
       .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
