@@ -103,7 +103,8 @@ object PlanAudit {
       "sim_ann_serve", "dedup_jaccard_prefix",
       // round-9 additions
       "stats_ks_rank", "drift_qnorm_rank", "q54_full_curation",
-      "q254_conformal", "q255_conformal_drift", "q256_emb_drift")
+      "q254_conformal", "q255_conformal_drift", "q256_emb_drift",
+      "q257_dedup_sweep")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -315,6 +315,33 @@ object DedupQueries {
     // are defined identical), scale story on jaccardPrefixJoin.
     "dedup_jaccard_prefix" -> ((s, d) => jaccardPrefixJoin(s, d)),
 
+    // q257 dedup threshold sweep — the "what threshold should I pick?"
+    // report a curation pipeline reads before committing to a near-dup
+    // cut: for each candidate Jaccard threshold ≥ the q23 floor, the
+    // surviving pair count and the number of documents with at least
+    // one duplicate at that strictness. Rides the SAME exact pair list
+    // as q23 (identical machinery, df cap output-preserving at the 0.5
+    // floor by the documented theorem), so the sweep costs one ≤5×
+    // explode of the DUP-BOUNDED pair list — never a corpus pass per
+    // band. Both measures are integers (no float accumulation);
+    // jaccard-vs-threshold comparisons agree cross-engine because the
+    // scores themselves hash-match (q23's green oracle).
+    "q257_dedup_sweep" -> ((s, d) => {
+      val bands = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val b = ngramJaccard(s, d, ShingleFreqCap)
+        .withColumn("threshold",
+          explode(array(bands.map(lit(_)): _*)))
+        .filter(col("jaccard") >= col("threshold"))
+      val nPairs = b.groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = b.select(col("threshold"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy(col("threshold"))
+        .agg(countDistinct(col("doc")).as("n_docs_dupped"))
+      nPairs.join(nDocs, "threshold")
+        .select(col("threshold"), col("n_pairs"), col("n_docs_dupped"))
+    }),
+
     // q229 cross-source overlap matrix — the corpus-composition audit a
     // mixing pipeline runs before setting source weights: for every
     // source PAIR, the shared 3-gram vocabulary as Jaccard and as
@@ -878,6 +905,19 @@ object DedupQueries {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "q21_minhash_lsh" -> exactPairsSql,
     "q23_ngram_jaccard" -> exactPairsSql,
+    // the sweep bands q23's exact pair list; both measures are integers
+    "q257_dedup_sweep" ->
+      s"""WITH pr AS ($exactPairsSql),
+        |bands AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        |b AS (SELECT bands.threshold, pr.doc_a, pr.doc_b
+        |      FROM pr, bands WHERE pr.jaccard >= bands.threshold),
+        |g AS (SELECT threshold, COUNT(*) AS n_pairs FROM b GROUP BY 1),
+        |d AS (SELECT threshold, COUNT(DISTINCT doc) AS n_docs_dupped
+        |      FROM (SELECT threshold, doc_a AS doc FROM b
+        |            UNION ALL SELECT threshold, doc_b FROM b)
+        |      GROUP BY 1)
+        |SELECT g.threshold, g.n_pairs, d.n_docs_dupped
+        |FROM g JOIN d ON g.threshold = d.threshold""".stripMargin,
     // prefix filtering is EXACT (a theorem, not a tuning) — it earns
     // the identical oracle and a hash-checked row of its own
     "dedup_jaccard_prefix" -> exactPairsSql,

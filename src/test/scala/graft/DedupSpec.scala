@@ -340,4 +340,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).toSet
     assert(entry === expected)
   }
+
+  test("dedup threshold sweep agrees with the q23 pair list at every band") {
+    val pairs = SparkEntry.queries("q23_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sweep = SparkEntry.queries("q257_dedup_sweep")(spark, sf)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(pairs.nonEmpty && sweep.nonEmpty)
+    Seq(0.5, 0.6, 0.7, 0.8, 0.9).foreach { t =>
+      val surviving = pairs.filter(_._3 >= t)
+      val expectPairs = surviving.length.toLong
+      val expectDocs = surviving
+        .flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+      sweep.get(t) match {
+        case Some((np, nd)) =>
+          assert(np === expectPairs && nd === expectDocs,
+            s"band $t: got ${sweep(t)}, want ($expectPairs, $expectDocs)")
+        case None =>
+          assert(expectPairs === 0L, s"band $t missing with pairs present")
+      }
+    }
+    // strictness is monotone: tighter bands keep (weakly) fewer pairs
+    val present = sweep.toSeq.sortBy(_._1).map(_._2._1)
+    assert(present.zip(present.drop(1)).forall { case (a, b) => a >= b })
+  }
 }
