@@ -57,6 +57,7 @@ object SparkEntry {
     "layout_mv_rewrite" -> "MvRewriteSpec",
     "stream_clamped_balance" -> "ClampedBalanceSpec",
     "stream_conformal" -> "StreamingDriftSpec",
+    "stream_emb_drift" -> "StreamingDriftSpec",
     "stream_holt" -> "HoltStreamSpec",
     "stream_holt_winters" -> "HoltWintersStreamSpec",
     "stream_index_inc" -> "IndexStreamSpec",

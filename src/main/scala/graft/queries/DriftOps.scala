@@ -65,6 +65,50 @@ object DriftOps {
     // EMBEDDING counterpart to q220/q250's scalar-feature audits.
     "q256_emb_drift" -> ((s, d) =>
       embeddingDrift(Tables(s, d, "embeddings"))),
+
+    // STREAMING embedding drift (rows-only; StreamingDriftSpec): the
+    // q256 Welch per ARRIVING window against the reference arm's
+    // broadcast moments — see EmbeddingDriftMonitor. The entry feeds
+    // the current arm through a REAL two-batch MemoryStream (synthetic
+    // deterministic day stamps off vec_id — embeddings carry no event
+    // time) and REQUIRES streamed == the same aggregation batch-side
+    // before returning.
+    "stream_emb_drift" -> ((s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      implicit val enc
+          : org.apache.spark.sql.Encoder[(java.sql.Timestamp, Seq[Float])] =
+        org.apache.spark.sql.Encoders.product[(java.sql.Timestamp, Seq[Float])]
+      val emb = Tables(s, d, "embeddings")
+      val model = graft.streaming.EmbeddingDriftMonitor.refModel(
+        emb.filter(col("vec_id") % 2 === 0).select(col("embedding")))
+      val cur = emb.filter(col("vec_id") % 2 =!= 0)
+        .select(timestamp_seconds(lit(1704067200L)
+          + pmod(col("vec_id"), lit(20)) * 86400).as("ts"),
+          col("embedding"))
+      val feed = cur.as[(java.sql.Timestamp, Seq[Float])].collect().toSeq
+      val mid =
+        if (feed.isEmpty) 0L
+        else feed.map(_._1.getTime).sorted.apply(feed.size / 2)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Seq[Float])]
+      val out = graft.streaming.EmbeddingDriftMonitor.welch(
+        stream.toDF().toDF("ts", "embedding"), model, "5 days")
+      val q = out.writeStream.format("memory")
+        .queryName("stream_emb_drift").outputMode("complete").start()
+      stream.addData(feed.filter(_._1.getTime < mid))
+      q.processAllAvailable()
+      stream.addData(feed.filter(_._1.getTime >= mid))
+      q.processAllAvailable()
+      q.stop()
+      val got = s.table("stream_emb_drift").collect().toSet
+      val batch = graft.streaming.EmbeddingDriftMonitor.welch(
+        cur, model, "5 days").collect().toSet
+      require(got == batch,
+        s"streamed embedding drift diverged from batch: " +
+          s"${(got diff batch).take(3)} vs ${(batch diff got).take(3)}")
+      s.table("stream_emb_drift")
+    }),
     "q223_quantile_norm" -> ((s, d) =>
       quantileNorm(Tables(s, d, "documents"))),
     // The 100 TB form of q223 — same oracle (identical ranks: the

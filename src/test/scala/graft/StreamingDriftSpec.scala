@@ -161,6 +161,48 @@ class StreamingDriftSpec extends SparkSpec {
     assert(constCounts.count(_ > 0) === 1)
   }
 
+  test("streamed embedding drift equals batch; planted dim-shift flags " +
+      "its window only") {
+    import graft.streaming.EmbeddingDriftMonitor
+    implicit val enc
+        : org.apache.spark.sql.Encoder[(Timestamp, Seq[Float])] =
+      org.apache.spark.sql.Encoders.product[(Timestamp, Seq[Float])]
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // reference: dim0 constant (never forms a t), dim1 alternating 0/1
+    val ref = (0 until 40)
+      .map(i => Tuple1(Seq(7.5f, if (i % 2 == 0) 0.0f else 1.0f)))
+      .toDF("embedding")
+    val model = EmbeddingDriftMonitor.refModel(ref)
+    // window A (days 1-5): same distribution as the reference;
+    // window B (days 16-20): dim1 shifted +100 — bands 11 days apart so
+    // no epoch-aligned 5-day window mixes them
+    val rows =
+      (1 to 4).map(d => (t(d), Seq(7.5f, if (d % 2 == 0) 0.0f else 1.0f))) ++
+      (16 to 19).map(d => (t(d), Seq(7.5f, 100.0f + (d % 2))))
+    val batch = EmbeddingDriftMonitor.welch(
+      rows.toDF("ts", "embedding"), model, "5 days").collect()
+    // dim 0: constant both sides → NULL t everywhere
+    assert(batch.filter(_.getInt(1) == 0).forall(_.isNullAt(3)))
+    // dim 1: quiet windows never flag; the shifted band always does
+    val d1 = batch.filter(_.getInt(1) == 1)
+      .map(r => r.getTimestamp(0).getTime -> r.getBoolean(4))
+    val (flagged, quiet) = d1.partition(_._2)
+    assert(flagged.nonEmpty && quiet.nonEmpty)
+    assert(quiet.map(_._1).max < flagged.map(_._1).min)
+    // streamed == batch on a real 2-batch split
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Seq[Float])]
+    val q = EmbeddingDriftMonitor.welch(
+        stream.toDF().toDF("ts", "embedding"), model, "5 days")
+      .writeStream.format("memory").queryName("sds_emb")
+      .outputMode("complete").start()
+    val (b1, b2) = rows.partition(_._1.getTime < t(10).getTime)
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(spark.table("sds_emb").collect().toSet === batch.toSet)
+  }
+
   test("streamed conformal coverage equals batch on the same split") {
     // model: y ≈ 10x with interval half-width 2
     val model = Seq(("A", 10.0, 0.0, 2.0))
