@@ -279,9 +279,17 @@ object InferenceOps {
         .agg(count(lit(1)).as("cnt"),
           sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("ca"))
         .localCheckpoint(true)
+      // per-type totals as literal offsets (round 9 — the spearman
+      // known-totals rationale): one bounded collect off the pinned
+      // class table instead of the goffs subtree
+      val totals: Seq[(Any, Long)] = cls.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n")).collect()
+        .map(r => r.get(0) -> r.getLong(1)).toSeq
+        .sortWith((a, b) => a._1 == null || (b._1 != null &&
+          a._1.asInstanceOf[String] < b._1.asInstanceOf[String]))
       val mr = graft.operators.GlobalRank
-        .withPrefixSumInGroups(cls, "cum", col("cnt"),
-          col("event_type"), col("value"))
+        .withPrefixSumInGroupsKnownTotals(cls, "cum", col("cnt"),
+          col("event_type"), totals, col("value"))
         .withColumn("mean_rank",
           ((col("cum") * 2 + col("cnt") + 1).cast(DecimalType(18, 2)) / 2)
             .cast(DecimalType(18, 2)))
@@ -346,15 +354,24 @@ object InferenceOps {
         base.groupBy(col("f"), col(v))
           .agg(count(lit(1)).as("__cnt"))
           .localCheckpoint(true)
+      val (cq, cp) = (classTable("q"), classTable("p"))
+      // per-flag totals are the CORPUS row counts per flag — identical
+      // for both class tables, so ONE bounded collect feeds both prefix
+      // passes as literal offsets (round 9: deletes each pass's goffs
+      // aggregation + window + broadcast join)
+      val totals: Seq[(Any, Long)] = cq.groupBy(col("f"))
+        .agg(sum(col("__cnt")).as("n")).collect()
+        .map(r => r.get(0) -> r.getLong(1)).toSeq
+        .sortWith((a, b) => a._1 == null || (b._1 != null &&
+          a._1.asInstanceOf[String] < b._1.asInstanceOf[String]))
       def meanRanks(cls: DataFrame, v: String, out: String): DataFrame =
         graft.operators.GlobalRank
-          .withPrefixSumInGroups(cls, "__cum", col("__cnt"),
-            col("f"), col(v))
+          .withPrefixSumInGroupsKnownTotals(cls, "__cum", col("__cnt"),
+            col("f"), totals, col(v))
           .select(col("f"), col(v),
             ((col("__cum") * 2 + col("__cnt") + 1)
               .cast(DecimalType(18, 2)) / 2)
               .cast(DecimalType(18, 2)).as(out))
-      val (cq, cp) = (classTable("q"), classTable("p"))
       val rn = base
         .join(meanRanks(cq, "q", "rq"), Seq("f", "q"))
         .join(meanRanks(cp, "p", "rp"), Seq("f", "p"))
