@@ -104,7 +104,9 @@ object PlanAudit {
       // round-9 additions
       "stats_ks_rank", "drift_qnorm_rank", "q54_full_curation",
       "q254_conformal", "q255_conformal_drift", "q256_emb_drift",
-      "q257_dedup_sweep")
+      "q257_dedup_sweep",
+      // round-9 extension additions
+      "q258_kneser_ney", "q259_dup_span_runs", "q260_loo_ablation")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
@@ -166,6 +168,10 @@ object PlanAudit {
     // the |classes|-row (≤5) model-constants grid attached to each test
     // doc — bounded metadata, the q161 normalizer pattern one row wider
     "q189_naive_bayes" -> "|classes|-row model-constant grid broadcast",
+    // q189's grid widened to (|classes| x (|sources|+1)) model
+    // constants, plus the 1-row full-model-accuracy broadcast at the end
+    "q260_loo_ablation" ->
+      "|classes x sources|-row LOO-model grid + 1-row full-acc broadcast",
     "q181_feature_matrix" -> "1-row dataset-horizon broadcast",
     // the candidate universe IS the operator's defined work: every
     // customer × the PopPool(=50)-row popular-item pool, then anti-join

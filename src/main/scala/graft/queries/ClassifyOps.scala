@@ -60,8 +60,14 @@ object ClassifyOps {
     * the corpus is held out). Columns (doc_id, lang, c, score).
     */
   def nbScores(s: SparkSession, d: String,
-      testFold: Int = 0): DataFrame = {
-    val toks = Tables(s, d, "documents")
+      testFold: Int = 0): DataFrame =
+    nbScoresOn(Tables(s, d, "documents"), testFold)
+
+  /** [[nbScores]] over an explicit documents frame — the seam the q260
+    * physical-retrain equivalence spec trains through.
+    */
+  def nbScoresOn(docs: DataFrame, testFold: Int = 0): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -123,6 +129,121 @@ object ClassifyOps {
           .cast("double") / count(lit(1)), 6).as("acc"),
         round(sum(col("p").cast(DecimalType(18, 6))).cast("double")
           / count(lit(1)), 6).as("conf"))
+  }
+
+  /** q260 leave-one-source-out data ablation — the data-VALUATION pass
+    * of a curation pipeline (the datamodels/ablation question: "which
+    * source helps, which hurts?"): for every training source, the NB
+    * classifier's held-out accuracy had that source been left out of
+    * training, against the full model on the SAME fixed eval set.
+    *
+    * The trick that makes 1 + |sources| models cost ONE training pass:
+    * NB statistics are ADDITIVE COUNTS, so the leave-s-out model is
+    * the full model minus source s's per-(class, word) contributions —
+    * no retraining loop (contrast q237, where 5-fold CV retrains by
+    * definition because the folds change the TEST set too). Scoring is
+    * sparse the same way: a LOO score differs from the full score only
+    * on words source s actually contributed to that class, so the
+    * correction join carries (test word × touched (class, source))
+    * rows — model-bounded, not |sources| × corpus. Vocabulary shrinks
+    * per source by the words ONLY it contributed (a |sources|-row
+    * aggregate). A class trained entirely by one source disappears
+    * from that source's LOO model (docs_loo = 0 rows are dropped,
+    * mirrored in the oracle); sources with no training docs have no
+    * LOO row (nothing to leave out). The full model rides the same
+    * grid as the '__none__' pseudo-source (0 deltas), so everything —
+    * 21 models here — is ONE windowed argmax + ONE grouped count.
+    * All log terms are integer MICROS (the q189 discipline): exact,
+    * order-independent, hash-comparable.
+    */
+  def looSourceAblation(s: SparkSession, d: String): DataFrame =
+    looSourceAblationOn(Tables(s, d, "documents"))
+
+  /** [[looSourceAblation]] over an explicit documents frame (spec seam). */
+  def looSourceAblationOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    val test = toks.filter(col("doc_id") % 5 === 0)
+    val vocab = train.select(col("w")).distinct().count()
+    val cls = train.groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).as("tok_c"),
+        count_distinct(col("doc_id")).as("docs_c"))
+    val clss = train.groupBy(col("lang").as("c"), col("source").as("s"))
+      .agg(count(lit(1)).as("tok_cs"),
+        count_distinct(col("doc_id")).as("docs_cs"))
+    val wc = train.groupBy(col("lang").as("c"), col("w"))
+      .agg(count(lit(1)).as("cwc"))
+    val wcs = train
+      .groupBy(col("lang").as("c"), col("w"), col("source").as("s"))
+      .agg(count(lit(1)).as("cwcs"))
+    // vocab shrink: words exactly one source contributed, per source —
+    // a |sources|-row table off one (w)-keyed aggregation
+    val uniq = train.groupBy(col("w"))
+      .agg(count_distinct(col("source")).as("ns"),
+        min(col("source")).as("s"))
+      .filter(col("ns") === 1)
+      .groupBy(col("s")).agg(count(lit(1)).as("u"))
+    val srcs = clss.select(col("s")).distinct()
+      .unionByName(Seq("__none__").toDF("s"))
+      .join(uniq, Seq("s"), "left")
+      .withColumn("u", coalesce(col("u"), lit(0L)))
+    // (class × (sources + full)) model-constant grid — bounded metadata
+    // (the q189 grid, |sources|+1 wider); '__none__' joins no clss row
+    // so its deltas are 0 = the full model
+    val grid = cls.crossJoin(broadcast(srcs))
+      .join(clss, Seq("c", "s"), "left")
+      .withColumn("docs_loo",
+        col("docs_c") - coalesce(col("docs_cs"), lit(0L)))
+      .withColumn("tok_loo",
+        col("tok_c") - coalesce(col("tok_cs"), lit(0L)))
+      .withColumn("v_loo", lit(vocab) - col("u"))
+      .filter(col("docs_loo") > 0)
+      .select(col("c"), col("s"), col("docs_loo"), col("tok_loo"),
+        col("v_loo"))
+    val tf = test.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("len"))
+    val seen = tf.join(wc, "w")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(col("tf") * lnMicros(col("cwc") + lit(1.0))).as("seen"))
+    // per-(class, word, source) score delta — nonzero only where the
+    // source contributed the word, so the correction join is sparse
+    val delta = wcs.join(wc, Seq("c", "w"))
+      .select(col("c"), col("w"), col("s"),
+        (lnMicros(col("cwc") - col("cwcs") + lit(1.0))
+          - lnMicros(col("cwc") + lit(1.0))).as("dl"))
+    val corr = tf.join(delta, Seq("w"))
+      .groupBy(col("doc_id"), col("c"), col("s"))
+      .agg(sum(col("tf") * col("dl")).as("corr"))
+    val scored = dlen.crossJoin(broadcast(grid))
+      .join(seen, Seq("doc_id", "c"), "left")
+      .join(corr, Seq("doc_id", "c", "s"), "left")
+      .select(col("s"), col("doc_id"), col("lang"), col("c"),
+        (lnMicros(col("docs_loo")) + coalesce(col("seen"), lit(0L))
+          + coalesce(col("corr"), lit(0L))
+          - col("len") * lnMicros(col("tok_loo").cast("double")
+            + col("v_loo"))).as("score"))
+    val w = Window.partitionBy(col("s"), col("doc_id"))
+      .orderBy(col("score").desc, col("c"))
+    val acc = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("lang") === col("c"), 1L).otherwise(0L))
+          .as("n_correct"))
+    val full = acc.filter(col("s") === "__none__")
+      .select(col("n_correct").as("n_correct_full"))
+    acc.filter(col("s") =!= "__none__")
+      .crossJoin(broadcast(full))
+      .select(col("s").as("left_out_source"), col("n_test"),
+        col("n_correct_full"), col("n_correct").as("n_correct_loo"),
+        round((col("n_correct") - col("n_correct_full")).cast("double")
+          / col("n_test"), 6).as("acc_delta"))
   }
 
   /** Distributed batch-gradient-descent logistic regression — the
@@ -253,6 +374,7 @@ object ClassifyOps {
     }),
     "q189_naive_bayes" -> ((s, d) => naiveBayes(s, d)),
     "q226_calibration" -> ((s, d) => calibration(s, d)),
+    "q260_loo_ablation" -> ((s, d) => looSourceAblation(s, d)),
 
     // q237 5-fold cross-validation of the NB classifier — the variance
     // estimate q189's single held-out fifth can't give: each fold
@@ -351,6 +473,75 @@ object ClassifyOps {
         |""".stripMargin
         + (0 until 5).map(nbFoldCtes).mkString(",\n") + "\n"
         + (0 until 5).map(nbFoldSelect).mkString("\nUNION ALL\n")),
+    "q260_loo_ablation" ->
+      """WITH toks AS (SELECT doc_id, lang, source,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE len(w) > 0),
+        |tr AS (SELECT * FROM t2 WHERE doc_id % 5 <> 0),
+        |te AS (SELECT * FROM t2 WHERE doc_id % 5 = 0),
+        |vv AS (SELECT COUNT(DISTINCT w) AS v FROM tr),
+        |cls AS (SELECT lang AS c, COUNT(*) AS tok_c,
+        |    COUNT(DISTINCT doc_id) AS docs_c FROM tr GROUP BY lang),
+        |clss AS (SELECT lang AS c, source AS s, COUNT(*) AS tok_cs,
+        |    COUNT(DISTINCT doc_id) AS docs_cs FROM tr GROUP BY 1, 2),
+        |wc AS (SELECT lang AS c, w, COUNT(*) AS cwc
+        |  FROM tr GROUP BY lang, w),
+        |wcs AS (SELECT lang AS c, w, source AS s, COUNT(*) AS cwcs
+        |  FROM tr GROUP BY 1, 2, 3),
+        |uq AS (SELECT s, COUNT(*) AS u FROM
+        |    (SELECT w, MIN(source) AS s FROM tr GROUP BY w
+        |     HAVING COUNT(DISTINCT source) = 1) GROUP BY s),
+        |srcs AS (SELECT s, COALESCE(u, 0) AS u FROM
+        |    (SELECT DISTINCT s FROM clss UNION ALL SELECT '__none__')
+        |    LEFT JOIN uq USING (s)),
+        |grid AS (SELECT cls.c, srcs.s,
+        |    cls.docs_c - COALESCE(clss.docs_cs, 0) AS docs_loo,
+        |    cls.tok_c - COALESCE(clss.tok_cs, 0) AS tok_loo,
+        |    vv.v - srcs.u AS v_loo
+        |  FROM cls CROSS JOIN srcs CROSS JOIN vv
+        |  LEFT JOIN clss ON clss.c = cls.c AND clss.s = srcs.s
+        |  WHERE cls.docs_c - COALESCE(clss.docs_cs, 0) > 0),
+        |tf AS (SELECT doc_id, lang, w, COUNT(*) AS tf
+        |  FROM te GROUP BY doc_id, lang, w),
+        |dlen AS (SELECT doc_id, lang, SUM(tf) AS len
+        |  FROM tf GROUP BY doc_id, lang),
+        |seen AS (SELECT tf.doc_id, wc.c,
+        |    SUM(tf.tf * CAST(round(ln(wc.cwc + 1.0) * 1000000, 0)
+        |      AS BIGINT)) AS seen
+        |  FROM tf JOIN wc ON tf.w = wc.w GROUP BY 1, 2),
+        |delta AS (SELECT wcs.c, wcs.w, wcs.s,
+        |    CAST(round(ln(wc.cwc - wcs.cwcs + 1.0) * 1000000, 0)
+        |      AS BIGINT)
+        |    - CAST(round(ln(wc.cwc + 1.0) * 1000000, 0) AS BIGINT) AS dl
+        |  FROM wcs JOIN wc ON wc.c = wcs.c AND wc.w = wcs.w),
+        |corr AS (SELECT tf.doc_id, delta.c, delta.s,
+        |    SUM(tf.tf * delta.dl) AS corr
+        |  FROM tf JOIN delta ON tf.w = delta.w GROUP BY 1, 2, 3),
+        |sco AS (SELECT grid.s, dlen.doc_id, dlen.lang, grid.c,
+        |    CAST(round(ln(grid.docs_loo) * 1000000, 0) AS BIGINT)
+        |      + COALESCE(seen.seen, 0) + COALESCE(corr.corr, 0)
+        |      - dlen.len * CAST(round(ln(CAST(grid.tok_loo AS DOUBLE)
+        |          + grid.v_loo) * 1000000, 0) AS BIGINT) AS score
+        |  FROM dlen CROSS JOIN grid
+        |  LEFT JOIN seen ON seen.doc_id = dlen.doc_id
+        |    AND seen.c = grid.c
+        |  LEFT JOIN corr ON corr.doc_id = dlen.doc_id
+        |    AND corr.c = grid.c AND corr.s = grid.s),
+        |pred AS (SELECT s, doc_id, lang, c,
+        |    row_number() OVER (PARTITION BY s, doc_id
+        |      ORDER BY score DESC, c) AS rn FROM sco),
+        |acc AS (SELECT s, COUNT(*) AS n_test,
+        |    CAST(SUM(CASE WHEN lang = c THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM pred WHERE rn = 1 GROUP BY s),
+        |fu AS (SELECT n_correct AS n_correct_full FROM acc
+        |  WHERE s = '__none__')
+        |SELECT acc.s AS left_out_source, acc.n_test, fu.n_correct_full,
+        |  acc.n_correct AS n_correct_loo,
+        |  round(CAST(acc.n_correct - fu.n_correct_full AS DOUBLE)
+        |    / acc.n_test, 6) AS acc_delta
+        |FROM acc CROSS JOIN fu
+        |WHERE acc.s <> '__none__'""".stripMargin,
     "q189_naive_bayes" ->
       """WITH toks AS (SELECT doc_id, lang,
         |    unnest(string_split(text, ' ')) AS w FROM documents),

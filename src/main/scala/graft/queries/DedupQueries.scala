@@ -156,6 +156,65 @@ object DedupQueries {
     }
   }
 
+  /** q259 maximal duplicated-RUN report — the pair-level diagnostic
+    * behind a substring-dedup policy [Lee et al. ACL'22]: q70 counts a
+    * document's duplicated `spanTokens`-token windows, but "how LONG
+    * are the shared passages, and between whom?" decides whether to
+    * splice spans (q114) or drop whole documents. For every
+    * cross-document pair sharing at least one window: the longest
+    * contiguous shared token run, the number of maximal runs, and the
+    * shared window count.
+    *
+    * Plan: positional window hashes (narrow (doc, pos, long) rows) →
+    * inverted index on the hash with a boilerplate df cap (positions
+    * per window BETWEEN 2 AND `dfCap` — a window at more corpus
+    * positions is boilerplate, the q23 stop-shingle argument) →
+    * within-bucket ordered pair explosion (the bucketPairs shape,
+    * ≤ C(dfCap, 2) pairs per bucket, never a self-join) → consecutive
+    * matching positions collapse to maximal runs by gaps-and-islands
+    * on the pair's DIAGONAL (pa − pb): within (a, b, diag), adjacent
+    * windows of one run have consecutive pa, so pa − row_number() is
+    * constant exactly along a run. The islands window partitions on
+    * (pair, diag) — fine-grained keys, volume dup-bounded by the cap;
+    * nothing corpus-sized sorts in one task. Integer-exact output; the
+    * oracle replays the identical islands on raw window STRINGS (the
+    * q70 hash-vs-text equivalence).
+    */
+  def dupSpanRuns(docs: DataFrame, spanTokens: Int = 8,
+      dfCap: Int = 16): DataFrame = {
+    val grams = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= spanTokens)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(tk) - $spanTokens), " +
+          s"i -> xxhash64(concat_ws(' ', slice(tk, i + 1, $spanTokens))))")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val pairs = grams.groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"))))
+        .as("os"))
+      .filter(size(col("os")).between(2, dfCap))
+      .select(explode(expr(
+        """flatten(transform(os, (a, i) ->
+          |  transform(filter(slice(os, i + 2, size(os)),
+          |                   b -> b.doc_id != a.doc_id),
+          |    b -> struct(a.doc_id AS da, a.pos AS pa,
+          |                b.doc_id AS db, b.pos AS pb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.da").as("da"), col("p.pa").as("pa"),
+        col("p.db").as("db"), col("p.pb").as("pb"))
+    val iw = Window.partitionBy(col("da"), col("db"), col("diag"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(iw))
+      .groupBy(col("da"), col("db"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+      .agg((max(col("len")) + lit(spanTokens - 1)).as("max_run_tokens"),
+        count(lit(1)).as("n_runs"),
+        sum(col("len")).as("n_shared_grams"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q241 reference dedup via bloom prefilter: the ingest ledger holds
     // the first 60% of doc_ids, the arriving batch is the last 60% —
@@ -341,6 +400,10 @@ object DedupQueries {
       nPairs.join(nDocs, "threshold")
         .select(col("threshold"), col("n_pairs"), col("n_docs_dupped"))
     }),
+
+    // q259 maximal duplicated-RUN report (scaladoc on dupSpanRuns)
+    "q259_dup_span_runs" -> ((s, d) =>
+      dupSpanRuns(Tables(s, d, "documents"))),
 
     // q229 cross-source overlap matrix — the corpus-composition audit a
     // mixing pipeline runs before setting source weights: for every
@@ -921,6 +984,32 @@ object DedupQueries {
     // prefix filtering is EXACT (a theorem, not a tuning) — it earns
     // the identical oracle and a hash-checked row of its own
     "dedup_jaccard_prefix" -> exactPairsSql,
+    // q259: identical islands on raw 8-token window STRINGS (the q70
+    // hash-vs-text equivalence covers the xxhash64 bucketing)
+    "q259_dup_span_runs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT doc_id, unnest([struct_pack(pos := i - 1,
+        |        s := array_to_string(tk[i:i+7], ' '))
+        |        FOR i IN range(1, len(tk) - 6)]) AS e FROM t),
+        |ge AS (SELECT doc_id, e.pos AS pos, e.s AS s FROM g),
+        |ok AS (SELECT s FROM ge GROUP BY s
+        |       HAVING count(*) BETWEEN 2 AND 16),
+        |gg AS (SELECT ge.* FROM ge JOIN ok USING (s)),
+        |pr AS (SELECT a.doc_id AS da, a.pos AS pa,
+        |         b.doc_id AS db, b.pos AS pb
+        |       FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |il AS (SELECT da, db, pa - pb AS diag, pa,
+        |         pa - row_number() OVER (PARTITION BY da, db, pa - pb
+        |                                 ORDER BY pa) AS isl
+        |       FROM pr),
+        |ru AS (SELECT da, db, diag, isl, count(*) AS len
+        |       FROM il GROUP BY 1, 2, 3, 4)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(max(len) + 7 AS BIGINT) AS max_run_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(sum(len) AS BIGINT) AS n_shared_grams
+        |FROM ru GROUP BY 1, 2""".stripMargin,
     "q235_dedup_impact" ->
       """WITH d AS (SELECT doc_id, source,
         |    len(string_split(text, ' ')) AS tok, sha256(text) AS fp

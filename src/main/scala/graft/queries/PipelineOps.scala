@@ -330,6 +330,74 @@ object PipelineOps {
       .withColumn("ppl", round(exp(-col("ll")), 4))
   }
 
+  /** q258 HELD-OUT interpolated Kneser-Ney perplexity — the smoothing
+    * the production LM quality filter actually uses (CCNet trains a KN
+    * n-gram model [Wenzek et al., LREC'20; Kneser & Ney, ICASSP'95;
+    * Chen & Goodman, CSL'99]): where q239's add-one floor treats every
+    * unseen transition alike, KN backs off to the CONTINUATION
+    * distribution — how many distinct contexts a word follows — so
+    * "the <rare-word>" is penalized far less than a genuinely alien
+    * transition. Same train/held split as q239 (doc_id parity), so the
+    * two filters are directly comparable per document.
+    *
+    * Interpolated bigram KN with fixed discount D = 0.75:
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *              + (D·N1+(w1,·)/c(w1·)) · Pcont(w2)       [seen ctx]
+    *   P(w2|w1) = Pcont(w2)                                [unseen ctx]
+    *   Pcont(w2) = (N1+(·,w2) + 1) / (T + V + 1)
+    * where N1+ counts distinct bigram TYPES, T = total types, V = train
+    * vocab; the +1/(T+V+1) add-one on the continuation gives unseen
+    * held-out words nonzero mass (the OOV bucket) — deterministic, no
+    * Good-Turing estimation noise.
+    *
+    * Cost shape = q239's: three vocabulary-bounded model tables
+    * (bigram types with counts, per-context totals + fan-out, per-word
+    * fan-in), AQE-broadcast under the scoring joins; T and V are two
+    * driver scalars off the model tables (bounded aggregations, the
+    * IVF-centroid metadata pattern). Per-row ln P is rounded to integer
+    * MICROS and summed as Longs (the q189 discipline — q239's float
+    * sum predates it), so the per-doc reduction is order-independent
+    * and the DuckDB twin hash-compares exactly.
+    */
+  def kneserNeyPerplexity(docs: DataFrame, discount: Double = 0.75)
+      : DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    def bigrams(df: DataFrame) = df
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val trainBg = bigrams(tok.filter(col("doc_id") % 2 === 0))
+    // bigram types with token counts — one grouped pass; every other
+    // model table derives from THIS vocabulary-bounded frame, not the
+    // corpus, so the N1+ fan-out/fan-in aggregations are model-sized
+    val types = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val ctx = types.groupBy("w1")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fw"))
+    val cont = types.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    val t = types.count()
+    val v = trainBg.select(col("w1")).union(trainBg.select(col("w2")))
+      .distinct().count()
+    val d = lit(discount)
+    val pcont = (coalesce(col("n1bw"), lit(0L)) + 1.0) /
+      lit(t.toDouble + v.toDouble + 1.0)
+    val p = when(col("c1").isNotNull,
+      greatest(col("c2out") - d, lit(0.0)) / col("c1") +
+        (d * col("n1fw") / col("c1")) * pcont)
+      .otherwise(pcont)
+    bigrams(tok.filter(col("doc_id") % 2 === 1))
+      .join(types, Seq("w1", "w2"), "left")
+      .withColumn("c2out", coalesce(col("c2"), lit(0L)).cast("double"))
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .withColumn("lpm", round(log(p) * lit(1e6), 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lpm")) / (count(lit(1)) * lit(1e6)), 6).as("ll"))
+      .withColumn("ppl", round(exp(-col("ll")), 4))
+  }
+
   /** Map-typed column surface: construct a map from scalar columns and
     * JSON, then inspect (size/map_keys/map_contains_key), extract
     * (element_at), transform (transform_values/map_filter), merge
@@ -374,6 +442,9 @@ object PipelineOps {
 
     "q239_heldout_ppl" -> ((s, d) =>
       heldoutPerplexity(Tables(s, d, "documents"))),
+
+    "q258_kneser_ney" -> ((s, d) =>
+      kneserNeyPerplexity(Tables(s, d, "documents"))),
 
     // Corpus snapshot diff — the incremental-pipeline primitive: classify
     // every doc as added/removed/changed between two snapshots by
@@ -499,6 +570,41 @@ object PipelineOps {
         |          AS ll
         |      FROM hb LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
         |      CROSS JOIN v GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, ll, round(exp(-ll), 4) AS ppl
+        |FROM g""".stripMargin,
+    "q258_kneser_ney" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |trb AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |          i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+        |        FROM t WHERE doc_id % 2 = 0),
+        |tb AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM trb),
+        |ty AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM tb
+        |       GROUP BY w1, w2),
+        |cx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |         CAST(count(*) AS BIGINT) AS n1fw FROM ty GROUP BY w1),
+        |co AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM ty
+        |       GROUP BY w2),
+        |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t_types FROM ty),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM
+        |         (SELECT w1 AS w FROM tb UNION ALL SELECT w2 FROM tb)),
+        |heb AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |          i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+        |        FROM t WHERE doc_id % 2 = 1),
+        |hb AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM heb),
+        |sco AS (SELECT doc_id, CAST(round(ln(
+        |          CASE WHEN c1 IS NOT NULL THEN
+        |            greatest(COALESCE(c2, 0) - 0.75, 0) / c1
+        |              + (0.75 * n1fw / c1) *
+        |                ((COALESCE(n1bw, 0) + 1.0) / (t_types + v + 1.0))
+        |          ELSE (COALESCE(n1bw, 0) + 1.0) / (t_types + v + 1.0)
+        |          END) * 1e6, 0) AS BIGINT) AS lpm
+        |        FROM hb LEFT JOIN ty USING (w1, w2)
+        |          LEFT JOIN cx USING (w1) LEFT JOIN co USING (w2)
+        |          CROSS JOIN tt CROSS JOIN vv),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |        round(sum(lpm) / (count(*) * 1e6), 6) AS ll
+        |      FROM sco GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, ll, round(exp(-ll), 4) AS ppl
         |FROM g""".stripMargin,
     "q75_snapshot_diff" ->

@@ -13,6 +13,59 @@ class ClassifySpec extends SparkSpec {
     dir
   }
 
+  test("q260 LOO ablation: poisoned source flagged, dropped class path") {
+    import org.apache.spark.sql.expressions.Window
+    // train = %5!=0, test = %5==0 (4 docs). Source 'bad' mislabels de
+    // vocabulary as en -> with it in, the pure-"xx" test doc flips to
+    // en; without it, everything separates. g3 is the ONLY de source,
+    // so its LOO model drops the de class entirely.
+    val docs = (Seq(
+      (1L, "g1"), (2L, "g1"), (3L, "g1"), (6L, "g2"), (7L, "g2"))
+      .map { case (i, s) => (i, "aa bb cc aa bb", "en", s) } ++
+      Seq(4L, 8L, 9L, 11L, 12L)
+        .map(i => (i, "xx yy zz xx yy", "de", "g3")) ++
+      Seq(13L, 14L, 16L, 17L)
+        .map(i => (i, "xx xx xx xx", "en", "bad")) ++
+      Seq((0L, "aa bb", "en", "g1"), (5L, "xx xx", "de", "g3"),
+        (10L, "xx yy zz", "de", "g3"), (15L, "aa cc", "en", "g2")))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = ClassifyOps.looSourceAblationOn(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === Set("g1", "g2", "g3", "bad"))
+    // full model: the poisoned en model steals the "xx xx" de doc -> 3/4
+    got.values.foreach { case (nTest, nFull, _, _) =>
+      assert(nTest === 4L && nFull === 3L)
+    }
+    // dropping the poison source recovers 4/4
+    assert(got("bad")._3 === 4L && got("bad")._4 === 0.25)
+    // dropping the only de source kills the de class: both de test docs
+    // fall to en -> 2/4
+    assert(got("g3")._3 === 2L && got("g3")._4 === -0.25)
+    // the clean en sources were never load-bearing for the errors
+    assert(got("g1")._4 === 0.0 && got("g2")._4 === 0.0)
+  }
+
+  test("q260 LOO == physical retrain (additive-count trick is exact)") {
+    import org.apache.spark.sql.expressions.Window
+    val out = ClassifyOps.looSourceAblation(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out.nonEmpty)
+    val target = out.keySet.min
+    // retrain WITHOUT the source's training docs (test fold untouched)
+    val reduced = Tables(spark, sf, "documents")
+      .filter(!(col("source") === target && col("doc_id") % 5 =!= 0))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("c"))
+    val retrained = ClassifyOps.nbScoresOn(reduced)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .agg(sum(when(col("lang") === col("c"), 1L).otherwise(0L)))
+      .head().getLong(0)
+    assert(retrained === out(target),
+      s"LOO($target) ${out(target)} != physical retrain $retrained")
+  }
+
   test("q189 naive bayes separates a crafted two-language corpus") {
     // train = doc_id % 5 != 0 (6 docs), test = % 5 == 0 (2 docs); the
     // vocabularies are disjoint, so each held-out doc must score its

@@ -13,6 +13,30 @@ class DedupSpec extends SparkSpec {
 
   lazy val exact: Set[(Long, Long)] = pairs("q23_ngram_jaccard")
 
+  test("q259 dup-span runs: islands merge, cap drops boilerplate") {
+    import spark.implicits._
+    val p = (1 to 12).map("p" + _).mkString(" ")   // 12-token passage
+    val q = (1 to 8).map("q" + _).mkString(" ")    // exactly one window
+    val r = (1 to 8).map("r" + _).mkString(" ")
+    val b = (1 to 8).map("z" + _).mkString(" ")    // boilerplate, 17 docs
+    val docs = (Seq(
+      (1L, s"a1 a2 $p b1 b2 $q c1 c2 $r"),
+      (2L, s"d1 d2 d3 $p e1"),
+      (3L, s"f1 $q g1 g2 g3 $r h1")) ++
+      (10L to 26L).map(i => (i, s"$b x$i"))).toDF("doc_id", "text")
+    val got = DedupQueries.dupSpanRuns(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // (1,2): the 12-token passage = 5 consecutive windows on ONE
+    // diagonal -> a single run of 5 + 7 = 12 tokens. (1,3): q and r are
+    // single-window runs on different diagonals -> 2 runs, max 8.
+    // The 17-position boilerplate window is over the df cap: no pair
+    // among docs 10..26 and none with 1..3.
+    assert(got === Map(
+      (1L, 2L) -> ((12L, 1L, 5L)),
+      (1L, 3L) -> ((8L, 2L, 2L))))
+  }
+
   test("exact n-gram Jaccard finds the planted near-dup pairs") {
     assert(exact.nonEmpty, "sf0.001 should contain planted near-dups")
     exact.foreach { case (a, b) => assert(a < b) }

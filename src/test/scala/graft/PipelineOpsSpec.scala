@@ -230,4 +230,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L)._1 === 2L)
     assert(got(3L)._2 === ll3)
   }
+
+  test("q258 Kneser-Ney: hand-computed discounts, continuation backoff") {
+    import spark.implicits._
+    // train (even ids): "a b a b" -> types (a,b):2, (b,a):1; "c c" ->
+    // (c,c):1. T = 3 types, V = {a,b,c} = 3, Pcont(w) = (n1bw+1)/7.
+    // ctx: a -> c1=2 n1fw=1; b -> 1,1; c -> 1,1. cont: a,b,c -> 1 each.
+    val docs = Seq(
+      (0L, "a b a b"), (2L, "c c"),
+      (1L, "a b c"), (3L, "z z z"), (5L, "w"))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.kneserNeyPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet === Set(1L, 3L))
+    def lnM(p: Double): Long = math.round(math.log(p) * 1e6)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1 "a b c":
+    //  (a,b) seen ctx: max(2-.75,0)/2 + (.75*1/2)*(2/7) = .625+.75/7
+    //  (b,c) unseen bigram, seen ctx: 0 + (.75*1/1)*(2/7)
+    val p1 = 0.625 + 0.375 * (2.0 / 7); val p2 = 0.75 * (2.0 / 7)
+    val ll1 = r6((lnM(p1) + lnM(p2)) / 2e6)
+    assert(got(1L)._1 === 2L)
+    assert(got(1L)._2 === ll1)
+    assert(got(1L)._3 === BigDecimal(math.exp(-ll1))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 3 "z z z": unseen context AND word -> Pcont floor 1/7 twice;
+    // the continuation floor (1/(T+V+1)) replaces q239's 1/V
+    val ll3 = r6(lnM(1.0 / 7) / 1e6)
+    assert(got(3L)._1 === 2L)
+    assert(got(3L)._2 === ll3)
+    // the KN point: a frequent continuation (b after a) scores ABOVE
+    // the raw discounted MLE alone, and the unseen-transition floor is
+    // continuation-mass, not a uniform 1/V
+    assert(p1 > (2 - 0.75) / 2.0 && p2 > 1.0 / 7)
+  }
 }
