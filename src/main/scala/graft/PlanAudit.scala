@@ -106,7 +106,8 @@ object PlanAudit {
       "q254_conformal", "q255_conformal_drift", "q256_emb_drift",
       "q257_dedup_sweep",
       // round-9 extension additions
-      "q258_kneser_ney", "q259_dup_span_runs", "q260_loo_ablation")
+      "q258_kneser_ney", "q259_dup_span_runs", "q260_loo_ablation",
+      "q261_cdc_chunks")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

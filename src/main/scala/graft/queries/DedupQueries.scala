@@ -215,6 +215,51 @@ object DedupQueries {
         sum(col("len")).as("n_shared_grams"))
   }
 
+  /** q261 content-defined chunking — the INSERT-ROBUST exact-dedup unit
+    * [LBFS, Muthitacharoen SOSP'01; FastCDC, Xia ATC'16]: fixed-stride
+    * chunking (q81) realigns every boundary after a single inserted
+    * token, so near-identical revisions share nothing; CDC cuts where
+    * the CONTENT says to (a rolling window hash hits a mask), so an
+    * edit disturbs at most the chunks overlapping its ±window
+    * neighborhood and everything else still dedups by exact hash.
+    *
+    * Boundary rule (token-level gear, GF(2) variant): cut after token i
+    * (3 ≤ i < n) iff (4·g(tᵢ) + 2·g(tᵢ₋₁) + g(tᵢ₋₂)) mod 16 = 0, with
+    * g = the 16-bit md5 bucket (md5 so DuckDB mirrors the hash — the
+    * q94/q209 discipline; swap xxhash64 at production). Window 3 ⇒ a
+    * one-token edit perturbs ≤ 3 cut decisions; mask 16 ⇒ ~16-token
+    * expected chunks. Everything is a NARROW per-row expression —
+    * boundaries, slices, and chunk hashes never leave the row until
+    * the (doc, chunk-hash) explode.
+    *
+    * Returns the chunk table (doc_id, chunk_idx, s, e, h, clen); the
+    * q261 entry aggregates the cross-document shared-chunk report on
+    * top (one bounded shuffle on the 32-byte chunk hash — the q70
+    * totals-stay-narrow shape).
+    */
+  private[graft] def cdcChunkTable(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("g", expr(
+        "transform(tk, w -> cast(conv(substring(md5(w), 1, 4), 16, 10)" +
+          " as int))"))
+      .withColumn("cuts", expr(
+        """filter(sequence(1, size(tk)), i ->
+          |  i >= 3 AND i <= size(tk) - 1 AND
+          |  (4 * try_element_at(g, i) + 2 * try_element_at(g, i - 1)
+          |   + try_element_at(g, i - 2)) % 16 = 0)""".stripMargin))
+      .withColumn("starts",
+        expr("concat(array(1), transform(cuts, c -> c + 1))"))
+      .withColumn("ends", expr("concat(cuts, array(size(tk)))"))
+      .select(col("doc_id"), posexplode(expr(
+        """zip_with(starts, ends, (s, e) -> struct(
+          |  s AS s, e AS e,
+          |  md5(concat_ws(' ', slice(tk, s, e - s + 1))) AS h,
+          |  cast(e - s + 1 as bigint) AS clen))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.s").as("s"), col("col.e").as("e"),
+        col("col.h").as("h"), col("col.clen").as("clen"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q241 reference dedup via bloom prefilter: the ingest ledger holds
     // the first 60% of doc_ids, the arriving batch is the last 60% —
@@ -404,6 +449,28 @@ object DedupQueries {
     // q259 maximal duplicated-RUN report (scaladoc on dupSpanRuns)
     "q259_dup_span_runs" -> ((s, d) =>
       dupSpanRuns(Tables(s, d, "documents"))),
+
+    // q261 CDC shared-chunk report (scaladoc on cdcChunkTable): per doc
+    // the chunk count, token total, chunks whose hash appears in ≥ 2
+    // docs, and the shared fraction — per-doc totals stay NARROW; only
+    // the chunk-hash aggregation and the dup-hit semi join shuffle
+    // (both keyed on the 32-byte hash), the q70 shape.
+    "q261_cdc_chunks" -> ((s, d) => {
+      val ch = cdcChunkTable(Tables(s, d, "documents"))
+      val totals = ch.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("n_tokens"))
+      val shared = ch.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val hits = ch.join(shared, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .withColumn("n_shared_chunks", coalesce(col("nsh"), lit(0L)))
+        .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
+          col("n_shared_chunks"),
+          round(col("n_shared_chunks") / col("n_chunks"), 6)
+            .as("shared_frac"))
+    }),
 
     // q229 cross-source overlap matrix — the corpus-composition audit a
     // mixing pipeline runs before setting source weights: for every
@@ -984,6 +1051,39 @@ object DedupQueries {
     // prefix filtering is EXACT (a theorem, not a tuning) — it earns
     // the identical oracle and a hash-checked row of its own
     "dedup_jaccard_prefix" -> exactPairsSql,
+    // q261: the identical gear rule over DuckDB lists — the md5 bucket
+    // is the q209 '0x'||substr cast, cuts/starts/ends mirror the Spark
+    // arrays 1-based, and chunk hashes are md5 of the same joined text
+    "q261_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |gg AS (SELECT doc_id, tk, list_transform(tk, w ->
+        |         CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER)) AS g
+        |       FROM t),
+        |cu AS (SELECT doc_id, tk,
+        |         list_filter(range(1, len(tk) + 1), i ->
+        |           i >= 3 AND i <= len(tk) - 1 AND
+        |           (4 * g[i] + 2 * g[i - 1] + g[i - 2]) % 16 = 0) AS cuts
+        |       FROM gg),
+        |se AS (SELECT doc_id, tk,
+        |         list_prepend(1, list_transform(cuts, c -> c + 1))
+        |           AS starts,
+        |         list_append(cuts, len(tk)) AS ends FROM cu),
+        |ce AS (SELECT doc_id, unnest([struct_pack(
+        |         h := md5(array_to_string(tk[starts[i]:ends[i]], ' ')),
+        |         cl := ends[i] - starts[i] + 1)
+        |         FOR i IN range(1, len(starts) + 1)]) AS p FROM se),
+        |ck AS (SELECT doc_id, p.h AS h, p.cl AS cl FROM ce),
+        |sh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |       FROM ck GROUP BY h) WHERE nd >= 2)
+        |SELECT ck.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(ck.cl) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shared_chunks,
+        |  round(CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS shared_frac
+        |FROM ck LEFT JOIN sh ON ck.h = sh.h
+        |GROUP BY ck.doc_id""".stripMargin,
     // q259: identical islands on raw 8-token window STRINGS (the q70
     // hash-vs-text equivalence covers the xxhash64 bucketing)
     "q259_dup_span_runs" ->

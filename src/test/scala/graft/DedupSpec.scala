@@ -37,6 +37,38 @@ class DedupSpec extends SparkSpec {
       (1L, 3L) -> ((8L, 2L, 2L))))
   }
 
+  test("q261 CDC: chunks reconstruct; one-token insert perturbs <= 3") {
+    import spark.implicits._
+    val a = (1 to 60).map("t" + _).mkString(" ")
+    val b = ((1 to 30).map("t" + _) ++ Seq("INS") ++
+      (31 to 60).map("t" + _)).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text")
+    val ch = DedupQueries.cdcChunkTable(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getLong(5)))
+    // reconstruction: contiguous ascending [s, e] covering every token
+    Seq(1L -> 60, 2L -> 61, 3L -> 60).foreach { case (id, n) =>
+      val cs = ch.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 === 1 && cs.last._4 === n)
+      assert(cs.map(_._6).sum === n.toLong)
+      cs.sliding(2).foreach { case Array(p, q) => assert(q._3 === p._4 + 1)
+        case _ => () }
+    }
+    val h1 = ch.filter(_._1 == 1L).map(_._5).toSeq.sorted
+    val h2 = ch.filter(_._1 == 2L).map(_._5).toSeq.sorted
+    val h3 = ch.filter(_._1 == 3L).map(_._5).toSeq.sorted
+    // the fixture must actually chunk (content cuts fired)
+    assert(h1.size >= 2, s"no content cut fired on the 60-token doc")
+    // exact duplicate: identical chunk multiset
+    assert(h3 === h1)
+    // insert robustness: the edit's +-window neighborhood spans <= 3
+    // cut decisions, so at most 3 of doc 1's chunks go unshared (the
+    // fixed-stride chunker q81 would realign EVERYTHING after token 30)
+    val shared = h1.intersect(h2)
+    assert(h1.size - shared.size <= 3,
+      s"CDC lost ${h1.size - shared.size} of ${h1.size} chunks to one insert")
+  }
+
   test("exact n-gram Jaccard finds the planted near-dup pairs") {
     assert(exact.nonEmpty, "sf0.001 should contain planted near-dups")
     exact.foreach { case (a, b) => assert(a < b) }
