@@ -107,7 +107,7 @@ object PlanAudit {
       "q257_dedup_sweep",
       // round-9 extension additions
       "q258_kneser_ney", "q259_dup_span_runs", "q260_loo_ablation",
-      "q261_cdc_chunks")
+      "q261_cdc_chunks", "q262_water_fill", "q263_vocab_coverage")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

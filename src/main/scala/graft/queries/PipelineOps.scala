@@ -398,6 +398,51 @@ object PipelineOps {
       .withColumn("ppl", round(exp(-col("ll")), 4))
   }
 
+  /** q262 water-filling budget allocation — the balanced-mixing cap:
+    * given per-source token counts and a global training budget B
+    * (here 60% of the corpus), find the LEVEL L = the largest integer
+    * with Σ min(tokens_s, L) ≤ B, and allocate min(tokens_s, L) per
+    * source. Small sources keep everything; over-represented sources
+    * are capped at the one level that exactly exhausts the budget —
+    * the fair-allocation answer q66's fixed-share mixing can't give
+    * (max-min fairness / progressive filling, the classic
+    * water-filling solution).
+    *
+    * Cost shape: ONE corpus aggregation to the |sources|-row table;
+    * the level is closed-form on that BOUNDED table (sort ascending,
+    * prefix sums, first row where the uncapped-remainder average
+    * drops below the row's own size binds the level) — the windows
+    * here run over source-catalog metadata, never the corpus (the
+    * q209 totals pattern). Integer-exact: level and allocations are
+    * floor arithmetic on token counts.
+    */
+  def waterFillBudget(docs: DataFrame, frac: Double = 0.6): DataFrame = {
+    val wOrd = Window.orderBy(col("t"), col("source"))
+    val wAll = Window.partitionBy()
+    docs.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("p",
+        sum(col("t")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("t")).over(wAll))
+      .withColumn("nsrc", count(lit(1)).over(wAll))
+      .withColumn("b", floor(col("total") * lit(frac)).cast("long"))
+      .withColumn("prev", col("p") - col("t"))
+      .withColumn("rem", col("nsrc") - col("i") + 1)
+      // integer div: at the binding row (the only consumed cand) the
+      // numerator is provably >= 0, so trunc == floor in both engines
+      .withColumn("cand", expr("(b - prev) div rem"))
+      .withColumn("bind",
+        min(when(col("cand") < col("t"), col("i"))).over(wAll))
+      .withColumn("lvl", when(col("bind").isNull, max(col("t")).over(wAll))
+        .otherwise(max(when(col("i") === col("bind"), col("cand")))
+          .over(wAll)))
+      .select(col("source"), col("t").as("n_tokens"),
+        least(col("t"), col("lvl")).as("allocated"),
+        (col("t") > col("lvl")).as("capped"),
+        col("lvl").as("level"), col("b").as("budget"))
+  }
+
   /** Map-typed column surface: construct a map from scalar columns and
     * JSON, then inspect (size/map_keys/map_contains_key), extract
     * (element_at), transform (transform_values/map_filter), merge
@@ -445,6 +490,9 @@ object PipelineOps {
 
     "q258_kneser_ney" -> ((s, d) =>
       kneserNeyPerplexity(Tables(s, d, "documents"))),
+
+    "q262_water_fill" -> ((s, d) =>
+      waterFillBudget(Tables(s, d, "documents"))),
 
     // Corpus snapshot diff — the incremental-pipeline primitive: classify
     // every doc as added/removed/changed between two snapshots by
@@ -607,6 +655,26 @@ object PipelineOps {
         |      FROM sco GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, ll, round(exp(-ll), 4) AS ppl
         |FROM g""".stripMargin,
+    "q262_water_fill" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, t,
+        |    row_number() OVER (ORDER BY t, source) AS i,
+        |    sum(t) OVER (ORDER BY t, source) AS p,
+        |    sum(t) OVER () AS total, count(*) OVER () AS nsrc FROM s),
+        |c AS (SELECT *, CAST(floor(total * 0.6) AS BIGINT) AS b,
+        |    p - t AS prev, nsrc - i + 1 AS rem FROM r),
+        |c2 AS (SELECT *, (b - prev) // rem AS cand FROM c),
+        |c3 AS (SELECT *,
+        |    min(CASE WHEN cand < t THEN i END) OVER () AS bind FROM c2),
+        |c4 AS (SELECT *, CASE WHEN bind IS NULL THEN max(t) OVER ()
+        |    ELSE max(CASE WHEN i = bind THEN cand END) OVER () END
+        |    AS lvl FROM c3)
+        |SELECT source, t AS n_tokens,
+        |  CAST(least(t, lvl) AS BIGINT) AS allocated, t > lvl AS capped,
+        |  CAST(lvl AS BIGINT) AS level, b AS budget
+        |FROM c4""".stripMargin,
     "q75_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents
         |           WHERE doc_id % 7 != 2),

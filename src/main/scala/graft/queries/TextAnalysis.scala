@@ -46,7 +46,46 @@ object TextAnalysis {
       sequence(lit(1), length(c) - 7),
       i => xxhash64(c.substr(i, lit(8))))))
 
+  /** q263 vocabulary-coverage / OOV curve — the tokenizer-design
+    * question "how big a vocabulary do I need?": for candidate vocab
+    * sizes K (top-K corpus tokens by frequency), the share of corpus
+    * token OCCURRENCES left out-of-vocabulary. Read the knee of the
+    * curve before training a tokenizer (the Zipf fit q185 models the
+    * same mass analytically; this is the exact measurement).
+    *
+    * Scale shape: one corpus tokenize → (w)-keyed count (vocab-sized,
+    * map-side combined). The frequency ranking runs through
+    * [[graft.operators.GlobalRank.withRank]] — at 100 TB the vocab
+    * table is itself huge (billions of types), and a plain
+    * `row_number() OVER (ORDER BY freq DESC)` is ONE task sorting the
+    * whole vocabulary, exactly the coarse-group hazard the GlobalRank
+    * scaladoc names (the oracle keeps the window form — DuckDB-side
+    * only). The K-sweep then needs no second pass: each threshold is a
+    * conditional sum in ONE aggregation over the ranked vocab.
+    */
+  def vocabCoverage(docs: DataFrame,
+      ks: Seq[Long] = Seq(256L, 1024L, 4096L, 16384L)): DataFrame = {
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val ranked = graft.operators.GlobalRank.withRank(vocab, "rnk",
+      col("freq").desc, col("w"))
+    val agg = ranked.agg(sum(col("freq")).as("tot"),
+      (count(lit(1)).as("nvocab") +:
+        ks.map(k => sum(when(col("rnk") <= k, col("freq")))
+          .as(s"c$k"))): _*)
+    ks.map(k => agg.select(lit(k).as("vocab_size"),
+        col("nvocab").as("n_vocab"),
+        coalesce(col(s"c$k"), lit(0L)).as("covered_tokens"),
+        round(lit(1.0) - coalesce(col(s"c$k"), lit(0L)) / col("tot"), 6)
+          .as("oov_rate")))
+      .reduce(_.unionByName(_))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_vocab_coverage" -> ((s, d) =>
+      vocabCoverage(Tables(s, d, "documents"))),
+
     // q201 class-distinctive terms (c-TF-IDF, the BERTopic labeling
     // scheme applied to the lang classes): per class, the terms with
     // the highest tf_class · ln(K / class_df), where class_df counts in
@@ -494,6 +533,31 @@ object TextAnalysis {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    // q263: the oracle keeps the plain window ranking (DuckDB-side
+    // only); the engine's withRank is row_number-identical by spec
+    "q263_vocab_coverage" -> {
+      val ks = Seq(256L, 1024L, 4096L, 16384L)
+      val sums = ks.map(k =>
+        s"CAST(COALESCE(sum(freq) FILTER (rnk <= $k), 0) AS BIGINT)" +
+          s" AS c$k").mkString(",\n        ")
+      val rows = ks.map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS vocab_size, nvocab AS n_vocab,
+           |  c$k AS covered_tokens,
+           |  round(1.0 - CAST(c$k AS DOUBLE) / tot, 6) AS oov_rate
+           |FROM a""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |t2 AS (SELECT w FROM tk WHERE len(w) > 0),
+         |v AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM t2
+         |      GROUP BY w),
+         |r AS (SELECT freq,
+         |        row_number() OVER (ORDER BY freq DESC, w) AS rnk FROM v),
+         |a AS (SELECT CAST(sum(freq) AS BIGINT) AS tot,
+         |        CAST(count(*) AS BIGINT) AS nvocab,
+         |        $sums
+         |      FROM r)
+         |$rows""".stripMargin
+    },
     "q201_ctfidf" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

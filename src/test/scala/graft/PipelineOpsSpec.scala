@@ -231,6 +231,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L)._2 === ll3)
   }
 
+  test("q262 water-fill: hand-computed level, exact budget, no-cap path") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("x").mkString(" "), src)
+    val docs = Seq(doc(1, "a", 10), doc(2, "b", 20), doc(3, "c", 40),
+      doc(4, "d", 100)).toDF("doc_id", "text", "source")
+    // total 170, B = floor(0.6*170) = 102; sorted [10,20,40,100]:
+    // i=3 binds ((102-30)/2 = 36 < 40) -> L=36, alloc 10+20+36+36 = 102
+    val got = PipelineOps.waterFillBudget(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      "a" -> ((10L, 10L, false, 36L)), "b" -> ((20L, 20L, false, 36L)),
+      "c" -> ((40L, 36L, true, 36L)), "d" -> ((100L, 36L, true, 36L))))
+    assert(got.values.map(_._2).sum === 102L) // budget exactly exhausted
+    // frac = 1.0: budget covers everything -> level = max source, no caps
+    val all = PipelineOps.waterFillBudget(docs, frac = 1.0).collect()
+      .map(r => (r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    assert(all.forall(x => !x._2 && x._3 === 100L))
+    assert(all.map(_._1).sum === 170L)
+  }
+
   test("q258 Kneser-Ney: hand-computed discounts, continuation backoff") {
     import spark.implicits._
     // train (even ids): "a b a b" -> types (a,b):2, (b,a):1; "c c" ->

@@ -4,6 +4,23 @@ import graft.queries.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("q263 vocab coverage: hand-computed OOV curve, tie rank by token") {
+    import spark.implicits._
+    // freqs: a=5 b=3 c=2 d=1 e=1 -> total 12; d/e tie broken by token
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a b c d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, Seq(1L, 2L, 4L, 8L))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((5L, 5L, 0.583333)), 2L -> ((5L, 8L, 0.333333)),
+      4L -> ((5L, 11L, 0.083333)), 8L -> ((5L, 12L, 0.0))))
+    // curve is monotone non-increasing in K
+    val curve = got.toSeq.sortBy(_._1).map(_._2._3)
+    assert(curve === curve.sorted.reverse)
+  }
+
   test("fingerprint: NULL below 8 chars, min 8-gram md5 at/above") {
     import spark.implicits._
     val got = Seq("short", "exactly8", "a longer text with many grams")
