@@ -361,37 +361,22 @@ object PipelineOps {
     */
   def kneserNeyPerplexity(docs: DataFrame, discount: Double = 0.75)
       : DataFrame = {
-    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 2)
-    def bigrams(df: DataFrame) = df
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(tk) - 2), " +
-          "i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val trainBg = bigrams(tok.filter(col("doc_id") % 2 === 0))
-    // bigram types with token counts — one grouped pass; every other
-    // model table derives from THIS vocabulary-bounded frame, not the
-    // corpus, so the N1+ fan-out/fan-in aggregations are model-sized
-    val types = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val ctx = types.groupBy("w1")
-      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fw"))
-    val cont = types.groupBy("w2").agg(count(lit(1)).as("n1bw"))
-    val t = types.count()
-    val v = trainBg.select(col("w1")).union(trainBg.select(col("w2")))
-      .distinct().count()
-    val d = lit(discount)
-    val pcont = (coalesce(col("n1bw"), lit(0L)) + 1.0) /
-      lit(t.toDouble + v.toDouble + 1.0)
-    val p = when(col("c1").isNotNull,
-      greatest(col("c2out") - d, lit(0.0)) / col("c1") +
-        (d * col("n1fw") / col("c1")) * pcont)
-      .otherwise(pcont)
-    bigrams(tok.filter(col("doc_id") % 2 === 1))
-      .join(types, Seq("w1", "w2"), "left")
-      .withColumn("c2out", coalesce(col("c2"), lit(0L)).cast("double"))
-      .join(ctx, Seq("w1"), "left")
-      .join(cont, Seq("w2"), "left")
-      .withColumn("lpm", round(log(p) * lit(1e6), 0).cast("long"))
+    import graft.streaming.LmQualityMonitor
+    // model building and the per-bigram KN probability are SHARED with
+    // the streaming monitor (LmQualityMonitor — bigram types with
+    // counts are one grouped pass; every other model table derives
+    // from that vocabulary-bounded frame, not the corpus, so the N1+
+    // fan-out/fan-in aggregations are model-sized), so the batch query
+    // and the stream_lm_ppl monitor can never drift apart
+    val m = LmQualityMonitor.knModel(docs.filter(col("doc_id") % 2 === 0),
+      pin = false)
+    LmQualityMonitor
+      .bigrams(docs.filter(col("doc_id") % 2 === 1), col("doc_id"))
+      .join(m.types, Seq("w1", "w2"), "left")
+      .join(m.ctx, Seq("w1"), "left")
+      .join(m.cont, Seq("w2"), "left")
+      .withColumn("lpm",
+        LmQualityMonitor.knLpMicros(m.tTypes, m.vocab, discount))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lpm")) / (count(lit(1)) * lit(1e6)), 6).as("ll"))
@@ -493,6 +478,59 @@ object PipelineOps {
 
     "q262_water_fill" -> ((s, d) =>
       waterFillBudget(Tables(s, d, "documents"))),
+
+    // STREAMING LM-quality monitor (rows-only; StreamingDriftSpec):
+    // q258's Kneser-Ney model scored per ARRIVING window — see
+    // LmQualityMonitor. The entry trains on the even-parity slice,
+    // takes the clean held slice's pooled mean ll as the reference
+    // gate (one batch aggregation), feeds the held docs through a REAL
+    // two-batch MemoryStream (synthetic day stamps off doc_id —
+    // documents carry no event time) and REQUIRES streamed == the same
+    // scoring batch-side before returning. Model tables are pinned for
+    // the run and released on exit.
+    "stream_lm_ppl" -> ((s, d) => {
+      import graft.streaming.LmQualityMonitor
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+      val m = LmQualityMonitor.knModel(docs.filter(col("doc_id") % 2 === 0))
+      try {
+        val held = docs.filter(col("doc_id") % 2 === 1)
+        val refLl = LmQualityMonitor.bigrams(held)
+          .join(m.types, Seq("w1", "w2"), "left")
+          .join(m.ctx, Seq("w1"), "left")
+          .join(m.cont, Seq("w2"), "left")
+          .withColumn("lpm",
+            LmQualityMonitor.knLpMicros(m.tTypes, m.vocab))
+          .agg((sum(col("lpm")) / (count(lit(1)) * lit(1e6))).as("ll"))
+          .head().getDouble(0)
+        val cur = held.select(timestamp_seconds(lit(1704067200L)
+          + pmod(col("doc_id"), lit(20)) * 86400).as("ts"), col("text"))
+        val feed = cur.as[(java.sql.Timestamp, String)].collect().toSeq
+        val mid =
+          if (feed.isEmpty) 0L
+          else feed.map(_._1.getTime).sorted.apply(feed.size / 2)
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(java.sql.Timestamp, String)]
+        val out = LmQualityMonitor.score(
+          stream.toDF().toDF("ts", "text"), m, refLl, "5 days")
+        val q = out.writeStream.format("memory")
+          .queryName("stream_lm_ppl").outputMode("complete").start()
+        stream.addData(feed.filter(_._1.getTime < mid))
+        q.processAllAvailable()
+        stream.addData(feed.filter(_._1.getTime >= mid))
+        q.processAllAvailable()
+        q.stop()
+        val got = s.table("stream_lm_ppl").collect().toSet
+        val batch = LmQualityMonitor.score(cur, m, refLl, "5 days")
+          .collect().toSet
+        require(got == batch,
+          s"streamed LM quality diverged from batch: " +
+            s"${(got diff batch).take(3)} vs ${(batch diff got).take(3)}")
+        s.table("stream_lm_ppl")
+      } finally Seq(m.types, m.ctx, m.cont).foreach(
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
+    }),
 
     // Corpus snapshot diff — the incremental-pipeline primitive: classify
     // every doc as added/removed/changed between two snapshots by

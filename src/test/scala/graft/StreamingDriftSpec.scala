@@ -203,6 +203,51 @@ class StreamingDriftSpec extends SparkSpec {
     assert(spark.table("sds_emb").collect().toSet === batch.toSet)
   }
 
+  test("streamed LM quality equals batch; gibberish window degrades") {
+    import graft.streaming.LmQualityMonitor
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // train: a tight two-phrase language; reference ll from the same
+    // distribution, so a clean window sits at the gate's zero point
+    val train = (1L to 20L)
+      .map(i => (i, if (i % 2 == 0) "aa bb cc aa bb" else "bb aa cc"))
+      .toDF("doc_id", "text")
+    val m = LmQualityMonitor.knModel(train, pin = false)
+    val refLl = LmQualityMonitor.bigrams(train)
+      .join(m.types, Seq("w1", "w2"), "left")
+      .join(m.ctx, Seq("w1"), "left")
+      .join(m.cont, Seq("w2"), "left")
+      .withColumn("lpm", LmQualityMonitor.knLpMicros(m.tTypes, m.vocab))
+      .agg((sum(col("lpm")) / (count(lit(1)) * lit(1e6))).as("ll"))
+      .head().getDouble(0)
+    // window A (days 1-4): in-distribution; window B (days 16-19):
+    // gibberish tokens the model never saw -> continuation-floor lls
+    val rows = (1 to 4).map(d => (t(d), "aa bb cc aa")) ++
+      (16 to 19).map(d => (t(d), "zz qq ww zz qq"))
+    val batch = LmQualityMonitor.score(
+      rows.toDF("ts", "text"), m, refLl, "5 days").collect()
+    val byWin = batch.map(r => r.getTimestamp(0).getTime ->
+      ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // bands are 11 days apart, so no epoch-aligned 5-day window mixes
+    // them: every early window is clean, every late one degraded
+    val (flagged, quiet) = byWin.partition(_._2._3)
+    assert(flagged.nonEmpty && quiet.nonEmpty)
+    assert(quiet.keys.max < flagged.keys.min)
+    assert(flagged.values.map(_._2).max <
+      quiet.values.map(_._2).min - 1.0)
+    // streamed == batch on a real 2-batch split
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = LmQualityMonitor.score(
+        stream.toDF().toDF("ts", "text"), m, refLl, "5 days")
+      .writeStream.format("memory").queryName("sds_lm")
+      .outputMode("complete").start()
+    val (b1, b2) = rows.partition(_._1.getTime < t(10).getTime)
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(spark.table("sds_lm").collect().toSet === batch.toSet)
+  }
+
   test("streamed conformal coverage equals batch on the same split") {
     // model: y ≈ 10x with interval half-width 2
     val model = Seq(("A", 10.0, 0.0, 2.0))
