@@ -107,7 +107,8 @@ object PlanAudit {
       "q257_dedup_sweep",
       // round-9 extension additions
       "q258_kneser_ney", "q259_dup_span_runs", "q260_loo_ablation",
-      "q261_cdc_chunks", "q262_water_fill", "q263_vocab_coverage")
+      "q261_cdc_chunks", "q262_water_fill", "q263_vocab_coverage",
+      "q264_classifier_agreement")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()
@@ -173,6 +174,10 @@ object PlanAudit {
     // constants, plus the 1-row full-model-accuracy broadcast at the end
     "q260_loo_ablation" ->
       "|classes x sources|-row LOO-model grid + 1-row full-acc broadcast",
+    // q189's grid (inherited through nbScores) + the final 1-row
+    // marginal-product broadcast attached to the 1-row base aggregate
+    "q264_classifier_agreement" ->
+      "q189 class grid + 1-row chance-agreement broadcast",
     "q181_feature_matrix" -> "1-row dataset-horizon broadcast",
     // the candidate universe IS the operator's defined work: every
     // customer × the PopPool(=50)-row popular-item pool, then anti-join

@@ -246,6 +246,64 @@ object ClassifyOps {
           / col("n_test"), 6).as("acc_delta"))
   }
 
+  /** q264 classifier-agreement audit — the model-selection question
+    * "do my two language classifiers disagree more than chance, and
+    * which one wins where they do?": Cohen's kappa between q27's
+    * stopword heuristic and q189's learned NB on the SHARED held-out
+    * fifth [Cohen, 1960], plus McNemar's paired test on the
+    * discordant-correctness cells [McNemar, Psychometrika 1947] — the
+    * correct paired comparison where two independent accuracy CIs
+    * mislead (both classifiers score the same docs).
+    *
+    * Everything reduces to integer counts: agreement and the two
+    * discordant cells are one aggregation over the joined per-doc
+    * predictions; chance agreement Σ aₖ·bₖ comes from the two
+    * |classes|-row marginal tables. kappa and the continuity-corrected
+    * chi² assemble in DOUBLE on identical integers (both engines run
+    * the same expression, rounded once); zero denominators gate to
+    * NULL explicitly. The three aggregations re-derive the per-doc
+    * prediction table (the q226/q237 convention — vocab-keyed
+    * aggregations over the held-out fifth; pinning a corpus-sized
+    * frame to save two passes is the worse trade, the
+    * exactQuantilesByRank leak lesson).
+    */
+  def classifierAgreement(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("c"))
+    val nb = nbScores(s, d).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("c").as("pred_nb"))
+    val h = TextAnalysis.heuristicLang(Tables(s, d, "documents"))
+      .filter(col("doc_id") % 5 === 0)
+    val j = h.join(nb, "doc_id")
+      .select(col("lang"), col("pred_h"), col("pred_nb"))
+    val base = j.agg(count(lit(1)).as("n"),
+        sum(when(col("pred_h") === col("pred_nb"), 1L).otherwise(0L))
+          .as("agree"),
+        sum(when(col("pred_h") === col("lang")
+          && col("pred_nb") =!= col("lang"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("pred_h") =!= col("lang")
+          && col("pred_nb") === col("lang"), 1L).otherwise(0L)).as("cc"))
+      val mh = j.groupBy(col("pred_h").as("k")).agg(count(lit(1)).as("a"))
+      val mn = j.groupBy(col("pred_nb").as("k"))
+        .agg(count(lit(1)).as("bb"))
+      // classes predicted by only one side contribute a*0 — inner join
+      val sab = mh.join(mn, "k")
+        .agg(coalesce(sum(col("a") * col("bb")), lit(0L)).as("sab"))
+      val n = col("n").cast("double")
+      val kDen = n * n - col("sab")
+      val mDen = col("b") + col("cc")
+      base.crossJoin(broadcast(sab)).select(
+        col("n").as("n_test"), col("agree").as("n_agree"),
+        when(kDen =!= 0.0,
+          round((n * col("agree") - col("sab")) / kDen, 6)).as("kappa"),
+        col("b").as("h_only_correct"),
+        col("cc").as("nb_only_correct"),
+        when(mDen > 0,
+          round(pow(abs(col("b") - col("cc")) - 1.0, 2) / mDen, 6))
+          .as("mcnemar_chi2"))
+  }
+
   /** Distributed batch-gradient-descent logistic regression — the
     * fasttext-style quality-classifier primitive of a curation pipeline
     * (train a small linear model on labels, score the whole corpus).
@@ -375,6 +433,7 @@ object ClassifyOps {
     "q189_naive_bayes" -> ((s, d) => naiveBayes(s, d)),
     "q226_calibration" -> ((s, d) => calibration(s, d)),
     "q260_loo_ablation" -> ((s, d) => looSourceAblation(s, d)),
+    "q264_classifier_agreement" -> ((s, d) => classifierAgreement(s, d)),
 
     // q237 5-fold cross-validation of the NB classifier — the variance
     // estimate q189's single held-out fifth can't give: each fold
@@ -473,6 +532,62 @@ object ClassifyOps {
         |""".stripMargin
         + (0 until 5).map(nbFoldCtes).mkString(",\n") + "\n"
         + (0 until 5).map(nbFoldSelect).mkString("\nUNION ALL\n")),
+    // q264: the q189 scoring chain verbatim (the q226/q237 convention)
+    // + the shared heuristic-prediction SELECT from TextAnalysis; all
+    // statistics assemble from integer counts, doubles round once
+    "q264_classifier_agreement" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE len(w) > 0),
+        |train AS (SELECT * FROM t2 WHERE doc_id % 5 <> 0),
+        |test AS (SELECT * FROM t2 WHERE doc_id % 5 = 0),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM train),
+        |cls AS (SELECT lang AS c, COUNT(*) AS tok_c,
+        |    COUNT(DISTINCT doc_id) AS docs_c FROM train GROUP BY lang),
+        |wc AS (SELECT lang AS c, w, COUNT(*) AS cwc
+        |  FROM train GROUP BY lang, w),
+        |tf AS (SELECT doc_id, lang, w, COUNT(*) AS tf
+        |  FROM test GROUP BY doc_id, lang, w),
+        |dlen AS (SELECT doc_id, lang, SUM(tf) AS len
+        |  FROM tf GROUP BY doc_id, lang),
+        |part AS (SELECT tf.doc_id, wc.c,
+        |    SUM(tf.tf * CAST(round(ln(wc.cwc + 1.0) * 1000000, 0)
+        |      AS BIGINT)) AS seen
+        |  FROM tf JOIN wc ON tf.w = wc.w GROUP BY tf.doc_id, wc.c),
+        |score AS (SELECT dlen.doc_id, dlen.lang, cls.c,
+        |    CAST(round(ln(cls.docs_c) * 1000000, 0) AS BIGINT)
+        |      + COALESCE(part.seen, 0)
+        |      - dlen.len * CAST(round(ln(CAST(cls.tok_c AS DOUBLE) + v.v)
+        |          * 1000000, 0) AS BIGINT) AS score
+        |  FROM dlen CROSS JOIN cls CROSS JOIN v
+        |  LEFT JOIN part ON part.doc_id = dlen.doc_id AND part.c = cls.c),
+        |pred AS (SELECT doc_id, lang, c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, c) AS rn FROM score),
+        |nbp AS (SELECT doc_id, c AS pred_nb FROM pred WHERE rn = 1),
+        |hh AS (${TextAnalysis.heuristicLangSql}),
+        |j AS (SELECT hh.lang, hh.pred_h, nbp.pred_nb
+        |      FROM hh JOIN nbp USING (doc_id) WHERE hh.doc_id % 5 = 0),
+        |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN pred_h = pred_nb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS agree,
+        |    CAST(SUM(CASE WHEN pred_h = lang AND pred_nb <> lang
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN pred_h <> lang AND pred_nb = lang
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cc FROM j),
+        |mh AS (SELECT pred_h AS k, COUNT(*) AS a FROM j GROUP BY 1),
+        |mn AS (SELECT pred_nb AS k, COUNT(*) AS bb FROM j GROUP BY 1),
+        |sab AS (SELECT CAST(COALESCE(SUM(a * bb), 0) AS BIGINT) AS sab
+        |  FROM mh JOIN mn USING (k))
+        |SELECT n AS n_test, agree AS n_agree,
+        |  CASE WHEN CAST(n AS DOUBLE) * n - sab <> 0 THEN
+        |    round((CAST(n AS DOUBLE) * agree - sab) /
+        |          (CAST(n AS DOUBLE) * n - sab), 6) END AS kappa,
+        |  b AS h_only_correct, cc AS nb_only_correct,
+        |  CASE WHEN b + cc > 0 THEN
+        |    round(pow(abs(b - cc) - 1.0, 2) / (b + cc), 6) END
+        |    AS mcnemar_chi2
+        |FROM base CROSS JOIN sab""".stripMargin,
     "q260_loo_ablation" ->
       """WITH toks AS (SELECT doc_id, lang, source,
         |    unnest(string_split(text, ' ')) AS w FROM documents),

@@ -21,6 +21,40 @@ object TextAnalysis {
   private def markerArray(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("array(", ", ", ")")
 
+  /** q27's per-document heuristic prediction (doc_id, lang, pred_h) —
+    * the shared seam between the q27 confusion matrix and q264's
+    * classifier-agreement audit.
+    */
+  private[queries] def heuristicLang(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .withColumn("s_en", expr(
+        s"size(filter(tk, t -> array_contains(${markerArray(enMarkers)}, t)))"))
+      .withColumn("s_es", expr(
+        s"size(filter(tk, t -> array_contains(${markerArray(esMarkers)}, t)))"))
+      .withColumn("s_de", expr(
+        s"size(filter(tk, t -> array_contains(${markerArray(deMarkers)}, t)))"))
+      .select(col("doc_id"), col("lang"),
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+          col("s_en") > 0, "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") > 0, "es")
+          .when(col("s_de") > 0, "de")
+          .otherwise("und").as("pred_h"))
+
+  /** DuckDB twin of [[heuristicLang]] over `documents` (q264 oracle). */
+  private[queries] def heuristicLangSql: String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+       |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+       |       WHEN s_de > 0 THEN 'de'
+       |       ELSE 'und' END AS pred_h
+       |FROM (SELECT doc_id, lang,
+       |  len(list_filter(tk, t -> list_contains(${markerList(enMarkers)}, t))) AS s_en,
+       |  len(list_filter(tk, t -> list_contains(${markerList(esMarkers)}, t))) AS s_es,
+       |  len(list_filter(tk, t -> list_contains(${markerList(deMarkers)}, t))) AS s_de
+       | FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+       |       FROM documents) t) sc""".stripMargin
+
   /** Minimum md5 over all character 8-grams of `c`. md5 (not xxhash64)
     * deliberately: it is the one hash both engines compute identically,
     * which keeps q30 oracle-checkable; at production scale swap in
@@ -206,23 +240,11 @@ object TextAnalysis {
     // Language-ID by stopword-marker frequency (n-gram-free heuristic):
     // score each candidate language by marker-token occurrences, pick the
     // argmax with a fixed precedence; confusion matrix vs the labeled
-    // `lang` column as output.
+    // `lang` column as output. Per-doc predictions live in
+    // [[heuristicLang]] (shared with q264's agreement audit).
     "q27_lang_id" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
-        .withColumn("s_en", expr(
-          s"size(filter(tk, t -> array_contains(${markerArray(enMarkers)}, t)))"))
-        .withColumn("s_es", expr(
-          s"size(filter(tk, t -> array_contains(${markerArray(esMarkers)}, t)))"))
-        .withColumn("s_de", expr(
-          s"size(filter(tk, t -> array_contains(${markerArray(deMarkers)}, t)))"))
-        .withColumn("predicted",
-          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
-            col("s_en") > 0, "en")
-            .when(col("s_es") >= col("s_de") && col("s_es") > 0, "es")
-            .when(col("s_de") > 0, "de")
-            .otherwise("und"))
-        .groupBy(col("lang"), col("predicted"))
+      heuristicLang(Tables(s, d, "documents"))
+        .groupBy(col("lang"), col("pred_h").as("predicted"))
         .agg(count(lit(1)).as("n"))),
 
     // Per-document quality score: length, stopword ratio, mean token

@@ -13,6 +13,27 @@ class ClassifySpec extends SparkSpec {
     dir
   }
 
+  test("q264 agreement: hand-computed kappa and McNemar cells") {
+    // train: disjoint class vocab (xx/yy) + markers, equal priors and
+    // token totals, so NB argmax = matched-token count with the c-asc
+    // tie-break. Test fold crafted to populate every cell:
+    //  id0/5/20/30 both correct; id10/15/35 NB-only correct (cc = 3);
+    //  id25 heuristic-only correct (b = 1); agree = 4 of n = 8.
+    //  marginals h(en 5, de 3) nb(en 3, de 5) -> sab = 30,
+    //  kappa = (8*4 - 30)/(64 - 30) = 2/34; chi2 = (|1-3|-1)^2/4
+    val train = Seq(1L, 2L, 3L).map(i => (i, "the of is xx", "en")) ++
+      Seq(4L, 6L, 7L).map(i => (i, "der die das yy", "de"))
+    val testDocs = Seq((0L, "the of is", "en"), (5L, "der die das", "de"),
+      (10L, "yy yy the", "de"), (15L, "xx xx der", "en"),
+      (20L, "the qq", "en"), (25L, "the yy yy", "en"),
+      (30L, "der der yy", "de"), (35L, "yy yy the the", "de"))
+    val docs = (train ++ testDocs).toDF("doc_id", "text", "lang")
+    val r = ClassifyOps.classifierAgreement(spark, docsDir(docs)).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) ===
+      ((8L, 4L, 0.058824, 1L, 3L, 0.25)))
+  }
+
   test("q260 LOO ablation: poisoned source flagged, dropped class path") {
     import org.apache.spark.sql.expressions.Window
     // train = %5!=0, test = %5==0 (4 docs). Source 'bad' mislabels de
