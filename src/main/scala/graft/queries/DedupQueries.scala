@@ -237,7 +237,8 @@ object DedupQueries {
     * top (one bounded shuffle on the 32-byte chunk hash — the q70
     * totals-stay-narrow shape).
     */
-  private[graft] def cdcChunkTable(docs: DataFrame): DataFrame =
+  private[graft] def cdcChunkTable(docs: DataFrame,
+      keep: Seq[Column] = Seq(col("doc_id"))): DataFrame =
     docs
       .withColumn("tk", split(col("text"), " "))
       .withColumn("g", expr(
@@ -251,14 +252,14 @@ object DedupQueries {
       .withColumn("starts",
         expr("concat(array(1), transform(cuts, c -> c + 1))"))
       .withColumn("ends", expr("concat(cuts, array(size(tk)))"))
-      .select(col("doc_id"), posexplode(expr(
+      .select(keep :+ posexplode(expr(
         """zip_with(starts, ends, (s, e) -> struct(
           |  s AS s, e AS e,
           |  md5(concat_ws(' ', slice(tk, s, e - s + 1))) AS h,
-          |  cast(e - s + 1 as bigint) AS clen))""".stripMargin)))
-      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          |  cast(e - s + 1 as bigint) AS clen))""".stripMargin)): _*)
+      .select(keep ++ Seq(col("pos").cast("long").as("chunk_idx"),
         col("col.s").as("s"), col("col.e").as("e"),
-        col("col.h").as("h"), col("col.clen").as("clen"))
+        col("col.h").as("h"), col("col.clen").as("clen")): _*)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q241 reference dedup via bloom prefilter: the ingest ledger holds
@@ -470,6 +471,48 @@ object DedupQueries {
           col("n_shared_chunks"),
           round(col("n_shared_chunks") / col("n_chunks"), 6)
             .as("shared_frac"))
+    }),
+
+    // STREAMING CDC chunk-novelty monitor (rows-only;
+    // StreamingDedupSpec): q261's insert-robust chunks per ARRIVING
+    // window against the even-parity reference chunk index — see
+    // streaming/CdcIngest. The entry feeds the odd-parity docs through
+    // a REAL two-batch MemoryStream (synthetic day stamps off doc_id)
+    // and REQUIRES streamed == the same aggregation batch-side before
+    // returning; the pinned reference index is released on exit.
+    "stream_cdc_inc" -> ((s, d) => {
+      import graft.streaming.CdcIngest
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+      val ref = CdcIngest.refChunks(docs.filter(col("doc_id") % 2 === 0))
+      try {
+        val cur = docs.filter(col("doc_id") % 2 =!= 0)
+          .select(timestamp_seconds(lit(1704067200L)
+            + pmod(col("doc_id"), lit(20)) * 86400).as("ts"), col("text"))
+        val feed = cur.as[(java.sql.Timestamp, String)].collect().toSeq
+        val mid =
+          if (feed.isEmpty) 0L
+          else feed.map(_._1.getTime).sorted.apply(feed.size / 2)
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(java.sql.Timestamp, String)]
+        val out = CdcIngest.novelty(
+          stream.toDF().toDF("ts", "text"), ref, "5 days")
+        val q = out.writeStream.format("memory")
+          .queryName("stream_cdc_inc").outputMode("complete").start()
+        stream.addData(feed.filter(_._1.getTime < mid))
+        q.processAllAvailable()
+        stream.addData(feed.filter(_._1.getTime >= mid))
+        q.processAllAvailable()
+        q.stop()
+        val got = s.table("stream_cdc_inc").collect().toSet
+        val batch = CdcIngest.novelty(cur, ref, "5 days").collect().toSet
+        require(got == batch,
+          s"streamed CDC novelty diverged from batch: " +
+            s"${(got diff batch).take(3)} vs ${(batch diff got).take(3)}")
+        s.table("stream_cdc_inc")
+      } finally org.apache.spark.sql.graft.ColumnBridge
+        .unpersistCheckpoint(ref)
     }),
 
     // q229 cross-source overlap matrix — the corpus-composition audit a

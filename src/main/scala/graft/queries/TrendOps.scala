@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -43,7 +44,54 @@ object TrendOps {
 
   private val dec = DecimalType(18, 2)
 
+  /** q265 change-point LOCALIZATION — binary segmentation's first (and
+    * often only) split [Scott & Knott, Biometrics 1974; the AMOC case
+    * of Killick's PELT]: per event type, the day boundary that
+    * maximizes the between-segment sum-of-squares reduction of the
+    * value series — "WHERE did the level shift?" beside q159 CUSUM's
+    * sequential "DID it shift?" and q222 Mann-Kendall's "is there a
+    * monotone trend?".
+    *
+    * gain(k) = cs²/cn + (s−cs)²/(n−cn) − s²/n over the per-type daily
+    * prefix sums — maximizing it is exactly minimizing the two-segment
+    * SSE (the variance decomposition; event-weighted, so days pool by
+    * their event counts). Cost shape: the corpus reduces to the DAILY
+    * grain in one map-side-combined aggregation; every window here
+    * runs over that calendar-bounded table (days × types), never the
+    * corpus. Day sums ride DECIMAL (exact, order-independent); the
+    * gain assembles in double on identical values cross-engine and
+    * rounds once. Argmax tie-breaks earliest day.
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4))).as("vs"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val pre = daily
+      .withColumn("cn", sum(col("cnt")).over(wOrd))
+      .withColumn("cs", sum(col("vs")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("s", sum(col("vs")).over(wAll))
+      .filter(col("cn") < col("n"))
+    val cs = col("cs").cast("double"); val sAll = col("s").cast("double")
+    val cn = col("cn").cast("double"); val nAll = col("n").cast("double")
+    val gain = cs * cs / cn + (sAll - cs) * (sAll - cs) / (nAll - cn) -
+      sAll * sAll / nAll
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(col("gain").desc, col("day"))
+    pre.withColumn("gain", gain)
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("event_type"), col("day").cast("string").as("split_day"),
+        col("cn").as("n_before"), (col("n") - col("cn")).as("n_after"),
+        round(cs / cn, 6).as("mean_before"),
+        round((sAll - cs) / (nAll - cn), 6).as("mean_after"),
+        round(col("gain"), 6).as("gain"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_changepoint" -> ((s, d) => changepoint(Tables(s, d, "events"))),
     "q222_mann_kendall" -> ((s, d) => mannKendall(Tables(s, d, "events"))),
     "q224_isotonic" -> ((s, d) => isotonic(Tables(s, d, "events"))),
     "q247_holt" -> ((s, d) => holt(Tables(s, d, "events"))),
@@ -299,6 +347,33 @@ object TrendOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q265_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    SUM(CAST(value AS DECIMAL(18, 4))) AS vs
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (SELECT event_type, day,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day) AS cn,
+        |    sum(vs) OVER (PARTITION BY event_type ORDER BY day) AS cs,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n,
+        |    sum(vs) OVER (PARTITION BY event_type) AS s
+        |  FROM daily),
+        |sc AS (SELECT event_type, day, cn, n,
+        |    CAST(cs AS DOUBLE) AS csd, CAST(s AS DOUBLE) AS sd,
+        |    CAST(cn AS DOUBLE) AS cnd, CAST(n AS DOUBLE) AS nd
+        |  FROM pre WHERE cn < n),
+        |g AS (SELECT event_type, day, cn, n,
+        |    csd * csd / cnd + (sd - csd) * (sd - csd) / (nd - cnd)
+        |      - sd * sd / nd AS gain,
+        |    csd / cnd AS mb, (sd - csd) / (nd - cnd) AS ma FROM sc),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain DESC, day) AS rn FROM g)
+        |SELECT event_type, CAST(day AS VARCHAR) AS split_day,
+        |  CAST(cn AS BIGINT) AS n_before,
+        |  CAST(n - cn AS BIGINT) AS n_after,
+        |  round(mb, 6) AS mean_before, round(ma, 6) AS mean_after,
+        |  round(gain, 6) AS gain
+        |FROM r WHERE rn = 1""".stripMargin,
     "q247_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -13,6 +13,48 @@ import graft.streaming.{IdempotentSink, StreamingDedup}
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stream_cdc_inc: exact dup 0 novel, insert <= 3, fresh all novel") {
+    import java.sql.Timestamp
+    import graft.streaming.CdcIngest
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val base = (1 to 60).map("t" + _).mkString(" ")
+    val edited = ((1 to 30).map("t" + _) ++ Seq("INS") ++
+      (31 to 60).map("t" + _)).mkString(" ")
+    val fresh = (1 to 40).map("f" + _).mkString(" ")
+    val ref = CdcIngest.refChunks(
+      Seq((1L, base)).toDF("doc_id", "text"))
+    try {
+      // three windows, one arriving doc each: an exact re-crawl, a
+      // one-token edit, and genuinely new content
+      val rows = Seq((t(1), base), (t(12), edited), (t(23), fresh))
+      val batch = CdcIngest.novelty(rows.toDF("ts", "text"), ref, "5 days")
+        .collect().sortBy(_.getTimestamp(0).getTime)
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(batch.length === 3)
+      assert(batch(0)._2 === 0L, s"exact dup had novel chunks: ${batch(0)}")
+      assert(batch(1)._2 <= 3L && batch(1)._2 < batch(1)._1,
+        s"one-token edit lost insert-robustness: ${batch(1)}")
+      assert(batch(2)._2 === batch(2)._1,
+        s"fresh doc not fully novel: ${batch(2)}")
+      // streamed == batch on a real 2-batch split
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val stream = MemoryStream[(Timestamp, String)]
+      val q = CdcIngest.novelty(
+          stream.toDF().toDF("ts", "text"), ref, "5 days")
+        .writeStream.format("memory").queryName("sdd_cdc")
+        .outputMode("complete").start()
+      val (b1, b2) = rows.partition(_._1.getTime < t(10).getTime)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("sdd_cdc").collect()
+        .sortBy(_.getTimestamp(0).getTime)
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(streamed.toSeq === batch.toSeq)
+    } finally org.apache.spark.sql.graft.ColumnBridge
+      .unpersistCheckpoint(ref)
+  }
+
   test("single-batch stream == batch q92 on the same split") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = Tables(spark, sf, "documents")

@@ -15,6 +15,21 @@ class TrendSpec extends SparkSpec {
       (1L, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), 7L, et, v, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("q265 changepoint: planted shift localized; flat ties to day 1") {
+    import graft.queries.TrendOps
+    val ev = eventsOf((1 to 10).map(d => ("shift", d, 10.0)) ++
+      (11 to 20).map(d => ("shift", d, 20.0)) ++
+      (1 to 20).map(d => ("flat", d, 5.0)))
+    val got = TrendOps.changepoint(ev).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // split AFTER day 10: between-SS = 100^2/10 + 200^2/10 - 300^2/20
+    assert(got("shift") === (("2024-01-10", 10L, 10L, 10.0, 20.0, 500.0)))
+    // flat series: every split's gain is exactly 0 -> earliest day wins
+    assert(got("flat")._1 === "2024-01-01" && got("flat")._6 === 0.0)
+  }
+
   // ---- Mann-Kendall -------------------------------------------------
 
   test("strictly increasing series: S = C(n,2), positive z, exact Sen slope") {
