@@ -116,9 +116,37 @@ object TextAnalysis {
       .reduce(_.unionByName(_))
   }
 
+  /** q266 vocabulary-saturation / unseen-mass audit — "which source
+    * still yields new vocabulary, and which is mined out?": per
+    * source, the Turing estimate of the probability the NEXT sampled
+    * token is a new type, P(unseen) = N₁/N (hapax share of token
+    * occurrences) [Good, Biometrika 1953 — the simple Good-Turing
+    * missing-mass estimator], beside the type/token ratio. A source
+    * whose unseen mass has collapsed contributes volume, not
+    * diversity — the q66/q262 mixing decisions read this first.
+    *
+    * Cost shape: one corpus tokenize → (source, w)-keyed count
+    * (vocabulary×|sources|-bounded, map-side combined) → |sources|
+    * output rows. Integer counts; the two ratios round once.
+    */
+  def unseenMass(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(col("n_hapax") / col("n_tokens"), 6).as("unseen_mass"),
+        round(col("n_types") / col("n_tokens"), 6).as("ttr"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_vocab_coverage" -> ((s, d) =>
       vocabCoverage(Tables(s, d, "documents"))),
+
+    "q266_unseen_mass" -> ((s, d) =>
+      unseenMass(Tables(s, d, "documents"))),
 
     // q201 class-distinctive terms (c-TF-IDF, the BERTopic labeling
     // scheme applied to the lang classes): per class, the terms with
@@ -555,6 +583,20 @@ object TextAnalysis {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    "q266_unseen_mass" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT source, w, count(*) AS f FROM tk
+        |       WHERE len(w) > 0 GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM tf GROUP BY source)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  round(CAST(n_hapax AS DOUBLE) / n_tokens, 6) AS unseen_mass,
+        |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+        |FROM a""".stripMargin,
     // q263: the oracle keeps the plain window ranking (DuckDB-side
     // only); the engine's withRank is row_number-identical by spec
     "q263_vocab_coverage" -> {

@@ -90,8 +90,54 @@ object TrendOps {
         round(col("gain"), 6).as("gain"))
   }
 
+  /** q267 forecast backtest with MASE [Hyndman & Koehler, IJF 2006] —
+    * the eval that decides whether q247's Holt smoothing earns its
+    * keep: per event type, the one-step-ahead MAE of the Holt forecast
+    * against the naive-1 (yesterday) and seasonal-naive-7 (last week)
+    * baselines on the SAME days, as Mean Absolute SCALED Error — the
+    * scale-free "is the model beating the trivial forecaster?" number
+    * (MASE < 1 = yes). A pipeline alarms on q265/q159 change-points;
+    * it only trusts the forecast channel when this audit clears.
+    *
+    * Everything runs over [[holt]]'s CALENDAR-bounded daily output:
+    * the lag windows and error sums touch ≤366 rows per type. Errors
+    * are |x − forecast| in integer MICROS (x is the exact decimal
+    * daily sum, the forecast is q247's once-rounded value both
+    * engines already hash-agree on), so the per-type error sums are
+    * order-independent longs and every ratio rounds once.
+    */
+  def maseBacktest(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    def errM(c: org.apache.spark.sql.Column) =
+      round(abs(c) * lit(1e6), 0).cast("long")
+    val t = holt(ev)
+      .withColumn("fc", lag(col("forecast_next"), 1).over(w))
+      .withColumn("xp", lag(col("x"), 1).over(w))
+      .withColumn("x7", lag(col("x"), 7).over(w))
+    t.groupBy(col("event_type")).agg(
+        sum(when(col("fc").isNotNull, errM(col("x") - col("fc"))))
+          .as("eh"),
+        sum(when(col("xp").isNotNull, errM(col("x") - col("xp"))))
+          .as("en"),
+        count(when(col("fc").isNotNull, 1L)).as("n1"),
+        sum(when(col("x7").isNotNull, errM(col("x") - col("fc"))))
+          .as("eh7"),
+        sum(when(col("x7").isNotNull, errM(col("x") - col("x7"))))
+          .as("e7"))
+      .select(col("event_type"), col("n1").as("n_backtest"),
+        round(col("eh") / col("n1") / lit(1e6), 6).as("mae_holt"),
+        round(col("en") / col("n1") / lit(1e6), 6).as("mae_naive"),
+        when(col("en") > 0,
+          round(col("eh").cast("double") / col("en"), 6)).as("mase"),
+        when(col("e7") > 0,
+          round(col("eh7").cast("double") / col("e7"), 6))
+          .as("mase_seasonal"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q265_changepoint" -> ((s, d) => changepoint(Tables(s, d, "events"))),
+    "q267_mase_backtest" -> ((s, d) =>
+      maseBacktest(Tables(s, d, "events"))),
     "q222_mann_kendall" -> ((s, d) => mannKendall(Tables(s, d, "events"))),
     "q224_isotonic" -> ((s, d) => isotonic(Tables(s, d, "events"))),
     "q247_holt" -> ((s, d) => holt(Tables(s, d, "events"))),
@@ -347,6 +393,53 @@ object TrendOps {
   }
 
   def oracle: Map[String, String] = Map(
+    // q267: the q247 recursive Holt chain + lag windows + micros sums
+    "q267_mase_backtest" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn
+        |  FROM daily),
+        |holt AS (
+        |  SELECT event_type, day, x, rn,
+        |    x AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.day, s.x, s.rn,
+        |    0.5 * s.x + 0.5 * (h.level + h.trend) AS level,
+        |    0.25 * ((0.5 * s.x + 0.5 * (h.level + h.trend)) - h.level)
+        |      + 0.75 * h.trend AS trend
+        |  FROM holt h JOIN seq s
+        |    ON s.event_type = h.event_type AND s.rn = h.rn + 1),
+        |f AS (SELECT event_type, day, x,
+        |    lag(round(level + trend, 6)) OVER
+        |      (PARTITION BY event_type ORDER BY day) AS fc,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp,
+        |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
+        |  FROM holt),
+        |a AS (SELECT event_type,
+        |    SUM(CASE WHEN fc IS NOT NULL THEN
+        |      CAST(round(abs(x - fc) * 1000000, 0) AS BIGINT) END) AS eh,
+        |    SUM(CASE WHEN xp IS NOT NULL THEN
+        |      CAST(round(abs(x - xp) * 1000000, 0) AS BIGINT) END) AS en,
+        |    COUNT(CASE WHEN fc IS NOT NULL THEN 1 END) AS n1,
+        |    SUM(CASE WHEN x7 IS NOT NULL THEN
+        |      CAST(round(abs(x - fc) * 1000000, 0) AS BIGINT) END)
+        |      AS eh7,
+        |    SUM(CASE WHEN x7 IS NOT NULL THEN
+        |      CAST(round(abs(x - x7) * 1000000, 0) AS BIGINT) END) AS e7
+        |  FROM f GROUP BY event_type)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n_backtest,
+        |  round(eh / n1 / 1000000.0, 6) AS mae_holt,
+        |  round(en / n1 / 1000000.0, 6) AS mae_naive,
+        |  CASE WHEN en > 0 THEN round(CAST(eh AS DOUBLE) / en, 6) END
+        |    AS mase,
+        |  CASE WHEN e7 > 0 THEN round(CAST(eh7 AS DOUBLE) / e7, 6) END
+        |    AS mase_seasonal
+        |FROM a""".stripMargin,
     "q265_changepoint" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS cnt,

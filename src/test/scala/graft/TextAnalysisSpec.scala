@@ -21,6 +21,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(curve === curve.sorted.reverse)
   }
 
+  test("q266 unseen mass: hand-computed hapax share and TTR") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b", "A"), (2L, "c", "A"), (3L, "x x x x", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.unseenMass(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // A: tokens {a:2, b:1, c:1} -> N=4 V=3 N1=2; B: {x:4} -> N1=0
+    assert(got === Map(
+      "A" -> ((4L, 3L, 2L, 0.5, 0.75)),
+      "B" -> ((4L, 1L, 0L, 0.0, 0.25))))
+  }
+
   test("fingerprint: NULL below 8 chars, min 8-gram md5 at/above") {
     import spark.implicits._
     val got = Seq("short", "exactly8", "a longer text with many grams")

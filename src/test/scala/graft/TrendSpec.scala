@@ -30,6 +30,38 @@ class TrendSpec extends SparkSpec {
     assert(got("flat")._1 === "2024-01-01" && got("flat")._6 === 0.0)
   }
 
+  test("q267 MASE: matches a local recompute of the same definition") {
+    import graft.queries.TrendOps
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 17.0, 21.0, 20.0, 24.0)
+    val ev = eventsOf(xs.zipWithIndex.map { case (v, i) => ("m", i + 1, v) })
+    val r = TrendOps.maseBacktest(ev).collect().head
+    // local reference: the identical recurrence, rounding, and micros
+    var level = xs.head; var trend = 0.0
+    val fcs = xs.indices.map { i =>
+      if (i > 0) {
+        val nl = 0.5 * xs(i) + 0.5 * (level + trend)
+        trend = 0.25 * (nl - level) + 0.75 * trend
+        level = nl
+      }
+      r6(level + trend)
+    }
+    def m(x: Double) = math.round(math.abs(x) * 1e6)
+    val eh = (1 until xs.size).map(i => m(xs(i) - fcs(i - 1))).sum
+    val en = (1 until xs.size).map(i => m(xs(i) - xs(i - 1))).sum
+    val eh7 = (7 until xs.size).map(i => m(xs(i) - fcs(i - 1))).sum
+    val e7 = (7 until xs.size).map(i => m(xs(i) - xs(i - 7))).sum
+    val n1 = xs.size - 1
+    assert(r.getLong(1) === n1.toLong)
+    assert(r.getDouble(2) === r6(eh.toDouble / n1 / 1e6))
+    assert(r.getDouble(3) === r6(en.toDouble / n1 / 1e6))
+    assert(r.getDouble(4) === r6(eh.toDouble / en))
+    assert(r.getDouble(5) === r6(eh7.toDouble / e7))
+    // the zig-zag trend series: Holt's trend tracking beats naive-1
+    assert(r.getDouble(4) < 1.0)
+  }
+
   // ---- Mann-Kendall -------------------------------------------------
 
   test("strictly increasing series: S = C(n,2), positive z, exact Sen slope") {
