@@ -111,7 +111,13 @@ object PlanDump {
       "q250_emd_drift" -> "q220's grid verbatim (one arm-count shuffle, prefix-sum boundary pass, broadcast decile boundaries); the cumulative walk is a bounded window over |types|x10 rows — integer-exact cross products, one guarded division",
       "conc_globalrank" -> "per-customer spend agg pinned once; grouped GlobalRank replaces the 25-coarse-group rank window; Gini/HHI fold is one map-side-combined pass over ranked rows",
       "dedup_jaccard_prefix" -> "rare-first prefix index (one df agg + per-doc window); bucket-grouped pair generation carries (pos, n); PPJoin length + positional prunes run IN the candidate aggregate before the verify join; verify is a codegen sorted-merge intersect over long arrays",
-      "sim_ann_serve" -> "serve-only shape: snapshot scan (code column for ADC) + broadcast 100-query probe join + two bounded rank windows — zero training jobs, the build amortized into the committed snapshot")
+      "sim_ann_serve" -> "serve-only shape: snapshot scan (code column for ADC) + broadcast 100-query probe join + two bounded rank windows — zero training jobs, the build amortized into the committed snapshot",
+      "q258_kneser_ney" -> "three vocabulary-bounded model tables (types/ctx/cont — ctx and cont derive from the TYPES frame, never the corpus) left-joined under the held-bigram scan; AQE broadcasts at test scale, shuffles at web-corpus vocab; ln P folds to integer micros before the per-doc agg",
+      "q259_dup_span_runs" -> "no join on the pair path (bucket-grouped pair explosion, the q21/q23 rule, df-capped 2..16); the islands window partitions on (pair, diagonal) — fine keys, dup-bounded volume",
+      "q260_loo_ablation" -> "ONE training pass: every per-source model is count subtraction off the full tables; the correction join is tf x (words the source touched) — sparse by construction; the (classes x sources+1) grid and the 1-row full-accuracy frame are the only broadcasts",
+      "q261_cdc_chunks" -> "chunking is a NARROW per-row expression (boundaries, slices, hashes never leave the row); only the chunk-hash agg and the dup-hit semi join shuffle (both keyed on the 32-byte hash)",
+      "q263_vocab_coverage" -> "the vocab ranking rides GlobalRank.withRank (a plain row_number window would sort the whole vocabulary in ONE task); the K-sweep is conditional sums in one aggregation — no second pass",
+      "q265_changepoint" -> "the corpus reduces to the DAILY grain in one map-side-combined aggregation; every window (prefix sums, argmax) runs over the calendar-bounded table")
 
     /** One line per join-bearing query: which side broadcasts, why, and
       * whether the decision survives a 100× scale-up. Broadcast is
@@ -280,7 +286,11 @@ object PlanDump {
       "sim_ann_serve" ->
         "explicit broadcast(query probe set): 100 queries x probes, caller-bounded (the q25 rule); the snapshot's code column streams through the ADC scan partitioned — serving never moves the corpus",
       "stats_ks_rank / drift_qnorm_rank / q242_feature_auc" ->
-        "GlobalRank prefix/rank passes (round 9): bucket-offset tables broadcast at <=buckets rows; per-group totals are LITERALS (bounded groups, collected driver-side — no goffs broadcast join at all); the corpus contributes one class-table aggregation (ks/auc) or a narrow 3-column scan (qnorm)")
+        "GlobalRank prefix/rank passes (round 9): bucket-offset tables broadcast at <=buckets rows; per-group totals are LITERALS (bounded groups, collected driver-side — no goffs broadcast join at all); the corpus contributes one class-table aggregation (ks/auc) or a narrow 3-column scan (qnorm)",
+      "stream_lm_ppl / stream_cdc_inc" ->
+        "the two round-9 ingest monitors: LM model tables broadcast into the stream-static scoring joins (vocabulary-bounded; drop the hint at extreme vocab), the CDC reference chunk index stream-static joins UN-hinted (corpus-scale static side — the dedup index every design holds somewhere); per-window state is 2-3 counters either way",
+      "q264_classifier_agreement" ->
+        "q189's class-grid broadcast inherited through nbScores; the agreement statistics are one aggregation over the joined per-doc predictions plus two |classes|-row marginal tables; the final 1-row chance-agreement frame broadcasts onto the 1-row base aggregate")
 
     val out = new StringBuilder
     out ++= "# PLANS — FINAL (post-AQE) physical plans for headline queries\n\n"
