@@ -109,7 +109,8 @@ object PlanAudit {
       "q258_kneser_ney", "q259_dup_span_runs", "q260_loo_ablation",
       "q261_cdc_chunks", "q262_water_fill", "q263_vocab_coverage",
       "q264_classifier_agreement", "q265_changepoint",
-      "q266_unseen_mass", "q267_mase_backtest")
+      "q266_unseen_mass", "q267_mase_backtest", "q268_ab_power",
+      "q269_dp_release", "q270_emb_hygiene")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

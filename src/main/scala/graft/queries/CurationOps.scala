@@ -128,6 +128,34 @@ object CurationOps {
     // bounded quasi-ID keys (|nations| × |segments|) — the profiler
     // discipline: counts and one distinct, no corpus re-scan per
     // metric.
+    // q269 differentially-private count release — the Laplace
+    // mechanism [Dwork et al., TCC'06] over the (lang, source) doc
+    // counts: disjoint cells have sensitivity 1, so noise ~ Lap(1/ε)
+    // per cell (ε = 1), plus k-suppression of small cells (k = 5, the
+    // q240 threshold) so the noise never has to carry tiny counts
+    // alone. The noise here is DETERMINISTIC by design — inverse-CDF
+    // over an md5-seeded uniform, u = (h + 0.5)/2²⁴ strictly inside
+    // (0, 1) so ln never sees 0 — the same test-harness stand-in
+    // discipline as the md5 feature buckets (q94/q209): a production
+    // release swaps a CSPRNG for the hash, nothing else moves. The
+    // true count is emitted for the gate; a production release drops
+    // that column. One map-side-combined aggregation; noise is a
+    // narrow expression on the |langs × sources|-row result.
+    "q269_dp_release" -> ((s, d) => {
+      val k = 5
+      val h = expr("cast(conv(substring(md5(concat(lang, '|', source))," +
+        " 1, 6), 16, 10) as double)")
+      val u = (h + lit(0.5)) / lit(16777216.0)
+      val v = u - lit(0.5)
+      val noise = -signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
+      Tables(s, d, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_true"))
+        .select(col("lang"), col("source"), col("n_true"),
+          when(col("n_true") >= k, round(col("n_true") + noise, 4))
+            .as("released"),
+          (col("n_true") < k).as("suppressed"))
+    }),
+
     "q240_k_anonymity" -> ((s, d) =>
       Tables(s, d, "customer")
         .groupBy(col("c_nationkey").as("nation"),
@@ -547,6 +575,19 @@ object CurationOps {
         |  GROUP BY nation, segment)
         |SELECT nation, segment, n, t_close, t_close > 0.2 AS at_risk
         |FROM emd""".stripMargin,
+    "q269_dp_release" ->
+      """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT)
+        |    AS n_true FROM documents GROUP BY 1, 2),
+        |n AS (SELECT *,
+        |    (CAST(('0x' || substr(md5(lang || '|' || source), 1, 6))
+        |       AS INTEGER) + 0.5) / 16777216.0 - 0.5 AS v
+        |  FROM g)
+        |SELECT lang, source, n_true,
+        |  CASE WHEN n_true >= 5 THEN
+        |    round(n_true + -sign(v) * ln(1.0 - 2.0 * abs(v)), 4) END
+        |    AS released,
+        |  n_true < 5 AS suppressed
+        |FROM n""".stripMargin,
     "q240_k_anonymity" ->
       """SELECT c_nationkey AS nation, c_mktsegment AS segment,
         |  count(*) AS n,

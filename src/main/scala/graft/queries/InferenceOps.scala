@@ -412,6 +412,49 @@ object InferenceOps {
             .as("f_stat"))
     }),
 
+    // q268 experiment design + health: per event type, the minimum
+    // detectable effect of the deterministic user-parity A/B split at
+    // alpha = 0.05 two-sided / power 0.80 — MDE = (z_{0.975} +
+    // z_{0.80})·SE = 2.801585·sqrt(v_a/n_a + v_b/n_b) [standard power
+    // analysis; Cohen 1988] — the "is this experiment even big enough?"
+    // number an experimentation pipeline reads BEFORE trusting q136's
+    // t-test. Beside it, the SRM (sample-ratio-mismatch) chi² of the
+    // arm counts against the designed 50/50 [Fabijan et al., KDD'19] —
+    // the assignment-bug alarm that invalidates everything else when it
+    // fires. Same one-pass decimal moment aggregation as q136 (exact,
+    // order-independent); the z-sum is one 6-dp literal both engines
+    // share; all assembly rounds once.
+    "q268_ab_power" -> ((s, d) => {
+      val a = col("user_id") % 2 === 0
+      def csum(cond: org.apache.spark.sql.Column,
+          v: org.apache.spark.sql.Column) =
+        sum(when(cond, v).otherwise(lit(null))).cast("double")
+      val x = col("value").cast(dec)
+      val xx = (col("value") * col("value")).cast(dec)
+      val g = Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(when(a, 1)).as("n1"), count(when(!a, 1)).as("n2"),
+          csum(a, x).as("sx1"), csum(!a, x).as("sx2"),
+          csum(a, xx).as("sxx1"), csum(!a, xx).as("sxx2"))
+      val m1 = col("sx1") / col("n1")
+      val v1 = (col("sxx1") - col("sx1") * col("sx1") / col("n1")) /
+        (col("n1") - 1)
+      val v2 = (col("sxx2") - col("sx2") * col("sx2") / col("n2")) /
+        (col("n2") - 1)
+      val se = sqrt(v1 / col("n1") + v2 / col("n2"))
+      val mde = lit(2.801585) * se
+      val nT = (col("n1") + col("n2")).cast("double")
+      val srm = (col("n1") - nT / 2) * (col("n1") - nT / 2) / (nT / 2) +
+        (col("n2") - nT / 2) * (col("n2") - nT / 2) / (nT / 2)
+      g.select(col("event_type"), col("n1").as("n_a"),
+        col("n2").as("n_b"),
+        round(m1, 6).as("mean_a"), round(se, 6).as("se"),
+        round(mde, 6).as("mde_abs"),
+        round(mde / m1, 6).as("mde_rel"),
+        round(srm, 6).as("srm_chi2"),
+        (srm > lit(3.841459)).as("srm_alarm"))
+    }),
+
     "q136_welch_ttest" -> ((s, d) => {
       val a = col("user_id") % 2 === 0
       def csum(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
@@ -968,6 +1011,36 @@ object InferenceOps {
         |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
         |    AS spearman
         |FROM m""".stripMargin,
+    "q268_ab_power" ->
+      """WITH g AS (SELECT event_type,
+        |  COUNT(*) FILTER (user_id % 2 = 0) AS n1,
+        |  COUNT(*) FILTER (user_id % 2 <> 0) AS n2,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |    FILTER (user_id % 2 = 0) AS DOUBLE) AS sx1,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |    FILTER (user_id % 2 <> 0) AS DOUBLE) AS sx2,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(18,4)))
+        |    FILTER (user_id % 2 = 0) AS DOUBLE) AS sxx1,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(18,4)))
+        |    FILTER (user_id % 2 <> 0) AS DOUBLE) AS sxx2
+        | FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, n1, n2, sx1 / n1 AS m1,
+        |  (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+        |  (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2,
+        |  CAST(n1 + n2 AS DOUBLE) AS nt
+        | FROM g),
+        |c AS (SELECT event_type, n1, n2, m1,
+        |  sqrt(v1 / n1 + v2 / n2) AS se,
+        |  (n1 - nt / 2) * (n1 - nt / 2) / (nt / 2)
+        |    + (n2 - nt / 2) * (n2 - nt / 2) / (nt / 2) AS srm
+        | FROM m)
+        |SELECT event_type, n1 AS n_a, n2 AS n_b,
+        |  round(m1, 6) AS mean_a, round(se, 6) AS se,
+        |  round(2.801585 * se, 6) AS mde_abs,
+        |  round(2.801585 * se / m1, 6) AS mde_rel,
+        |  round(srm, 6) AS srm_chi2,
+        |  srm > 3.841459 AS srm_alarm
+        |FROM c""".stripMargin,
     "q136_welch_ttest" ->
       """WITH g AS (SELECT event_type,
         |  COUNT(*) FILTER (user_id % 2 = 0) AS n1,

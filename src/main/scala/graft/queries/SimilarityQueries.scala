@@ -751,7 +751,49 @@ object SimilarityQueries {
         round(col("mmr_score"), 6).as("mmr_score"))
   }
 
+  /** q270 embedding-hygiene audit — the ingestion gate ahead of every
+    * ANN/dedup consumer of `embeddings`: corrupt vectors (NaN/Inf
+    * elements from a failed encoder batch), zero vectors (cosine is
+    * undefined — they silently match everything or nothing depending
+    * on the kernel), and dimension mismatches (a mid-stream encoder
+    * swap) all poison indexes quietly. One narrow per-row pass (dim,
+    * finite flag, squared-norm in integer 1e-8 micros — per-element
+    * rounding so the per-row reduction is integer and order-free, the
+    * q256 float-sum lesson) then ONE aggregation: counts, dim extrema,
+    * and the exact norm mean (micro-longs) + p50/p90
+    * (percentile_disc ↔ quantile_disc, the q117 pairing) over the
+    * once-rounded norms of the finite vectors.
+    */
+  def embHygiene(e: DataFrame): DataFrame = {
+    val bad = expr("exists(embedding, x -> isnan(x) OR " +
+      "abs(cast(x as double)) = cast('Infinity' as double))")
+    val n2m = expr("aggregate(embedding, 0L, (acc, x) -> acc + " +
+      "cast(round(cast(x as double) * cast(x as double) * 1e8, 0) " +
+      "as bigint))")
+    val r = e.select(size(col("embedding")).cast("long").as("dim"),
+        bad.as("bad"), when(!bad, n2m).as("n2m"))
+      .withColumn("norm",
+        when(!col("bad"), round(sqrt(col("n2m") / lit(1e8)), 6)))
+    r.agg(count(lit(1)).as("n_vecs"),
+        count_distinct(col("dim")).as("n_dims_distinct"),
+        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("n2m") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(round(col("norm") * lit(1e6), 0).cast("long")).as("mn"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY norm)")
+          .as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY norm)")
+          .as("p90"))
+      .select(col("n_vecs"), col("n_dims_distinct"), col("dim_min"),
+        col("dim_max"), col("n_nonfinite"), col("n_zero_norm"),
+        round(col("mn") / (col("n_vecs") - col("n_nonfinite"))
+          / lit(1e6), 6).as("norm_mean"),
+        col("p50").as("norm_p50"), col("p90").as("norm_p90"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = centroidQueries ++ Map(
+    "q270_emb_hygiene" -> ((s, d) =>
+      embHygiene(Tables(s, d, "embeddings"))),
     // Oracle-checked Lloyd k-means over the embedding corpus (K=5, two
     // assign→update rounds): output = per-cluster size + updated-centroid
     // L2 norm. See kmeansLloyd for the decimal discipline that makes the
@@ -1146,6 +1188,34 @@ object SimilarityQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q270_emb_hygiene" ->
+      """WITH r0 AS (SELECT CAST(len(embedding) AS BIGINT) AS dim,
+        |    len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+        |      AS bad,
+        |    embedding FROM embeddings),
+        |r AS (SELECT dim, bad,
+        |    CASE WHEN NOT bad THEN CAST(COALESCE(list_sum(
+        |      list_transform(embedding, x ->
+        |        CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8,
+        |          0) AS BIGINT))), 0) AS BIGINT) END AS n2m
+        |  FROM r0),
+        |r2 AS (SELECT dim, bad, n2m,
+        |    CASE WHEN NOT bad THEN round(sqrt(n2m / 1e8), 6) END AS norm
+        |  FROM r)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+        |  min(dim) AS dim_min, max(dim) AS dim_max,
+        |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonfinite,
+        |  CAST(sum(CASE WHEN n2m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  round(CAST(sum(CAST(round(norm * 1e6, 0) AS BIGINT))
+        |      AS BIGINT)
+        |    / (count(*) - sum(CASE WHEN bad THEN 1 ELSE 0 END))
+        |    / 1000000.0, 6) AS norm_mean,
+        |  quantile_disc(norm, 0.5) AS norm_p50,
+        |  quantile_disc(norm, 0.9) AS norm_p90
+        |FROM r2""".stripMargin,
     "q204_quantize" ->
       """WITH q AS (SELECT vec_id, embedding,
         |    round(list_max(list_transform(embedding,

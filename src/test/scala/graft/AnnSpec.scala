@@ -6,6 +6,23 @@ import graft.functions.vectors._
 
 class AnnSpec extends SparkSpec {
 
+  test("q270 hygiene: NaN, zero-norm, and dim-mix all surface") {
+    import spark.implicits._
+    val e = Seq(
+      Array(3.0f, 4.0f),            // norm 5
+      Array(0.0f, 0.0f),            // zero vector
+      Array(Float.NaN, 1.0f),       // corrupt
+      Array(6.0f, 8.0f),            // norm 10
+      Array(1.0f, 0.0f, 0.0f))      // dim 3, norm 1
+      .toDF("embedding")
+    val r = graft.queries.SimilarityQueries.embHygiene(e).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((5L, 2L, 2L, 3L, 1L, 1L)))
+    // finite norms [0, 1, 5, 10]: mean 4; disc p50 = 1, p90 = 10
+    assert(r.getDouble(6) === 4.0)
+    assert(r.getDouble(7) === 1.0 && r.getDouble(8) === 10.0)
+  }
+
   test("vector kernels: dot/norm/cosine match a scala reference fold") {
     import spark.implicits._
     val df = Seq(

@@ -6,6 +6,36 @@ import graft.queries.CurationOps
 
 class CurationOpsSpec extends SparkSpec {
 
+  test("q269 DP release: deterministic Laplace noise, k-suppression") {
+    import spark.implicits._
+    val docs = ((1 to 7).map(i => (i.toLong, s"t$i", "en", "s1")) ++
+      (8 to 10).map(i => (i.toLong, s"t$i", "de", "s2")))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dp").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val run = () => SparkEntry.queries("q269_dp_release")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.toString.toDouble),
+          r.getBoolean(4)))).toMap
+    val got = run()
+    // local reference of the identical inverse-CDF on the md5 seed
+    def noise(cell: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(cell.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 6)
+      val v = (java.lang.Long.parseLong(hex, 16) + 0.5) / 16777216.0 - 0.5
+      -math.signum(v) * math.log(1.0 - 2.0 * math.abs(v))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("en", "s1")) ===
+      ((7L, Some(r4(7.0 + noise("en|s1"))), false)))
+    // a 3-doc cell is under k = 5: suppressed, nothing released
+    assert(got(("de", "s2")) === ((3L, None, true)))
+    // the mechanism is deterministic by construction (hash-seeded)
+    assert(run() === got)
+  }
+
   test("decontamination drops exactly the probe-overlapping docs") {
     val docs = Tables(spark, sf, "documents")
     val total = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0).count()

@@ -18,6 +18,33 @@ class InferenceSpec extends SparkSpec {
     dir
   }
 
+  test("q268 A/B power: hand-computed MDE; SRM alarm on a broken split") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // type m: A (even users) = [10, 12], B (odd) = [11, 15, 16]
+    //   var_a = 2, var_b = 7 -> se = sqrt(1 + 7/3); srm tiny (2 vs 3)
+    // type bad: 20 events ALL on even users -> srm = 2*(10^2/10) = 20
+    val ev = (Seq((2L, "m", 10.0), (4L, "m", 12.0),
+      (1L, "m", 11.0), (3L, "m", 15.0), (5L, "m", 16.0)) ++
+      (1 to 20).map(i => (2L * i, "bad", 1.0)))
+      .toDF("user_id", "event_type", "value")
+    val got = InferenceOps.queries("q268_ab_power")(spark, eventsDir(ev))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = got("m")
+    val se = math.sqrt(2.0 / 2 + 7.0 / 3)
+    assert((m.getLong(1), m.getLong(2)) === ((2L, 3L)))
+    assert(m.getDouble(3) === 11.0)
+    assert(m.getDouble(4) === r6(se))
+    assert(m.getDouble(5) === r6(2.801585 * se))
+    assert(m.getDouble(6) === r6(2.801585 * se / 11.0))
+    // 2 vs 3 split: chi2 = 0.2, no alarm
+    assert(m.getDouble(7) === 0.2 && !m.getBoolean(8))
+    val bad = got("bad")
+    assert(bad.getLong(1) === 20L && bad.getLong(2) === 0L)
+    assert(bad.isNullAt(4) && bad.isNullAt(5)) // one-arm: no se/MDE
+    assert(bad.getDouble(7) === 20.0 && bad.getBoolean(8))
+  }
+
   test("welch t-test matches the hand-computed statistic") {
     // arm A (even users): 1,2,3 -> n=3, mean=2, var=1
     // arm B (odd users): 2,4,6,8 -> n=4, mean=5, var=20/3
