@@ -110,7 +110,8 @@ object PlanAudit {
       "q261_cdc_chunks", "q262_water_fill", "q263_vocab_coverage",
       "q264_classifier_agreement", "q265_changepoint",
       "q266_unseen_mass", "q267_mase_backtest", "q268_ab_power",
-      "q269_dp_release", "q270_emb_hygiene")
+      "q269_dp_release", "q270_emb_hygiene", "q271_ctx_sweep",
+      "q272_transition_entropy")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -58,6 +58,7 @@ object SparkEntry {
     "stream_clamped_balance" -> "ClampedBalanceSpec",
     "stream_conformal" -> "StreamingDriftSpec",
     "stream_emb_drift" -> "StreamingDriftSpec",
+    "stream_ab_monitor" -> "StreamingDriftSpec",
     "stream_cdc_inc" -> "StreamingDedupSpec",
     "stream_lm_ppl" -> "StreamingDriftSpec",
     "stream_holt" -> "HoltStreamSpec",

@@ -35,6 +35,21 @@ object BehaviorOps {
       "q131_funnel" -> ((s, d) => funnel(s, d)),
       "q132_retention" -> ((s, d) => retention(s, d)),
       "q133_transitions" -> ((s, d) => transitions(s, d)),
+
+      // q272 behavioral entropy rate — how PREDICTABLE is the event
+      // stream, as one number: the empirical first-order Markov entropy
+      // rate H = −Σ_ij (c_ij/N)·ln(c_ij/c_i·) over q133's transition
+      // counts [Shannon 1948; the normalized redundancy 1 − H/ln k is
+      // the bound-style predictability index of Song et al., Science
+      // 2010]. Near ln k → users wander uniformly (sessionization and
+      // next-event models won't help); near 0 → behavior is scripted.
+      // Everything reduces to q133's bounded |types|² cell table; the
+      // per-cell term is INTEGER micros (c_ij·(lnM c_i − lnM c_ij)), so
+      // the final sum is order-free and the single output row
+      // hash-compares. Degenerate single-next-state alphabets gate the
+      // normalized index to NULL.
+      "q272_transition_entropy" -> ((s, d) =>
+        transitionEntropy(Tables(s, d, "events"))),
       "q135_ewma" -> ((s, d) => ewmaDaily(s, d)),
       "q144_streaks" -> ((s, d) => streaks(s, d)),
       "q152_event_paths" -> ((s, d) => eventPaths(s, d)),
@@ -220,6 +235,31 @@ object BehaviorOps {
       .withColumn("p", round(col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("prev")))
           .cast("double"), 4))
+  }
+
+  /** q272's entropy-rate computation over an events-shaped frame
+    * (user_id, ts, event_id, event_type) — spec seam; scaladoc on the
+    * queries entry above.
+    */
+  private[graft] def transitionEntropy(events: DataFrame): DataFrame = {
+    val lnM = (x: org.apache.spark.sql.Column) =>
+      round(log(x) * lit(1e6), 0).cast("long")
+    val c = transitionsOf(events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("curr")))
+      .select(col("prev"), col("curr"), col("n"))
+    val wP = Window.partitionBy(col("prev"))
+    val h = col("hm") / (col("n_transitions") * lit(1e6))
+    c.withColumn("ci", sum(col("n")).over(wP))
+      .withColumn("hm", col("n") * (lnM(col("ci")) - lnM(col("n"))))
+      .agg(sum(col("n")).as("n_transitions"),
+        countDistinct(col("curr")).as("n_states"),
+        sum(col("hm")).as("hm"))
+      .select(col("n_transitions"), col("n_states"),
+        round(h, 6).as("entropy_rate_nats"),
+        when(col("n_states") > 1, round(lit(1.0)
+          - h / log(col("n_states").cast("double")), 6))
+          .as("predictability"))
   }
 
   /** EWMA (α = 1/2, adjusted form) over the per-type daily value series:
@@ -459,6 +499,29 @@ object BehaviorOps {
         |             CAST(s.cohort_size AS DOUBLE), 4) AS DOUBLE)
         |    AS retention
         |FROM active a JOIN sizes s ON a.cohort = s.cohort""".stripMargin,
+    "q272_transition_entropy" ->
+      """WITH seq AS (
+        |  SELECT event_type AS curr,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |counts AS (SELECT prev, curr, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, curr),
+        |cell AS (SELECT prev, curr, n,
+        |    CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS ci
+        |  FROM counts),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
+        |    CAST(count(DISTINCT curr) AS BIGINT) AS n_states,
+        |    CAST(sum(n * (CAST(round(ln(ci) * 1000000, 0) AS BIGINT)
+        |      - CAST(round(ln(n) * 1000000, 0) AS BIGINT))) AS BIGINT)
+        |      AS hm
+        |  FROM cell)
+        |SELECT n_transitions, n_states,
+        |  round(hm / (n_transitions * 1e6), 6) AS entropy_rate_nats,
+        |  CASE WHEN n_states > 1 THEN
+        |    round(1.0 - (hm / (n_transitions * 1e6))
+        |      / ln(CAST(n_states AS DOUBLE)), 6) END AS predictability
+        |FROM a""".stripMargin,
     "q133_transitions" ->
       """WITH seq AS (
         |  SELECT event_type AS curr,

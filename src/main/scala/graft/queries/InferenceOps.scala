@@ -455,6 +455,28 @@ object InferenceOps {
         (srm > lit(3.841459)).as("srm_alarm"))
     }),
 
+    // STREAMING experiment health (rows-only; StreamingDriftSpec):
+    // q268's arm-mean diff + SRM alarm per ARRIVING window — see
+    // AbMonitor. Complete mode for the draining tail window (the
+    // stream_psi convention); the entry REQUIRES streamed == the same
+    // aggregation batch-side before returning.
+    "stream_ab_monitor" -> ((s, d) => {
+      val cur = graft.streaming.EventStream.readEventsStream(s, d)
+        .select(col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+      val out = graft.streaming.AbMonitor.health(cur, "5 days")
+      graft.streaming.EventStream.runToMemory(out, "stream_ab_monitor",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      val got = s.table("stream_ab_monitor").collect().toSet
+      val batch = graft.streaming.AbMonitor.health(
+        Tables(s, d, "events").select(col("ts"), col("user_id"),
+          col("event_type"), col("value")), "5 days").collect().toSet
+      require(got == batch,
+        s"streamed A/B health diverged from batch: " +
+          s"${(got diff batch).take(3)} vs ${(batch diff got).take(3)}")
+      s.table("stream_ab_monitor")
+    }),
+
     "q136_welch_ttest" -> ((s, d) => {
       val a = col("user_id") % 2 === 0
       def csum(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =

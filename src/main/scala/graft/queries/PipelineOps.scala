@@ -479,6 +479,43 @@ object PipelineOps {
     "q262_water_fill" -> ((s, d) =>
       waterFillBudget(Tables(s, d, "documents"))),
 
+    // q271 context-length sweep — the "what sequence length should I
+    // train at?" report q65/q232's packers assume an answer to: for
+    // each candidate ctx, how many documents TRUNCATE (and how many
+    // tokens are lost), the concat-split bin lower bound ⌈kept/ctx⌉,
+    // and the padding waste of the no-packing worst case (one doc per
+    // sequence) — the two bounds every real packer lands between.
+    // ONE narrow pass over doc lengths, exploded across the ctx
+    // literals, one aggregation; all integer-exact, ratios round once.
+    "q271_ctx_sweep" -> ((s, d) => {
+      val ctxs = Seq(32L, 64L, 128L, 256L)
+      Tables(s, d, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("ctx", explode(array(ctxs.map(lit(_)): _*)))
+        .groupBy(col("ctx"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          sum(when(col("n") > col("ctx"), 1L).otherwise(0L))
+            .as("n_truncated"),
+          sum(greatest(col("n") - col("ctx"), lit(0L)))
+            .as("tokens_lost"),
+          sum(least(col("n"), col("ctx"))).as("tokens_kept"))
+        // the fractions are INTEGER half-up micros, not rounded doubles:
+        // the power-of-two ctx × round doc counts make exact 6-dp
+        // midpoints COMMON here (0.2524375 at sf0.01, measured), and
+        // Spark rounds the decimal string while DuckDB rounds the
+        // binary double — integer arithmetic sidesteps the engines'
+        // midpoint disagreement entirely (lift to DECIMAL past ~10^12
+        // tokens_kept, where num·2e6 leaves the long range)
+        .select(col("ctx"), col("n_docs"), col("n_truncated"),
+          col("tokens_lost"),
+          expr("(tokens_lost * 2000000 + n_tokens) div (2 * n_tokens)")
+            .as("trunc_frac_micros"),
+          expr("(tokens_kept + ctx - 1) div ctx").as("min_bins"),
+          expr("((n_docs * ctx - tokens_kept) * 2000000 + n_docs * ctx)" +
+            " div (2 * n_docs * ctx)").as("pad_frac_micros"))
+    }),
+
     // STREAMING LM-quality monitor (rows-only; StreamingDriftSpec):
     // q258's Kneser-Ney model scored per ARRIVING window — see
     // LmQualityMonitor. The entry trains on the even-parity slice,
@@ -693,6 +730,25 @@ object PipelineOps {
         |      FROM sco GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, ll, round(exp(-ll), 4) AS ppl
         |FROM g""".stripMargin,
+    "q271_ctx_sweep" ->
+      """WITH n0 AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS n FROM documents),
+        |e AS (SELECT n, unnest([CAST(32 AS BIGINT), 64, 128, 256])
+        |    AS ctx FROM n0),
+        |a AS (SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN n > ctx THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_truncated,
+        |    CAST(sum(greatest(n - ctx, 0)) AS BIGINT) AS tokens_lost,
+        |    CAST(sum(least(n, ctx)) AS BIGINT) AS tokens_kept
+        |  FROM e GROUP BY ctx)
+        |SELECT ctx, n_docs, n_truncated, tokens_lost,
+        |  CAST((tokens_lost * 2000000 + n_tokens) // (2 * n_tokens)
+        |    AS BIGINT) AS trunc_frac_micros,
+        |  (tokens_kept + ctx - 1) // ctx AS min_bins,
+        |  CAST(((n_docs * ctx - tokens_kept) * 2000000 + n_docs * ctx)
+        |    // (2 * n_docs * ctx) AS BIGINT) AS pad_frac_micros
+        |FROM a""".stripMargin,
     "q262_water_fill" ->
       """WITH s AS (SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t

@@ -15,6 +15,33 @@ class BehaviorSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("q272 entropy rate: hand-computed chain; scripted user lowers H") {
+    import spark.implicits._
+    // user 1 alternates A,B,A,B,A (transitions AB,BA,AB,BA);
+    // user 2 repeats A,A,A (AA,AA): c(A,.)=4 {AB:2, AA:2}, c(B,A)=2
+    // hm = 2(ln4-ln2) + 2(ln2-ln2) + 2(ln4-ln2) micros = 4*693147
+    val e = (Seq("A", "B", "A", "B", "A").zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(f"2024-01-01 10:0$i%01d:00"), 1L, t, 0.0, "{}")
+    } ++ Seq("A", "A", "A").zipWithIndex.map { case (t, i) =>
+      (10L + i, ts(f"2024-01-01 11:0$i%01d:00"), 2L, t, 0.0, "{}")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = BehaviorOps.transitionEntropy(e).head()
+    val hExp = 4.0 * 693147 / (6 * 1e6)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) === 6L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === r6(hExp))
+    assert(r.getDouble(3) === r6(1.0 - hExp / math.log(2.0)))
+    // a fully scripted corpus (one user, one loop) has H = 0,
+    // predictability 1
+    val scripted = Seq("A", "B", "A", "B", "A").zipWithIndex.map {
+      case (t, i) =>
+        (i.toLong, ts(f"2024-01-01 10:0$i%01d:00"), 1L, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r2 = BehaviorOps.transitionEntropy(scripted).head()
+    assert(r2.getDouble(2) === 0.0 && r2.getDouble(3) === 1.0)
+  }
+
   test("q131 funnel counts stages strictly in order") {
     import spark.implicits._
     // A completes the funnel in order; B's purchase precedes the click

@@ -231,6 +231,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L)._2 === ll3)
   }
 
+  test("q271 ctx sweep: hand-computed truncation/bins/padding at 4 ctxs") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("x").mkString(" "))
+    val docs = Seq(doc(1, 10), doc(2, 40), doc(3, 100))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctx").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q271_ctx_sweep")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // lengths 10/40/100, total 150:
+    //  ctx 32: lose 8+68, keep 74 -> bins ceil(74/32)=3, pad 22/96
+    //  ctx 64: lose 36, keep 114 -> bins 2, pad 78/192 = .40625
+    //  ctx 128: keep all -> bins 2, pad 234/384 = .609375
+    //  ctx 256: keep all -> bins 1, pad 618/768 = .8046875 (midpoint!)
+    assert(got === Map(
+      32L -> ((2L, 76L, 506667L, 3L, 229167L)),
+      64L -> ((1L, 36L, 240000L, 2L, 406250L)),
+      128L -> ((0L, 0L, 0L, 2L, 609375L)),
+      256L -> ((0L, 0L, 0L, 1L, 804688L))))
+  }
+
   test("q262 water-fill: hand-computed level, exact budget, no-cap path") {
     import spark.implicits._
     def doc(id: Long, src: String, n: Int) =

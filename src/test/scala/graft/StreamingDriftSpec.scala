@@ -248,6 +248,40 @@ class StreamingDriftSpec extends SparkSpec {
     assert(spark.table("sds_lm").collect().toSet === batch.toSet)
   }
 
+  test("streamed A/B health equals batch; broken split alarms its window") {
+    import graft.streaming.AbMonitor
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // window A (days 1-4): balanced 10v10 with a +1 treatment lift;
+    // window B (days 16-19): assignment bug — 20 events ALL on arm A
+    val rows =
+      (1 to 20).map(i => (t(1 + i % 4), i.toLong, "m",
+        if (i % 2 == 0) 11.0 else 10.0)) ++
+      (1 to 20).map(i => (t(16 + i % 4), 2L * i, "m", 10.0))
+    val df = rows.toDF("ts", "user_id", "event_type", "value")
+    val batch = AbMonitor.health(df, "5 days").collect()
+    val byWin = batch.map(r => r.getTimestamp(0).getTime ->
+      ((r.getLong(2), r.getLong(3), r.getBoolean(6)))).toMap
+    val (alarm, ok) = byWin.partition(_._2._3)
+    assert(alarm.nonEmpty && ok.nonEmpty)
+    assert(ok.keys.max < alarm.keys.min)
+    // the broken windows have an empty B arm
+    alarm.values.foreach { case (na, nb, _) => assert(nb === 0L && na > 0L) }
+    ok.values.foreach { case (na, nb, _) => assert(na === nb) }
+    // streamed == batch on a real 2-batch split
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = AbMonitor.health(
+        stream.toDF().toDF("ts", "user_id", "event_type", "value"),
+        "5 days")
+      .writeStream.format("memory").queryName("sds_ab")
+      .outputMode("complete").start()
+    val (b1, b2) = rows.partition(_._1.getTime < t(10).getTime)
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(spark.table("sds_ab").collect().toSet === batch.toSet)
+  }
+
   test("streamed conformal coverage equals batch on the same split") {
     // model: y ≈ 10x with interval half-width 2
     val model = Seq(("A", 10.0, 0.0, 2.0))
