@@ -124,10 +124,106 @@ object WarehouseOps {
           .as("avg_price"))
   }
 
+  /** q273 one referential-integrity row: child rows, orphaned child
+    * rows (FK present but no parent), NULL FKs. One LEFT join against
+    * the DISTINCT parent keys + one aggregation — no second pass, no
+    * 1-row cross join; each FK check is an independent co-partitioned
+    * (or dim-broadcast) join, exactly how a dbt-style test suite runs
+    * at any scale.
+    */
+  private[graft] def fkCheck(fkName: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.select(col(ck).as("k"))
+      .join(parent.select(col(pk).as("k")).distinct()
+        .withColumn("hit", lit(true)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("k").isNotNull && col("hit").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      .select(lit(fkName).as("fk"), col("n_child"), col("n_orphans"),
+        col("n_null_fk"),
+        (col("n_orphans") + col("n_null_fk") === 0L).as("ok"))
+
+  /** q274 one key-uniqueness row: rows, NULL keys (any component),
+    * distinct non-null key values, excess rows beyond one-per-key.
+    * Composite keys fingerprint as the '|'-joined string cast (both
+    * engines build the identical text); one aggregation per key.
+    */
+  private[graft] def keyCheck(keyName: String, tbl: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val anyNull = cols.map(col(_).isNull).reduce(_ || _)
+    val kf = concat_ws("|", cols.map(col(_).cast("string")): _*)
+    tbl.select(when(!anyNull, kf).as("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        count_distinct(col("k")).as("n_distinct"))
+      .select(lit(keyName).as("key_name"), col("n_rows"),
+        col("n_null_keys"), col("n_distinct"),
+        (col("n_rows") - col("n_null_keys") - col("n_distinct"))
+          .as("n_excess_rows"),
+        (col("n_rows") - col("n_null_keys") === col("n_distinct"))
+          .as("unique_ok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "q100_quality_audit" -> ((s, d) =>
         qualityAudit(Tables(s, d, "documents"))),
+
+      // q273 referential-integrity audit — the dbt-style relationship
+      // test suite over every declared FK of the warehouse in one
+      // report: orphaned children are silent revenue-double-counting
+      // (a join later fans or drops them) and NULL FKs are a schema
+      // contract violation. Seven independent single-join checks
+      // unioned; integer-exact.
+      "q273_ri_audit" -> ((s, d) => {
+        val li = Tables(s, d, "lineitem"); val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer"); val su = Tables(s, d, "supplier")
+        val p = Tables(s, d, "part"); val n = Tables(s, d, "nation")
+        val r = Tables(s, d, "region")
+        Seq(
+          fkCheck("lineitem.l_orderkey->orders", li, "l_orderkey",
+            o, "o_orderkey"),
+          fkCheck("lineitem.l_partkey->part", li, "l_partkey",
+            p, "p_partkey"),
+          fkCheck("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            su, "s_suppkey"),
+          fkCheck("orders.o_custkey->customer", o, "o_custkey",
+            c, "c_custkey"),
+          fkCheck("customer.c_nationkey->nation", c, "c_nationkey",
+            n, "n_nationkey"),
+          fkCheck("supplier.s_nationkey->nation", su, "s_nationkey",
+            n, "n_nationkey"),
+          fkCheck("nation.n_regionkey->region", n, "n_regionkey",
+            r, "r_regionkey")).reduce(_.unionByName(_))
+      }),
+
+      // q274 key-uniqueness audit — the dbt-style unique/not-null test
+      // suite over every declared key (the composite lineitem key
+      // included): duplicates silently double rows through every
+      // downstream join and MERGE. Ten independent single-aggregation
+      // checks unioned; integer-exact.
+      "q274_key_audit" -> ((s, d) => Seq(
+        keyCheck("orders.o_orderkey", Tables(s, d, "orders"),
+          Seq("o_orderkey")),
+        keyCheck("customer.c_custkey", Tables(s, d, "customer"),
+          Seq("c_custkey")),
+        keyCheck("supplier.s_suppkey", Tables(s, d, "supplier"),
+          Seq("s_suppkey")),
+        keyCheck("part.p_partkey", Tables(s, d, "part"),
+          Seq("p_partkey")),
+        keyCheck("nation.n_nationkey", Tables(s, d, "nation"),
+          Seq("n_nationkey")),
+        keyCheck("region.r_regionkey", Tables(s, d, "region"),
+          Seq("r_regionkey")),
+        keyCheck("lineitem.(l_orderkey,l_linenumber)",
+          Tables(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber")),
+        keyCheck("documents.doc_id", Tables(s, d, "documents"),
+          Seq("doc_id")),
+        keyCheck("events.event_id", Tables(s, d, "events"),
+          Seq("event_id")),
+        keyCheck("embeddings.vec_id", Tables(s, d, "embeddings"),
+          Seq("vec_id"))).reduce(_.unionByName(_))),
 
       "q101_state_merge" -> ((s, d) => {
         val o = Tables(s, d, "orders")
@@ -582,7 +678,64 @@ object WarehouseOps {
           CompactTargetBytes)
       }))
 
+  private val fkSpecs = Seq(
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+      "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+      "region", "r_regionkey"))
+
+  private val keySpecs = Seq(
+    ("orders.o_orderkey", "orders", Seq("o_orderkey")),
+    ("customer.c_custkey", "customer", Seq("c_custkey")),
+    ("supplier.s_suppkey", "supplier", Seq("s_suppkey")),
+    ("part.p_partkey", "part", Seq("p_partkey")),
+    ("nation.n_nationkey", "nation", Seq("n_nationkey")),
+    ("region.r_regionkey", "region", Seq("r_regionkey")),
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+      Seq("l_orderkey", "l_linenumber")),
+    ("documents.doc_id", "documents", Seq("doc_id")),
+    ("events.event_id", "events", Seq("event_id")),
+    ("embeddings.vec_id", "embeddings", Seq("vec_id")))
+
   def oracle: Map[String, String] = Map(
+    "q273_ri_audit" -> fkSpecs.map { case (nm, ct, ck, pt, pk) =>
+      s"""SELECT '$nm' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+         |  CAST(sum(CASE WHEN c.k IS NOT NULL AND p.pk2 IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+         |  CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_null_fk,
+         |  sum(CASE WHEN c.k IS NOT NULL AND p.pk2 IS NULL
+         |    THEN 1 ELSE 0 END)
+         |    + sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+         |FROM (SELECT $ck AS k FROM $ct) c
+         |LEFT JOIN (SELECT DISTINCT $pk AS pk2 FROM $pt) p
+         |  ON c.k = p.pk2""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+    "q274_key_audit" -> keySpecs.map { case (nm, tbl, cols) =>
+      val nullCond = cols.map(c => s"$c IS NULL").mkString(" OR ")
+      val fp = cols.map(c => s"CAST($c AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"""SELECT '$nm' AS key_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null_keys,
+         |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+         |  CAST(count(*) - sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+         |    - count(DISTINCT k) AS BIGINT) AS n_excess_rows,
+         |  count(*) - sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+         |    = count(DISTINCT k) AS unique_ok
+         |FROM (SELECT CASE WHEN $nullCond THEN NULL ELSE $fp END AS k
+         |      FROM $tbl)""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "q177_benford" ->
       """WITH g AS (SELECT CAST(substring(CAST(o_totalprice AS VARCHAR),
         |    1, 1) AS INTEGER) AS d, COUNT(*) AS n

@@ -13,6 +13,31 @@ import graft.queries.WarehouseOps
 class WarehouseOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q273 fk check: orphans and NULL FKs counted, clean FK passes") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None)
+      .toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = WarehouseOps.fkCheck("t.ck->p", child, "ck", parent, "pk")
+      .head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getBoolean(4)) === (("t.ck->p", 4L, 1L, 1L, false)))
+    val clean = WarehouseOps.fkCheck("c", Seq(1L, 2L).toDF("ck"), "ck",
+      parent, "pk").head()
+    assert(clean.getLong(2) === 0L && clean.getBoolean(4))
+  }
+
+  test("q274 key check: dups and NULL components counted; composite ok") {
+    val t = Seq((Some(1L), Some(1)), (Some(1L), Some(2)),
+      (Some(1L), Some(2)), (None, Some(3))).toDF("a", "b")
+    val r = WarehouseOps.keyCheck("t.(a,b)", t, Seq("a", "b")).head()
+    // 4 rows, 1 null component, 2 distinct non-null keys -> 1 excess
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getBoolean(5)) === ((4L, 1L, 2L, 1L, false)))
+    val ok = WarehouseOps.keyCheck("u", Seq((1L, 1), (1L, 2)).toDF("a", "b"),
+      Seq("a", "b")).head()
+    assert(ok.getLong(4) === 0L && ok.getBoolean(5))
+  }
+
   test("quality audit flags injected nulls, dup keys, and bad lengths") {
     val clean = Seq(
       (1L, "abcd", "en", "web", 4L),
