@@ -111,7 +111,9 @@ object PlanAudit {
       "q264_classifier_agreement", "q265_changepoint",
       "q266_unseen_mass", "q267_mase_backtest", "q268_ab_power",
       "q269_dp_release", "q270_emb_hygiene", "q271_ctx_sweep",
-      "q272_transition_entropy", "q273_ri_audit", "q274_key_audit")
+      "q272_transition_entropy", "q273_ri_audit", "q274_key_audit",
+      "q275_source_jsd", "q276_hamilton_quota",
+      "q277_dup_cluster_profile")
       .foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       df.collect()

@@ -664,6 +664,24 @@ object DedupQueries {
         .withColumnRenamed("comp", "component")
     }),
 
+    // q277 dup-cluster profile — "how bad is the duplication,
+    // structurally?": the near-dup graph's cluster-SIZE histogram
+    // (size, n_clusters, n_docs) — a corpus of pairs is a different
+    // cleanup job than a corpus of 500-document boilerplate blobs,
+    // and this one report says which you have (and how many docs a
+    // cluster-keeper pass will delete: n_docs − n_clusters). Rides
+    // the session pair graph + the same min-label components as
+    // dedup_components; the profile is two bounded aggregations on
+    // top. Integer-exact; the oracle replays the recursive-CTE
+    // closure and groups identically.
+    "q277_dup_cluster_profile" -> ((s, d) =>
+      graft.operators.Components
+        .connectedComponents(PairCache.pairs(s, d))
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))),
+
     // Cluster-keeper by QUALITY: per exact dup cluster, keep the best
     // document instead of the smallest id — what a curation pipeline
     // actually wants (SemDeDup keeps one representative; which one
@@ -1057,6 +1075,22 @@ object DedupQueries {
          |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.node)
          |SELECT node AS doc_id, min(lbl) AS component
          |FROM walk GROUP BY node""".stripMargin,
+    // q277: the dedup_components closure + two grouping levels
+    "q277_dup_cluster_profile" ->
+      s"""WITH RECURSIVE pr AS ($exactPairsSql),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |walk(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.node),
+         |comp AS (SELECT node, min(lbl) AS c FROM walk GROUP BY node),
+         |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM comp
+         |       GROUP BY c)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT)
+         |    AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY sz""".stripMargin,
     "dedup_cluster_best" ->
       s"""WITH RECURSIVE pr AS ($exactPairsSql),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr

@@ -35,12 +35,68 @@ object MiningOps {
   private val SupNum = 1L
   private val SupDen = 20L
 
+  /** q275 pairwise source Jensen-Shannon divergence [Lin, IEEE-IT'91]
+    * — the DISTRIBUTION-aware companion to q229's set-overlap matrix:
+    * two sources can share most of their vocabulary (high Jaccard) yet
+    * use it at wildly different rates; JSD over the unigram
+    * distributions is symmetric, bounded by ln 2, and zero iff the
+    * token mixes are identical — the pairwise distance a mixing
+    * planner clusters sources by.
+    *
+    * Decomposition that avoids a full-outer word join: intersection
+    * words contribute the usual ½p·ln(p/m) + ½q·ln(q/m); every word
+    * EXCLUSIVE to one side contributes exactly ½·ln2 times its
+    * probability mass (m = p/2 there), so the exclusive tail folds to
+    * ½·ln2·(2 − Σ_int p − Σ_int q) — computable from the SAME
+    * intersection join. Determinism: every per-word term AND the two
+    * intersection mass sums round to integer MICROS before summing
+    * (per-word contributions can be individually negative; both
+    * engines round half-away identically), so the reductions are
+    * order-free longs. Pairs sharing no vocabulary are absent by
+    * construction (their JSD is exactly ln 2).
+    *
+    * Cost shape: one corpus tokenize → (source, w) counts → self-join
+    * on the word key (fan-out ≤ |sources|² per word — bounded by the
+    * source catalog, q229's argument) → |source-pairs| output rows.
+    */
+  def sourceJsd(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val st = tf.join(broadcast(tot), "source")
+    val a = st.select(col("source").as("sa"), col("w"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = st.select(col("source").as("sb"), col("w"),
+      col("c").as("cb"), col("n").as("nb"))
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    val m = (p + q) / 2
+    val contrib = round((lit(0.5) * p * log(p / m)
+      + lit(0.5) * q * log(q / m)) * 1e6, 0).cast("long")
+    val halfLn2 = lit(math.log(2.0) / 2)
+    a.join(b, Seq("w")).filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_shared_words"),
+        sum(contrib).as("jm"),
+        sum(round(p * lit(1e6), 0).cast("long")).as("sam"),
+        sum(round(q * lit(1e6), 0).cast("long")).as("sbm"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_shared_words"),
+        round((col("jm") + round(halfLn2
+          * (lit(2000000L) - col("sam") - col("sbm")), 0).cast("long"))
+          / lit(1e6), 6).as("jsd_nats"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "q134_assoc_rules" -> ((s, d) => assocRules(s, d)),
       "q138_skyline" -> ((s, d) => supplierSkyline(s, d)),
       "q190_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
-      "q207_freq_triples" -> ((s, d) => freqTriples(s, d)))
+      "q207_freq_triples" -> ((s, d) => freqTriples(s, d)),
+      "q275_source_jsd" -> ((s, d) =>
+        sourceJsd(Tables(s, d, "documents"))))
 
   /** q207 frequent TRIPLES — the Apriori level-3 pass above q134's
     * pairs [VLDB'94]: candidate (a, b, c) baskets come from joining the
@@ -241,6 +297,33 @@ object MiningOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "q275_source_jsd" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tk
+        |       WHERE len(w) > 0 GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tf
+        |        GROUP BY 1),
+        |st AS (SELECT tf.source, tf.w, tf.c, tot.n
+        |       FROM tf JOIN tot USING (source)),
+        |j AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(a.c AS DOUBLE) / a.n AS p,
+        |    CAST(b.c AS DOUBLE) / b.n AS q
+        |  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source),
+        |g AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_shared_words,
+        |    CAST(sum(CAST(round((0.5 * p * ln(p / ((p + q) / 2))
+        |      + 0.5 * q * ln(q / ((p + q) / 2))) * 1e6, 0) AS BIGINT))
+        |      AS BIGINT) AS jm,
+        |    CAST(sum(CAST(round(p * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |      AS sam,
+        |    CAST(sum(CAST(round(q * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |      AS sbm
+        |  FROM j GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, n_shared_words,
+        |  round((jm + CAST(round(0.5 * ln(2)
+        |    * (2000000 - sam - sbm), 0) AS BIGINT)) / 1e6, 6)
+        |    AS jsd_nats
+        |FROM g""".stripMargin,
     "q207_freq_triples" ->
       """WITH b AS (
         |  SELECT DISTINCT doc_id, w FROM (

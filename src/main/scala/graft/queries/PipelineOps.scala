@@ -479,6 +479,35 @@ object PipelineOps {
     "q262_water_fill" -> ((s, d) =>
       waterFillBudget(Tables(s, d, "documents"))),
 
+    // q276 exact-quota allocation by largest remainder (Hamilton's
+    // method [the apportionment classic; Balinski & Young 1982]) —
+    // q262's dual: where water-filling finds the level for a TOKEN
+    // budget, this hands out a fixed SAMPLE budget S across strata
+    // exactly proportionally: base_s = ⌊S·t_s/T⌋, and the S − Σ base
+    // leftover slots go to the largest remainders. ENTIRELY integer:
+    // the remainder is S·t_s mod T compared as a long (never a float
+    // fraction), ties break by source name — deterministic at any
+    // scale, and Σ allocated == S exactly by construction. One corpus
+    // aggregation; the apportionment is window arithmetic over the
+    // bounded per-source table (the q262/q209 pattern).
+    "q276_hamilton_quota" -> ((s, d) => {
+      val budget = 1000L
+      val wAll = Window.partitionBy()
+      val wRem = Window.orderBy(col("r").desc, col("source"))
+      Tables(s, d, "documents").groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+        .withColumn("tt", sum(col("t")).over(wAll))
+        .withColumn("base", expr(s"($budget * t) div tt"))
+        .withColumn("r", expr(s"($budget * t) % tt"))
+        .withColumn("leftover",
+          lit(budget) - sum(col("base")).over(wAll))
+        .withColumn("rk", row_number().over(wRem))
+        .select(col("source"), col("t").as("n_tokens"), col("base"),
+          (col("rk") <= col("leftover")).as("extra"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L)
+            .otherwise(0L)).as("allocated"))
+    }),
+
     // q271 context-length sweep — the "what sequence length should I
     // train at?" report q65/q232's packers assume an answer to: for
     // each candidate ctx, how many documents TRUNCATE (and how many
@@ -730,6 +759,21 @@ object PipelineOps {
         |      FROM sco GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, ll, round(exp(-ll), 4) AS ppl
         |FROM g""".stripMargin,
+    "q276_hamilton_quota" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, t, sum(t) OVER () AS tt FROM s),
+        |c AS (SELECT source, t, (1000 * t) // tt AS base,
+        |    (1000 * t) % tt AS rem, tt FROM r),
+        |c2 AS (SELECT *, 1000 - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM c)
+        |SELECT source, t AS n_tokens, CAST(base AS BIGINT) AS base,
+        |  rk <= leftover AS extra,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS allocated
+        |FROM c2""".stripMargin,
     "q271_ctx_sweep" ->
       """WITH n0 AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
         |    AS n FROM documents),

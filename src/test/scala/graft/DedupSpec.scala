@@ -69,6 +69,20 @@ class DedupSpec extends SparkSpec {
       s"CDC lost ${h1.size - shared.size} of ${h1.size} chunks to one insert")
   }
 
+  test("q277 cluster profile == histogram of dedup_components sizes") {
+    val comp = SparkEntry.queries("dedup_components")(spark, sf)
+      .collect().map(_.getLong(1))
+    val expected = comp.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, cs) =>
+        sz -> ((cs.size.toLong, sz * cs.size)) }
+    val got = SparkEntry.queries("q277_dup_cluster_profile")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // every cluster in the pair graph has at least two members
+    assert(got.keys.min >= 2L)
+  }
+
   test("exact n-gram Jaccard finds the planted near-dup pairs") {
     assert(exact.nonEmpty, "sf0.001 should contain planted near-dups")
     exact.foreach { case (a, b) => assert(a < b) }

@@ -10,6 +10,32 @@ import graft.queries.MiningOps
   */
 class MiningSpec extends SparkSpec {
 
+  test("q275 JSD: hand-computed pair, identical sources at exactly 0") {
+    import spark.implicits._
+    import graft.queries.MiningOps
+    // A: {x:2/3, y:1/3}; B: {x:1/4, z:3/4}; C == A
+    val docs = Seq((1L, "x x y", "A"), (2L, "x z z z", "B"),
+      (3L, "x x y", "C")).toDF("doc_id", "text", "source")
+    val got = MiningOps.sourceJsd(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mic(x: Double) = math.round(x * 1e6)
+    // shared word x: p=2/3, q=1/4, m=11/24; exclusive mass y + z
+    val p = 2.0 / 3; val q = 1.0 / 4; val m = (p + q) / 2
+    val jm = mic(0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
+    val excl = math.round(0.5 * math.log(2.0)
+      * (2000000L - mic(p) - mic(q)))
+    val exp = r6((jm + excl) / 1e6)
+    assert(got(("A", "B")) === ((1L, exp)))
+    assert(got(("B", "C"))._2 === exp) // symmetric by construction
+    // identical unigram mixes: every term is exactly zero
+    assert(got(("A", "C")) === ((2L, 0.0)))
+    // JSD is bounded by ln 2
+    got.values.foreach(v => assert(v._2 >= 0.0 && v._2 <= 0.693148))
+  }
+
   test("skyline keeps mutually non-dominating ties and drops dominated points") {
     import spark.implicits._
     // (10,5) twice: equal points never dominate each other — both stay.

@@ -253,6 +253,25 @@ class PipelineOpsSpec extends SparkSpec {
       256L -> ((0L, 0L, 0L, 1L, 804688L))))
   }
 
+  test("q276 Hamilton quotas: largest remainders, exact budget") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("x").mkString(" "), src)
+    val docs = Seq(doc(1, "a", 10), doc(2, "b", 20), doc(3, "c", 30),
+      doc(4, "d", 45)).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ham").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q276_hamilton_quota")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    // T=105, S=1000: bases 95/190/285/428 (sum 998), remainders
+    // 25/50/75/60 -> the two leftover slots go to c (75) and d (60)
+    assert(got === Map(
+      "a" -> ((95L, false, 95L)), "b" -> ((190L, false, 190L)),
+      "c" -> ((285L, true, 286L)), "d" -> ((428L, true, 429L))))
+    assert(got.values.map(_._3).sum === 1000L) // exact by construction
+  }
+
   test("q262 water-fill: hand-computed level, exact budget, no-cap path") {
     import spark.implicits._
     def doc(id: Long, src: String, n: Int) =
