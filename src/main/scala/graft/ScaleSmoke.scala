@@ -79,7 +79,17 @@ object ScaleSmoke {
       // bounded budget window ride the 10x documents
       "q220_psi_drift", "q250_emd_drift", "stats_ks_rank",
       "q242_feature_auc", "drift_qnorm_rank", "q54_full_curation",
-      "stats_pctl_rank")
+      "stats_pctl_rank",
+      // round-9 extension: every new operator whose cost scales with
+      // the corpus (the bounded-table reports — water-fill, Hamilton,
+      // ctx sweep, RI/key audits — need no smoke): dup-run islands and
+      // CDC chunking on the dup-heavy replica, the KN model + scoring
+      // joins, the GlobalRank-ranked vocab curve, the LOO ablation's
+      // one-pass many-models claim, the JSD intersection join, the
+      // hapax pass, and the components-derived cluster profile
+      "q259_dup_span_runs", "q261_cdc_chunks", "q258_kneser_ney",
+      "q263_vocab_coverage", "q260_loo_ablation", "q275_source_jsd",
+      "q266_unseen_mass", "q277_dup_cluster_profile")
       // optional 2nd arg: comma-separated entry filter (local iteration)
       .filter(n => args.lift(1).forall(_.split(',').map(_.trim).contains(n)))
       .foreach { n =>
