@@ -55,6 +55,17 @@ object BenchGuard {
       }
     }.toMap
 
+  /** Arbitration verdict for a flagged query (round-10): given the
+    * history time and the best (min) of the sweep time and the 3
+    * in-run re-probes, the flag is "real" only if even the best
+    * re-measurement stays over the same 1.5×/1 s bar that raised it —
+    * otherwise the sweep number was transient machine contention
+    * ("noise"). Pure so BenchGuardSpec can pin both branches.
+    */
+  def arbitrate(prev: Double, best: Double): String =
+    if (prev > 0 && best > MinSec && best > prev * Ratio) "real"
+    else "noise"
+
   /** Read `BENCH_HISTORY.jsonl` if present (empty history otherwise). */
   def readHistory(path: java.nio.file.Path): Seq[String] =
     if (java.nio.file.Files.exists(path))

@@ -47,6 +47,18 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.readHistory(missing).isEmpty)
   }
 
+  test("arbitrate: probe min clearing the bar is noise, staying over is real") {
+    // prev 2.0 s, bar = 3.0 s: a 6.2 s sweep whose re-probe lands at
+    // 2.1 s was contention; one whose best re-measurement is still
+    // 4.0 s is a real regression
+    assert(BenchGuard.arbitrate(2.0, 2.1) === "noise")
+    assert(BenchGuard.arbitrate(2.0, 4.0) === "real")
+    // sub-second probes never grade "real" (the MinSec floor), and a
+    // failed/absent baseline (-1) can't accuse anything
+    assert(BenchGuard.arbitrate(0.2, 0.9) === "noise")
+    assert(BenchGuard.arbitrate(-1.0, 9.0) === "noise")
+  }
+
   test("parseQueries round-trips the bench line format") {
     val qs = BenchGuard.parseQueries(
       line("/sf0.1", "q1_agg" -> 0.25, "q74_pagerank" -> 4.27))

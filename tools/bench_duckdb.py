@@ -13,11 +13,24 @@ the vacuous 1.0 carried while the reference published nothing — and the
 comparison cuts both ways (DuckDB loses badly on some blocking joins,
 e.g. q139), so publishing it is safe and honest.
 """
+import statistics
 import sys, json, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# Round-10 (verdict item 2): the denominator is now MEDIAN-OF-3 per
+# query — q74_pagerank's recursive-CTE oracle alone swung 93.5–215.7 s
+# across single-shot runs, dragging the headline ratio 0.63→1.03 with
+# zero code change on either side. The artifact additionally publishes
+# ratio_ex_q74 as the tracked headline: q74 is the one query where the
+# DuckDB oracle's plan (a recursive CTE materializing every rank
+# iteration) is not a meaningful single-node baseline for the operator,
+# and its denominator share (~50%) lets its variance mask everything
+# else. Target stated plainly: ratio_ex_q74 <= 2.0.
+REPS = 3
+EXCLUDE_HEADLINE = ["q74_pagerank"]
 
 
 def main(sfdir, oracle_path, spark_bench_path, out_path):
@@ -29,10 +42,13 @@ def main(sfdir, oracle_path, spark_bench_path, out_path):
     spark_q = spark.get("queries", {})
     duck = {}
     for name in sorted(oracle):
-        t0 = time.monotonic()
+        reps = []
         try:
-            con.sql(oracle[name]).fetchall()
-            duck[name] = round(time.monotonic() - t0, 4)
+            for _ in range(REPS):
+                t0 = time.monotonic()
+                con.sql(oracle[name]).fetchall()
+                reps.append(time.monotonic() - t0)
+            duck[name] = round(statistics.median(reps), 4)
         except Exception as e:
             duck[name] = None
             print(f"SKIP {name}: {e}", file=sys.stderr)
@@ -45,12 +61,20 @@ def main(sfdir, oracle_path, spark_bench_path, out_path):
                    "ratio": round(s / d, 3) if d > 0 else None}
     td = sum(duck[k] for k in shared)
     ts = sum(spark_q[k] for k in shared)
+    ex = [k for k in shared if k not in EXCLUDE_HEADLINE]
+    td_ex = sum(duck[k] for k in ex)
+    ts_ex = sum(spark_q[k] for k in ex)
     out = {
         "sf_dir": sfdir,
         "n_shared": len(shared),
+        "duck_reps": REPS,
         "total_duck_sec": round(td, 2),
         "total_spark_sec": round(ts, 2),
         "ratio_total": round(ts / td, 3) if td else None,
+        "headline_excludes": EXCLUDE_HEADLINE,
+        "total_duck_sec_ex_q74": round(td_ex, 2),
+        "total_spark_sec_ex_q74": round(ts_ex, 2),
+        "ratio_ex_q74": round(ts_ex / td_ex, 3) if td_ex else None,
         "worst_ratio": sorted(
             ({"q": k, **rows[k]} for k in shared),
             key=lambda r: -(r["ratio"] or 0))[:15],
@@ -62,7 +86,7 @@ def main(sfdir, oracle_path, spark_bench_path, out_path):
     json.dump(out, open(out_path, "w"), indent=1)
     print(json.dumps({k: out[k] for k in
                       ["n_shared", "total_duck_sec", "total_spark_sec",
-                       "ratio_total"]}))
+                       "ratio_total", "ratio_ex_q74"]}))
     print("worst:", [(r["q"], r["ratio"]) for r in out["worst_ratio"][:8]])
 
 
