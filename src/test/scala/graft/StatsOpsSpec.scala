@@ -287,6 +287,9 @@ class StatsOpsSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     ev.unionByName(few).write.mode("overwrite")
       .parquet(s"$dir/events.parquet")
+    // the table dir was rewritten IN PLACE: drop the session-cached
+    // resolution (Tables' documented staleness contract) before re-read
+    graft.Tables.evict(spark, dir)
     val r2 = StatsOps.queries("q252_hill_tail")(spark, dir).collect()
     assert(r2.map(_.getString(0)).toSet === Set("t"))
   }
