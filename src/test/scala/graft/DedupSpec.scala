@@ -293,8 +293,13 @@ class DedupSpec extends SparkSpec {
       "corpus should exhibit one-directional containment")
   }
 
-  test("pair cache matches direct q23 pairs; eviction frees the frame") {
+  test("pair cache: collapsed graph is connectivity-exact vs q23; eviction frees it") {
+    def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Components.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cached = graft.queries.PairCache.pairs(spark, sf)
+    // the sf corpus has no exact copies, so the collapse must be the
+    // identity there: edge set == q23's pair list exactly
     val got = cached.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val direct = SparkEntry.queries("q23_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b")
@@ -304,6 +309,38 @@ class DedupSpec extends SparkSpec {
     graft.queries.PairCache.evict(spark, sf)
     assert(cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "evict must unpersist the pair list")
+
+    // with PLANTED exact copies the collapse engages — components must
+    // still equal components over the FULL uncollapsed pair graph
+    // (node set, partition, and min labels), the round-10 theorem.
+    // Family A: doc 1 original, 2-3 exact copies, 4 a one-token edit
+    // (near-dup of all); family B: 10 + exact copy 11; 20 unique; 30-31
+    // exact copies of a SHORT (<3 tokens) text — ineligible, no edges.
+    import spark.implicits._
+    val base = (1 to 30).map("w" + _).mkString(" ")
+    val edited = (1 to 30).filter(_ != 7).map("w" + _).mkString(" ")
+    val other = (1 to 30).map("v" + _).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base), (4L, edited),
+      (10L, other), (11L, other),
+      (20L, (1 to 30).map("u" + _).mkString(" ")),
+      (30L, "tiny text"), (31L, "tiny text"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pc").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val collapsed = graft.queries.DedupQueries.connectivityPairGraph(spark, dir)
+    val full = SparkEntry.queries("q23_ngram_jaccard")(spark, dir)
+      .select("doc_a", "doc_b")
+    assert(comps(collapsed) === comps(full))
+    assert(comps(collapsed) === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // and every collapsed edge is itself a TRUE pair (star edges are
+    // J=1 exact copies; rep pairs are verified) — subset of q23's list
+    val ce = collapsed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fe = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ce.subsetOf(fe) && ce.size < fe.size,
+      s"collapsed=${ce.size} full=${fe.size}")
+    graft.queries.ShingleCache.evict(spark, dir)
   }
 
   test("prefix-filtered Jaccard equals q23 pair for pair, score for score") {
