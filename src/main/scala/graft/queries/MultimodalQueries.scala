@@ -30,6 +30,38 @@ object MultimodalQueries {
           round(avg(col("rms")), 6).as("avg_rms"),
           sum(when(col("real_decode"), 1L).otherwise(0L)).as("n_decoded"))
     }),
+    // oracle-checked decode fixture (see `oracle` below): committed
+    // PNG/WAV/GIF with designed content, decoded through the SAME
+    // production kernels (decodeFeatures), scalar features compared
+    // hash-exact against the independently computed expected.json.
+    // Keyed by file NAME (not path hash) so the row set is stable
+    // across checkouts.
+    "mm_fixture_features" -> ((s, _) => {
+      val raw = s.read.format("binaryFile").load(fixtureDir)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+          col("content").as("bytes"))
+        .withColumn("kind",
+          when(col("name").endsWith(".png"), "image")
+            .when(col("name").endsWith(".wav"), "audio")
+            .otherwise("video"))
+        .withColumn("asset_id", xxhash64(col("name")))
+      val feats = Multimodal.decodeFeatures(
+        raw.select(col("asset_id"), col("kind"), col("bytes"))).toDF()
+      raw.select(col("name"), col("asset_id")).join(feats, "asset_id")
+        .select(col("name"), col("kind").as("kind"),
+          col("byte_len").cast("long").as("byte_len"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          col("checksum"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_luma"), 6).as("mean_luma"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples").cast("long").as("n_samples"),
+          round(col("rms"), 6).as("rms"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("real_decode"))
+    }),
+
     // frame-sampling pass: kept-frame counts per kind
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.syntheticAssets(s, d), 2)
@@ -136,5 +168,38 @@ object MultimodalQueries {
   /** Planted near-dup twins carry asset_id + this offset. */
   val NearDupIdOffset = 10000000L
 
-  def oracle: Map[String, String] = Map.empty
+  /** Committed decode fixtures (round-10 verdict item 9): tiny PNG /
+    * WAV / animated-GIF payloads with DESIGNED pixel/sample content
+    * under `fixtures/mm/assets`, generated once by
+    * `tools/make_mm_fixtures.py` alongside `expected.json` — feature
+    * values computed by an INDEPENDENT stdlib-Python implementation of
+    * the same accumulation loops. Resolved repo-root-relative with an
+    * absolute fallback so both the sbt-forked Verify JVM and the
+    * driver find them.
+    */
+  private[graft] def fixtureDir: String =
+    Seq("fixtures/mm/assets", "/root/repo/fixtures/mm/assets")
+      .map(new java.io.File(_)).find(_.isDirectory)
+      .getOrElse(sys.error("fixtures/mm/assets not found; run " +
+        "tools/make_mm_fixtures.py"))
+      .getAbsolutePath
+
+  def oracle: Map[String, String] = Map(
+    // the poor-man's decode oracle: DuckDB reads the committed
+    // expected-feature JSON; Spark decodes the committed binaries
+    // through the production kernels. A JDK decode regression (or a
+    // luma-weight typo) now fails CORRECTNESS, not just ScalaTest.
+    "mm_fixture_features" ->
+      """SELECT name, kind, CAST(byte_len AS BIGINT) AS byte_len,
+        |  CAST(mean_byte AS DOUBLE) AS mean_byte,
+        |  CAST(checksum AS BIGINT) AS checksum,
+        |  CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(mean_luma AS DOUBLE) AS mean_luma,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(rms AS DOUBLE) AS rms,
+        |  CAST(n_frames AS BIGINT) AS n_frames, real_decode
+        |FROM read_json_auto('/root/repo/fixtures/mm/expected.json')"""
+        .stripMargin)
 }
