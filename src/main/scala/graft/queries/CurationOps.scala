@@ -141,6 +141,15 @@ object CurationOps {
     // true count is emitted for the gate; a production release drops
     // that column. One map-side-combined aggregation; noise is a
     // narrow expression on the |langs × sources|-row result.
+    //
+    // OUTPUT CONTRACT (round-9 ADVICE): as shipped this entry provides
+    // ZERO actual privacy — the md5 seed is recomputable by anyone
+    // from the public cell name, so n_released is exactly invertible
+    // to n_true (which is also emitted). It is the PLUMBING of a DP
+    // release (sensitivity bookkeeping, suppression, noise shape)
+    // under a deterministic test-harness noise source, and MUST NOT be
+    // copied into a real release without swapping in a CSPRNG and
+    // dropping n_true. Mirrored in SURVEY §2.11's q269 row.
     "q269_dp_release" -> ((s, d) => {
       val k = 5
       val h = expr("cast(conv(substring(md5(concat(lang, '|', source))," +

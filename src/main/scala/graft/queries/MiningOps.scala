@@ -39,9 +39,11 @@ object MiningOps {
     * — the DISTRIBUTION-aware companion to q229's set-overlap matrix:
     * two sources can share most of their vocabulary (high Jaccard) yet
     * use it at wildly different rates; JSD over the unigram
-    * distributions is symmetric, bounded by ln 2, and zero iff the
-    * token mixes are identical — the pairwise distance a mixing
-    * planner clusters sources by.
+    * distributions is symmetric, bounded by ln 2, and zero — up to the
+    * ~1e-6 micro-rounding of the intersection mass sums below, which
+    * can leave a few micros of phantom exclusive mass even for
+    * identical mixes — iff the token mixes are identical; the pairwise
+    * distance a mixing planner clusters sources by.
     *
     * Decomposition that avoids a full-outer word join: intersection
     * words contribute the usual ½p·ln(p/m) + ½q·ln(q/m); every word
