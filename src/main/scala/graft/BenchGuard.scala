@@ -36,24 +36,47 @@ object BenchGuard {
     */
   private[graft] def lastRunFor(history: Seq[String], sfDir: String)
       : Option[Map[String, Double]] =
+    recentRunsFor(history, sfDir, 1).headOption
+
+  /** Up to `n` most recent same-sf history lines, newest first. */
+  private[graft] def recentRunsFor(history: Seq[String], sfDir: String,
+      n: Int): Seq[Map[String, Double]] =
     history.reverseIterator
       .filter(_.contains("\"sf\":\"" + sfDir + "\""))
       .map(parseQueries)
-      .find(_.nonEmpty)
+      .filter(_.nonEmpty)
+      .take(n).toSeq
 
-  /** queries that are now > [[Ratio]]× their previous steady time and
-    * cost > [[MinSec]] s. Returns name -> (prevSec, nowSec).
+  /** Per-query baseline: MEDIAN over the last ≤3 same-sf runs
+    * (round 10 — comparing against a single line let one outlier-fast
+    * observation from a contended sweep flag five in-range queries as
+    * "real": q154 sat at 3.5–6.1 s across six runs, the one 2.83 s
+    * outlier became `prev`, and a normal 5.4 s run tripped the 1.5×
+    * bar; the median of three absorbs a single outlier in either
+    * direction while a genuine step change still shifts it within two
+    * runs).
+    */
+  private[graft] def baseline(history: Seq[String], sfDir: String)
+      : Map[String, Double] = {
+    val runs = recentRunsFor(history, sfDir, 3)
+    runs.flatMap(_.keys).distinct.flatMap { name =>
+      val vs = runs.flatMap(_.get(name)).filter(_ > 0).sorted
+      if (vs.isEmpty) None else Some(name -> vs(vs.size / 2))
+    }.toMap
+  }
+
+  /** queries that are now > [[Ratio]]× their baseline (median of the
+    * last ≤3 same-sf runs) and cost > [[MinSec]] s.
+    * Returns name -> (baselineSec, nowSec).
     */
   def regressions(history: Seq[String], sfDir: String,
       now: Map[String, Double]): Map[String, (Double, Double)] =
-    lastRunFor(history, sfDir).toSeq.flatMap { prev =>
-      prev.flatMap { case (name, old) =>
-        now.get(name).collect {
-          case n if old > 0 && n > MinSec && n > old * Ratio =>
-            name -> (old, n)
-        }
+    baseline(history, sfDir).flatMap { case (name, old) =>
+      now.get(name).collect {
+        case n if old > 0 && n > MinSec && n > old * Ratio =>
+          name -> (old, n)
       }
-    }.toMap
+    }
 
   /** Arbitration verdict for a flagged query (round-10): given the
     * history time and the best (min) of the sweep time and the 3

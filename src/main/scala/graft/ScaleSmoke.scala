@@ -3,7 +3,10 @@ import org.apache.spark.sql.SparkSession
 /** Off-gate scale experiment: time the dedup strategies against a larger
   * corpus (default: the 50k-doc dup-heavy replica; rebuild it with
   * `python3 tools/make_scale_corpus.py` — see SURVEY.md §8 scale-smoke
-  * notes). Usage: runMain graft.ScaleSmoke [dir]
+  * notes). The stream_* MONITORS are smoked separately by
+  * [[graft.StreamSmoke]] — real multi-batch file streams with per-batch
+  * state-bytes reporting, which this batch-shaped harness can't give.
+  * Usage: runMain graft.ScaleSmoke [dir]
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {

@@ -30,8 +30,11 @@ object Tables {
   private val resolved = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]
 
+  private val cacheOff = sys.env.contains("SPARK_GRAFT_NO_TABLE_CACHE")
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    resolved.computeIfAbsent((spark, sfDir, name),
+    if (cacheOff) normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
+    else resolved.computeIfAbsent((spark, sfDir, name),
       { _: (SparkSession, String, String) =>
         normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
       })

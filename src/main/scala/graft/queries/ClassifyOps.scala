@@ -58,12 +58,19 @@ object ClassifyOps {
     * shared by the q189 confusion matrix, the q226 calibration curve,
     * and the q237 cross-validation (`testFold` selects which fifth of
     * the corpus is held out). Columns (doc_id, lang, c, score).
-    * Reads the session-pinned [[TokenCache]] frame: every consumer
-    * makes several vocabulary-keyed passes over the same tokens.
+    *
+    * Deliberately NOT routed through the session-pinned [[TokenCache]]
+    * (measured, round 10): nbScores makes only ~4 token passes, and a
+    * vectorized whole-stage-codegen parquet scan + explode beats the
+    * row-based deserializing read of a persisted frame at that reuse
+    * count — q264 regressed 1.3 → 2.5 s at sf0.1 when this path was
+    * pinned. The pin pays from ~8 passes up (looSourceAblation: 40 →
+    * 28 s at the 10× smoke). Cache reads are not free; count the
+    * passes before pinning.
     */
   def nbScores(s: SparkSession, d: String,
       testFold: Int = 0): DataFrame =
-    nbFromTokens(TokenCache.tokens(s, d), testFold)
+    nbFromTokens(TokenCache.tokenize(Tables(s, d, "documents")), testFold)
 
   /** [[nbScores]] over an explicit documents frame — the seam the q260
     * physical-retrain equivalence spec trains through (tokenizes
@@ -763,11 +770,13 @@ object ClassifyOps {
 
 /** Session-scoped materialization of the whitespace TOKEN frame
   * (doc_id, lang, source, w) — the ShingleCache discipline applied to
-  * the classifier family (round-10 verdict item 4): q189/q226/q237/
-  * q260/q264 each make several vocabulary-keyed passes over the same
-  * tokenization (q260 alone re-tokenized the corpus three times — the
-  * 34.6 s of its 10× smoke), so the exploded frame is computed and
-  * persisted ONCE per (session, dataset). MEMORY_AND_DISK, built with
+  * the classifier family (round-10 verdict item 4). Consumer rule,
+  * measured: the pin pays only when a query makes MANY passes over the
+  * tokens — looSourceAblation (~8 vocabulary-keyed passes) dropped
+  * 40 → 28 s at the 10× smoke, while pinning the ~4-pass nbScores path
+  * REGRESSED q264 1.3 → 2.5 s at sf0.1 (a vectorized parquet scan +
+  * explode outruns the row-based deserializing cache read at low reuse
+  * counts), so nbScores tokenizes inline. MEMORY_AND_DISK, built with
   * one narrow scan + generate, no shuffle. Lifecycle/staleness contract
   * identical to ShingleCache: the `documents` table under a dataset dir
   * is assumed immutable for the session; evict to invalidate, and a

@@ -27,13 +27,29 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(r.isEmpty)
   }
 
-  test("compares against the LAST same-sf history line, skipping other sfs") {
+  test("baseline is the MEDIAN of the last 3 same-sf lines, other sfs ignored") {
+    // round-10 fix: one outlier-fast observation (2.0 below, from a
+    // contended sweep's lucky rep) must not flag an in-range run
     val hist = Seq(
-      line("/sf0.1", "q1" -> 10.0), // stale: superseded below
-      line("/sf0.1", "q1" -> 1.0),
+      line("/sf0.1", "q1" -> 9.9),  // 4th-newest: outside the window
+      line("/sf0.1", "q1" -> 5.0),
+      line("/sf0.1", "q1" -> 5.2),
+      line("/sf0.1", "q1" -> 2.0),  // outlier-fast, newest
       line("/sf0.01", "q1" -> 0.01)) // different sf: must be ignored
-    val r = BenchGuard.regressions(hist, "/sf0.1", Map("q1" -> 2.5))
-    assert(r === Map("q1" -> (1.0, 2.5)))
+    // 6.0 < 1.5 × median(5.0, 5.2, 2.0) = 7.5 → quiet
+    assert(BenchGuard.regressions(hist, "/sf0.1", Map("q1" -> 6.0)).isEmpty)
+    // 8.0 > 7.5 → flagged, with the MEDIAN as prev
+    assert(BenchGuard.regressions(hist, "/sf0.1", Map("q1" -> 8.0))
+      === Map("q1" -> (5.0, 8.0)))
+  }
+
+  test("a genuine step change still fires through the median window") {
+    val hist = Seq(
+      line("/sf0.1", "q1" -> 2.0),
+      line("/sf0.1", "q1" -> 2.1),
+      line("/sf0.1", "q1" -> 1.9))
+    assert(BenchGuard.regressions(hist, "/sf0.1", Map("q1" -> 4.0))
+      === Map("q1" -> (2.0, 4.0)))
   }
 
   test("failed previous runs (-1 sentinel) never baseline a comparison") {
