@@ -201,16 +201,7 @@ object DedupQueries {
     val candRare = bucketPairs(rare, Seq("h"), "doc_id")
     // stage 2b: spill arm — q21's OPH signature + 16×4 banding over the
     // same rep index (bucket sizes ≈ dup-cluster size, df-independent)
-    val sig = exR.groupBy(col("doc_id"))
-      .agg(oph_sig(col("h"), NumHashes).as("sig"))
-    val bandCols: Seq[Column] = (0 until Bands).map { b =>
-      xxhash64(lit(b) +: (0 until RowsPerBand)
-        .map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
-    }
-    val bands = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band", "bh")
-    val candLsh = bucketPairs(bands, Seq("band", "bh"), "doc_id")
+    val candLsh = lshBandCandidates(exR)
     // stage 3: exact verify of the deduplicated candidate union
     verifyExact(candRare.unionByName(candLsh).distinct(), s, d)
       .select(col("doc_a"), col("doc_b"))
@@ -218,6 +209,35 @@ object DedupQueries {
   }
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** MinHash-LSH band-bucket candidate pairs over an exploded
+    * (doc_id, h) shingle-hash index — the shared machinery of q21 and
+    * [[connectivityPairGraph]]'s spill arm. Signature via the
+    * OphSigAgg TypedImperativeAggregate (one-permutation hashing):
+    * each shingle hash updates ONE slot's min — O(1) per shingle vs
+    * the 64 min-updates of classic minhash (MinHashSigAgg, kept as
+    * the library's reference implementation); empty slots densified
+    * at eval. Collision probability per slot is still ≈ Jaccard, so
+    * the 16-bands-of-4 math is unchanged (band hash =
+    * xxhash64(band, sig[4b..4b+3])). Candidate pairs = docs sharing
+    * any band bucket: ONE shuffle on the bucket key + within-group
+    * combination explode (bucketPairs) — the step that replaces the
+    * O(n²) cross join, computing the signature pipeline exactly once.
+    * May emit a pair once per shared band — callers dedup (q21's
+    * distinct; the pair-graph's candidate-union distinct).
+    */
+  private def lshBandCandidates(ex: DataFrame): DataFrame = {
+    val sig = ex.groupBy(col("doc_id"))
+      .agg(oph_sig(col("h"), NumHashes).as("sig"))
+    val bandCols: Seq[Column] = (0 until Bands).map { b =>
+      xxhash64(lit(b) +: (0 until RowsPerBand)
+        .map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+    }
+    bucketPairs(
+      sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .toDF("doc_id", "band", "bh"),
+      Seq("band", "bh"), "doc_id")
+  }
 
   private def verifyExact(cand: DataFrame, s: SparkSession,
       d: String): DataFrame = {
@@ -436,32 +456,12 @@ object DedupQueries {
             / col("tokens_before").cast("double"), 6).as("token_cut_pct"))
     }),
 
-    // MinHash + LSH banding near-dup join, exact-verified.
-    "q21_minhash_lsh" -> ((s, d) => {
-      val sh = shingles(s, d)
-      // Signature via the OphSigAgg TypedImperativeAggregate
-      // (one-permutation hashing): each shingle hash updates ONE slot's
-      // min — O(1) per shingle vs the 64 min-updates of classic minhash
-      // (MinHashSigAgg, kept as the library's reference implementation);
-      // empty slots densified at eval. Collision probability per slot is
-      // still ≈ Jaccard, so the banding math below is unchanged.
-      val sig = hashedShingles(s, d).groupBy(col("doc_id"))
-        .agg(oph_sig(col("h"), NumHashes).as("sig"))
-      // 16 bands of 4 rows: band hash = xxhash64(band, sig[4b..4b+3]).
-      val bandCols: Seq[Column] = (0 until Bands).map { b =>
-        xxhash64(lit(b) +: (0 until RowsPerBand)
-          .map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
-      }
-      val bands = sig
-        .select(col("doc_id"), posexplode(array(bandCols: _*)))
-        .toDF("doc_id", "band", "bh")
-      // Candidate pairs = docs sharing any band bucket. ONE shuffle on
-      // the bucket key + within-group combination explode (bucketPairs) —
-      // this is the step that replaces the O(n²) cross join, and it
-      // computes the signature pipeline exactly once.
-      val cand = bucketPairs(bands, Seq("band", "bh"), "doc_id").distinct()
-      verifyExact(cand, s, d)
-    }),
+    // MinHash + LSH banding near-dup join, exact-verified (banding
+    // machinery shared with connectivityPairGraph's spill arm — see
+    // lshBandCandidates).
+    "q21_minhash_lsh" -> ((s, d) =>
+      verifyExact(lshBandCandidates(hashedShingles(s, d)).distinct(),
+        s, d)),
 
     // Keeper assignment WITHOUT pair materialization — the output shape
     // for dup-heavy corpora where emitting all near-dup pairs is itself
