@@ -91,16 +91,15 @@ object Bench {
     // stderr) rather than failing the run: a failed bench would leave
     // the round with NO timing artifact.
     val historyPath = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+    val history = BenchGuard.readHistory(historyPath)
+    val baseline = BenchGuard.baseline(history, sfDir)
     val regressions: Map[String, (Double, Double)] =
-      BenchGuard.regressions(
-        BenchGuard.readHistory(historyPath), sfDir,
+      BenchGuard.regressions(history, sfDir,
         results.collect { case (n, (t, _, None)) => n -> t }.toMap)
     System.err.println(
-      s"bench guard: compared ${results.size} queries against " +
-        s"${BenchGuard.lastRunFor(
-          BenchGuard.readHistory(historyPath), sfDir)
-          .map(_.size).getOrElse(0)} history entries " +
-        s"(sf=$sfDir): ${regressions.size} regressions")
+      s"bench guard: compared ${results.size} queries against a " +
+        s"${baseline.size}-query median baseline (last ≤3 same-sf " +
+        s"runs, sf=$sfDir): ${regressions.size} regressions")
     // Probe arbitration (round-10, verdict item 1): the round-9 stamp
     // shipped 21 unarbitrated flags from a contended sweep — every one
     // flat across the five prior runs, i.e. machine noise posing as a

@@ -61,7 +61,11 @@ object BenchGuard {
     val runs = recentRunsFor(history, sfDir, 3)
     runs.flatMap(_.keys).distinct.flatMap { name =>
       val vs = runs.flatMap(_.get(name)).filter(_ > 0).sorted
-      if (vs.isEmpty) None else Some(name -> vs(vs.size / 2))
+      // LOWER middle on even counts: with exactly 2 lines this takes
+      // the faster one (the strict old single-line behavior) — the
+      // upper middle would let one outlier-SLOW line become the
+      // baseline and mask a real regression
+      if (vs.isEmpty) None else Some(name -> vs((vs.size - 1) / 2))
     }.toMap
   }
 

@@ -26,38 +26,54 @@ object PlanAudit {
       .filter(_.nonEmpty)
     val names = SparkEntry.queries.keySet.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val out = new StringBuilder
-    var nBad = 0
-    names
-      .foreach { n =>
-      val df = SparkEntry.queries(n)(spark, d)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-      val bad = Seq("CartesianProduct", "BroadcastNestedLoop").filter(p.contains)
-      val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
-      val pushed = if (p.contains("PushedFilters: [")
-        && !p.contains("PushedFilters: []")) "pushed" else "-"
-      val verdict = bad match {
-        case Nil => ""
-        case b => expectedBnlj.get(n) match {
-          case Some(why) if b == Seq("BroadcastNestedLoop") =>
-            s"bnlj=expected($why)"
-          case _ => s"bad=${b.mkString(",")}"
-        }
-      }
-      if (verdict.startsWith("bad=")) nBad += 1
-      val line = f"AUDIT $n%-24s exchanges=$nEx $verdict $pushed"
-      println(line)
-      out.append(line).append('\n')
-    }
-    out.append(s"AUDIT SUMMARY entries=${names.size} unexplained_bad=$nBad\n")
-    println(s"AUDIT SUMMARY entries=${names.size} unexplained_bad=$nBad")
+    // append per entry (truncate once up front): a query throwing at
+    // entry #300 of a multi-minute sweep must not lose the 299 audited
+    // lines — the partial artifact plus its ERROR line is the record
     val path = java.nio.file.Paths.get("target/planaudit.txt")
     java.nio.file.Files.createDirectories(path.getParent)
-    java.nio.file.Files.write(path,
-      out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.deleteIfExists(path)
+    def emit(line: String): Unit = {
+      println(line)
+      java.nio.file.Files.write(path,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    var nBad = 0
+    var nErr = 0
+    names.foreach { n =>
+      try {
+        val df = SparkEntry.queries(n)(spark, d)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val bad =
+          Seq("CartesianProduct", "BroadcastNestedLoop").filter(p.contains)
+        val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+        val pushed = if (p.contains("PushedFilters: [")
+          && !p.contains("PushedFilters: []")) "pushed" else "-"
+        val verdict = bad match {
+          case Nil => ""
+          case b => expectedBnlj.get(n) match {
+            case Some(why) if b == Seq("BroadcastNestedLoop") =>
+              s"bnlj=expected($why)"
+            case _ => s"bad=${b.mkString(",")}"
+          }
+        }
+        if (verdict.startsWith("bad=")) nBad += 1
+        emit(f"AUDIT $n%-24s exchanges=$nEx $verdict $pushed")
+      } catch {
+        case e: Throwable =>
+          nErr += 1
+          emit(f"AUDIT $n%-24s ERROR ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("")
+              .takeWhile(_ != '\n').take(140))
+      }
+    }
+    emit(s"AUDIT SUMMARY entries=${names.size} unexplained_bad=$nBad " +
+      s"errors=$nErr")
     spark.stop()
-    if (nBad > 0) sys.exit(1)
+    if (nBad > 0 || nErr > 0) sys.exit(1)
   }
 
   /** Queries whose BroadcastNestedLoopJoin is the CORRECT physical plan,

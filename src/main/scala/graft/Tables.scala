@@ -36,6 +36,13 @@ object Tables {
     if (cacheOff) normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
     else resolved.computeIfAbsent((spark, sfDir, name),
       { _: (SparkSession, String, String) =>
+        // purge entries whose session has stopped ON the miss path
+        // (never per-hit): a long-lived JVM creating and stopping
+        // sessions — or the shared test JVM accumulating one entry per
+        // temp dir per suite — must not pin dead sessions' plans forever
+        val it = resolved.keySet().iterator()
+        while (it.hasNext)
+          if (it.next()._1.sparkContext.isStopped) it.remove()
         normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
       })
 

@@ -70,7 +70,11 @@ object ClassifyOps {
     */
   def nbScores(s: SparkSession, d: String,
       testFold: Int = 0): DataFrame =
-    nbFromTokens(TokenCache.tokenize(Tables(s, d, "documents")), testFold)
+    // explicit projection: NB never reads `source`, so don't rely on
+    // the optimizer to prune it through the Generate
+    nbFromTokens(TokenCache.tokenize(
+      Tables(s, d, "documents").select(
+        col("doc_id"), col("lang"), col("text"))), testFold)
 
   /** [[nbScores]] over an explicit documents frame — the seam the q260
     * physical-retrain equivalence spec trains through (tokenizes
@@ -292,11 +296,12 @@ object ClassifyOps {
     * chi² assemble in DOUBLE on identical integers (both engines run
     * the same expression, rounded once); zero denominators gate to
     * NULL explicitly. The three aggregations re-derive the per-doc
-    * prediction table from the session-pinned [[TokenCache]] frame
-    * (the q226/q237 convention — the round-10 pinning moved the
-    * shared tokenization, with an explicit evict lifecycle, into the
-    * cache rather than pinning per-query derived frames, which stays
-    * the wrong trade — the exactQuantilesByRank leak lesson).
+    * prediction table with inline tokenization (the q226/q237
+    * convention): nbScores is deliberately UNPINNED — see the measured
+    * pass-count rule on [[TokenCache]] (pinning this ~4-pass path
+    * regressed q264 1.3 → 2.5 s at sf0.1), and pinning per-query
+    * derived frames stays the wrong trade regardless (the
+    * exactQuantilesByRank leak lesson).
     */
   def classifierAgreement(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))

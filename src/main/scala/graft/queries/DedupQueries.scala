@@ -168,6 +168,13 @@ object DedupQueries {
     * and sit at the J≈0.5 boundary — budget 64 recovers them at 31.8 s,
     * the wrong trade). q277 end-to-end fell 63.5 → 22.5 s cold
     * (including the session ShingleCache build) / 2.5 s cache-warm.
+    *
+    * Gate tripwire: on the oracle corpora no bucket spills (max df ≈
+    * dup-cluster size ≪ budget), so the graph is deterministically
+    * exact there — and DedupSpec asserts EDGE-SET equality with q23's
+    * pair list on the sf fixture, so a future TESTDATA regeneration
+    * that pushes any shared shingle past the budget fails the spec
+    * loudly instead of surfacing as a mysterious oracle-hash red.
     */
   private[graft] def connectivityPairGraph(s: SparkSession, d: String)
     : DataFrame = {
@@ -193,9 +200,18 @@ object DedupQueries {
       .join(repIds.hint("shuffle_hash"), "doc_id")
     // stage 2a: exact arm — rare buckets only, budget-bounded
     val dfreq = exR.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // surfaced at WARN (the level every harness main leaves enabled is
+    // ERROR — a spilling corpus must still be visible when an operator
+    // raises verbosity; INFO would be silenced everywhere): a nonzero
+    // spill means candidate coverage is running on the LSH arm for
+    // those buckets, the condition the scaladoc's miss profile is about
     val spilled = dfreq.filter(col("df") > RareBucketBudget).count()
-    logger.info(s"connectivityPairGraph($d): $spilled shingle buckets over " +
-      s"the df≤$RareBucketBudget pair budget spilled to the LSH arm")
+    if (spilled > 0)
+      logger.warn(s"connectivityPairGraph($d): $spilled shingle buckets " +
+        s"over the df≤$RareBucketBudget pair budget spilled to the LSH arm")
+    else
+      logger.info(s"connectivityPairGraph($d): no buckets over the " +
+        s"df≤$RareBucketBudget pair budget — candidate coverage is exact")
     val rare = exR.join(dfreq.filter(col("df") <= RareBucketBudget)
       .select(col("h")).hint("shuffle_hash"), "h")
     val candRare = bucketPairs(rare, Seq("h"), "doc_id")

@@ -189,8 +189,13 @@ object MultimodalQueries {
     // expected-feature JSON; Spark decodes the committed binaries
     // through the production kernels. A JDK decode regression (or a
     // luma-weight typo) now fails CORRECTNESS, not just ScalaTest.
+    // The JSON path is resolved to an absolute path AT DUMP TIME
+    // (Verify's cwd = the repo root of whatever checkout produced the
+    // dump), so the SQL works from any clone location AND from a
+    // DuckDB process with a different cwd — a hardcoded checkout path
+    // would break other clones, a relative one would break the driver.
     "mm_fixture_features" ->
-      """SELECT name, kind, CAST(byte_len AS BIGINT) AS byte_len,
+      s"""SELECT name, kind, CAST(byte_len AS BIGINT) AS byte_len,
         |  CAST(mean_byte AS DOUBLE) AS mean_byte,
         |  CAST(checksum AS BIGINT) AS checksum,
         |  CAST(width AS BIGINT) AS width,
@@ -200,6 +205,15 @@ object MultimodalQueries {
         |  CAST(n_samples AS BIGINT) AS n_samples,
         |  CAST(rms AS DOUBLE) AS rms,
         |  CAST(n_frames AS BIGINT) AS n_frames, real_decode
-        |FROM read_json_auto('/root/repo/fixtures/mm/expected.json')"""
+        |FROM read_json_auto('$expectedJsonPath')"""
         .stripMargin)
+
+  /** Absolute path of the expected-feature JSON, resolved against the
+    * current checkout (repo-root cwd first, /root/repo fallback).
+    */
+  private def expectedJsonPath: String =
+    Seq("fixtures/mm/expected.json", "/root/repo/fixtures/mm/expected.json")
+      .map(new java.io.File(_)).find(_.isFile)
+      .map(_.getAbsolutePath)
+      .getOrElse("fixtures/mm/expected.json")
 }

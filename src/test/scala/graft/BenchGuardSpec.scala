@@ -43,6 +43,15 @@ class BenchGuardSpec extends AnyFunSuite {
       === Map("q1" -> (5.0, 8.0)))
   }
 
+  test("two-line history: the FASTER line is the baseline (lower middle)") {
+    // one outlier-slow line must not mask a real regression
+    val hist = Seq(
+      line("/sf0.1", "q1" -> 5.0),  // contended outlier
+      line("/sf0.1", "q1" -> 2.0))  // true steady
+    assert(BenchGuard.regressions(hist, "/sf0.1", Map("q1" -> 4.0))
+      === Map("q1" -> (2.0, 4.0)))
+  }
+
   test("a genuine step change still fires through the median window") {
     val hist = Seq(
       line("/sf0.1", "q1" -> 2.0),
