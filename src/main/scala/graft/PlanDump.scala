@@ -115,7 +115,7 @@ object PlanDump {
       "q258_kneser_ney" -> "three vocabulary-bounded model tables (types/ctx/cont — ctx and cont derive from the TYPES frame, never the corpus) left-joined under the held-bigram scan; AQE broadcasts at test scale, shuffles at web-corpus vocab; ln P folds to integer micros before the per-doc agg",
       "q259_dup_span_runs" -> "no join on the pair path (bucket-grouped pair explosion, the q21/q23 rule, df-capped 2..16); the islands window partitions on (pair, diagonal) — fine keys, dup-bounded volume",
       "q260_loo_ablation" -> "ONE training pass off the session-pinned TokenCache frame: every per-source model is count subtraction off the full tables; the correction join BROADCASTS the model-sized delta (round 10 — the vocab key is low-cardinality and skewed, so shuffling tf on it lost 2x); the (classes x sources+1) grid and the 1-row full-accuracy frame are the other broadcasts",
-      "dedup_components" -> "round-10 connectivity pair graph: sha2 exact-dup collapse (one narrow hash shuffle) -> star edges + rep-only index; rare buckets (df<=32) enumerate exactly, over-budget buckets spill to the q21 LSH band arm; SortedIntersectCount exact verify; min-label propagation over the union",
+      "dedup_components" -> "round-10 connectivity pair graph, exact by two theorems: sha2 exact-dup collapse (one narrow hash shuffle) -> star edges + rep-only index; prefix-filtered exact Jaccard (AllPairs/PPJoin pruning) over the representatives with SortedIntersectCount verify; min-label propagation over the union",
       "q261_cdc_chunks" -> "chunking is a NARROW per-row expression (boundaries, slices, hashes never leave the row); only the chunk-hash agg and the dup-hit semi join shuffle (both keyed on the 32-byte hash)",
       "q263_vocab_coverage" -> "the vocab ranking rides GlobalRank.withRank (a plain row_number window would sort the whole vocabulary in ONE task); the K-sweep is conditional sums in one aggregation — no second pass",
       "q265_changepoint" -> "the corpus reduces to the DAILY grain in one map-side-combined aggregation; every window (prefix sums, argmax) runs over the calendar-bounded table")

@@ -89,7 +89,7 @@ object DedupQueries {
     * size; shingle buckets ≤ ShingleFreqCap), so the collected member
     * list stays small.
     */
-  private def bucketPairs(df: DataFrame, bucketKeys: Seq[String],
+  private[graft] def bucketPairs(df: DataFrame, bucketKeys: Seq[String],
       idCol: String): DataFrame =
     df.groupBy(bucketKeys.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("ds"))
@@ -113,22 +113,13 @@ object DedupQueries {
     * oracle-green under (distinct-per-doc xxhash64; a collision would
     * need ~2³² shingles per doc to matter).
     */
-  /** Bucket pair budget for [[connectivityPairGraph]]: shingle buckets
-    * with df ≤ budget are enumerated exactly (C(df,2) candidate rows
-    * bounded by budget²/2 per bucket); buckets over budget SPILL to the
-    * MinHash-LSH band arm instead of exploding quadratically. 32 keeps
-    * the exact arm linear-ish while rare shingles — the high-signal
-    * ones — all enumerate exactly.
-    */
-  private[graft] val RareBucketBudget = 32
-
   /** The CONNECTIVITY pair graph for components/cluster profiling
     * (PairCache's builder) — round-10 verdict item 3. The full q23
     * common-count join explodes Σ_s C(df_s, 2) candidate rows, which on
     * a dup-saturated corpus is quadratic in cluster size (and on a
     * small-vocabulary corpus quadratic in hot-shingle df) — 52 s of the
-    * 60 s q277 smoke, the first plan to fall over at 100×. Three exact
-    * stages replace it:
+    * 60 s q277 smoke, the first plan to fall over at 100×. Two exact
+    * stages replace it, EXACT BY COMPOSITION OF TWO THEOREMS:
     *
     *  1. EXACT-DUP COLLAPSE. Group eligible docs (≥ 3 tokens, the
     *     ShingleCache criterion) by sha2(text); rep = min doc_id.
@@ -137,44 +128,38 @@ object DedupQueries {
     *     preserves every cross-cluster relation. Components over
     *     {star edges} ∪ {rep pairs} equal components over the full pair
     *     list — node set, partition, and min labels (DedupSpec pins it).
-    *  2. CANDIDATES with a PAIR BUDGET. Over the rep-only index:
-    *     buckets with df ≤ [[RareBucketBudget]] enumerate their pairs
-    *     exactly (the budget bounds each bucket at budget²/2 rows);
-    *     over-budget buckets are NOT enumerated — they spill to the
-    *     q21 MinHash-LSH band arm (16 bands × 4 rows over the same
-    *     rep index), whose bucket sizes track true-dup cluster size,
-    *     not hot-shingle df. The spilled-bucket count is logged at
-    *     build time (the cap is surfaced, never silent).
-    *  3. EXACT VERIFY. The deduplicated candidate union flows through
-    *     [[verifyExact]] (SortedIntersectCount over the cached sorted
-    *     hash arrays), so every emitted pair carries its TRUE Jaccard —
-    *     the budget can't bias a score, only candidate coverage.
+    *  2. PREFIX-FILTERED EXACT JACCARD over the representatives
+    *     ([[jaccardPrefixJoinOver]]): the AllPairs/PPJoin theorem —
+    *     rare-first prefixes of length n − ⌈t·n⌉ + 1 cannot all hide a
+    *     qualifying overlap, length/positional bounds prune candidates
+    *     without loss, and SortedIntersectCount verification restores
+    *     exact scores — so the rep pair set is EVERY pair at J ≥ 0.5,
+    *     no frequency cap, no probabilistic arm.
     *
-    * Coverage: a true pair (J ≥ 0.5) is missed only if EVERY shared
-    * shingle has rep-df > budget AND all 16 bands miss (per-pair
-    * probability (1−J⁴)¹⁶, ≤ 3·10⁻⁵ at J ≥ 0.8 — deterministic for a
-    * fixed corpus, since the hash family is fixed). On the oracle
-    * corpora the output equals q23's exact pair set (the LSH arm alone
-    * reproduces it — q21 is hash-green against the same oracle — and
-    * verify-exact can only remove non-pairs), so the dedup_components /
-    * q277 / cluster_best hashes are byte-identical to the uncapped
-    * build; DedupSpec additionally pins budget-off == budget-on
-    * components on a planted dup-family corpus.
+    * This round first shipped the verdict-suggested pair-budget + LSH
+    * spill design (df ≤ 32 buckets exact, hot buckets to the q21 band
+    * arm). Order-unbiased A/B at the 10× smoke, fresh JVM per variant,
+    * ShingleCache warm, 2 reps each: budget+LSH 10.5–12.1 s but
+    * APPROXIMATE (79,209/79,211 rep pairs, a documented (1−J⁴)¹⁶ miss
+    * tail for pairs whose every shared shingle is hot — and the 10×
+    * cluster histogram visibly shifted); this prefix design 18.9–22.2 s
+    * and EXACT (all 79,211; histogram identical to the full join's).
+    * The ~2× build premium on a deliberately dup-saturated adversarial
+    * corpus buys theorem-exactness on an ORACLE-GATED path — no miss
+    * profile to defend, no tuning knob, no red-gate risk from a future
+    * TESTDATA regeneration — so the exact design ships; a deployment
+    * that prefers the speed can reassemble the budget arm from
+    * [[lshBandCandidates]] + a df-capped [[bucketPairs]] in ten lines
+    * (DebugPairs keeps the measured recipe). Full q23 join for
+    * reference: 56–68 s on the same corpus; q277 end-to-end 63.5 s →
+    * ~30 s cold (including the session ShingleCache build) / ~2.9 s
+    * cache-warm, cluster histogram byte-identical to the exact
+    * baseline's.
     *
-    * Measured (10× dup-heavy smoke, 50k docs / 29.5k distinct texts,
-    * small-vocabulary so nearly every shingle is hot): build 9.5 s vs
-    * 60.8 s for the full q23 common-count join; candidate coverage
-    * 79,209 / 79,211 rep pairs (the 2 misses share ONLY df>32 shingles
-    * and sit at the J≈0.5 boundary — budget 64 recovers them at 31.8 s,
-    * the wrong trade). q277 end-to-end fell 63.5 → 22.5 s cold
-    * (including the session ShingleCache build) / 2.5 s cache-warm.
-    *
-    * Gate tripwire: on the oracle corpora no bucket spills (max df ≈
-    * dup-cluster size ≪ budget), so the graph is deterministically
-    * exact there — and DedupSpec asserts EDGE-SET equality with q23's
-    * pair list on the sf fixture, so a future TESTDATA regeneration
-    * that pushes any shared shingle past the budget fails the spec
-    * loudly instead of surfacing as a mysterious oracle-hash red.
+    * DedupSpec pins collapsed == full-graph components on a planted
+    * dup-family corpus AND edge-set equality with q23's pair list on
+    * the sf fixture; dedup_components / q277 / cluster_best oracle
+    * hashes are byte-identical to the full-join build by the theorems.
     */
   private[graft] def connectivityPairGraph(s: SparkSession, d: String)
     : DataFrame = {
@@ -198,37 +183,15 @@ object DedupQueries {
     // broadcast at scale)
     val exR = hashedShingles(s, d)
       .join(repIds.hint("shuffle_hash"), "doc_id")
-    // stage 2a: exact arm — rare buckets only, budget-bounded
-    val dfreq = exR.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // surfaced at WARN (the level every harness main leaves enabled is
-    // ERROR — a spilling corpus must still be visible when an operator
-    // raises verbosity; INFO would be silenced everywhere): a nonzero
-    // spill means candidate coverage is running on the LSH arm for
-    // those buckets, the condition the scaladoc's miss profile is about
-    val spilled = dfreq.filter(col("df") > RareBucketBudget).count()
-    if (spilled > 0)
-      logger.warn(s"connectivityPairGraph($d): $spilled shingle buckets " +
-        s"over the df≤$RareBucketBudget pair budget spilled to the LSH arm")
-    else
-      logger.info(s"connectivityPairGraph($d): no buckets over the " +
-        s"df≤$RareBucketBudget pair budget — candidate coverage is exact")
-    val rare = exR.join(dfreq.filter(col("df") <= RareBucketBudget)
-      .select(col("h")).hint("shuffle_hash"), "h")
-    val candRare = bucketPairs(rare, Seq("h"), "doc_id")
-    // stage 2b: spill arm — q21's OPH signature + 16×4 banding over the
-    // same rep index (bucket sizes ≈ dup-cluster size, df-independent)
-    val candLsh = lshBandCandidates(exR)
-    // stage 3: exact verify of the deduplicated candidate union
-    verifyExact(candRare.unionByName(candLsh).distinct(), s, d)
+    // stage 2: theorem-exact prefix join over the representatives
+    jaccardPrefixJoinOver(exR, s, d)
       .select(col("doc_a"), col("doc_b"))
       .unionByName(starEdges)
   }
 
-  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
-
   /** MinHash-LSH band-bucket candidate pairs over an exploded
-    * (doc_id, h) shingle-hash index — the shared machinery of q21 and
-    * [[connectivityPairGraph]]'s spill arm. Signature via the
+    * (doc_id, h) shingle-hash index — q21's candidate generator,
+    * factored for reuse by any banded consumer. Signature via the
     * OphSigAgg TypedImperativeAggregate (one-permutation hashing):
     * each shingle hash updates ONE slot's min — O(1) per shingle vs
     * the 64 min-updates of classic minhash (MinHashSigAgg, kept as
@@ -240,9 +203,9 @@ object DedupQueries {
     * combination explode (bucketPairs) — the step that replaces the
     * O(n²) cross join, computing the signature pipeline exactly once.
     * May emit a pair once per shared band — callers dedup (q21's
-    * distinct; the pair-graph's candidate-union distinct).
+    * distinct).
     */
-  private def lshBandCandidates(ex: DataFrame): DataFrame = {
+  private[graft] def lshBandCandidates(ex: DataFrame): DataFrame = {
     val sig = ex.groupBy(col("doc_id"))
       .agg(oph_sig(col("h"), NumHashes).as("sig"))
     val bandCols: Seq[Column] = (0 until Bands).map { b =>
@@ -255,7 +218,7 @@ object DedupQueries {
       Seq("band", "bh"), "doc_id")
   }
 
-  private def verifyExact(cand: DataFrame, s: SparkSession,
+  private[graft] def verifyExact(cand: DataFrame, s: SparkSession,
       d: String): DataFrame = {
     val hs = ShingleCache.sortedHashes(s, d)
     val a = hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
@@ -472,9 +435,8 @@ object DedupQueries {
             / col("tokens_before").cast("double"), 6).as("token_cut_pct"))
     }),
 
-    // MinHash + LSH banding near-dup join, exact-verified (banding
-    // machinery shared with connectivityPairGraph's spill arm — see
-    // lshBandCandidates).
+    // MinHash + LSH banding near-dup join, exact-verified (see
+    // lshBandCandidates for the banding machinery).
     "q21_minhash_lsh" -> ((s, d) =>
       verifyExact(lshBandCandidates(hashedShingles(s, d)).distinct(),
         s, d)),
@@ -1010,9 +972,21 @@ object DedupQueries {
     * theorem; ScaleSmoke measures the dup-saturated win.
     */
   private[graft] def jaccardPrefixJoin(s: SparkSession, d: String)
-    : DataFrame = {
+    : DataFrame =
+    jaccardPrefixJoinOver(hashedShingles(s, d), s, d)
+
+  /** [[jaccardPrefixJoin]] over an EXPLICIT (doc_id, h) index — the
+    * seam [[connectivityPairGraph]] uses to run the identical theorem
+    * (prefix + PPJoin pruning + exact verify) over the exact-dup
+    * collapsed representative sub-corpus. Document frequencies are
+    * computed on the GIVEN index, which is the correct semantics for
+    * any sub-corpus: J(a, b) depends only on the two sets, and the
+    * rare-first order is just a total order — any df source yields the
+    * same verified output, only the prefix sizes shift.
+    */
+  private[graft] def jaccardPrefixJoinOver(ex: DataFrame,
+      s: SparkSession, d: String): DataFrame = {
     val t = JaccardThreshold
-    val ex = hashedShingles(s, d) // (doc_id, h) — distinct per doc
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("h"))
