@@ -111,12 +111,17 @@ object Bench {
     // ("noise" if the probe min clears the 1.5× bar, "real" if it
     // doesn't) is recorded machine-readably in the artifact's "guard"
     // section instead of in a human's judgment after the fact.
+    // the probe verdict applies the SAME per-query bar that raised the
+    // flag (1.2× on the top-20 expensive entries, 1.5× elsewhere —
+    // round-10 verdict item 2)
+    val flagRatios = BenchGuard.flagRatios(history, sfDir)
     val guard: Map[String, (Double, Double, Seq[Double], String)] =
       regressions.map { case (n, (prev, now)) =>
         val probes = (1 to 3).map(_ => timeOne(SparkEntry.queries(n))._1)
           .filter(_ >= 0)
         val best = (probes :+ now).min
-        val verdict = BenchGuard.arbitrate(prev, best)
+        val verdict =
+          BenchGuard.arbitrate(prev, best, flagRatios.getOrElse(n, 1.5))
         System.err.println(
           f"GUARD $n: prev=$prev%.2fs sweep=$now%.2fs probes=" +
             probes.map(p => f"$p%.2f").mkString("[", ",", "]") +

@@ -15,10 +15,35 @@ package graft
 object BenchGuard {
 
   /** Flag threshold: a query regressed if it got > 1.5× slower while
-    * now costing > 1 s (sub-second jitter is machine noise).
+    * now costing > 1 s (sub-second jitter is machine noise). The
+    * [[TightTopN]] most expensive baseline entries get the tighter
+    * [[TightRatio]] bar instead (round-10 verdict item 2: q70's 1.22×
+    * drift on a 5.7 s query — 1.2 wall-clock seconds — sat below the
+    * uniform 1.5× bar for a whole round and was never arbitrated; on
+    * the expensive tail a 1.2× move is seconds of real signal, while
+    * on the sub-second tail it would be noise-storming).
     */
   private val Ratio = 1.5
+  private[graft] val TightRatio = 1.2
+  private[graft] val TightTopN = 20
   private val MinSec = 1.0
+
+  /** Per-query flag ratio for a baseline: tighter bar on the TopN most
+    * expensive entries, default bar elsewhere.
+    */
+  private[graft] def ratioFor(baseline: Map[String, Double])
+      : Map[String, Double] = {
+    val top = baseline.toSeq.sortBy(-_._2).take(TightTopN).map(_._1).toSet
+    baseline.map { case (n, _) =>
+      n -> (if (top.contains(n)) TightRatio else Ratio)
+    }
+  }
+
+  /** The per-query flag ratios Bench's probe arbitration must reuse —
+    * the flag and its verdict have to apply the SAME bar.
+    */
+  def flagRatios(history: Seq[String], sfDir: String): Map[String, Double] =
+    ratioFor(baseline(history, sfDir))
 
   /** Extract the flat `"queries":{"name":sec,...}` map from one bench
     * JSON line. Minimal regex parse — the format is our own.
@@ -69,28 +94,32 @@ object BenchGuard {
     }.toMap
   }
 
-  /** queries that are now > [[Ratio]]× their baseline (median of the
-    * last ≤3 same-sf runs) and cost > [[MinSec]] s.
-    * Returns name -> (baselineSec, nowSec).
+  /** queries that are now > their flag ratio × baseline (median of the
+    * last ≤3 same-sf runs; ratio per [[ratioFor]]) and cost > [[MinSec]]
+    * s. Returns name -> (baselineSec, nowSec).
     */
   def regressions(history: Seq[String], sfDir: String,
-      now: Map[String, Double]): Map[String, (Double, Double)] =
-    baseline(history, sfDir).flatMap { case (name, old) =>
+      now: Map[String, Double]): Map[String, (Double, Double)] = {
+    val base = baseline(history, sfDir)
+    val ratios = ratioFor(base)
+    base.flatMap { case (name, old) =>
       now.get(name).collect {
-        case n if old > 0 && n > MinSec && n > old * Ratio =>
+        case n if old > 0 && n > MinSec && n > old * ratios(name) =>
           name -> (old, n)
       }
     }
+  }
 
   /** Arbitration verdict for a flagged query (round-10): given the
     * history time and the best (min) of the sweep time and the 3
     * in-run re-probes, the flag is "real" only if even the best
-    * re-measurement stays over the same 1.5×/1 s bar that raised it —
+    * re-measurement stays over the same ratio/1 s bar that raised it —
     * otherwise the sweep number was transient machine contention
-    * ("noise"). Pure so BenchGuardSpec can pin both branches.
+    * ("noise"). Pure so BenchGuardSpec can pin both branches. `ratio`
+    * must be the flag's own bar (see [[flagRatios]]).
     */
-  def arbitrate(prev: Double, best: Double): String =
-    if (prev > 0 && best > MinSec && best > prev * Ratio) "real"
+  def arbitrate(prev: Double, best: Double, ratio: Double = Ratio): String =
+    if (prev > 0 && best > MinSec && best > prev * ratio) "real"
     else "noise"
 
   /** Read `BENCH_HISTORY.jsonl` if present (empty history otherwise). */

@@ -293,9 +293,11 @@ object Multimodal {
   // ----- DECODE KERNELS ----------------------------------------------
   // IMAGE: real pixel decode via the JDK's javax.imageio (PNG/JPEG/BMP/
   // GIF — no external codec needed). AUDIO: real WAV/PCM sample decode
-  // via the JDK's javax.sound.sampled (also codec-free). VIDEO: codecs
-  // are not in this container, so that kernel is a deterministic STUB
-  // over the raw bytes; tests pin the plumbing end-to-end either way.
+  // via the JDK's javax.sound.sampled (also codec-free). VIDEO: animated
+  // GIF gets a REAL multi-frame decode (decodeVideo below — per-frame
+  // ImageReader pass with disposal/offset compositing); non-GIF
+  // containers (mp4/webm — codecs absent from the JDK) fall back to a
+  // deterministic byte-level stub flagged `real_decode=false`.
 
   /** REAL image decode: pixels → (width, height, mean luma, 4×4 grid of
     * per-cell mean luma as a 16-dim feature). Luma uses the Rec.601

@@ -86,7 +86,8 @@ object DriftOps {
         .select(timestamp_seconds(lit(1704067200L)
           + pmod(col("vec_id"), lit(20)) * 86400).as("ts"),
           col("embedding"))
-      val feed = cur.as[(java.sql.Timestamp, Seq[Float])].collect().toSeq
+      val feed = graft.streaming.FeedGuard.collectFeed(
+        cur.as[(java.sql.Timestamp, Seq[Float])], "stream_emb_drift")
       val mid =
         if (feed.isEmpty) 0L
         else feed.map(_._1.getTime).sorted.apply(feed.size / 2)

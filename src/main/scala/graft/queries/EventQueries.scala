@@ -205,13 +205,16 @@ object EventQueries {
         org.apache.spark.sql.Encoders.product[(String, Int, Double)]
       // q247's one corpus aggregation; the series itself is calendar-
       // bounded, so collecting it for the fixture feed is KB metadata
-      val daily = graft.Tables(iso, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(graft.functions.Sum128.sumExact(col("value"), 4).as("x"))
-        .select(col("event_type"),
-          datediff(col("day"), lit("1970-01-01").cast("date"))
-            .cast("int").as("ed"), col("x"))
-        .as[(String, Int, Double)].collect().toSeq
+      // (FeedGuard-capped anyway, so an unbounded-cardinality input
+      // fails with a message instead of a driver OOM)
+      val daily = graft.streaming.FeedGuard.collectFeed(
+        graft.Tables(iso, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(graft.functions.Sum128.sumExact(col("value"), 4).as("x"))
+          .select(col("event_type"),
+            datediff(col("day"), lit("1970-01-01").cast("date"))
+              .cast("int").as("ed"), col("x"))
+          .as[(String, Int, Double)], "stream_holt")
       // an empty aggregated series must degrade to an empty result,
       // not an IndexOutOfBounds on the median split
       val mid =
@@ -259,13 +262,14 @@ object EventQueries {
       implicit val pointEnc
           : org.apache.spark.sql.Encoder[(String, Int, Double)] =
         org.apache.spark.sql.Encoders.product[(String, Int, Double)]
-      val daily = graft.Tables(iso, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(graft.functions.Sum128.sumExact(col("value"), 4).as("x"))
-        .select(col("event_type"),
-          datediff(col("day"), lit("1970-01-01").cast("date"))
-            .cast("int").as("ed"), col("x"))
-        .as[(String, Int, Double)].collect().toSeq
+      val daily = graft.streaming.FeedGuard.collectFeed(
+        graft.Tables(iso, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(graft.functions.Sum128.sumExact(col("value"), 4).as("x"))
+          .select(col("event_type"),
+            datediff(col("day"), lit("1970-01-01").cast("date"))
+              .cast("int").as("ed"), col("x"))
+          .as[(String, Int, Double)], "stream_holt_winters")
       // an empty aggregated series must degrade to an empty result,
       // not an IndexOutOfBounds on the median split
       val mid =

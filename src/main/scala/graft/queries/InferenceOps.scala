@@ -218,10 +218,12 @@ object InferenceOps {
           (r.getString(0), r.getDouble(1), r.getDouble(2),
             picked(r.getString(0))))
         .toSeq.toDF("f", "slope", "intercept", "q_hat")
-      val feed = base.filter(col("slice") === 2)
-        .filter(col("f").isin(ks.map(_._1): _*))
-        .select(col("ship"), col("f"), col("x"), col("y"))
-        .as[(java.sql.Timestamp, String, Double, Double)].collect().toSeq
+      val feed = graft.streaming.FeedGuard.collectFeed(
+        base.filter(col("slice") === 2)
+          .filter(col("f").isin(ks.map(_._1): _*))
+          .select(col("ship"), col("f"), col("x"), col("y"))
+          .as[(java.sql.Timestamp, String, Double, Double)],
+        "stream_conformal")
       val mid =
         if (feed.isEmpty) new java.sql.Timestamp(0L)
         else feed.map(_._1).sortBy(_.getTime).apply(feed.size / 2)

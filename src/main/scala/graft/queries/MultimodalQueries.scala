@@ -173,15 +173,23 @@ object MultimodalQueries {
     * under `fixtures/mm/assets`, generated once by
     * `tools/make_mm_fixtures.py` alongside `expected.json` — feature
     * values computed by an INDEPENDENT stdlib-Python implementation of
-    * the same accumulation loops. Resolved repo-root-relative with an
-    * absolute fallback so both the sbt-forked Verify JVM and the
-    * driver find them.
+    * the same accumulation loops. The fixtures root is resolved from
+    * `-Dgraft.repo.root` / `$GRAFT_REPO_ROOT` when set (any clone
+    * location, any cwd), else repo-root-relative against the cwd —
+    * which is where sbt forks Verify/test JVMs. No machine-specific
+    * absolute path is baked into the library.
     */
+  private def repoRootCandidates: Seq[java.io.File] =
+    (sys.props.get("graft.repo.root").toSeq ++
+      sys.env.get("GRAFT_REPO_ROOT").toSeq :+ ".")
+      .map(new java.io.File(_))
+
   private[graft] def fixtureDir: String =
-    Seq("fixtures/mm/assets", "/root/repo/fixtures/mm/assets")
-      .map(new java.io.File(_)).find(_.isDirectory)
-      .getOrElse(sys.error("fixtures/mm/assets not found; run " +
-        "tools/make_mm_fixtures.py"))
+    repoRootCandidates.map(new java.io.File(_, "fixtures/mm/assets"))
+      .find(_.isDirectory)
+      .getOrElse(sys.error("fixtures/mm/assets not found; set " +
+        "GRAFT_REPO_ROOT (or -Dgraft.repo.root) to the checkout root, " +
+        "or run from it; generate with tools/make_mm_fixtures.py"))
       .getAbsolutePath
 
   def oracle: Map[String, String] = Map(
@@ -209,11 +217,11 @@ object MultimodalQueries {
         .stripMargin)
 
   /** Absolute path of the expected-feature JSON, resolved against the
-    * current checkout (repo-root cwd first, /root/repo fallback).
+    * same repo-root candidates as [[fixtureDir]].
     */
   private def expectedJsonPath: String =
-    Seq("fixtures/mm/expected.json", "/root/repo/fixtures/mm/expected.json")
-      .map(new java.io.File(_)).find(_.isFile)
+    repoRootCandidates.map(new java.io.File(_, "fixtures/mm/expected.json"))
+      .find(_.isFile)
       .map(_.getAbsolutePath)
       .getOrElse("fixtures/mm/expected.json")
 }

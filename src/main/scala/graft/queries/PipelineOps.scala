@@ -572,13 +572,14 @@ object PipelineOps {
           .head().getDouble(0)
         val cur = held.select(timestamp_seconds(lit(1704067200L)
           + pmod(col("doc_id"), lit(20)) * 86400).as("ts"), col("text"))
-        // HARNESS-SCALE feed (round-9 ADVICE): this collect() exists
-        // only to drive MemoryStream in a two-batch replay — pointing
-        // the ENTRY at a large dataset would pull the slice to the
-        // driver. The monitor itself (LmQualityMonitor.score) is a real
-        // readStream consumer with bounded state; production attaches
-        // it to a file/Kafka source, no collect anywhere.
-        val feed = cur.as[(java.sql.Timestamp, String)].collect().toSeq
+        // HARNESS-SCALE feed (round-9 ADVICE): the collect exists only
+        // to drive MemoryStream in a two-batch replay; FeedGuard caps
+        // it so a production-sized input fails loudly instead of
+        // OOMing the driver. The monitor itself (LmQualityMonitor
+        // .score) is a real readStream consumer with bounded state;
+        // production attaches it to a file/Kafka source, no collect.
+        val feed = graft.streaming.FeedGuard.collectFeed(
+          cur.as[(java.sql.Timestamp, String)], "stream_lm_ppl")
         val mid =
           if (feed.isEmpty) 0L
           else feed.map(_._1.getTime).sorted.apply(feed.size / 2)

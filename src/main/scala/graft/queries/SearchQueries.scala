@@ -181,9 +181,10 @@ object SearchQueries {
         .toDF("term", "df", "cf")
       val q = out.writeStream.format("memory").queryName("stream_index_inc")
         .outputMode("update").start()
-      val docs = graft.Tables(iso, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect().toSeq
+      val docs = graft.streaming.FeedGuard.collectFeed(
+        graft.Tables(iso, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)], "stream_index_inc")
       val (even, odd) = docs.partition(_._1 % 2 == 0)
       stream.addData(even); q.processAllAvailable()
       stream.addData(odd); q.processAllAvailable()

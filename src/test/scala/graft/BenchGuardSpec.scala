@@ -84,6 +84,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.arbitrate(-1.0, 9.0) === "noise")
   }
 
+  test("top-20 expensive entries get the tighter 1.2x bar") {
+    // 25 queries: q01..q25 with baselines 25s down to 1.5s — the top
+    // 20 by cost (q01..q20, >= 6s... actually 25-(n-1)s) are tight
+    val qs = (1 to 25).map(i => (f"q$i%02d", 26.0 - i))
+    val hist = Seq(line("/sf0.1", qs: _*))
+    val ratios = BenchGuard.flagRatios(hist, "/sf0.1")
+    assert(ratios("q01") === BenchGuard.TightRatio)
+    assert(ratios("q20") === BenchGuard.TightRatio)
+    assert(ratios("q21") === 1.5)
+    assert(ratios.values.count(_ == BenchGuard.TightRatio)
+      === BenchGuard.TightTopN)
+    // a 1.3x drift on an expensive entry now FLAGS (it sat invisible
+    // under the uniform 1.5x bar through round 10)...
+    val drift = BenchGuard.regressions(hist, "/sf0.1",
+      Map("q01" -> 25.0 * 1.3))
+    assert(drift === Map("q01" -> (25.0, 32.5)))
+    // ...while the same relative drift on a cheap entry stays quiet
+    assert(BenchGuard.regressions(hist, "/sf0.1",
+      Map("q21" -> 5.0 * 1.3)).isEmpty)
+    // and arbitrate applies the tight bar when told to: best=1.25x
+    // prev is REAL under 1.2, noise under the default 1.5
+    assert(BenchGuard.arbitrate(10.0, 12.5, BenchGuard.TightRatio)
+      === "real")
+    assert(BenchGuard.arbitrate(10.0, 12.5) === "noise")
+  }
+
   test("parseQueries round-trips the bench line format") {
     val qs = BenchGuard.parseQueries(
       line("/sf0.1", "q1_agg" -> 0.25, "q74_pagerank" -> 4.27))

@@ -37,6 +37,34 @@ class DedupSpec extends SparkSpec {
       (1L, 3L) -> ((8L, 2L, 2L))))
   }
 
+  test("q259 collision seam: window length blocks cross-length hash " +
+      "collisions; same-length residual is the documented exposure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // three docs with NO shared text; windows (spanTokens=2):
+    //   doc 1: "a b", "b c"        (char length 3)
+    //   doc 2: "xx yy", "yy zz"    (char length 5)
+    //   doc 3: "q r", "r s"        (char length 3)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "xx yy zz"), (3L, "q r s"))
+      .toDF("doc_id", "text")
+    // mock the hash seam with a CONSTANT: every window "collides"
+    val collided = DedupQueries
+      .dupSpanRuns(docs, spanTokens = 2, windowHash = _ => lit(0L))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross-LENGTH collisions are blocked by the (hash, wlen) bucket
+    // key: doc 2 (len-5 windows) pairs with nobody
+    assert(!collided.exists(p => p._1 == 2L || p._2 == 2L),
+      s"length failed to disambiguate a cross-length collision: $collided")
+    // same-length collision residual: docs 1 and 3 share window length
+    // 3, so the constant hash DOES fabricate their pair — proving the
+    // mock bites and pinning the residual exposure the scaladoc states
+    assert(collided === Set((1L, 3L)))
+    // with the real hash the same corpus has no duplicated window
+    assert(DedupQueries.dupSpanRuns(docs, spanTokens = 2).isEmpty)
+  }
+
   test("q261 CDC: chunks reconstruct; one-token insert perturbs <= 3") {
     import spark.implicits._
     val a = (1 to 60).map("t" + _).mkString(" ")

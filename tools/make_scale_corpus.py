@@ -7,8 +7,14 @@ drop one token at a deterministic position (3-gram Jaccard stays >= 0.5
 for the ~100-token docs, so each family contributes C(10,2) = 45 true
 near-dup pairs -> ~225k pairs over 50k docs). Deterministic: no RNG.
 
-Usage: python3 tools/make_scale_corpus.py [src_dir] [out_dir]
-  (defaults: /root/testdata/sf0.1 -> /tmp/sfbig)
+Usage: python3 tools/make_scale_corpus.py [src_dir] [out_dir] [family] [--docs-only]
+  (defaults: /root/testdata/sf0.1 -> /tmp/sfbig, family=10, all tables)
+
+`family` scales BOTH the corpus size and the dup-cluster size: family=30
+builds 30-member families (15 exact copies + 15 distinct drop-one-token
+variants), the round-11 "push past 10x" smoke — 3x the cluster size and
+3x the rows of the default corpus in one knob. --docs-only skips the
+orders/lineitem/... replicas (the dedup smoke reads only documents).
 
 Round-2 built this corpus ad hoc and lost the script; this file is the
 reproducible home. Besides `documents.parquet` (the dedup family's
@@ -23,8 +29,14 @@ import sys
 
 import duckdb
 
-src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
+args = [a for a in sys.argv[1:] if a != "--docs-only"]
+docs_only = "--docs-only" in sys.argv[1:]
+src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+out = args[1] if len(args) > 1 else "/tmp/sfbig"
+family = int(args[2]) if len(args) > 2 else 10
+half = family // 2
+# doc_id * idmul + variant must keep ids collision-free across families
+idmul = 100 if family <= 100 else 1000
 
 import os
 os.makedirs(out, exist_ok=True)
@@ -34,10 +46,10 @@ con.sql(f"""
 COPY (
   WITH base AS (SELECT doc_id, text, lang, source
                 FROM '{src}/documents.parquet'),
-  v AS (SELECT * FROM base, unnest(range(0, 10)) AS t(variant)),
+  v AS (SELECT * FROM base, unnest(range(0, {family})) AS t(variant)),
   mut AS (
-    SELECT doc_id * 100 + variant AS doc_id,
-      CASE WHEN variant < 5 THEN text
+    SELECT doc_id * {idmul} + variant AS doc_id,
+      CASE WHEN variant < {half} THEN text
            ELSE array_to_string(
              list_filter(string_split(text, ' '),
                (x, i) -> i != 1 + ((variant * 7 + CAST(doc_id % 13 AS INTEGER))
@@ -50,7 +62,10 @@ COPY (
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """)
 n = con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
-print(f"wrote {out}/documents.parquet ({n} docs)")
+print(f"wrote {out}/documents.parquet ({n} docs, {family}-member families)")
+
+if docs_only:
+    sys.exit(0)
 
 # 10x replicas for the iterative-operator smokes. Key remapping keeps the
 # orders-lineitem equi-join consistent (same k*10+r on both sides) and

@@ -10,21 +10,58 @@ set -euo pipefail
 SF01=${SF01:-/root/testdata/sf0.01}
 SF1=${SF1:-/root/testdata/sf0.1}
 
-echo "== 1/5 plan audit (gates on unexplained cartesian/BNLJ) =="
+echo "== 1/6 plan audit (gates on unexplained cartesian/BNLJ) =="
 sbt -batch "runMain graft.PlanAudit"
 
-echo "== 2/5 correctness at $SF01 =="
+echo "== 2/6 correctness at $SF01 =="
 sbt -batch "runMain graft.Verify $SF01 /tmp/vout_close"
 python3 tools/verify_local.py "$SF01" /tmp/vout_close
 
-echo "== 3/5 full test suite =="
+echo "== 3/6 full test suite =="
 sbt -batch test
 
-echo "== 4/5 bench at $SF1 (appends BENCH_HISTORY, self-arbitrates) =="
+echo "== 4/6 bench at $SF1 (appends BENCH_HISTORY, self-arbitrates) =="
 SPARK_GRAFT_SF_DIR="$SF1" sbt -batch "runMain graft.Bench"
 
-echo "== 5/5 DuckDB denominator (median-of-3, ratio_ex_q74) =="
+echo "== 5/6 DuckDB denominator (median-of-3, ratio_ex_q74) =="
 python3 tools/bench_duckdb.py "$SF1" /tmp/vout_close/oracle_sql.json \
   target/bench.json BENCH_DUCKDB_latest.json
 
-echo "round close complete: planaudit.txt, bench.json, BENCH_DUCKDB_latest.json"
+echo "== 6/6 manifest (round-10 verdict item 7: prove the stamped =="
+echo "==       artifacts came from THIS gate run on THIS tree)    =="
+python3 - <<'EOF'
+import hashlib, json, subprocess, datetime, os
+
+def sha256(p):
+    h = hashlib.sha256()
+    with open(p, 'rb') as f:
+        for chunk in iter(lambda: f.read(1 << 20), b''):
+            h.update(chunk)
+    return h.hexdigest()
+
+arts = ["target/bench.json", "target/planaudit.txt",
+        "BENCH_DUCKDB_latest.json", "BENCH_HISTORY.jsonl"]
+manifest = {
+    "generated_by": "tools/round_close.sh",
+    "utc": datetime.datetime.now(datetime.timezone.utc)
+        .isoformat(timespec="seconds"),
+    "git_sha": subprocess.check_output(
+        ["git", "rev-parse", "HEAD"]).decode().strip(),
+    "git_dirty": bool(subprocess.check_output(
+        ["git", "status", "--porcelain"]).decode().strip()),
+    "artifacts": {p: sha256(p) for p in arts if os.path.exists(p)},
+    # the test run the gate just executed, so "550/550 green" is
+    # checkable against the same manifest
+    "test_reports": sorted(
+        os.listdir("target/test-reports"))[:3] + ["..."]
+        if os.path.isdir("target/test-reports") else [],
+}
+with open("ROUND_MANIFEST.json", "w") as f:
+    json.dump(manifest, f, indent=1)
+print("wrote ROUND_MANIFEST.json:",
+      json.dumps(manifest, indent=1)[:400])
+EOF
+
+echo "round close complete: planaudit.txt, bench.json," \
+  "BENCH_DUCKDB_latest.json, ROUND_MANIFEST.json (commit it" \
+  "alongside the stamped artifacts)"
