@@ -421,13 +421,22 @@ object CurationOps {
     "q209_dsir_weights" -> ((s, d) => {
       val feats = Tables(s, d, "documents")
         // guard 1-token docs: Spark's sequence(1, 0) DESCENDS (the
-        // fuzzyPairs lesson) where DuckDB's range(1, 1) is empty
-        .filter(size(split(col("text"), " ")) >= 2)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          """transform(sequence(1, size(split(text, ' ')) - 1),
+        // fuzzyPairs lesson) where DuckDB's range(1, 1) is empty.
+        // explode_OUTER because the >= 2 filter already guarantees a
+        // non-empty array: plain explode pushes its emptiness guard
+        // into the scan filter, where the interpreted (non-codegen)
+        // transform gets re-evaluated per conjunct — the q70 lesson.
+        // split() is HOISTED out of the lambda: referenced inline it is
+        // re-evaluated on every element_at, i.e. ~184 full-text splits
+        // per doc instead of 1 (CollapseProject keeps the hoist because
+        // tk is non-cheap and multiply referenced)
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("lang"), explode_outer(expr(
+          """transform(sequence(1, size(tk) - 1),
             |  i -> cast(conv(substring(md5(concat_ws(' ',
-            |    element_at(split(text, ' '), i),
-            |    element_at(split(text, ' '), i + 1))), 1, 4), 16, 10)
+            |    element_at(tk, i),
+            |    element_at(tk, i + 1))), 1, 4), 16, 10)
             |    as int) % 256)""".stripMargin)).as("f"))
       val lnM = (c: org.apache.spark.sql.Column) =>
         round(log(c) * lit(1e6), 0).cast("long")

@@ -193,7 +193,7 @@ object InferenceOps {
     // range-partitioned prefix sum (never a per-group corpus sort —
     // the stats_pctl_rank machinery); test is a broadcast-model narrow
     // pass with q̂ as literals.
-    "q254_conformal" -> ((s, d) => conformal(Tables(s, d, "lineitem"))),
+    "q254_conformal" -> ((s, d) => conformalFrom(conformalFitCached(s, d))),
 
     // q255 conformal-coverage drift — q254's fixed interval audited
     // per ship month on the held-out slice: coverage collapsing in a
@@ -201,7 +201,7 @@ object InferenceOps {
     // MODEL-centric drift alarm beside q220/q250's data-centric ones).
     // Same fit, same exactness; degraded gates at 1 − α − 0.05.
     "q255_conformal_drift" -> ((s, d) =>
-      conformalDrift(Tables(s, d, "lineitem"))),
+      conformalDriftFrom(conformalFitCached(s, d))),
 
     // STREAMING conformal coverage (rows-only; StreamingDriftSpec):
     // the q255 audit per ARRIVING window — the batch fit's model/q̂
@@ -213,7 +213,7 @@ object InferenceOps {
     "stream_conformal" -> ((s, d) => {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val (base, model, ks, picked) = conformalFit(Tables(s, d, "lineitem"))
+      val (base, model, ks, picked) = conformalFitCached(s, d)
       val mdf = model.collect().map(r =>
           (r.getString(0), r.getDouble(1), r.getDouble(2),
             picked(r.getString(0))))
@@ -374,8 +374,15 @@ object InferenceOps {
             ((col("__cum") * 2 + col("__cnt") + 1)
               .cast(DecimalType(18, 2)) / 2)
               .cast(DecimalType(18, 2)).as(out))
+      // the quantity side is BROADCAST by declaration: l_quantity is a
+      // small-integer domain (TPC-H: 1..50), so its class table is
+      // domain-bounded at any corpus size and the checkpoint's missing
+      // stats must not demote this join to a corpus-wide sort-merge
+      // (measured: one of the two join-back exchanges disappears). The
+      // price side stays sort-merge deliberately — its class count
+      // grows with the corpus.
       val rn = base
-        .join(meanRanks(cq, "q", "rq"), Seq("f", "q"))
+        .join(broadcast(meanRanks(cq, "q", "rq")), Seq("f", "q"))
         .join(meanRanks(cp, "p", "rp"), Seq("f", "p"))
       val out = spearmanMoments(rn).localCheckpoint(true) // 3 rows
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(cq)
@@ -604,14 +611,21 @@ object InferenceOps {
     * frame (f, slope, intercept), per-group (g, n_cal, k), per-group
     * q̂). See the q254 queries-map comment for the exactness argument.
     */
-  private[graft] def conformalFit(li: DataFrame): (DataFrame, DataFrame,
-      Seq[(Any, Long, Long)], Map[Any, Double]) = {
-    import graft.functions.Sum128.{sumExact, sumExactProduct}
-    val base = li.select(col("l_returnflag").as("f"),
+  /** The conformal feature/label/slice projection — shared so the
+    * cached-fit path can rebuild the (cheap) base plan without
+    * re-running the fit.
+    */
+  private[graft] def conformalBase(li: DataFrame): DataFrame =
+    li.select(col("l_returnflag").as("f"),
       col("l_quantity").cast("double").as("x"),
       col("l_extendedprice").cast("double").as("y"),
       col("l_shipdate").as("ship"),
       pmod(col("l_orderkey") + col("l_linenumber"), lit(3)).as("slice"))
+
+  private[graft] def conformalFit(li: DataFrame): (DataFrame, DataFrame,
+      Seq[(Any, Long, Long)], Map[Any, Double]) = {
+    import graft.functions.Sum128.{sumExact, sumExactProduct}
+    val base = conformalBase(li)
     // train: q127's exact moment pass on slice 0; coefficients round at
     // 6 dp so the residual arithmetic below is identical cross-engine
     val m = base.filter(col("slice") === 0)
@@ -663,6 +677,25 @@ object InferenceOps {
     (base, model, ks, picked)
   }
 
+  /** The cached-fit form the q254/q255/stream_conformal ENTRIES use:
+    * the fit's outputs are |flags| driver numbers, but producing them
+    * costs two corpus passes plus an eagerly materialized residual
+    * class table — and all three entries need the IDENTICAL fit on the
+    * same immutable table, so it runs once per (session, dir). The
+    * model frame is rebuilt from the cached coefficient rows; `base`
+    * is a cheap projection rebuilt per call. Lifecycle contract as
+    * [[graft.queries.TokenCache]] (evict on dir rewrite). Specs that
+    * fit crafted frames keep using [[conformal]]/[[conformalDrift]],
+    * which never touch the cache.
+    */
+  private[graft] def conformalFitCached(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[(Any, Long, Long)], Map[Any, Double]) = {
+    val (modelRows, ks, picked) = ConformalFitCache.meta(s, d)
+    import s.implicits._
+    (conformalBase(Tables(s, d, "lineitem")),
+      modelRows.toDF("f", "slope", "intercept"), ks, picked)
+  }
+
   /** Append `r` = |y − (intercept + slope·x)| against a (f, slope,
     * intercept) model frame (broadcast — ≤ |flags| rows).
     */
@@ -683,8 +716,12 @@ object InferenceOps {
     * queries-map comment). Returns
     * (l_returnflag, n_cal, n_test, q_hat, coverage).
     */
-  private[graft] def conformal(li: DataFrame): DataFrame = {
-    val (base, model, ks, picked) = conformalFit(li)
+  private[graft] def conformal(li: DataFrame): DataFrame =
+    conformalFrom(conformalFit(li))
+
+  private[graft] def conformalFrom(fit: (DataFrame, DataFrame,
+      Seq[(Any, Long, Long)], Map[Any, Double])): DataFrame = {
+    val (base, model, ks, picked) = fit
     val (nCalExpr, qExpr) = conformalLits(ks, picked)
     residualsAgainst(model)(base.filter(col("slice") === 2))
       .filter(col("f").isin(ks.map(_._1): _*))
@@ -705,8 +742,12 @@ object InferenceOps {
     * degraded flag gates at 1 − α − 0.05. Returns
     * (l_returnflag, month, n_test, q_hat, coverage, degraded).
     */
-  private[graft] def conformalDrift(li: DataFrame): DataFrame = {
-    val (base, model, ks, picked) = conformalFit(li)
+  private[graft] def conformalDrift(li: DataFrame): DataFrame =
+    conformalDriftFrom(conformalFit(li))
+
+  private[graft] def conformalDriftFrom(fit: (DataFrame, DataFrame,
+      Seq[(Any, Long, Long)], Map[Any, Double])): DataFrame = {
+    val (base, model, ks, picked) = fit
     val (_, qExpr) = conformalLits(ks, picked)
     residualsAgainst(model)(base.filter(col("slice") === 2))
       .filter(col("f").isin(ks.map(_._1): _*))
@@ -1151,4 +1192,30 @@ object InferenceOps {
         |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS acf
         |FROM mom""".stripMargin
   )
+}
+
+/** Session-scoped cache of the conformal fit's DRIVER METADATA (model
+  * coefficient rows, per-group (n_cal, k), per-group q̂) — see
+  * [[InferenceOps.conformalFitCached]]. Nothing executor-side is
+  * pinned; the cached value is ~|flags| numbers.
+  */
+private[graft] object ConformalFitCache {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Seq[(String, Double, Double)], Seq[(Any, Long, Long)], Map[Any, Double])]
+
+  def meta(s: SparkSession, d: String)
+      : (Seq[(String, Double, Double)], Seq[(Any, Long, Long)],
+          Map[Any, Double]) =
+    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+      val (_, model, ks, picked) =
+        InferenceOps.conformalFit(Tables(s, d, "lineitem"))
+      (model.collect().toSeq.map(r =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2))), ks, picked)
+    })
+
+  def evict(s: SparkSession, d: String): Unit = cache.remove((s, d))
+
+  def clear(): Unit = cache.clear()
 }

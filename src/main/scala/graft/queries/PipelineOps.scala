@@ -170,29 +170,41 @@ object PipelineOps {
     * instead of ~50-char strings (the q23 discipline; the oracle joins
     * on raw span text — a cross-engine mismatch needs a 64-bit hash
     * collision between live spans, ~1e-8 at even 10⁹ spans). One
-    * aggregation on the span key, a co-partitioned self-semi-join, one
-    * aggregation on doc_id — three bounded shuffles total.
+    * aggregation on the span key, a co-partitioned frequency join back
+    * onto the span stream, one aggregation on doc_id — three bounded
+    * shuffles total, and the expensive window transform is evaluated
+    * exactly once per scan (see the in-body comment for why the shape
+    * matters: interpreted higher-order functions must never appear in a
+    * pushed-down filter).
     */
   def dupSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
-    val withSpans = docs
+    // ONE exploded frame carrying n_spans on every row (+8 B/row of
+    // shuffle) so no third corpus scan is needed for the per-doc
+    // totals. explode_OUTER, not explode: the size(tk) filter already
+    // guarantees >= 1 span, and plain explode makes Catalyst push its
+    // `size(spans) > 0 AND isnotnull(spans)` guard down into the scan
+    // filter where the transform is NOT codegen'd (higher-order
+    // functions run interpreted, no subexpression elimination) — the
+    // round-10 plan evaluated the 86-window xxhash64 transform ~4x per
+    // row on two of THREE document scans, ~9 evaluations of the most
+    // expensive expression in the query. This shape evaluates it once
+    // per scan on two scans (the hCnt build and the join probe), the
+    // measured 6.0 s -> ~2 s at sf0.1.
+    val exploded = docs
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= spanTokens)
       .withColumn("spans", expr(
         s"array_distinct(transform(sequence(0, size(tk) - $spanTokens), " +
           s"i -> xxhash64(concat_ws(' ', slice(tk, i + 1, $spanTokens)))))"))
-    // per-doc totals are a NARROW projection (no shuffle) — only the
-    // duplicate HITS flow through the doc_id aggregation, so the second
-    // shuffle carries dup-span rows (dup-density-bounded), not every
-    // span in the corpus as the former full left-join did
-    val totals = withSpans
-      .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
-    val exploded = withSpans.select(col("doc_id"), explode(col("spans")).as("h"))
-    val shared = exploded.groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
-    val dupCounts = exploded.join(shared, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("nd_doc"))
-    totals.join(dupCounts, Seq("doc_id"), "left")
-      .withColumn("n_dup_spans", coalesce(col("nd_doc"), lit(0L)))
+      .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
+        explode_outer(col("spans")).as("h"))
+    // span frequencies, joined back UNFILTERED so zero-dup documents
+    // survive to the output (the old semi-join + left-join needed the
+    // extra totals scan exactly because the semi join dropped them)
+    val hCnt = exploded.groupBy("h").agg(count(lit(1)).as("nd"))
+    exploded.join(hCnt, Seq("h"))
+      .groupBy(col("doc_id"), col("n_spans"))
+      .agg(sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         round(col("n_dup_spans") / col("n_spans"), 6).as("dup_span_frac"))
   }
@@ -217,9 +229,13 @@ object PipelineOps {
     val st = spanTokens
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
     // (doc, start, span-hash) for every window — positions matter here,
-    // so no per-doc distinct before the explode
+    // so no per-doc distinct before the explode. explode_OUTER: the
+    // size filter guarantees >= 1 window, and plain explode's emptiness
+    // guard would be pushed into the scan filter where the interpreted
+    // transform is re-evaluated per conjunct (the q70 lesson) — on BOTH
+    // consumers of `pos`
     val pos = toks.filter(size(col("tk")) >= st)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode_outer(expr(
         s"transform(sequence(0, size(tk) - $st), " +
           s"j -> struct(j AS j, " +
           s"xxhash64(concat_ws(' ', slice(tk, j + 1, $st))) AS h))")).as("p"))
@@ -275,7 +291,10 @@ object PipelineOps {
   def bigramScore(docs: DataFrame): DataFrame = {
     val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
-    val bg = tk.select(col("doc_id"), explode(expr(
+    // explode_outer: the >= 2 filter guarantees a non-empty array;
+    // plain explode's pushed-down guard re-evaluates the interpreted
+    // transform per conjunct on every consumer branch (the q70 lesson)
+    val bg = tk.select(col("doc_id"), explode_outer(expr(
         "transform(sequence(0, size(tk) - 2), " +
           "i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -310,7 +329,7 @@ object PipelineOps {
     val train = tok.filter(col("doc_id") % 2 === 0)
     val held = tok.filter(col("doc_id") % 2 === 1)
     def bigrams(df: DataFrame) = df
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode_outer(expr( // q70 lesson, >= 2 filter
         "transform(sequence(0, size(tk) - 2), " +
           "i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
