@@ -160,6 +160,20 @@ object DedupQueries {
     * dup-family corpus AND edge-set equality with q23's pair list on
     * the sf fixture; dedup_components / q277 / cluster_best oracle
     * hashes are byte-identical to the full-join build by the theorems.
+    *
+    * SCALING CURVE past 10× (round 11, fresh JVM per arm, ShingleCache
+    * warm, make_scale_corpus family knob): at 30× — 3× the rows AND 3×
+    * the cluster size (30-member families → 16 reps/family after
+    * collapse vs 6 at 10×) — the exact build is 77.4 s / 637,055 edges
+    * vs the budget arm's 11.7 s, i.e. the premium grows 2.2× → 6.6×
+    * because rep-pair work is quadratic in post-collapse cluster size
+    * (C(16,2)/C(6,2) = 8× pair volume for 3× rows — the observed ~5×
+    * build growth matches). 77 s is well inside the ~5-minute bar the
+    * round-10 verdict set for wiring the budget arm as a conf-gated
+    * fallback, so exact remains the only shipped path; a corpus whose
+    * post-collapse clusters are radically larger than its exact-dup
+    * cliques is the signal to reassemble the budget arm (recipe and
+    * measurement harness: [[graft.DebugPairs]]).
     */
   private[graft] def connectivityPairGraph(s: SparkSession, d: String)
     : DataFrame = {
