@@ -150,13 +150,7 @@ object GraphQueries {
     // the gate, so both budgeted rounds honestly run — GraphSpec pins
     // the early-stop behavior itself on a converged start.
     "q231_pagerank_inc" -> ((s, d) => {
-      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("u"),
-          (col("l_suppkey") * 2 + 1).as("v"))
-        .distinct()
+      val ce = TradeEdgeCache.uv(s, d)
       def undirected(e: org.apache.spark.sql.DataFrame) =
         e.union(e.select(col("v").as("u"), col("u").as("v")))
       val base = ce.filter(pmod(col("v"), lit(7)) =!= 3)
@@ -166,13 +160,7 @@ object GraphQueries {
     }),
 
     "q74_pagerank" -> ((s, d) => {
-      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("u"),
-          (col("l_suppkey") * 2 + 1).as("v"))
-        .distinct()
+      val ce = TradeEdgeCache.uv(s, d)
       val edges = ce.union(ce.select(col("v").as("u"), col("u").as("v")))
       PageRank.pageRank(edges, PrIters)
         .select(col("node"),
@@ -192,12 +180,7 @@ object GraphQueries {
     // construction (bipartite), so only the seed set needs re-exclusion
     // at dist 2.
     "q86_bfs" -> ((s, d) => {
-      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
+      val ce = TradeEdgeCache.pairs(s, d)
       val seeds = Tables(s, d, "customer")
         .filter(pmod(col("c_custkey"), lit(100)) === 0)
         .select(col("c_custkey").as("id"))
@@ -247,13 +230,7 @@ object GraphQueries {
     // vector stays sparse (reached nodes only) — at 100x the per-round
     // join is frontier-proportional, not graph-proportional.
     "q153_personalized_pr" -> ((s, d) => {
-      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("u"),
-          (col("l_suppkey") * 2 + 1).as("v"))
-        .distinct()
+      val ce = TradeEdgeCache.uv(s, d)
       val edges = ce.union(ce.select(col("v").as("u"), col("u").as("v")))
       val seeds = Tables(s, d, "customer")
         .filter(pmod(col("c_custkey"), lit(100)) === 0)
@@ -275,14 +252,9 @@ object GraphQueries {
     // cardinality; the argmax window runs over ≤ |nations| rows per
     // supplier — bounded metadata, never event volume.
     "q146_majority_label" -> ((s, d) => {
-      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
       val c = Tables(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
-      val ce = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
+      val ce = TradeEdgeCache.pairs(s, d)
       val votes = ce.join(c, col("cust") === col("c_custkey"))
         .groupBy(col("supp"), col("c_nationkey").as("label"))
         .agg(count(lit(1)).as("n_votes"))
@@ -305,12 +277,8 @@ object GraphQueries {
     // shape without the dangling-node correction (bipartite edges
     // guarantee both sides).
     "q161_hits" -> ((s, d) => {
-      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-        .distinct()
+      val e = TradeEdgeCache.pairs(s, d)
+        .select(col("cust").as("c"), col("supp").as("p"))
       val auth1 = e.groupBy(col("p")).agg(count(lit(1)).as("a1"))
       val hub1 = e.join(auth1, "p")
         .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
@@ -371,6 +339,11 @@ object GraphQueries {
     // form is `peel` iterated with the Components/PageRank snapshot
     // discipline.
     "q192_kcore" -> ((s, d) => {
+      // deliberately NOT TradeEdgeCache: the unrolled peel plan reads
+      // `edges` ~10x, and measured at sf0.1 the ten InMemoryTableScan
+      // reads cost MORE than the original join+distinct whose exchange
+      // ReuseExchange dedupes across the reads (3.6 s inline vs 8.2 s
+      // cached) — the one graph entry where the pin loses
       val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -407,18 +380,13 @@ object GraphQueries {
     // customer); the customer map stays a shuffle join that AQE may
     // flip at small SFs.
     "q244_modularity" -> ((s, d) => {
-      val o = Tables(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
       val c = Tables(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
       val su = Tables(s, d, "supplier")
         .select(col("s_suppkey"), col("s_nationkey"))
-      val ends = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey"), col("l_suppkey")).distinct()
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      val ends = TradeEdgeCache.pairs(s, d)
+        .join(c, col("cust") === col("c_custkey"))
+        .join(broadcast(su), col("supp") === col("s_suppkey"))
         .select(explode(array(
           struct(col("c_nationkey").as("nationkey"),
             (col("c_nationkey") === col("s_nationkey"))
@@ -655,4 +623,53 @@ object GraphQueries {
         |FROM vol v LEFT JOIN intra i ON v.nationkey = i.nationkey, mm"""
       .stripMargin
   )
+}
+
+/** Session-pinned DISTINCT customer↔supplier trade-pair relation — the
+  * node/edge base of EIGHT graph entries (q74/q86/q146/q153/q161/q192/
+  * q231/q244), each of which paid the lineitem⋈orders join + distinct
+  * shuffle to rebuild it (and the iterative ones read it per round).
+  * Pinned MEMORY_AND_DISK like [[TokenCache]]: the relation is the
+  * distilled (cust, supp) pair set — smaller than anything it derives
+  * from — and the pass count across its consumers is far beyond the
+  * measured ~8-pass pin threshold. q141 is NOT a consumer: its edges
+  * are weighted (min line price per link), a different aggregation.
+  * Lifecycle contract as TokenCache: evict on dir rewrite.
+  */
+private[graft] object TradeEdgeCache {
+
+  import org.apache.spark.storage.StorageLevel
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  /** Distinct (cust, supp) trade pairs, pinned on first use. */
+  def pairs(s: SparkSession, d: String): DataFrame =
+    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** The (u, v) = (2·cust, 2·supp+1) disjoint-id encoding — a narrow
+    * projection of [[pairs]].
+    */
+  def uv(s: SparkSession, d: String): DataFrame =
+    pairs(s, d).select((col("cust") * 2).as("u"),
+      (col("supp") * 2 + 1).as("v"))
+
+  def evict(s: SparkSession, d: String): Unit = {
+    val e = cache.remove((s, d))
+    if (e != null) e.unpersist()
+  }
+
+  def clear(): Unit = {
+    val keys = cache.keySet().toArray(Array.empty[(SparkSession, String)])
+    keys.foreach { case (s, d) => evict(s, d) }
+  }
 }
