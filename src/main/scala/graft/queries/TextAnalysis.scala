@@ -64,9 +64,13 @@ object TextAnalysis {
     * → NULL — an oracle mismatch on any short doc).
     */
   private[graft] def fingerprint(c: Column): Column =
-    when(length(c) >= 8, array_min(transform(
-      sequence(lit(1), length(c) - 7),
-      i => md5(c.substr(i, lit(8)).cast("binary")))))
+    // codegen'd kernel, not array_min(transform(..., md5(substr(...)))):
+    // higher-order lambdas run interpreted per gram (~500 boxed calls
+    // per doc; kernel measures 2.1 -> 1.8 s at sf0.1 — MD5 dominates,
+    // the kernel removes the boxing tax); byte-identical by the
+    // hex/digest-order argument on the kernel, pinned by
+    // TextAnalysisSpec's equivalence test and the q30 oracle hash
+    graft.functions.textkernels.min_gram_md5(c)
 
   /** The production form of [[fingerprint]] — xxhash64 instead of md5
     * (~5× cheaper per gram, the swap documented at q30 since round 2).
