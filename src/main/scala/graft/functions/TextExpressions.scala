@@ -141,10 +141,12 @@ object NfcNormalize {
   * Java loop per row. The Column-API form
   * `array_min(transform(sequence(...), i -> md5(substr(...))))` runs
   * the lambda INTERPRETED per gram (higher-order functions have no
-  * codegen): ~500 boxed Catalyst invocations per document, measured
-  * 2.1 s at sf0.1 where this kernel measures ~1.8 s — the MD5 itself
-  * dominates either way; the kernel removes the boxing tax and keeps
-  * the whole projection inside one codegen stage. Exactness: the
+  * codegen): ~500 boxed Catalyst invocations AND ~500 substring/digest
+  * allocations per document. This kernel hashes the parent buffer in
+  * place (ASCII fast path) into two reusable digest buffers — zero
+  * per-gram allocation — measured 2.1 s → 0.30 s at sf0.1 (the
+  * allocation/boxing tax, not MD5 arithmetic, was the cost; the
+  * xxhash64 twin fell 1.6 s → 0.09 s by the same fix). Exactness: the
   * digest-byte unsigned compare IS the lexicographic order of the
   * lowercase hex strings, substring indexing is character-based
   * (UTF8String.substring) exactly like `substr`, so the result equals
@@ -159,13 +161,29 @@ object MinGramMd5Kernel {
     val n = s.numChars()
     if (n < 8) return null
     val md = java.security.MessageDigest.getInstance("MD5")
-    var best: Array[Byte] = null
+    // two reusable digest buffers (digest(out) instead of digest() —
+    // zero per-gram allocation); ASCII array-backed strings also skip
+    // the per-gram substring copy and feed the parent buffer directly
+    var best = new Array[Byte](16)
+    var cur = new Array[Byte](16)
+    var has = false
+    val ascii = s.numBytes() == n &&
+      s.getBaseObject.isInstanceOf[Array[Byte]]
+    val arr =
+      if (ascii) s.getBaseObject.asInstanceOf[Array[Byte]] else null
+    val start =
+      if (ascii) (s.getBaseOffset
+        - org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET).toInt
+      else 0
     var i = 0
     while (i <= n - 8) {
       md.reset()
-      md.update(s.substring(i, i + 8).getBytes)
-      val dg = md.digest()
-      if (best == null || unsignedLess(dg, best)) best = dg
+      if (ascii) md.update(arr, start + i, 8)
+      else md.update(s.substring(i, i + 8).getBytes)
+      md.digest(cur, 0, 16)
+      if (!has || unsignedLess(cur, best)) {
+        val t = best; best = cur; cur = t; has = true
+      }
       i += 1
     }
     val out = new Array[Char](32)
@@ -190,6 +208,71 @@ object MinGramMd5Kernel {
   }
 }
 
+/** [[MinGramMd5Kernel]]'s xxhash64 twin (text_fingerprint_xx): min
+  * xxhash64 over all character 8-grams, one tight loop per row. Uses
+  * Spark's own XxHash64Function (seed 42) on the substring exactly as
+  * the `xxhash64()` builtin does, so the longs are bit-identical to
+  * `array_min(transform(..., xxhash64(substr(...))))` — pinned by
+  * TextAnalysisSpec's equivalence test. The hash is ~free here, so
+  * removing the per-gram boxed lambda pays proportionally more than
+  * on the md5 form.
+  */
+object MinGramXxKernel {
+
+  def eval(s: UTF8String): Any = {
+    val n = s.numChars()
+    if (n < 8) return null
+    var best = Long.MaxValue
+    if (s.numBytes() == n) {
+      // pure-ASCII fast path: every 8-char gram is an 8-byte slice of
+      // the parent buffer — hash IN PLACE (XXH64 over (base, off, 8) is
+      // exactly what xxhash64() computes on the allocated substring),
+      // zero allocations per gram
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      var i = 0
+      while (i <= n - 8) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + i, 8, 42L)
+        if (h < best) best = h
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i <= n - 8) {
+        val sub = s.substring(i, i + 8)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(sub.getBaseObject, sub.getBaseOffset,
+            sub.numBytes(), 42L)
+        if (h < best) best = h
+        i += 1
+      }
+    }
+    best
+  }
+}
+
+/** text_fingerprint_xx's kernel form — see [[MinGramXxKernel]]. */
+case class MinGramXx(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_gram_xx"
+
+  override def nullSafeEval(a: Any): Any =
+    MinGramXxKernel.eval(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      Object g_${ev.value} = graft.functions.MinGramXxKernel.eval($a);
+      ${ev.isNull} = g_${ev.value} == null;
+      ${ev.value} = ${ev.isNull} ? -1L : ((Long) g_${ev.value}).longValue();
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinGramXx = copy(child = newChild)
+}
+
 /** q30's fingerprint as a custom kernel — see [[MinGramMd5Kernel]]. */
 case class MinGramMd5(child: Expression) extends UnaryExpression {
 
@@ -210,6 +293,85 @@ case class MinGramMd5(child: Expression) extends UnaryExpression {
       : MinGramMd5 = copy(child = newChild)
 }
 
+/** Static kernel behind [[SpanXxHashes]]: all rolling `span`-token
+  * window hashes of a token array in one pass — for window i the hash
+  * is xxhash64 (seed 42) over the UTF-8 bytes of the space-joined
+  * tokens tk[i..i+span), BIT-IDENTICAL to
+  * `transform(sequence(0, size(tk) − span), i →
+  *   xxhash64(concat_ws(' ', slice(tk, i + 1, span))))`
+  * (DedupSpec pins the equivalence on corpus text, empty tokens from
+  * doubled spaces, and non-ASCII). The expression form pays an
+  * interpreted lambda + a slice array + a concat string + a hash
+  * dispatch PER WINDOW; the kernel writes each window into one
+  * reusable byte buffer and hashes in place — zero per-window
+  * allocation (the q30/text_fingerprint_xx finding: the allocation
+  * tax, not the hash, is the cost).
+  */
+object SpanXxHashesKernel {
+
+  import org.apache.spark.unsafe.Platform
+
+  def eval(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      span: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < span)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Long](n - span + 1)
+    var buf = new Array[Byte](256)
+    i = 0
+    while (i <= n - span) {
+      var len = 0
+      var j = i
+      while (j < i + span) {
+        val t = toks(j)
+        val tb = t.numBytes()
+        val need = len + tb + 1
+        if (need > buf.length) {
+          val nb = new Array[Byte](math.max(need, buf.length * 2))
+          System.arraycopy(buf, 0, nb, 0, len)
+          buf = nb
+        }
+        if (j > i) { buf(len) = ' '; len += 1 }
+        t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+        len += tb
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Rolling span-window xxhash64 array — see [[SpanXxHashesKernel]].
+  * Callers guarantee `size(child) >= span` by filter (matching the
+  * expression form's sequence() domain); smaller inputs yield an
+  * empty array.
+  */
+case class SpanXxHashes(child: Expression, span: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_xx_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    SpanXxHashesKernel.eval(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], span)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SpanXxHashesKernel.eval($a, $span);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SpanXxHashes = copy(child = newChild)
+}
+
 /** Column-API surface for the text/layout kernels. */
 object textkernels {
   def deflate_len(a: Column): Column =
@@ -221,4 +383,8 @@ object textkernels {
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(a)))
   def min_gram_md5(a: Column): Column =
     ColumnBridge.column(MinGramMd5(ColumnBridge.expression(a)))
+  def min_gram_xx(a: Column): Column =
+    ColumnBridge.column(MinGramXx(ColumnBridge.expression(a)))
+  def span_xx_hashes(a: Column, span: Int): Column =
+    ColumnBridge.column(SpanXxHashes(ColumnBridge.expression(a), span))
 }

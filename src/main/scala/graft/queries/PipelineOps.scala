@@ -193,9 +193,10 @@ object PipelineOps {
     val exploded = docs
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= spanTokens)
-      .withColumn("spans", expr(
-        s"array_distinct(transform(sequence(0, size(tk) - $spanTokens), " +
-          s"i -> xxhash64(concat_ws(' ', slice(tk, i + 1, $spanTokens)))))"))
+      // span_xx_hashes = the transform/concat_ws/xxhash64 form as one
+      // zero-allocation kernel pass (bit-identical; DedupSpec pins it)
+      .withColumn("spans", array_distinct(
+        graft.functions.textkernels.span_xx_hashes(col("tk"), spanTokens)))
       .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
         explode_outer(col("spans")).as("h"))
     // span frequencies, joined back UNFILTERED so zero-dup documents
@@ -235,11 +236,11 @@ object PipelineOps {
     // transform is re-evaluated per conjunct (the q70 lesson) — on BOTH
     // consumers of `pos`
     val pos = toks.filter(size(col("tk")) >= st)
-      .select(col("doc_id"), explode_outer(expr(
-        s"transform(sequence(0, size(tk) - $st), " +
-          s"j -> struct(j AS j, " +
-          s"xxhash64(concat_ws(' ', slice(tk, j + 1, $st))) AS h))")).as("p"))
-      .select(col("doc_id"), col("p.j").as("j"), col("p.h").as("h"))
+      // the positional form falls straight out of posexplode over the
+      // span_xx_hashes kernel array (j = the window's array position)
+      .select(col("doc_id"), posexplode_outer(
+        graft.functions.textkernels.span_xx_hashes(col("tk"), st)))
+      .select(col("doc_id"), col("pos").as("j"), col("col").as("h"))
     // q70's shared-span definition: distinct per doc, then ≥ 2 docs
     val shared = pos.select(col("doc_id"), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))

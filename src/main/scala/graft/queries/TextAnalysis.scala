@@ -65,9 +65,9 @@ object TextAnalysis {
     */
   private[graft] def fingerprint(c: Column): Column =
     // codegen'd kernel, not array_min(transform(..., md5(substr(...)))):
-    // higher-order lambdas run interpreted per gram (~500 boxed calls
-    // per doc; kernel measures 2.1 -> 1.8 s at sf0.1 — MD5 dominates,
-    // the kernel removes the boxing tax); byte-identical by the
+    // higher-order lambdas run interpreted per gram with a substring +
+    // digest allocation each (~500/doc; kernel hashes the buffer in
+    // place — 2.1 -> 0.30 s at sf0.1); byte-identical by the
     // hex/digest-order argument on the kernel, pinned by
     // TextAnalysisSpec's equivalence test and the q30 oracle hash
     graft.functions.textkernels.min_gram_md5(c)
@@ -80,9 +80,11 @@ object TextAnalysis {
     * as the md5 gate form.
     */
   private[graft] def fingerprintXx(c: Column): Column =
-    when(length(c) >= 8, array_min(transform(
-      sequence(lit(1), length(c) - 7),
-      i => xxhash64(c.substr(i, lit(8))))))
+    // kernel form (same rationale as fingerprint's MinGramMd5, and a
+    // proportionally bigger win — xxhash64 is nearly free so the boxed
+    // per-gram lambda WAS the cost); bit-identical longs via Spark's
+    // own XxHash64Function, pinned by TextAnalysisSpec's equivalence
+    graft.functions.textkernels.min_gram_xx(c)
 
   /** q263 vocabulary-coverage / OOV curve — the tokenizer-design
     * question "how big a vocabulary do I need?": for candidate vocab

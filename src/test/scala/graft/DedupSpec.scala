@@ -65,6 +65,27 @@ class DedupSpec extends SparkSpec {
     assert(DedupQueries.dupSpanRuns(docs, spanTokens = 2).isEmpty)
   }
 
+  test("span_xx_hashes kernel == transform/concat_ws/xxhash64 form " +
+      "(corpus text, doubled spaces, non-ASCII, exact-span boundary)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Tables(spark, sf, "documents").select("text").as[String]
+      .take(40).toSeq ++ Seq(
+      "a  b c d e f g h i",      // doubled space -> empty token
+      "ü ñ ç ø d é x y z",       // multi-byte tokens
+      "t1 t2 t3 t4 t5 t6 t7 t8") // exactly one window
+    val df = texts.toDF("text").withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 8)
+    val got = df.select(
+      graft.functions.textkernels.span_xx_hashes(col("tk"), 8).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    val ref = df.select(expr(
+      "transform(sequence(0, size(tk) - 8), " +
+        "i -> xxhash64(concat_ws(' ', slice(tk, i + 1, 8))))").as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("q261 CDC: chunks reconstruct; one-token insert perturbs <= 3") {
     import spark.implicits._
     val a = (1 to 60).map("t" + _).mkString(" ")

@@ -66,6 +66,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === ref.toSeq)
   }
 
+  test("xx fingerprint kernel == the array_min/transform/xxhash64 " +
+      "expression form on real corpus text (incl. non-ASCII)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Tables(spark, sf, "documents").select("text").as[String]
+      .take(50).toSeq ++ Seq("exactly8", "üñïçødé text with 8-grams")
+    val df = texts.toDF("text")
+    val got = df.select(TextAnalysis.fingerprintXx($"text").as("fp"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val ref = df.select(when(length($"text") >= 8, array_min(transform(
+        sequence(lit(1), length($"text") - 7),
+        i => xxhash64($"text".substr(i, lit(8)))))).as("fp"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("xxhash64 fingerprint: stable per text, null under 8 chars") {
     import spark.implicits._
     // identical texts MUST collide (the dedup contract); the chosen
