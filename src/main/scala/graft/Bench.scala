@@ -112,16 +112,20 @@ object Bench {
     // doesn't) is recorded machine-readably in the artifact's "guard"
     // section instead of in a human's judgment after the fact.
     // the probe verdict applies the SAME per-query bar that raised the
-    // flag (1.2× on the top-20 expensive entries, 1.5× elsewhere —
-    // round-10 verdict item 2)
-    val flagRatios = BenchGuard.flagRatios(history, sfDir)
+    // flag (1.2×/1s on the top-20 expensive entries, 1.3×/0.5s on the
+    // ≥0.4s mid band, 1.5×/1s elsewhere — BenchGuard.barsFor; the
+    // getOrElse default IS BenchGuard's own default tier, so the
+    // fallback can't silently diverge from the flag bar)
+    val flagBars = BenchGuard.flagBars(history, sfDir)
+    def barFor(n: String): (Double, Double) =
+      flagBars.getOrElse(n, (BenchGuard.Ratio, BenchGuard.MinSec))
     val guard: Map[String, (Double, Double, Seq[Double], String)] =
       regressions.map { case (n, (prev, now)) =>
         val probes = (1 to 3).map(_ => timeOne(SparkEntry.queries(n))._1)
           .filter(_ >= 0)
         val best = (probes :+ now).min
-        val verdict =
-          BenchGuard.arbitrate(prev, best, flagRatios.getOrElse(n, 1.5))
+        val (ratio, minSec) = barFor(n)
+        val verdict = BenchGuard.arbitrate(prev, best, ratio, minSec)
         System.err.println(
           f"GUARD $n: prev=$prev%.2fs sweep=$now%.2fs probes=" +
             probes.map(p => f"$p%.2f").mkString("[", ",", "]") +
@@ -130,6 +134,26 @@ object Bench {
           results = results.updated(n, (best, cold, err))
         }
         n -> (prev, now, probes, verdict)
+      }
+    // Prior-flag re-arbitration (round-11 verdict item 1): a contended
+    // sweep can stamp "real" verdicts its own in-run probes cannot
+    // exonerate (they share the contended box — round 11 shipped 7 such
+    // flags, all streaming entries that the same day's clean run showed
+    // IMPROVING). So every run re-arbitrates the real flags found in
+    // the last ≤3 same-sf history lines against ITS OWN measurement of
+    // that query, under the flag's bar. On a quiet run this closes the
+    // question machine-readably; on another contended run the verdicts
+    // stay "real" and carry forward.
+    val rearb: Map[String, (Double, Double, String)] =
+      BenchGuard.priorRealFlags(history, sfDir).flatMap { case (n, prev) =>
+        results.get(n).collect { case (t, _, None) =>
+          val (ratio, minSec) = barFor(n)
+          val verdict = BenchGuard.arbitrate(prev, t, ratio, minSec)
+          System.err.println(
+            f"REARB $n: prior-real prev=$prev%.2fs quiet=$t%.2fs " +
+              s"verdict=$verdict")
+          n -> (prev, t, verdict)
+        }
       }
     def jmap(f: ((String, (Double, Double, Option[String]))) => Option[String])
         : String = results.flatMap(r => f(r)).mkString("{", ",", "}")
@@ -144,8 +168,13 @@ object Bench {
           probes.mkString("[", ",", "]") + s",\"verdict\":\"$verdict\"}"
     }.mkString("{", ",", "}")
     val nReal = guard.values.count(_._4 == "real")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"n_failed":${results.count(_._2._3.isDefined)},"guard":$guardJson,"n_flagged":${guard.size},"n_real_regressions":$nReal,"sf":"$sfDir"}"""
-    println(json)
+    val rearbJson = rearb.toSeq.sortBy(_._1).map {
+      case (n, (prev, quiet, verdict)) =>
+        s"\"$n\":{\"prev\":$prev,\"quiet\":$quiet," +
+          s"\"verdict\":\"$verdict\"}"
+    }.mkString("{", ",", "}")
+    val nStillReal = rearb.values.count(_._3 == "real")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"n_failed":${results.count(_._2._3.isDefined)},"guard":$guardJson,"n_flagged":${guard.size},"n_real_regressions":$nReal,"prior_real_rearb":$rearbJson,"n_prior_real_still":$nStillReal,"sf":"$sfDir"}"""
     // stdout capture buffers have truncated this line before (122 queries
     // ≈ 10 KB of JSON); the file copy is the canonical artifact
     val out = java.nio.file.Paths.get("target/bench.json")
@@ -162,6 +191,17 @@ object Bench {
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+    // Shutdown order matters for the stdout artifact (round-11 verdict
+    // item 2: BENCH_r11.json shipped "parsed": null because the
+    // StateStore maintenance thread fired AFTER SparkEnv deactivated
+    // during JVM wind-down and its WARN stack trace interleaved with
+    // the bench JSON in the driver's stdout scrape). So: stop the
+    // StateStore maintenance task explicitly, stop Spark, and only
+    // THEN print the JSON — the last line this process emits, with no
+    // live Spark thread left to log over it.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     spark.stop()
+    println(json)
   }
 }

@@ -34,26 +34,13 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (cacheOff) normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
-    else {
-      val key = (spark, sfDir, name)
-      val hit = resolved.get(key)
-      if (hit != null) hit
-      else {
-        // purge entries whose session has stopped ON the miss path (never
-        // per-hit): a long-lived JVM creating and stopping sessions — or
-        // the shared test JVM accumulating one entry per temp dir per
-        // suite — must not pin dead sessions' plans forever. The purge
-        // runs BEFORE computeIfAbsent, outside its mapping function: the
-        // CHM contract forbids the mapping function from mutating the map
-        // (a removal landing in the bin being computed can corrupt it).
-        val it = resolved.keySet().iterator()
-        while (it.hasNext)
-          if (it.next()._1.sparkContext.isStopped) it.remove()
-        resolved.computeIfAbsent(key, { _: (SparkSession, String, String) =>
-          normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
-        })
+    else
+      // stopped-session purge on the miss path — the shared discipline
+      // (rationale and CHM-contract caveat) lives in [[SessionCaches]]
+      SessionCaches.getOrBuild(resolved, (spark, sfDir, name),
+        (k: (SparkSession, String, String)) => k._1) {
+        normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
       }
-    }
 
   /** Drop cached resolutions (all of a session's, or one dir's). */
   def evict(spark: SparkSession, sfDir: String = null): Unit = {

@@ -459,6 +459,81 @@ object ClassifyOps {
     out
   }
 
+  /** q237's engine: one-pass 5-fold NB cross-validation over a
+    * pre-tokenized (doc_id, lang, w, fd) frame — see the entry comment
+    * above q237_nb_crossval for the subtraction identities.
+    * Package-private seam so ClassifySpec can drive it on crafted
+    * corpora (the single-fold-class edge case) without the
+    * session-pinned [[TokenCache]].
+    */
+  private[graft] def nbCrossvalFromTokens(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    val perWord = toks
+      .select(col("w"), col("fd")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("nf"), min(col("fd")).as("f0"))
+    val vrows = perWord
+      .groupBy(when(col("nf") === 1, col("f0")).otherwise(lit(-1L))
+        .as("xf"))
+      .agg(count(lit(1)).as("n")).collect()
+    val vTotal = vrows.map(_.getLong(1)).sum
+    val vExcl = vrows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-(fold, class) slice totals → 5 × |classes| driver rows →
+    // per-TEST-fold train totals by subtraction
+    val slice = toks.groupBy(col("fd"), col("lang"))
+      .agg(count(lit(1)).as("tok"),
+        count_distinct(col("doc_id")).as("docs")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val langs = slice.map(_._2).distinct.sorted
+    import s.implicits._
+    val clsTrain = (0L until 5L).flatMap { f =>
+      langs.flatMap { c =>
+        val rest = slice.filter(x => x._1 != f && x._2 == c)
+        val docsC = rest.map(_._4).sum
+        // a class whose docs ALL fall in held-out fold f has no train
+        // presence for that fold: the unrolled per-fold train set never
+        // produced it, so it must not be a candidate — keeping it would
+        // emit ln(docs_c = 0) null-score rows whose exclusion rested on
+        // the unpinned nulls-sort-last invariant (ClassifySpec pins the
+        // edge case)
+        if (docsC == 0L) None
+        else Some((f, c, rest.map(_._3).sum, docsC,
+          vTotal - vExcl.getOrElse(f, 0L)))
+      }
+    }.toDF("fd", "c", "tok_c", "docs_c", "vocab")
+    // per-(class, word) counts once; train count = overall − own fold
+    val wcFold = toks.groupBy(col("fd"), col("lang").as("c"), col("w"))
+      .agg(count(lit(1)).as("cf"))
+    val wcAll = wcFold.groupBy(col("c"), col("w"))
+      .agg(sum(col("cf")).as("ca"))
+    val tf = toks.groupBy(col("fd"), col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy(col("fd"), col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("len"))
+    val seen = tf.join(wcAll, Seq("w"))
+      .join(wcFold, Seq("fd", "c", "w"), "left")
+      .withColumn("cwc", col("ca") - coalesce(col("cf"), lit(0L)))
+      .filter(col("cwc") >= 1) // word absent from this fold's train set
+      .groupBy(col("fd"), col("doc_id"), col("c"))
+      .agg(sum(col("tf") * lnMicros(col("cwc") + lit(1.0))).as("seen"))
+    val scored = dlen.join(broadcast(clsTrain), Seq("fd"))
+      .join(seen, Seq("fd", "doc_id", "c"), "left")
+      .select(col("fd"), col("doc_id"), col("lang"), col("c"),
+        (lnMicros(col("docs_c")) + coalesce(col("seen"), lit(0L))
+          - col("len") * lnMicros(col("tok_c").cast("double")
+            + col("vocab").cast("double"))).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("c"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("fd").as("fold"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("lang") === col("c"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("fold"), col("n_test"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test"), 6)
+          .as("acc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q242_feature_auc" -> ((s, d) => {
@@ -498,66 +573,10 @@ object ClassifyOps {
     // |distinct w| − |words exclusive to fold f| in two jobs. All
     // subtractions are exact integers — the scores are bit-identical
     // to the unrolled form (the oracle hash is the proof).
-    "q237_nb_crossval" -> ((s, d) => {
-      val toks = TokenCache.tokens(s, d)
-        .withColumn("fd", pmod(col("doc_id"), lit(5)))
-      val perWord = toks
-        .select(col("w"), col("fd")).distinct()
-        .groupBy(col("w")).agg(count(lit(1)).as("nf"), min(col("fd")).as("f0"))
-      val vrows = perWord
-        .groupBy(when(col("nf") === 1, col("f0")).otherwise(lit(-1L))
-          .as("xf"))
-        .agg(count(lit(1)).as("n")).collect()
-      val vTotal = vrows.map(_.getLong(1)).sum
-      val vExcl = vrows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // per-(fold, class) slice totals → 5 × |classes| driver rows →
-      // per-TEST-fold train totals by subtraction
-      val slice = toks.groupBy(col("fd"), col("lang"))
-        .agg(count(lit(1)).as("tok"),
-          count_distinct(col("doc_id")).as("docs")).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      val langs = slice.map(_._2).distinct.sorted
-      import s.implicits._
-      val clsTrain = (0L until 5L).flatMap { f =>
-        langs.map { c =>
-          val rest = slice.filter(x => x._1 != f && x._2 == c)
-          (f, c, rest.map(_._3).sum, rest.map(_._4).sum,
-            vTotal - vExcl.getOrElse(f, 0L))
-        }
-      }.toDF("fd", "c", "tok_c", "docs_c", "vocab")
-      // per-(class, word) counts once; train count = overall − own fold
-      val wcFold = toks.groupBy(col("fd"), col("lang").as("c"), col("w"))
-        .agg(count(lit(1)).as("cf"))
-      val wcAll = wcFold.groupBy(col("c"), col("w"))
-        .agg(sum(col("cf")).as("ca"))
-      val tf = toks.groupBy(col("fd"), col("doc_id"), col("lang"), col("w"))
-        .agg(count(lit(1)).as("tf"))
-      val dlen = tf.groupBy(col("fd"), col("doc_id"), col("lang"))
-        .agg(sum(col("tf")).as("len"))
-      val seen = tf.join(wcAll, Seq("w"))
-        .join(wcFold, Seq("fd", "c", "w"), "left")
-        .withColumn("cwc", col("ca") - coalesce(col("cf"), lit(0L)))
-        .filter(col("cwc") >= 1) // word absent from this fold's train set
-        .groupBy(col("fd"), col("doc_id"), col("c"))
-        .agg(sum(col("tf") * lnMicros(col("cwc") + lit(1.0))).as("seen"))
-      val scored = dlen.join(broadcast(clsTrain), Seq("fd"))
-        .join(seen, Seq("fd", "doc_id", "c"), "left")
-        .select(col("fd"), col("doc_id"), col("lang"), col("c"),
-          (lnMicros(col("docs_c")) + coalesce(col("seen"), lit(0L))
-            - col("len") * lnMicros(col("tok_c").cast("double")
-              + col("vocab").cast("double"))).as("score"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("c"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("fd").as("fold"))
-        .agg(count(lit(1)).as("n_test"),
-          sum(when(col("lang") === col("c"), 1L).otherwise(0L))
-            .as("n_correct"))
-        .select(col("fold"), col("n_test"), col("n_correct"),
-          round(col("n_correct").cast("double") / col("n_test"), 6)
-            .as("acc"))
-    }),
+    "q237_nb_crossval" -> ((s, d) =>
+      nbCrossvalFromTokens(
+        TokenCache.tokens(s, d).withColumn("fd",
+          pmod(col("doc_id"), lit(5))))),
     // iterative float training — rows-only; ClassifySpec pins behavior
     "ml_logreg" -> ((s, d) => logRegConfusion(s, d)))
 
@@ -866,10 +885,11 @@ private[graft] object TokenCache {
   }
 
   def tokens(s: SparkSession, d: String): DataFrame =
-    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+    graft.SessionCaches.getOrBuild(cache, (s, d),
+      (k: (SparkSession, String)) => k._1) {
       tokenize(graft.Tables(s, d, "documents"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   def evict(s: SparkSession, d: String): Unit = {
     val e = cache.remove((s, d))

@@ -1494,7 +1494,8 @@ private[graft] object ShingleCache {
 
   private def entry(s: SparkSession, d: String)
     : (DataFrame, DataFrame, DataFrame) =
-    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+    graft.SessionCaches.getOrBuild(cache, (s, d),
+      (k: (SparkSession, String)) => k._1) {
       val arrays = graft.Tables(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 3)
@@ -1516,7 +1517,7 @@ private[graft] object ShingleCache {
           expr("array_sort(transform(sh, v -> xxhash64(v)))").as("hs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       (arrays, hashed, sorted)
-    })
+    }
 
   def arrays(s: SparkSession, d: String): DataFrame = entry(s, d)._1
   def hashed(s: SparkSession, d: String): DataFrame = entry(s, d)._2
@@ -1569,8 +1570,9 @@ private[graft] object PairCache {
 
   /** Connectivity pair graph (doc_a, doc_b), persisted on first use. */
   def pairs(s: SparkSession, d: String): DataFrame =
-    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+    graft.SessionCaches.getOrBuild(cache, (s, d),
+      (k: (SparkSession, String)) => k._1) {
       DedupQueries.connectivityPairGraph(s, d)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 }

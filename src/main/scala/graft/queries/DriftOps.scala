@@ -605,11 +605,12 @@ private[graft] object PsiGridCache {
     (SparkSession, String), Seq[(String, Int, Long, Long, Long, Long)]]
 
   def grid(s: SparkSession, d: String): DataFrame = {
-    val rows = cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+    val rows = graft.SessionCaches.getOrBuild(cache, (s, d),
+      (k: (SparkSession, String)) => k._1) {
       DriftOps.psiGrid(Tables(s, d, "events")).collect().toSeq.map(r =>
         (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5)))
-    })
+    }
     import s.implicits._
     rows.toDF("event_type", "bucket", "cr", "cc", "nr", "nc")
   }

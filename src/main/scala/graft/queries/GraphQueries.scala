@@ -626,9 +626,14 @@ object GraphQueries {
 }
 
 /** Session-pinned DISTINCT customer↔supplier trade-pair relation — the
-  * node/edge base of EIGHT graph entries (q74/q86/q146/q153/q161/q192/
+  * node/edge base of SEVEN graph entries (q74/q86/q146/q153/q161/
   * q231/q244), each of which paid the lineitem⋈orders join + distinct
   * shuffle to rebuild it (and the iterative ones read it per round).
+  * q192_kcore deliberately does NOT consume the cache: its unrolled
+  * peel plan reads the edge relation ~10×, and ten InMemoryTableScan
+  * reads measured SLOWER than the inline build whose exchange
+  * ReuseExchange dedupes (8.2 s cached vs 3.6 s inline at sf0.1 — see
+  * the comment at its entry).
   * Pinned MEMORY_AND_DISK like [[TokenCache]]: the relation is the
   * distilled (cust, supp) pair set — smaller than anything it derives
   * from — and the pass count across its consumers is far beyond the
@@ -645,7 +650,8 @@ private[graft] object TradeEdgeCache {
 
   /** Distinct (cust, supp) trade pairs, pinned on first use. */
   def pairs(s: SparkSession, d: String): DataFrame =
-    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+    graft.SessionCaches.getOrBuild(cache, (s, d),
+      (k: (SparkSession, String)) => k._1) {
       Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables(s, d, "orders")
@@ -654,7 +660,7 @@ private[graft] object TradeEdgeCache {
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** The (u, v) = (2·cust, 2·supp+1) disjoint-id encoding — a narrow
     * projection of [[pairs]].

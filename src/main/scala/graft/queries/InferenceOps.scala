@@ -1208,12 +1208,13 @@ private[graft] object ConformalFitCache {
   def meta(s: SparkSession, d: String)
       : (Seq[(String, Double, Double)], Seq[(Any, Long, Long)],
           Map[Any, Double]) =
-    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+    graft.SessionCaches.getOrBuild(cache, (s, d),
+      (k: (SparkSession, String)) => k._1) {
       val (_, model, ks, picked) =
         InferenceOps.conformalFit(Tables(s, d, "lineitem"))
       (model.collect().toSeq.map(r =>
         (r.getString(0), r.getDouble(1), r.getDouble(2))), ks, picked)
-    })
+    }
 
   def evict(s: SparkSession, d: String): Unit = cache.remove((s, d))
 

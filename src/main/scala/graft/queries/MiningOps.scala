@@ -417,13 +417,14 @@ private[graft] object BasketCache {
     (SparkSession, String), DataFrame]
 
   def get(s: SparkSession, d: String): DataFrame =
-    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+    graft.SessionCaches.getOrBuild(cache, (s, d),
+      (k: (SparkSession, String)) => k._1) {
       Tables(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   def evict(s: SparkSession, d: String): Unit = {
     val e = cache.remove((s, d))

@@ -911,8 +911,8 @@ private[graft] object PricePercentileCache {
     */
   def bounds(s: SparkSession, d: String, approx: Boolean)
       : Map[Int, Double] =
-    cache.computeIfAbsent((s, d, approx), {
-      _: (SparkSession, String, Boolean) =>
+    graft.SessionCaches.getOrBuild(cache, (s, d, approx),
+      (k: (SparkSession, String, Boolean)) => k._1) {
         val ps = (1 until 20).map(_.toDouble / 20)
         val agg =
           if (approx) s"approx_percentile(l_extendedprice, " +
@@ -922,7 +922,7 @@ private[graft] object PricePercentileCache {
           .agg(expr(s"transform($agg, x -> round(x, 4))").as("b"))
           .head().getSeq[Double](0)
         (1 until 20).zip(vs).toMap
-    })
+    }
 
   def evict(s: SparkSession, d: String): Unit = {
     cache.remove((s, d, true)); cache.remove((s, d, false)); ()
@@ -945,11 +945,12 @@ private[graft] object RankQuantileCache {
     (SparkSession, String), Map[Int, Double]]
 
   def bounds(s: SparkSession, d: String): Map[Int, Double] =
-    cache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+    graft.SessionCaches.getOrBuild(cache, (s, d),
+      (k: (SparkSession, String)) => k._1) {
       val ps = (1 until 20).map(_.toDouble / 20)
       (1 until 20).zip(StatsOps.exactQuantilesByRank(
         Tables(s, d, "lineitem"), "l_extendedprice", ps)).toMap
-    })
+    }
 
   def evict(s: SparkSession, d: String): Unit = cache.remove((s, d))
 

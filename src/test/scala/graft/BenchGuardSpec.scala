@@ -36,9 +36,10 @@ class BenchGuardSpec extends AnyFunSuite {
       line("/sf0.1", "q1" -> 5.2),
       line("/sf0.1", "q1" -> 2.0),  // outlier-fast, newest
       line("/sf0.01", "q1" -> 0.01)) // different sf: must be ignored
-    // 6.0 < 1.5 × median(5.0, 5.2, 2.0) = 7.5 → quiet
-    assert(BenchGuard.regressions(hist, "/sf0.1", Map("q1" -> 6.0)).isEmpty)
-    // 8.0 > 7.5 → flagged, with the MEDIAN as prev
+    // 5.9 < 1.2 × median(5.0, 5.2, 2.0) = 6.0 → quiet (single-entry
+    // baseline: q1 is trivially in the top-20 tight tier)
+    assert(BenchGuard.regressions(hist, "/sf0.1", Map("q1" -> 5.9)).isEmpty)
+    // 8.0 > 6.0 → flagged, with the MEDIAN as prev
     assert(BenchGuard.regressions(hist, "/sf0.1", Map("q1" -> 8.0))
       === Map("q1" -> (5.0, 8.0)))
   }
@@ -82,32 +83,75 @@ class BenchGuardSpec extends AnyFunSuite {
     // failed/absent baseline (-1) can't accuse anything
     assert(BenchGuard.arbitrate(0.2, 0.9) === "noise")
     assert(BenchGuard.arbitrate(-1.0, 9.0) === "noise")
+    // the mid tier's own floor lets a 0.7 s verdict stand
+    assert(BenchGuard.arbitrate(0.5, 0.7,
+      BenchGuard.MidRatio, BenchGuard.MidMinSec) === "real")
   }
 
-  test("top-20 expensive entries get the tighter 1.2x bar") {
-    // 25 queries: q01..q25 with baselines 25s down to 1.5s — the top
-    // 20 by cost (q01..q20, >= 6s... actually 25-(n-1)s) are tight
+  test("three bar tiers: top-20 tight, >=0.4s mid band, cheap default") {
+    // 25 queries: q01..q25 with baselines 25s down to 1s — q01..q20
+    // are the top-20 (tight), q21..q25 (5s..1s) land in the mid band
     val qs = (1 to 25).map(i => (f"q$i%02d", 26.0 - i))
-    val hist = Seq(line("/sf0.1", qs: _*))
-    val ratios = BenchGuard.flagRatios(hist, "/sf0.1")
-    assert(ratios("q01") === BenchGuard.TightRatio)
-    assert(ratios("q20") === BenchGuard.TightRatio)
-    assert(ratios("q21") === 1.5)
-    assert(ratios.values.count(_ == BenchGuard.TightRatio)
+    // plus two cheap entries below the 0.4s mid floor
+    val hist = Seq(line("/sf0.1", qs :+ ("q26", 0.3) :+ ("q27", 0.1): _*))
+    val bars = BenchGuard.flagBars(hist, "/sf0.1")
+    assert(bars("q01") === (BenchGuard.TightRatio, BenchGuard.MinSec))
+    assert(bars("q20") === (BenchGuard.TightRatio, BenchGuard.MinSec))
+    assert(bars("q21") === (BenchGuard.MidRatio, BenchGuard.MidMinSec))
+    assert(bars("q26") === (BenchGuard.Ratio, BenchGuard.MinSec))
+    assert(bars.values.count(_._1 == BenchGuard.TightRatio)
       === BenchGuard.TightTopN)
-    // a 1.3x drift on an expensive entry now FLAGS (it sat invisible
+    // a 1.3x drift on an expensive entry FLAGS (it sat invisible
     // under the uniform 1.5x bar through round 10)...
     val drift = BenchGuard.regressions(hist, "/sf0.1",
       Map("q01" -> 25.0 * 1.3))
     assert(drift === Map("q01" -> (25.0, 32.5)))
-    // ...while the same relative drift on a cheap entry stays quiet
+    // ...and a sub-0.4s baseline tripling but staying under 1s stays
+    // quiet (job-orchestration constants, not signal)
     assert(BenchGuard.regressions(hist, "/sf0.1",
-      Map("q21" -> 5.0 * 1.3)).isEmpty)
-    // and arbitrate applies the tight bar when told to: best=1.25x
-    // prev is REAL under 1.2, noise under the default 1.5
-    assert(BenchGuard.arbitrate(10.0, 12.5, BenchGuard.TightRatio)
-      === "real")
-    assert(BenchGuard.arbitrate(10.0, 12.5) === "noise")
+      Map("q26" -> 0.9)).isEmpty)
+  }
+
+  test("mid band catches the round-11 blind spot (1.4x on a ~1s entry)") {
+    // q77_triangles drifted 1.08 -> 1.52 s (1.41x) in round 11 and was
+    // never arbitrated: under the old uniform bars it needed 1.5x.
+    // 21+ entries so q77 (cheapest) falls OUT of the top-20 tight tier
+    // and into the mid band.
+    val qs = (1 to 20).map(i => (f"big$i%02d", 30.0 - i)) :+
+      ("q77" -> 1.08) :+ ("tiny" -> 0.2)
+    val hist = Seq(line("/sf0.1", qs: _*))
+    assert(BenchGuard.flagBars(hist, "/sf0.1")("q77")
+      === (BenchGuard.MidRatio, BenchGuard.MidMinSec))
+    assert(BenchGuard.regressions(hist, "/sf0.1", Map("q77" -> 1.52))
+      === Map("q77" -> (1.08, 1.52)))
+    // a 0.53 -> 0.75 s drift (q234's round-11 case) also flags now
+    val hist2 = Seq(line("/sf0.1",
+      (qs.toMap + ("q234" -> 0.53)).toSeq: _*))
+    assert(BenchGuard.regressions(hist2, "/sf0.1", Map("q234" -> 0.75))
+      === Map("q234" -> (0.53, 0.75)))
+    // but the same drift under the mid floor (0.3 -> 0.45) stays quiet
+    assert(BenchGuard.regressions(hist, "/sf0.1", Map("tiny" -> 0.3))
+      .isEmpty)
+  }
+
+  test("prior 'real' flags are parsed from the guard section for re-arbitration") {
+    val guarded =
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"a":1.0,"b":2.0,"c":3.0},"cold":{},"errors":{},"n_failed":0,"guard":{"a":{"prev":3.6,"sweep":4.8,"probe":[5.2,4.7],"verdict":"real"},"b":{"prev":1.7,"sweep":3.1,"probe":[2.7],"verdict":"noise"},"c":{"prev":2.3,"sweep":3.2,"probe":[],"verdict":"real"}},"n_flagged":3,"n_real_regressions":2,"sf":"/sf0.1"}"""
+    assert(BenchGuard.parseRealFlags(guarded)
+      === Map("a" -> 3.6, "c" -> 2.3))
+    // lines without a guard section contribute nothing
+    assert(BenchGuard.parseRealFlags(line("/sf0.1", "a" -> 1.0)).isEmpty)
+    // priorRealFlags unions the last <=3 same-sf lines, newest winning,
+    // and ignores other sfs
+    val older = guarded.replace("\"prev\":3.6", "\"prev\":9.9")
+    val otherSf = guarded.replace("/sf0.1", "/sf9")
+    assert(BenchGuard.priorRealFlags(
+      Seq(older, otherSf, guarded), "/sf0.1")
+      === Map("a" -> 3.6, "c" -> 2.3))
+    // a 4th-newest line's flags age out of the window
+    val pad = line("/sf0.1", "z" -> 1.0)
+    assert(BenchGuard.priorRealFlags(
+      Seq(guarded, pad, pad, pad), "/sf0.1").isEmpty)
   }
 
   test("parseQueries round-trips the bench line format") {

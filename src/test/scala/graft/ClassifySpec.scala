@@ -244,6 +244,34 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("q237 single-fold-class edge: a class confined to its held-out " +
+      "fold is no candidate there (no ln(0) null-score rows)") {
+    // class zz exists ONLY in fold 0 (doc_ids 0/5/10): fold 0's train
+    // set has zero zz docs, so — like the unrolled per-fold form, whose
+    // class grid comes from the train slice — zz must not be a
+    // candidate for fold 0. Before the docs_c filter this emitted
+    // ln(docs_c=0) null-score rows and correctness rested on the
+    // unpinned nulls-sort-last invariant of the desc ordering.
+    val docs = (Seq(0L, 5L, 10L).map(i => (i, "qq rr", "zz")) ++
+      Seq(15L, 20L).map(i => (i, "aa bb", "en")) ++
+      (1L to 14L).filter(_ % 5 != 0).map(i => (i, "aa bb", "en")))
+      .toDF("doc_id", "text", "lang")
+    val toks = graft.queries.TokenCache.tokenize(docs)
+      .withColumn("fd", pmod(col("doc_id"), lit(5)))
+    val cv = ClassifyOps.nbCrossvalFromTokens(toks).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(cv.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // fold 0: 5 test docs; the 3 zz docs CANNOT be predicted zz (no
+    // train presence) and the 2 en docs classify correctly -> 2/5
+    assert(cv(0L) === ((5L, 2L, 0.4)))
+    // folds 1-4: zz IS a candidate (fold 0 trains it), but the en docs
+    // still win on their own vocabulary -> 3/3 each, and no fold's
+    // accuracy is null/NaN
+    (1L to 4L).foreach(f => assert(cv(f) === ((3L, 3L, 1.0))))
+    cv.values.foreach { case (_, _, acc) => assert(!acc.isNaN) }
+  }
+
   test("q242 feature AUC: hand-computed with ties; noise anchors at 0.5") {
     import spark.implicits._
     // feature f: pos values {3, 2}, neg values {1, 2}
