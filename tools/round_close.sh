@@ -22,15 +22,21 @@ sbt -batch test
 
 echo "== 4/6 bench at $SF1 (appends BENCH_HISTORY, self-arbitrates) =="
 SPARK_GRAFT_SF_DIR="$SF1" sbt -batch "runMain graft.Bench"
+# Stable copy of THE GATE'S bench result: the driver's own post-gate
+# sweep overwrites target/bench.json and appends to BENCH_HISTORY.jsonl,
+# which is what left two of round 11's four manifest hashes stale
+# (round-11 verdict item 3). The gate's numbers live under a name
+# nothing else writes.
+cp target/bench.json BENCH_GATE_latest.json
 
 echo "== 5/6 DuckDB denominator (median-of-3, ratio_ex_q74) =="
 python3 tools/bench_duckdb.py "$SF1" /tmp/vout_close/oracle_sql.json \
-  target/bench.json BENCH_DUCKDB_latest.json
+  BENCH_GATE_latest.json BENCH_DUCKDB_latest.json
 
 echo "== 6/6 manifest (round-10 verdict item 7: prove the stamped =="
 echo "==       artifacts came from THIS gate run on THIS tree)    =="
 python3 - <<'EOF'
-import hashlib, json, subprocess, datetime, os
+import hashlib, json, subprocess, datetime, os, glob
 
 def sha256(p):
     h = hashlib.sha256()
@@ -39,8 +45,23 @@ def sha256(p):
             h.update(chunk)
     return h.hexdigest()
 
-arts = ["target/bench.json", "target/planaudit.txt",
-        "BENCH_DUCKDB_latest.json", "BENCH_HISTORY.jsonl"]
+# every hashed artifact is either gate-written-once (stable names) or a
+# driver-stamped file that predates the gate; none is rewritten by the
+# driver's post-gate sweep, so the manifest hashes stay true against
+# the committed tree (round-11 verdict item 3)
+arts = ["BENCH_GATE_latest.json", "target/bench.json",
+        "target/planaudit.txt", "target/verify_local.json",
+        "BENCH_DUCKDB_latest.json"]
+# newest driver-stamped correctness + duckdb artifacts present at gate
+# time (the round's own CORRECTNESS_r{N}.json is written by the driver
+# AFTER this gate; target/verify_local.json above is this gate's own
+# correctness evidence for the same tree)
+for pat in ("CORRECTNESS_r*.json", "BENCH_DUCKDB_r*.json"):
+    stamped = sorted(glob.glob(pat))
+    if stamped:
+        arts.append(stamped[-1])
+hist = open("BENCH_HISTORY.jsonl").read().splitlines() \
+    if os.path.exists("BENCH_HISTORY.jsonl") else []
 manifest = {
     "generated_by": "tools/round_close.sh",
     "utc": datetime.datetime.now(datetime.timezone.utc)
@@ -50,7 +71,15 @@ manifest = {
     "git_dirty": bool(subprocess.check_output(
         ["git", "status", "--porcelain"]).decode().strip()),
     "artifacts": {p: sha256(p) for p in arts if os.path.exists(p)},
-    # the test run the gate just executed, so "550/550 green" is
+    # the history is append-only and the driver appends after the gate:
+    # anchor the gate's own line (count + its sha) instead of hashing a
+    # file that is EXPECTED to grow
+    "bench_history": {
+        "lines_at_gate": len(hist),
+        "gate_line_sha256":
+            hashlib.sha256(hist[-1].encode()).hexdigest() if hist else None,
+    },
+    # the test run the gate just executed, so "558/558 green" is
     # checkable against the same manifest
     "test_reports": sorted(
         os.listdir("target/test-reports"))[:3] + ["..."]
