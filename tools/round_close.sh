@@ -33,6 +33,10 @@ echo "== 5/6 DuckDB denominator (median-of-3, ratio_ex_q74) =="
 python3 tools/bench_duckdb.py "$SF1" /tmp/vout_close/oracle_sql.json \
   BENCH_GATE_latest.json BENCH_DUCKDB_latest.json
 
+# refresh the user-facing operator index against the newest stamped
+# correctness artifact (no-op when nothing changed)
+python3 tools/gen_operator_index.py
+
 echo "== 6/6 manifest (round-10 verdict item 7: prove the stamped =="
 echo "==       artifacts came from THIS gate run on THIS tree)    =="
 python3 - <<'EOF'
