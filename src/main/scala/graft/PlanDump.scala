@@ -98,7 +98,7 @@ object PlanDump {
       "q230_homoglyph_dedup" -> "builtin translate (codegen'd) folds confusables in the scan projection; ONE map-side-combined group on the 16-byte skeleton hash — q20's exact-dedup shape",
       "q232_pack_bins" -> "FFD runs per md5 shard inside flatMapGroups after ONE shuffle on the shard key; bin state never leaves its task; output re-aggregates shard-locally",
       "q235_dedup_impact" -> "hash-group for global keepers + co-partitioned join back on fp + source rollup — two map-side-combined shuffles, all counting integer-exact",
-      "q237_nb_crossval" -> "5 independent q189-shaped passes (CV retraining is 5x train cost BY DEFINITION), each vocab-bounded; fold results union to 5 rows",
+      "q237_nb_crossval" -> "ONE corpus pass for all five folds (round 11): per-(fold,class,word) counts aggregate once and train counts come by exact integer subtraction (corpus total minus held-out fold); the 25-row per-fold class grid broadcasts",
       "q126_corr_matrix" -> "ONE aggregation pass carrying all 14 moments as Sum128 (two-long 128-bit buffer slots — fixed-width, codegen-friendly; the decimal(38,8) buffers this replaced re-serialized per row: 3.9s -> 0.6s at sf0.1); corr assembly is scalar math on the 1-row result",
       "q1_agg" -> "map-side-combined grouped agg; every measure sums through Sum128 (bit-identical to the decimal route, long-add speed); 2 grouping keys -> tiny shuffle",
       "q246_rrf_fusion" -> "lexical arm: postings equi-join against the BROADCAST query-token table (candidates = query-term postings, never the corpus) + per-query jaccard window over the bounded candidate set; semantic arm: q25's query-set broadcast cosine top-k; fusion: full-outer join of two <=pool-deep rank lists per query",
@@ -277,7 +277,7 @@ object PlanDump {
       "q234_retrieval_eval / stream_scd2_enrich" ->
         "q234's ground-truth side inherits q25's query-set broadcast; the metric join is K x |queries| vs K x |queries| (AQE's call). scd2Enrich: equality conjunct on the key keeps the stream-static join a hash join with the validity range as residual — never a BNLJ",
       "q235_dedup_impact / q236_profile_drift / q237_nb_crossval" ->
-        "q235 joins corpus-to-keepers co-partitioned on the content hash (both sides derive from the same aggregation); q236 has NO joins (unioned single-distinct branches); q237 repeats q189's decisions per fold",
+        "q235 joins corpus-to-keepers co-partitioned on the content hash (both sides derive from the same aggregation); q236 has NO joins (unioned single-distinct branches); q237 aggregates once and subtracts per fold — one set of q189-shaped joins, not five",
       "q249_t_closeness / q250_emd_drift / stream_emd_drift" ->
         "explicit broadcast of the 1-row total (q249) and the per-type boundary/ref-count arrays (q250/stream — the q220 rule): everything after the one corpus arm-count aggregation is bounded-grid metadata",
       "conc_globalrank" ->
