@@ -34,13 +34,24 @@ private[graft] object SessionCaches {
     */
   def getOrBuild[K, V](
       cache: java.util.concurrent.ConcurrentHashMap[K, V],
-      key: K, session: K => SparkSession)(build: => V): V = {
+      key: K, session: K => SparkSession)(build: => V): V =
+    getOrBuildWhere(cache, key,
+      (k: K) => session(k).sparkContext.isStopped)(build)
+
+  /** [[getOrBuild]] with an explicit deadness predicate — the seam
+    * SessionCachesSpec pins the purge through (a JVM holds ONE
+    * SparkContext, so a live-plus-stopped session pair cannot exist in
+    * the test JVM to drive the real predicate).
+    */
+  private[graft] def getOrBuildWhere[K, V](
+      cache: java.util.concurrent.ConcurrentHashMap[K, V],
+      key: K, dead: K => Boolean)(build: => V): V = {
     val hit = cache.get(key)
     if (hit != null) hit
     else {
       val it = cache.keySet().iterator()
       while (it.hasNext)
-        if (session(it.next()).sparkContext.isStopped) it.remove()
+        if (dead(it.next())) it.remove()
       cache.computeIfAbsent(key, { _: K => build })
     }
   }
