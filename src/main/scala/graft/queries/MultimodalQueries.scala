@@ -20,7 +20,7 @@ object MultimodalQueries {
     // decode); luma and rms stats are -1 sentinels for the kinds the
     // respective decoder doesn't apply to.
     "mm_decode_stats" -> ((s, d) => {
-      Multimodal.decodeFeatures(Multimodal.syntheticAssets(s, d))
+      Multimodal.decodeFeatures(AssetCache.assets(s, d))
         .toDF()
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n_assets"),
@@ -64,7 +64,7 @@ object MultimodalQueries {
 
     // frame-sampling pass: kept-frame counts per kind
     "mm_frame_sample" -> ((s, d) =>
-      Multimodal.frameSample(Multimodal.syntheticAssets(s, d), 2)
+      Multimodal.frameSample(AssetCache.assets(s, d), 2)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame"))).as("frame_bytes"))),
@@ -79,7 +79,7 @@ object MultimodalQueries {
     // shape: decode is narrow per-partition CPU work; the pair search
     // is ONE shuffle on (band, byte) buckets — never all-pairs.
     "mm_image_neardup" -> ((s, d) => {
-      val imgs = Multimodal.syntheticAssets(s, d)
+      val imgs = AssetCache.assets(s, d)
         .filter(col("kind") === "image")
       val planted = imgs.filter(pmod(col("asset_id"), lit(10)) === 0)
         .select((col("asset_id") + lit(NearDupIdOffset)).as("asset_id"),
@@ -102,7 +102,7 @@ object MultimodalQueries {
     // hamming 0 while unrelated melodies sit near 32. One shuffle on
     // (band, byte) buckets — never all-pairs; decode is narrow.
     "mm_audio_neardup" -> ((s, d) => {
-      val ids = Multimodal.syntheticAssets(s, d)
+      val ids = AssetCache.assets(s, d)
         .filter(col("kind") === "audio")
         .select(col("asset_id"))
       val originals = ids
@@ -129,7 +129,7 @@ object MultimodalQueries {
     // one-frame-edited twin that must land within hamming 4 while
     // unrelated clips sit near 32.
     "mm_video_neardup" -> ((s, d) => {
-      val ids = Multimodal.syntheticAssets(s, d)
+      val ids = AssetCache.assets(s, d)
         .filter(col("kind") === "video")
         .select(col("asset_id"))
       val originals = ids
@@ -154,7 +154,7 @@ object MultimodalQueries {
     // MultimodalSpec replays the synthetic GIF's luma formula to pin
     // the exact cut indices.
     "mm_scene_cuts" -> ((s, d) =>
-      Multimodal.sceneCuts(Multimodal.syntheticAssets(s, d))
+      Multimodal.sceneCuts(AssetCache.assets(s, d))
         .drop("cut_frames")),
 
     // Audio silence segmentation: per-80-sample-window RMS over the
@@ -162,7 +162,7 @@ object MultimodalQueries {
     // no shuffle; MultimodalSpec pins exact window/segment counts on a
     // WAV with planted silent spans.
     "mm_audio_segments" -> ((s, d) =>
-      Multimodal.audioSegments(Multimodal.syntheticAssets(s, d)))
+      Multimodal.audioSegments(AssetCache.assets(s, d)))
   )
 
   /** Planted near-dup twins carry asset_id + this offset. */
@@ -224,4 +224,48 @@ object MultimodalQueries {
       .find(_.isFile)
       .map(_.getAbsolutePath)
       .getOrElse("fixtures/mm/expected.json")
+}
+
+/** Session-pinned synthetic asset table — the shared input of the seven
+  * `mm_*` synthetic entries. The cost of `syntheticAssets` is the
+  * per-row ENCODE UDFs (ImageIO PNG write / WAV frame pack / per-frame
+  * GIF write), measured ~1.5 s/pass at sf0.1 (MmProbe) against a 9.5 MB
+  * pinned footprint; five of the seven consumers read the bytes column
+  * (decode_stats, frame_sample, image_neardup, scene_cuts,
+  * audio_segments — the two remaining near-dup entries prune to
+  * asset_id and re-synthesize their own payload variants), so the
+  * bench's 2-runs-per-entry sweep makes ≥10 encode passes without the
+  * pin — beyond the measured ~8-pass threshold (graft-build-discipline).
+  *
+  * Only the SYNTHETIC stand-in is pinned: `Multimodal.readAssets` (the
+  * real binary-file ingest — at 100 TB the bytes stream through
+  * executors and nothing is collected or pinned) is untouched; this
+  * cache exists because the stand-in's encode UDFs are compute, not
+  * scan, cost. Lifecycle contract as [[graft.Tables]]/TradeEdgeCache:
+  * (session, dir)-keyed, immutable dirs, `evict` on rewrite,
+  * stopped-session purge via [[graft.SessionCaches]].
+  */
+private[graft] object AssetCache {
+
+  import org.apache.spark.storage.StorageLevel
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  def assets(s: SparkSession, d: String): DataFrame =
+    graft.SessionCaches.getOrBuild(cache, (s, d),
+      (k: (SparkSession, String)) => k._1) {
+      Multimodal.syntheticAssets(s, d)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def evict(s: SparkSession, d: String): Unit = {
+    val e = cache.remove((s, d))
+    if (e != null) e.unpersist()
+  }
+
+  def clear(): Unit = {
+    val keys = cache.keySet().toArray(Array.empty[(SparkSession, String)])
+    keys.foreach { case (s, d) => evict(s, d) }
+  }
 }
