@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * (SparkSession, …)-keyed caches ([[Tables]], TokenCache,
   * ShingleCache, PairCache, TradeEdgeCache, BasketCache,
   * PricePercentileCache, RankQuantileCache, PsiGridCache,
-  * ConformalFitCache).
+  * ConformalFitCache, AssetCache, LloydFitCache).
   *
   * A long-lived JVM that creates and stops sessions — or the shared
   * test JVM, which accumulates one entry per temp dir per suite — must
