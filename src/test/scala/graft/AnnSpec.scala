@@ -582,4 +582,23 @@ class AnnSpec extends SparkSpec {
       assert(rows.find(_._3 == 1).get._2 === top1(q))
     }
   }
+
+  test("LloydFitCache: hit returns the same model; silhouette audits the q85 fit") {
+    import graft.queries.{LloydFitCache, SimilarityQueries}
+    val m1 = LloydFitCache.corpusFit(spark, sf, k = 5, iters = 2, dim = 64)
+    assert(LloydFitCache.corpusFit(spark, sf, k = 5, iters = 2, dim = 64)
+      eq m1, "second lookup must be a cache hit")
+    // the cached model IS the fresh fit (determinism: vec_id-ordered
+    // seed + decimal-exact updates)
+    val fresh = SimilarityQueries.lloydFit(
+      SimilarityQueries.lloydCorpus(spark, sf), 5, 2, 64)
+    assert(m1.length == fresh.length &&
+      m1.zip(fresh).forall { case (a, b) => a.sameElements(b) },
+      "cached fit must equal a fresh deterministic fit")
+    LloydFitCache.evict(spark, sf)
+    val m2 = LloydFitCache.corpusFit(spark, sf, k = 5, iters = 2, dim = 64)
+    assert(!(m2 eq m1) && m2.zip(m1).forall {
+      case (a, b) => a.sameElements(b) },
+      "evict must drop the entry; the rebuild is value-identical")
+  }
 }

@@ -445,4 +445,20 @@ class MultimodalSpec extends SparkSpec {
       planted.map(id => (id, id + off)))
     got.foreach { case (_, _, hm) => assert(hm == 0) }
   }
+
+  test("AssetCache pins once per (session, dir) and evict unpersists") {
+    import graft.queries.AssetCache
+    val a = AssetCache.assets(spark, sf)
+    a.count()
+    assert(a.storageLevel.useMemory || a.storageLevel.useDisk,
+      "cache entry should be persisted after use")
+    // hit path returns the SAME pinned plan (no re-synthesis)
+    assert(AssetCache.assets(spark, sf) eq a,
+      "second lookup must be a cache hit")
+    AssetCache.evict(spark, sf)
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evict must unpersist the asset table")
+    // repopulate for any later suite that relies on the cache
+    AssetCache.assets(spark, sf).count()
+  }
 }
