@@ -187,6 +187,13 @@ object RecommenderOps {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .distinct()
+        // pinned: the relation feeds BOTH the popularity pool and the
+        // anti-join probe side — the static plan duplicates the
+        // join+distinct subtree and AQE's runtime stage reuse measured
+        // slower than one eager materialization here (2.43 s unpinned
+        // vs 2.0-2.1 s, 3-rep min at sf0.1); released after the
+        // bounded output materializes below
+        .localCheckpoint(true)
       val pool = bought.groupBy(col("part"))
         .agg(count(lit(1)).as("np"))
         .orderBy(col("np").desc, col("part")).limit(PopPool)
@@ -195,13 +202,19 @@ object RecommenderOps {
       val negatives = custs.crossJoin(broadcast(pool))
         .join(bought, col("c_custkey") === col("cust")
           && col("cand") === col("part"), "left_anti")
-      negatives.withColumn("rn", row_number().over(
+      // materialize (customers × NegK rows — bounded) so the pinned
+      // purchase relation can be released before returning (the q154
+      // checkpoint discipline)
+      val out = negatives.withColumn("rn", row_number().over(
           Window.partitionBy(col("c_custkey")).orderBy(
             md5(concat_ws("_", col("c_custkey"), col("cand"))),
             col("cand"))))
         .filter(col("rn") <= NegK)
         .select(col("c_custkey"), col("cand").as("neg_part"),
           col("rn").cast("long").as("rn"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(bought)
+      out
     })
   )
 
