@@ -639,9 +639,10 @@ object GraphQueries {
 }
 
 /** Session-pinned DISTINCT customer↔supplier trade-pair relation — the
-  * node/edge base of SEVEN graph entries (q74/q86/q146/q153/q161/
-  * q231/q244), each of which paid the lineitem⋈orders join + distinct
-  * shuffle to rebuild it (and the iterative ones read it per round).
+  * node/edge base of EIGHT entries (q74/q86/q146/q153/q161/q231/q244
+  * plus q143's recursive CTE via a temp view over [[uv]], round 12),
+  * each of which paid the lineitem⋈orders join + distinct shuffle to
+  * rebuild it (and the iterative ones read it per round).
   * q192_kcore deliberately does NOT consume the cache: its unrolled
   * peel plan reads the edge relation ~10×, and ten InMemoryTableScan
   * reads measured SLOWER than the inline build whose exchange

@@ -120,6 +120,30 @@ object SqlSurface {
       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
       |FROM reach GROUP BY node""".stripMargin
 
+  /** The Spark-side form of q143: identical reach/aggregate text, but
+    * the undirected edge relation derives from a view over
+    * [[TradeEdgeCache.uv]] — the SAME (2·cust, 2·supp+1) pair set the
+    * seven graph entries pin — instead of re-running the
+    * lineitem⋈orders+distinct build inside the recursive plan (which
+    * re-read it once per recursion step). The DuckDB oracle keeps the
+    * self-contained [[recursiveReachSqlOn]] text over the raw tables;
+    * the hash compare pins the two forms to the same rows.
+    */
+  def recursiveReachSqlOnUv(uv: String, customer: String): String =
+    s"""WITH RECURSIVE
+      |edges AS (SELECT u, v FROM $uv
+      |          UNION ALL SELECT v AS u, u AS v FROM $uv),
+      |reach(node, dist) AS (
+      |  SELECT c_custkey * 2 AS node, 0 AS dist FROM $customer
+      |  WHERE c_custkey % 100 = 0
+      |  UNION ALL
+      |  SELECT DISTINCT e.v AS node, r.dist + 1 AS dist
+      |  FROM reach r JOIN edges e ON e.u = r.node
+      |  WHERE r.dist < 2)
+      |SELECT node, MIN(dist) AS dist,
+      |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
+      |FROM reach GROUP BY node""".stripMargin
+
   /** q227: GROUP BY ALL + ORDER BY ALL — the modern analyst-SQL
     * shorthand (every non-aggregate select item becomes a grouping key;
     * the result orders by the full output row). Spark 4 and DuckDB both
@@ -280,13 +304,11 @@ object SqlSurface {
       }),
 
       "q143_recursive_reach" -> ((s, d) => {
-        Tables(s, d, "lineitem").createOrReplaceTempView("graft_q143_lineitem")
-        Tables(s, d, "orders").createOrReplaceTempView("graft_q143_orders")
+        TradeEdgeCache.uv(s, d).createOrReplaceTempView("graft_q143_uv")
         Tables(s, d, "customer").createOrReplaceTempView("graft_q143_customer")
-        val df = s.sql(recursiveReachSqlOn("graft_q143_lineitem",
-          "graft_q143_orders", "graft_q143_customer"))
-        s.catalog.dropTempView("graft_q143_lineitem")
-        s.catalog.dropTempView("graft_q143_orders")
+        val df = s.sql(recursiveReachSqlOnUv("graft_q143_uv",
+          "graft_q143_customer"))
+        s.catalog.dropTempView("graft_q143_uv")
         s.catalog.dropTempView("graft_q143_customer")
         df
       }))
