@@ -73,6 +73,10 @@ object ScaleSmoke {
       // fold + its O(delta) streaming twin
       "stats_eqdepth_rank", "q246_rrf_fusion", "q247_holt", "stream_holt",
       "stream_index_inc",
+      // round-12: both re-planned onto pinned relations (q143's
+      // recursive CTE over the shared trade-edge view; q182's
+      // checkpointed purchase relation) — smoke the new plans at 10x
+      "q143_recursive_reach", "q182_negative_sample",
       // round-8 additions: the grouped-rank Gini twin and the
       // steady-state ANN serving shape both exist FOR their scale story
       "conc_globalrank", "sim_ann_serve",
