@@ -58,7 +58,7 @@ object PlanDump {
       "q130_bloom_join" -> "16 KB bloom literal prunes the fact scan INSIDE codegen before the join shuffle (explicit runtime filter)",
       "q139_fuzzy_pairs" -> "brand-blocked fuzzy pairing: candidates from an equi-join on the blocking key, dam_lev/jaro_winkler kernels codegen'd in the verify filter — no all-pairs surface",
       "q141_shortest_path" -> "3 unrolled min-plus rounds: one frontier equi-join + map-side-combined grouped min each; state is one row per reached node",
-      "q143_recursive_reach" -> "native recursive CTE (UnionLoop); DISTINCT recursive term bounds per-level state by the node set, depth guard caps the loop",
+      "q143_recursive_reach" -> "native recursive CTE (UnionLoop) over the session-pinned trade-edge view (round 12 - the edge build is no longer re-run per recursion step); DISTINCT recursive term bounds per-level state by the node set, depth guard caps the loop",
       "q145_split_leakage" -> "content-hash aggregation + co-partitioned join back on the hash — the q20 exact-dedup shuffle shape with a split-spread count",
       "q148_seasonal_anomaly" -> "daily decimal aggregation + lag-7 window; per-type residual moments broadcast back over the series (the q102 outlier shape on time series)",
       "q155_survival" -> "per-customer gap window (one shuffle) collapses to DISTINCT-DURATION rows; KM risk-set/product windows run over that calendar-bounded set, 1-row horizon broadcast",
