@@ -153,16 +153,20 @@ object GraphQueries {
       val ce = TradeEdgeCache.uv(s, d)
       def undirected(e: org.apache.spark.sql.DataFrame) =
         e.union(e.select(col("v").as("u"), col("u").as("v")))
+      // cold phase iterates a FILTERED edge set (different deg table) —
+      // it prepares/releases its own working set inside pageRank; the
+      // warm continuation runs on the FULL trade graph, the same
+      // relation q74/q153 iterate, so it rides the session-pinned
+      // working set (round 12, guide §2.4)
       val base = ce.filter(pmod(col("v"), lit(7)) =!= 3)
       val r0 = PageRank.pageRank(undirected(base), PrIters)
-      PageRank.pageRankFrom(undirected(ce), r0, 2, tol = 1e-7)
+      PageRank.pageRankOn(TradeEdgeCache.prGraph(s, d), Some(r0), 2,
+          tol = 1e-7)
         .select(col("node"), round(col("rank"), 9).as("rank"))
     }),
 
     "q74_pagerank" -> ((s, d) => {
-      val ce = TradeEdgeCache.uv(s, d)
-      val edges = ce.union(ce.select(col("v").as("u"), col("u").as("v")))
-      PageRank.pageRank(edges, PrIters)
+      PageRank.pageRankOn(TradeEdgeCache.prGraph(s, d), None, PrIters)
         .select(col("node"),
           when(pmod(col("node"), lit(2)) === 0, "customer")
             .otherwise("supplier").as("kind"),
@@ -243,12 +247,11 @@ object GraphQueries {
     // vector stays sparse (reached nodes only) — at 100x the per-round
     // join is frontier-proportional, not graph-proportional.
     "q153_personalized_pr" -> ((s, d) => {
-      val ce = TradeEdgeCache.uv(s, d)
-      val edges = ce.union(ce.select(col("v").as("u"), col("u").as("v")))
       val seeds = Tables(s, d, "customer")
         .filter(pmod(col("c_custkey"), lit(100)) === 0)
         .select((col("c_custkey") * 2).as("node"))
-      PageRank.personalizedPageRank(edges, seeds, iters = PrIters)
+      PageRank.personalizedPageRankOn(
+          TradeEdgeCache.prGraph(s, d).links, seeds, iters = PrIters)
         .select(col("node"),
           when(pmod(col("node"), lit(2)) === 0, "customer")
             .otherwise("supplier").as("kind"),
@@ -683,13 +686,38 @@ private[graft] object TradeEdgeCache {
     pairs(s, d).select((col("cust") * 2).as("u"),
       (col("supp") * 2 + 1).as("v"))
 
+  private val prCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.operators.PageRank.LinkGraph]
+
+  /** Session-pinned PageRank working set (deg-joined link table,
+    * node/has-in table, node count) over the UNDIRECTED [[uv]] graph —
+    * shared by q74, q153 and q231's warm phase, which otherwise each
+    * rebuilt and re-cached the identical link table per invocation
+    * (round 12; guide §2.4 — the working-set analogue of sharing an
+    * exchange). q231's COLD phase iterates a FILTERED edge set (every
+    * 7th supplier's links removed), a different deg table — it prepares
+    * its own graph inside the entry.
+    */
+  def prGraph(s: SparkSession, d: String)
+      : graft.operators.PageRank.LinkGraph =
+    graft.SessionCaches.getOrBuild(prCache, (s, d),
+      (k: (SparkSession, String)) => k._1) {
+      val ce = uv(s, d)
+      graft.operators.PageRank.prepare(
+        ce.union(ce.select(col("v").as("u"), col("u").as("v"))))
+    }
+
   def evict(s: SparkSession, d: String): Unit = {
     val e = cache.remove((s, d))
     if (e != null) e.unpersist()
+    val g = prCache.remove((s, d))
+    if (g != null) graft.operators.PageRank.release(g)
   }
 
   def clear(): Unit = {
     val keys = cache.keySet().toArray(Array.empty[(SparkSession, String)])
     keys.foreach { case (s, d) => evict(s, d) }
+    val pk = prCache.keySet().toArray(Array.empty[(SparkSession, String)])
+    pk.foreach { case (s, d) => evict(s, d) }
   }
 }
